@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+
+Runs `graft.Verify` output (outDir/<name>/ parquet + oracle_sql.json) against
+DuckDB over the same sf tables and compares: row count, schema (column names),
+and exact cell values after sorting columns by name and rows by all columns.
+Dev tool only — not part of the engine.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for f in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) is not None else df[c]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+fails = []
+for name in sorted(os.listdir(out)):
+    pq_dir = os.path.join(out, name)
+    if not os.path.isdir(pq_dir):
+        continue
+    try:
+        got = pd.read_parquet(pq_dir)
+    except Exception as e:
+        fails.append((name, f"spark output unreadable: {e}")); continue
+    if name not in oracle:
+        print(f"  {name:24s} rows-only: {len(got)} rows {'OK' if len(got) > 0 else 'EMPTY!'}")
+        if len(got) == 0:
+            fails.append((name, "rows-only query returned 0 rows"))
+        continue
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}")); continue
+    if sorted(got.columns) != sorted(exp.columns):
+        fails.append((name, f"schema mismatch: spark={sorted(got.columns)} duckdb={sorted(exp.columns)}")); continue
+    g, e = canon(got), canon(exp)
+    if len(g) != len(e):
+        fails.append((name, f"row count: spark={len(g)} duckdb={len(e)}")); continue
+    ok = True
+    for c in g.columns:
+        gv, ev = g[c].to_numpy(), e[c].to_numpy()
+        if pd.api.types.is_float_dtype(g[c]) and pd.api.types.is_float_dtype(e[c]):
+            same = (gv == ev) | (np.isnan(gv.astype(float)) & np.isnan(ev.astype(float)))
+        else:
+            same = pd.Series(gv).astype(str).to_numpy() == pd.Series(ev).astype(str).to_numpy()
+        if not same.all():
+            i = int(np.argmin(same))
+            fails.append((name, f"col {c} differs at sorted-row {i}: spark={gv[i]!r} duckdb={ev[i]!r} ({int((~same).sum())} cells)"))
+            ok = False
+            break
+    if ok:
+        print(f"  {name:24s} OK ({len(g)} rows)")
+
+print()
+if fails:
+    print(f"FAIL {len(fails)}:")
+    for n, m in fails:
+        print(f"  {n}: {m}")
+    sys.exit(1)
+print("ALL GREEN")

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational capability surface (SURVEY §2.2) over the TPC-H-ish fixtures.
+  *
+  * Numeric determinism rules for hash-exact oracle parity:
+  *   - money sums go through DECIMAL: the inputs are exactly-2(or fewer)-
+  *     decimal doubles, so `CAST(x AS DECIMAL(18,k))` recovers the exact
+  *     rational on both engines regardless of rounding mode, the decimal sum
+  *     is exact and order-independent, and the final cast to DOUBLE is the
+  *     same correctly-rounded conversion in both engines;
+  *   - `l_quantity` is integer-valued → double sums are exact at any order;
+  *   - averages are written explicitly as sum/count (never the engine's
+  *     AVG, whose accumulation strategy is engine-specific);
+  *   - temporal outputs are formatted to strings (tz-representation parity).
+  */
+object RelationalQueries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** SUM(l_extendedprice * (1 - l_discount)) — exact via DECIMAL(18,4). */
+  private def revenue: Column =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+      .cast("double")
+
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1-style pricing summary: the canonical partial-agg benchmark.
+    "q1_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3-style: selective filters pushed to all three scans, two joins
+    // (customer side broadcast-able), top-10 by revenue.
+    "q3_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: 4-way join through the dimension chain, revenue per
+    // customer nation. region/nation/customer are broadcast dims.
+    "q5_multijoin" -> ((s, dir) => {
+      val r = tbl(s, dir, "region")
+      val n = tbl(s, dir, "nation")
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_lineitems"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |  $revenueSql AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_orderkey, orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      s"""SELECT r_name, n_name, $revenueSql AS revenue, COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+  )
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{BooleanQuery, InvertedIndex}
+import graft.sources.Corpus
+
+/** Inverted-index + text-pipeline queries with their DuckDB oracles.
+  *
+  * Oracle conventions (driver hash-compares after sorting columns by name):
+  *   - every aggregate/computed column aliased identically on both sides;
+  *   - counts are BIGINT on both sides (Spark `size()` is INT → cast);
+  *   - no raw timestamp columns in outputs (tz representation differs);
+  *   - the stopword list is embedded literally in the SQL so both sides
+  *     filter with the identical set.
+  */
+object TextQueries {
+
+  private val stopList = Text.EffectiveStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared CTE: tokenize documents the way `Text.tokenize` does, then the
+    * distinct stopword-filtered (doc, term) relation = `InvertedIndex.postings`.
+    */
+  private val termsCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+       |  FROM documents
+       |), terms AS (
+       |  SELECT DISTINCT doc_id, source, term FROM toks
+       |  WHERE term <> '' AND term NOT IN ($stopList)
+       |)""".stripMargin
+
+  private val urlSql = "'doc://' || source || '/' || CAST(doc_id AS VARCHAR)"
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Corpus.documents(s, dir)
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.postings(docs(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_postings" -> ((s, dir) => postings(s, dir)),
+
+    "q_term_lookup" -> ((s, dir) => InvertedIndex.lookup(postings(s, dir), "spark")),
+
+    "q_doc_freq" -> ((s, dir) => InvertedIndex.docFreq(postings(s, dir))),
+
+    "q_topk_df" -> ((s, dir) => InvertedIndex.topKByDocFreq(postings(s, dir), 20)),
+
+    "q_index_stats" -> ((s, dir) =>
+      postings(s, dir).groupBy("term").agg(
+        count(lit(1)).as("df"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("postings_csv"))),
+
+    "q_bool_and" -> ((s, dir) => BooleanQuery.and(postings(s, dir), Seq("spark", "hash"))),
+
+    "q_bool_or" -> ((s, dir) => BooleanQuery.or(postings(s, dir), Seq("spark", "hash"))),
+
+    "q_bool_not" -> ((s, dir) => BooleanQuery.andNot(postings(s, dir), "spark", Seq("hash"))),
+
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(Text.tokenize(col("text"))).cast("long").as("n_tokens"),
+        size(Text.terms(col("text"))).cast("long").as("n_terms"))),
+
+    "q_tf" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_postings" ->
+      s"""$termsCte SELECT term, doc_id, $urlSql AS url FROM terms""",
+
+    "q_term_lookup" ->
+      s"""$termsCte SELECT doc_id, $urlSql AS url FROM terms WHERE term = 'spark'""",
+
+    "q_doc_freq" ->
+      s"""$termsCte SELECT term, count(*) AS df FROM terms GROUP BY term""",
+
+    "q_topk_df" ->
+      s"""$termsCte SELECT term, count(*) AS df FROM terms GROUP BY term
+         |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    "q_index_stats" ->
+      s"""$termsCte SELECT term, count(*) AS df, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_csv
+         |FROM terms GROUP BY term""".stripMargin,
+
+    "q_bool_and" ->
+      s"""$termsCte SELECT a.doc_id FROM terms a JOIN terms b USING (doc_id)
+         |WHERE a.term = 'spark' AND b.term = 'hash'""".stripMargin,
+
+    "q_bool_or" ->
+      s"""$termsCte SELECT DISTINCT doc_id FROM terms WHERE term IN ('spark', 'hash')""",
+
+    "q_bool_not" ->
+      s"""$termsCte SELECT doc_id FROM terms WHERE term = 'spark'
+         |EXCEPT SELECT doc_id FROM terms WHERE term = 'hash'""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |      t -> t <> '')) AS n_tokens,
+         |  len(list_distinct(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |      t -> t <> '' AND t NOT IN ($stopList)))) AS n_terms
+         |FROM documents""".stripMargin,
+
+    "q_tf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+         |  FROM documents
+         |)
+         |SELECT doc_id, term, count(*) AS tf FROM toks
+         |WHERE term <> '' AND term NOT IN ($stopList)
+         |GROUP BY doc_id, term""".stripMargin,
+  )
+}

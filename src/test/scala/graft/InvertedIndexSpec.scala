@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{BooleanQuery, InvertedIndex}
+
+/** Golden test from the reference Readme's worked example
+  * (reference `Readme.md:224-242`): doc1 "the cat sat", doc2 "the dog ran",
+  * doc3 "cat and dog played" → with NLTK stopwords, `the`/`and` drop out.
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "u1", "the cat sat"),
+    (2L, "u2", "the dog ran"),
+    (3L, "u3", "cat and dog played")
+  ).toDF("doc_id", "url", "text")
+
+  test("golden 3-doc index matches the reference worked example (stopwords on)") {
+    val idx = InvertedIndex.index(docs)
+      .select($"term", transform($"postings", p => p("doc_id")).as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(idx === Map(
+      "cat" -> Seq(1L, 3L), "sat" -> Seq(1L), "dog" -> Seq(2L, 3L),
+      "ran" -> Seq(2L), "played" -> Seq(3L)))
+  }
+
+  test("posting lists are doc_id-sorted and deduplicated") {
+    // same doc text twice in one document: still one posting per (term, doc)
+    val dup = Seq((5L, "u5", "cat cat cat"), (4L, "u4", "cat")).toDF("doc_id", "url", "text")
+    val postings = InvertedIndex.postings(dup).as[(String, Long, String)].collect()
+    assert(postings.count(_._1 == "cat") === 2)
+    val idx = InvertedIndex.index(dup)
+      .select($"term", transform($"postings", p => p("doc_id")).as("ids"))
+      .as[(String, Seq[Long])].head()
+    assert(idx._2 === Seq(4L, 5L)) // sorted even though input order was 5, 4
+  }
+
+  test("index is invariant under corpus repartitioning (partial-agg contract)") {
+    val base = InvertedIndex.index(docs).orderBy("term").as[(String, Seq[(Long, String)])].collect()
+    val shuffled = InvertedIndex.index(docs.repartition(7)).orderBy("term")
+      .as[(String, Seq[(Long, String)])].collect()
+    assert(base === shuffled)
+  }
+
+  test("boolean queries: and / or / not") {
+    val p = InvertedIndex.postings(docs)
+    assert(BooleanQuery.and(p, Seq("cat", "dog")).as[Long].collect().toSet === Set(3L))
+    assert(BooleanQuery.or(p, Seq("sat", "ran")).as[Long].collect().toSet === Set(1L, 2L))
+    assert(BooleanQuery.andNot(p, "cat", Seq("dog")).as[Long].collect().toSet === Set(1L))
+  }
+
+  test("docFreq and topK") {
+    val p = InvertedIndex.postings(docs)
+    val df = InvertedIndex.docFreq(p).as[(String, Long)].collect().toMap
+    assert(df("cat") === 2 && df("sat") === 1)
+    val top = InvertedIndex.topKByDocFreq(p, 2).as[(String, Long)].collect()
+    assert(top.map(_._1).toSeq === Seq("cat", "dog")) // df=2 each, term tie-break
+  }
+}

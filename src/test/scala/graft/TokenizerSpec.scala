@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Text
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tokensOf(text: String): Seq[String] =
+    Seq(text).toDF("text").select(Text.tokenize($"text")).as[Seq[String]].head()
+
+  private def termsOf(text: String): Seq[String] =
+    Seq(text).toDF("text").select(Text.terms($"text")).as[Seq[String]].head()
+
+  test("P1: lowercase + strip non-letters, hyphenated words merge") {
+    assert(tokensOf("Rock-Band plays 7 SONGS!") === Seq("rockband", "plays", "songs"))
+  }
+
+  test("P1: leading/trailing/repeated whitespace yields no empty tokens") {
+    assert(tokensOf("  the   cat\n\tsat  ") === Seq("the", "cat", "sat"))
+    assert(tokensOf("") === Seq.empty)
+    assert(tokensOf("42 %$#") === Seq.empty)
+  }
+
+  test("F1+D1: stopwords dropped, duplicates collapsed, first-seen order") {
+    assert(termsOf("the cat and the dog saw the cat") === Seq("cat", "dog", "saw"))
+  }
+
+  test("stopword list has the NLTK cardinality (179)") {
+    assert(Text.NltkStopwords.size === 179)
+    assert(Text.NltkStopwords.distinct.size === 179)
+  }
+
+  test("shingles: 3-gram over token stream") {
+    val sh = Seq("a b c d").toDF("text").select(Text.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text").select(Text.shingles($"text", 3)).as[Seq[String]].head()
+    assert(short === Seq.empty)
+  }
+}
