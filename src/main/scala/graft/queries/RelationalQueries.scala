@@ -19,8 +19,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object RelationalQueries {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  import graft.sources.Tables.tbl
 
   /** SUM(l_extendedprice * (1 - l_discount)) — exact via DECIMAL(18,4). */
   private def revenue: Column =
