@@ -52,25 +52,50 @@ object InvertedIndex {
 }
 
 /** Boolean multi-term queries over the posting relation (SURVEY §2.2 —
-  * AND = posting-set intersection, OR = union, NOT = difference). All are
-  * expressed on the flat (term, doc_id) relation so Catalyst plans them as
-  * joins/aggregates with partial pushdown; the tiny per-term posting sets
-  * broadcast naturally under AQE.
+  * AND = posting-set intersection, OR = union, NOT = difference).
+  *
+  * Scale design: each operator is a SINGLE pass over the posting relation —
+  * one `isin` filter (pushed to the scan; prunes to the matching term
+  * buckets when the input is the term-bucketed persisted index) followed by
+  * one aggregation or one anti-join keyed on doc_id. The round-1 shape
+  * (N per-term branches chained with intersect/except) re-scanned the corpus
+  * once per term and shuffled once per set-op; at 100 TB that is N full
+  * tokenization passes to answer a point query.
   */
 object BooleanQuery {
 
-  private def docsFor(postings: DataFrame, term: String): DataFrame =
-    postings.filter(col("term") === term).select("doc_id").distinct()
+  /** Documents containing ALL of the given terms. One scan, one shuffle:
+    * filter to the wanted terms, then keep doc_ids that matched every one.
+    */
+  def and(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BooleanQuery.and: terms must be non-empty")
+    postings
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_hit"))
+      .filter(col("n_hit") === terms.size)
+      .select("doc_id")
+  }
 
-  /** Documents containing ALL of the given terms (posting intersection). */
-  def and(postings: DataFrame, terms: Seq[String]): DataFrame =
-    terms.map(docsFor(postings, _)).reduce(_.intersect(_))
+  /** Documents containing ANY of the given terms: filter + distinct —
+    * one scan, one shuffle.
+    */
+  def or(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BooleanQuery.or: terms must be non-empty")
+    postings.filter(col("term").isin(terms: _*)).select("doc_id").distinct()
+  }
 
-  /** Documents containing ANY of the given terms (posting union). */
-  def or(postings: DataFrame, terms: Seq[String]): DataFrame =
-    terms.map(docsFor(postings, _)).reduce(_.union(_)).distinct()
-
-  /** Documents containing `include` but NONE of `exclude`. */
-  def andNot(postings: DataFrame, include: String, exclude: Seq[String]): DataFrame =
-    exclude.foldLeft(docsFor(postings, include))((acc, t) => acc.except(docsFor(postings, t)))
+  /** Documents containing `include` but NONE of `exclude`: a left-anti join
+    * of two term-pruned branches. Both sides are tiny posting sets, so AQE
+    * plans the anti side as a broadcast; on the persisted index each branch
+    * is a bucket-pruned scan.
+    */
+  def andNot(postings: DataFrame, include: String, exclude: Seq[String]): DataFrame = {
+    val inc = postings.filter(col("term") === include).select("doc_id").distinct()
+    if (exclude.isEmpty) inc
+    else {
+      val exc = postings.filter(col("term").isin(exclude: _*)).select("doc_id")
+      inc.join(exc, Seq("doc_id"), "left_anti")
+    }
+  }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (⊕ LLM-pipeline extension, SURVEY §2.2).
+  * Input schema: `vec_id LONG, embedding ARRAY<FLOAT>, label INT`
+  * (the `embeddings.parquet` fixture).
+  *
+  * Numeric determinism: embeddings are cast element-wise to DOUBLE before
+  * any arithmetic (float accumulation differs between engines) and
+  * similarities are rounded to 6 dp at the output boundary, so results are
+  * reproducible in any engine that sums left-to-right in double.
+  *
+  * Scale design: brute-force top-k is the correctness baseline — a single
+  * broadcast of the query vector and one narrow pass (no shuffle until the
+  * global top-k, which TakeOrdered handles with per-partition heaps). The
+  * 100 TB path is `signBuckets`/`annNearestNeighbor`: a deterministic LSH
+  * (sign of the leading dimensions) buckets vectors so the candidate join
+  * is linear in bucket mass, never all-pairs. Swap in learned IVF
+  * centroids by replacing the bucket expression; the plumbing (bucket →
+  * within-bucket join → per-probe top-k) is identical.
+  */
+object Similarity {
+
+  /** Element-wise double-cast of an array<float> column. */
+  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** vec_id, v (double embedding), norm — the shared projection. */
+  def prepared(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    embeddings.select(col("vec_id"), v.as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+    round(dot(va, vb) / (na * nb), 6)
+
+  /** Brute-force cosine top-k against the embedding of `queryId`.
+    * Deterministic tie-break on vec_id.
+    */
+  def topK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val p = prepared(embeddings)
+    val q = p.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    p.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic LSH bucket: the sign bits of the first `bits` dimensions
+    * as a bit string. Vectors in different buckets are never compared.
+    */
+  def signBucket(embedding: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(embedding, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Approximate nearest neighbor per vector: each vector's best match
+    * within its sign bucket (vectors alone in their bucket yield no row —
+    * the approximation's recall/latency trade, documented not hidden).
+    * One bucket-keyed self-join + one window; never all-pairs.
+    */
+  def annNearestNeighbor(embeddings: DataFrame, bits: Int = 8): DataFrame = {
+    val p = prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+    val a = p.select(col("bucket"), col("vec_id"), col("v"), col("norm"))
+    val b = p.select(col("bucket"), col("vec_id").as("nn_id"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        cosine(col("v"), col("norm"), col("vb"), col("nb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "nn_id", "sim")
+  }
+}

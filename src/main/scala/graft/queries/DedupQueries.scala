@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Dedup
+import graft.sources.Corpus
+
+/** Dedup operator surface (⊕ LLM-pipeline): exact, MinHash-LSH near-dup
+  * with Jaccard verification, SimHash fingerprints. Oracles re-express the
+  * identical algorithm in DuckDB SQL — possible because every hash in the
+  * operators is md5-derived (engine-portable), not an engine-private seed.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Corpus.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "q_dedup_near" -> ((s, dir) => Dedup.nearDuplicates(docs(s, dir))),
+    "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+  )
+
+  /** Tokens (stopwords kept) per doc — mirror of `Text.tokenize`. */
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+      |                     t -> t <> '') AS ts
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Distinct 3-gram shingle sets — mirror of `Dedup.shingleSets(_, 3)`. */
+  private val shingleCte =
+    s"""$toksCte, sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(ts)-2, 0)+1),
+       |                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+       |  FROM toks
+       |), shs AS (SELECT * FROM sh WHERE len(sh) > 0)""".stripMargin
+
+  private val stopList = graft.functions.Text.EffectiveStopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z\s]', '', 'g')) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp,
+        |       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+        |FROM fp""".stripMargin,
+
+    "q_dedup_near" ->
+      s"""$shingleCte, sigs AS (
+         |  SELECT doc_id, i AS band,
+         |         list_min(list_transform(sh, s -> md5(i || ':' || s))) AS sig
+         |  FROM shs, range(12) t(i)
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |), j AS (
+         |  SELECT doc_a, doc_b,
+         |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |               / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+         |  FROM cands
+         |  JOIN shs sa ON cands.doc_a = sa.doc_id
+         |  JOIN shs sb ON cands.doc_b = sb.doc_id
+         |)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_simhash" ->
+      s"""$toksCte, terms AS (
+         |  SELECT DISTINCT doc_id, t.term FROM toks, unnest(ts) AS t(term)
+         |  WHERE t.term NOT IN ($stopList)
+         |), h AS (
+         |  SELECT doc_id, substr(md5(term), 1, 16) AS h FROM terms
+         |), nib AS (
+         |  SELECT doc_id, p, ascii(substr(h, CAST(p+1 AS INT), 1)) AS c
+         |  FROM h, range(16) t(p)
+         |), v AS (
+         |  SELECT doc_id, p, CASE WHEN c <= 57 THEN c - 48 ELSE c - 87 END AS v FROM nib
+         |), agg AS (
+         |  SELECT doc_id, p, count(*) AS n,
+         |         sum(floor(v/8) % 2) AS s3, sum(floor(v/4) % 2) AS s2,
+         |         sum(floor(v/2) % 2) AS s1, sum(v % 2) AS s0
+         |  FROM v GROUP BY doc_id, p
+         |), nv AS (
+         |  SELECT doc_id, p,
+         |         CAST((CASE WHEN s3*2 > n THEN 8 ELSE 0 END) +
+         |              (CASE WHEN s2*2 > n THEN 4 ELSE 0 END) +
+         |              (CASE WHEN s1*2 > n THEN 2 ELSE 0 END) +
+         |              (CASE WHEN s0*2 > n THEN 1 ELSE 0 END) AS INT) AS nv
+         |  FROM agg
+         |)
+         |SELECT doc_id, string_agg(substr('0123456789abcdef', nv+1, 1), '' ORDER BY p) AS simhash
+         |FROM nv GROUP BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Embedding similarity-search surface (⊕ LLM-pipeline) over
+  * `embeddings.parquet`. Oracles compute the identical double-precision
+  * cosine (explicit element-wise product sum) so results hash-match after
+  * 6-dp rounding.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.tbl(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L, k = 10)),
+    "q_ann_nn" -> ((s, dir) => Similarity.annNearestNeighbor(emb(s, dir), bits = 8)),
+  )
+
+  /** vec_id, v (double list), norm — mirror of `Similarity.prepared`. */
+  private val prepCte =
+    """WITH p AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM p
+      |)""".stripMargin
+
+  private val signBucket =
+    (1 to 8).map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""$prepCte, q AS (
+         |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0
+         |)
+         |SELECT vec_id,
+         |       round(list_sum(list_transform(range(1, len(v)+1), k -> v[k]*qv[k]))
+         |             / (norm * qn), 6) AS sim
+         |FROM n, q WHERE vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_nn" ->
+      s"""$prepCte, b AS (
+         |  SELECT vec_id, v, norm, $signBucket AS bucket FROM n
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_id, b2.vec_id AS nn_id,
+         |         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k]*b2.v[k]))
+         |               / (a.norm * b2.norm), 6) AS sim
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+         |)
+         |SELECT vec_id, nn_id, sim FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1""".stripMargin,
+  )
+}

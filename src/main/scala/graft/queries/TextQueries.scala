@@ -71,6 +71,34 @@ object TextQueries {
       docs(s, dir)
         .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))),
+
+    // tf-idf: tf × ln(N/df). Both factors come from single-shuffle aggregates;
+    // df and N are tiny (vocabulary-sized / scalar) so both joins broadcast.
+    // Rounded to 6dp on both sides — ln() libm rounding is engine-specific.
+    "q_tfidf" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = InvertedIndex.docFreq(postings(s, dir))
+      val n = docs(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+    }),
+
+    // Window function (SURVEY §2.2): top-3 terms by document frequency per
+    // source, rank via row_number with a deterministic term tie-break.
+    "q_top_terms_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSource = docs(s, dir)
+        .select(col("source"), col("doc_id"), explode(Text.terms(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("source").orderBy(col("df").desc, col("term"))
+      perSource
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +148,28 @@ object TextQueries {
          |SELECT doc_id, term, count(*) AS tf FROM toks
          |WHERE term <> '' AND term NOT IN ($stopList)
          |GROUP BY doc_id, term""".stripMargin,
+
+    "q_tfidf" ->
+      s"""$termsCte, toks2 AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks2
+         |  WHERE term <> '' AND term NOT IN ($stopList) GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM terms GROUP BY term
+         |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.term, tf.tf,
+         |       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         |FROM tf JOIN df USING (term) CROSS JOIN n""".stripMargin,
+
+    "q_top_terms_per_source" ->
+      s"""$termsCte, per_source AS (
+         |  SELECT source, term, count(*) AS df FROM terms GROUP BY source, term
+         |)
+         |SELECT source, term, df,
+         |       CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, term) AS BIGINT) AS rank
+         |FROM per_source QUALIFY rank <= 3""".stripMargin,
   )
 }

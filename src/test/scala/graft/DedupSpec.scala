@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // doc 1 and 3 are byte-identical after normalization (case + punctuation
+  // stripped); doc 2 and 4 share most of their 3-gram shingles; doc 5 is
+  // unrelated; doc 6 is too short to shingle.
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog today"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "the QUICK brown fox... jumps over the lazy dog today!"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (5L, "completely different words about graph computation engines"),
+    (6L, "too short")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical docs under the min doc_id") {
+    val r = Dedup.exact(docs)
+      .select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) === ((1L, false)))
+    assert(r(3L) === ((1L, true))) // dup of doc 1
+    assert(r(2L) === ((2L, false)))
+    assert(r(5L) === ((5L, false)))
+  }
+
+  test("shingleSets excludes docs shorter than n tokens") {
+    val sh = Dedup.shingleSets(docs, 3).select("doc_id").as[Long].collect().toSet
+    assert(!sh.contains(6L))
+    assert(sh === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds planted near-dup pairs, verified by Jaccard") {
+    val pairs = Dedup.nearDuplicates(docs, n = 3, numBands = 12, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // identical after normalization → J=1.0
+    assert(pairs.contains((2L, 4L))) // 7 of 9 distinct shingles shared
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("near-dup jaccard of normalized-identical docs is 1.0") {
+    val j = Dedup.nearDuplicates(docs).filter($"doc_a" === 1L && $"doc_b" === 3L)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical docs share fingerprints, near docs are close") {
+    val fp = Dedup.simhash(docs).as[(Long, String)].collect().toMap
+    assert(fp(1L).length === 16)
+    assert(fp(1L) === fp(3L)) // identical term sets → identical simhash
+    def bits(h: String): Seq[Int] =
+      h.flatMap(c => (3 to 0 by -1).map(k => (Integer.parseInt(c.toString, 16) >> k) & 1))
+    def hamming(a: String, b: String): Int =
+      bits(a).zip(bits(b)).count(p => p._1 != p._2)
+    // 9-of-10 shared terms → small hamming distance vs an unrelated doc
+    assert(hamming(fp(2L), fp(4L)) < hamming(fp(2L), fp(5L)))
+  }
+}

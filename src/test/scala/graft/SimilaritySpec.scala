@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 4-dim toy embeddings: v1 ∥ v0 (scaled), v2 orthogonal, v3 opposite,
+  // v4 in another sign bucket close to v2.
+  private lazy val emb = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(2f, 0f, 0f, 0f), 0),
+    (2L, Array(0f, 1f, 0f, 0f), 1),
+    (3L, Array(-1f, 0f, 0f, 0f), 2),
+    (4L, Array(0f, 1f, 0.1f, 0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force cosine topK ranks by similarity with vec_id tie-break") {
+    val r = Similarity.topK(emb, queryId = 0L, k = 3)
+      .as[(Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 4L)) // cos: 1.0, 0.0, 0.0 (tie → id)
+    assert(r.head._2 === 1.0)
+    assert(r(1)._2 === 0.0)
+  }
+
+  test("sign-bucket ANN compares only within buckets") {
+    // bits=2 buckets: v0,v1 → "11" (dims 1,2 ≥ 0? dim2=0 → '1'); v3 → "01"
+    val nn = Similarity.annNearestNeighbor(emb, bits = 2)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // v2 and v4 share a bucket and are each other's nearest neighbours
+    assert(nn(2L)._1 === 4L)
+    assert(nn(4L)._1 === 2L)
+    // v3 is alone in its bucket → no row
+    assert(!nn.contains(3L))
+  }
+
+  test("ann similarity is the rounded double cosine") {
+    val nn = Similarity.annNearestNeighbor(emb, bits = 2)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    val expected = BigDecimal(1.0 / math.sqrt(1.01))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(nn(2L) === expected)
+  }
+}
