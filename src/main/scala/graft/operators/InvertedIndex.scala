@@ -35,9 +35,10 @@ object InvertedIndex {
       .groupBy("term")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("url")))).as("postings"))
 
-  /** Point lookup: posting list for one term. On a persisted index, pair with
-    * a term-bucketed sink (`Sinks.writeIndex`) so the scan prunes to one
-    * bucket instead of shuffling the full index.
+  /** Point lookup: posting list for one term. Serve from the persisted
+    * term-bucketed index (`graft.sources.IndexStore.postings` /
+    * `Sinks.writeIndex`) so the scan prunes to the term's bucket instead
+    * of re-tokenizing the corpus.
     */
   def lookup(postingsDf: DataFrame, term: String): DataFrame =
     postingsDf.filter(col("term") === term).select("doc_id", "url")

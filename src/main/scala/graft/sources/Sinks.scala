@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index sinks (reference K2, `reducer/src/processor.py:90-113`).
+  *
+  * The engine-native durable artifact is a TERM-BUCKETED parquet table:
+  * `bucketBy(term)` + per-bucket `sortBy(term)` means a point lookup
+  * (`term = 'x'`) or an `isin` filter prunes to the matching buckets at
+  * planning time — no shuffle, no full scan. That is the 100 TB answer to
+  * the reference's "rebuild the index to answer a query" shape: build
+  * once, then every boolean/point query reads a few bucket files.
+  *
+  * A reference-format JSON envelope writer is provided for compatibility
+  * (`{metadata:{...}, index:{term:[{doc_id,url},...]}}`). It materializes
+  * the index on the driver, which is exactly what the reference's
+  * single-reducer sink does — use it for interop/debug only, never at
+  * scale.
+  */
+object Sinks {
+
+  /** Write a posting relation (`term, doc_id, url`) or a nested index
+    * (`term, postings`) as a term-bucketed, per-bucket-sorted parquet
+    * table registered under `tableName` with files at `path`.
+    */
+  def writeIndex(df: DataFrame, tableName: String, path: String, buckets: Int = 32): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .saveAsTable(tableName)
+
+  /** Reference-compatible final JSON envelope
+    * (`reducer/src/processor.py:98-110`): `{"metadata": {"creation_time",
+    * "num_terms", "timestamp"}, "index": {term: [{doc_id, url}...]}}`.
+    * Term order is insertion order in the reference and therefore
+    * comparison-insensitive (SURVEY §4.3.5); posting lists are
+    * doc_id-sorted. Driver-materialized by design — interop sink only.
+    */
+  def writeJsonEnvelope(index: DataFrame, outFile: String): Unit = {
+    val agged = index
+      .agg(
+        to_json(map_from_entries(collect_list(struct(col("term"), col("postings")))))
+          .as("index_json"),
+        count(lit(1)).as("num_terms"))
+      .head()
+    val (mapJson, numTerms) = (agged.getString(0), agged.getLong(1))
+    val now = java.time.Instant.now()
+    val envelope =
+      s"""{"metadata": {"creation_time": "$now", "num_terms": $numTerms, "timestamp": ${now.getEpochSecond}}, "index": $mapJson}"""
+    val p = Paths.get(outFile)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, envelope)
+  }
+}
+
+/** Session-scoped registry of persisted, term-bucketed posting tables —
+  * one per corpus directory. First access builds the index ONCE via the
+  * K2 sink; every subsequent point/boolean query against the same corpus
+  * reads the bucketed table with bucket pruning (the plan shows
+  * `SelectedBucketsCount: k out of n`, no Exchange before the filter).
+  */
+object IndexStore {
+
+  private val building = new Object
+
+  private def tableNameFor(dir: String): String =
+    "graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** The posting relation for `dir`, served from the persisted bucketed
+    * table (building it on first use in this session).
+    */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tableNameFor(dir)
+    building.synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/$tbl"
+        Sinks.writeIndex(
+          graft.operators.InvertedIndex.postings(Corpus.documents(spark, dir)),
+          tbl, path)
+      }
+    }
+    spark.table(tbl)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.InvertedIndex
+import graft.sources.Sinks
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "u1", "the cat sat"),
+    (2L, "u2", "the dog ran"),
+    (3L, "u3", "cat and dog played")
+  ).toDF("doc_id", "url", "text")
+
+  test("K2 parquet sink round-trips and the lookup plan prunes buckets") {
+    val path = Files.createTempDirectory("graft_sink").toString + "/idx"
+    Sinks.writeIndex(InvertedIndex.postings(docs), "t_sink_spec", path, buckets = 8)
+    val back = spark.table("t_sink_spec")
+    assert(back.count() === 7) // cat,sat ×(1); dog,ran; cat,dog,played
+    val lookup = InvertedIndex.lookup(back, "cat")
+    assert(lookup.as[(Long, String)].collect().map(_._1).sorted === Seq(1L, 3L))
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"), s"no bucket pruning in:\n$plan")
+    assert(!plan.toLowerCase.contains("exchange"), "point lookup must not shuffle")
+  }
+
+  test("K2 JSON envelope has the reference shape") {
+    val out = Files.createTempDirectory("graft_json").toString + "/index.json"
+    Sinks.writeJsonEnvelope(InvertedIndex.index(docs), out)
+    val txt = Files.readString(Paths.get(out))
+    // reference shape: {"metadata": {...num_terms...}, "index": {term: [{doc_id, url}...]}}
+    assert(txt.startsWith("""{"metadata": {"creation_time":"""))
+    assert(txt.contains(""""num_terms": 5"""))
+    assert(txt.contains(""""cat":[{"doc_id":1,"url":"u1"},{"doc_id":3,"url":"u3"}]"""))
+  }
+
+  test("IndexStore builds once and serves bucket-pruned boolean queries") {
+    val p1 = graft.sources.IndexStore.postings(spark, "/root/testdata/sf0.001")
+    val p2 = graft.sources.IndexStore.postings(spark, "/root/testdata/sf0.001")
+    assert(p1.count() === p2.count())
+    val plan = p1.filter($"term" === "spark").queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 32"), s"no pruning in:\n$plan")
+  }
+}

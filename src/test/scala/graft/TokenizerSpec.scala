@@ -12,6 +12,8 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // keep bucketed scans on so term-bucketed index lookups bucket-prune
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .getOrCreate()
 }
 
