@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // keep bucketed scans on so term-bucketed index lookups bucket-prune
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -26,12 +26,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextQueries.queries ++ RelationalQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      AnalysisQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     TextQueries.oracles ++ RelationalQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      AnalysisQueries.oracles
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (⊕ LLM-pipeline,
+  * SURVEY §2.2): language ID, quality scoring, token counting,
+  * hash-sampled document fingerprints. All pure `functions._` column
+  * pipelines — codegen'd, shuffle-free projections; the only aggregations
+  * happen in the queries that consume them.
+  *
+  * Determinism: every score is plain arithmetic over token/char counts
+  * (rounded at the output boundary), so each operator is reproducible in
+  * DuckDB for the oracle gate.
+  */
+object TextAnalysis {
+
+  /** Tiny function-word lists per language (public common words). A real
+    * deployment would swap in character-n-gram profiles; the OPERATOR
+    * (per-language evidence scores + argmax with deterministic tie-break)
+    * is the part that matters at scale — it stays a single projection.
+    */
+  val FunctionWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "dans", "que", "pour", "qui", "pas"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por", "como", "pero"))
+
+  /** Per-language evidence score: fraction of tokens that are function
+    * words of that language (0.0 for empty docs).
+    */
+  def langScore(tokens: Column, words: Seq[String]): Column = {
+    val hits = size(filter(tokens, t => t.isin(words: _*)))
+    round(when(size(tokens) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(tokens)), 6)
+  }
+
+  /** Whitespace token count (stopwords kept). */
+  def wsTokenCount(text: Column): Column = size(Text.tokenize(text)).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — the standard pre-tokenizer shape, countable
+    * without a vocab. A real BPE would follow with merges; the corpus
+    * statistics (tokens/doc, tokens/char) come from this count.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Ratio of characters outside `[a-zA-Z0-9\s]` (punctuation-ish). */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[^a-zA-Z0-9\\s]", "")
+    round(when(length(text) === 0, 0.0)
+      .otherwise((length(text) - length(stripped)).cast("double") / length(text)), 6)
+  }
+
+  /** Fraction of tokens that are NLTK stopwords — high for natural prose,
+    * near-zero for tables/code/gibberish.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = Text.tokenize(text)
+    round(when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isin(Text.EffectiveStopwords: _*))).cast("double")
+        / size(toks)), 6)
+  }
+
+  /** Mean token length (0.0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = Text.tokenize(text)
+    round(when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+        / size(toks)), 6)
+  }
+
+  /** Heuristic quality score in [0,1]: one point per satisfied band,
+    * equally weighted — length band, mean-token-length band, stopword
+    * band, punctuation band. Deterministic integer arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = wsTokenCount(text)
+    val bands =
+      when(nTok.between(10, 10000), 1).otherwise(0) +
+        when(meanTokenLen(text).between(2.5, 12.0), 1).otherwise(0) +
+        when(stopwordRatio(text) <= 0.6, 1).otherwise(0) +
+        when(punctRatio(text) <= 0.2, 1).otherwise(0)
+    round(bands.cast("double") / 4, 2)
+  }
+}

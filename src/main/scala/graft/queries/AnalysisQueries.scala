@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, TextAnalysis}
+import graft.sources.{Corpus, Tables}
+
+/** Text-analysis + event-analytics surface (⊕ LLM-pipeline): language ID,
+  * quality scoring, token counting, fingerprints, event windows, JSON
+  * prop extraction — each a shuffle-light projection/aggregate with a
+  * DuckDB oracle mirroring the identical arithmetic.
+  */
+object AnalysisQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Corpus.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> ((s, dir) => {
+      val toks = Text.tokenize(col("text"))
+      val scored = docs(s, dir).select(
+        col("doc_id") +:
+          TextAnalysis.FunctionWords.map { case (l, ws) =>
+            TextAnalysis.langScore(toks, ws).as(s"score_$l")
+          }: _*)
+      val g = greatest(TextAnalysis.FunctionWords.map(lw => col(s"score_${lw._1}")): _*)
+      val predicted = TextAnalysis.FunctionWords.foldLeft(when(g === 0, "und")) {
+        case (acc, (l, _)) => acc.when(col(s"score_$l") === g, l)
+      }
+      scored.withColumn("predicted", predicted)
+    }),
+
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q_token_bpe" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    // Hash-mod-sampled shingle fingerprints (winnowing-style 1/16 sample):
+    // a compact, mergeable document sketch for copy detection.
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.shingles(col("text"), 3))).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("fp"))
+        .filter(substring(col("fp"), 32, 1) === "0")),
+
+    "q_events_window" -> ((s, dir) =>
+      graft.streaming.EventPipeline.windowedCounts(Tables.events(s, dir))),
+
+    // Multimodal/semi-structured: JSON props → typed struct column.
+    "q_props_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))),
+  )
+
+  private val stopList = Text.EffectiveStopwords.map(w => s"'$w'").mkString(", ")
+  private def wordList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+      |                     t -> t <> '') AS ts
+      |  FROM documents
+      |)""".stripMargin
+
+  private def ratioSql(listExpr: String): String =
+    s"round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE CAST($listExpr AS DOUBLE) / len(ts) END, 6)"
+
+  private val langScoreSql = TextAnalysis.FunctionWords.map { case (l, ws) =>
+    s"${ratioSql(s"len(list_filter(ts, t -> list_contains([${wordList(ws)}], t)))")} AS score_$l"
+  }.mkString(",\n         ")
+
+  private val langPredSql = {
+    val g = "greatest(score_en, score_de, score_fr, score_es)"
+    s"""CASE WHEN $g = 0 THEN 'und'
+       |     WHEN score_en = $g THEN 'en'
+       |     WHEN score_de = $g THEN 'de'
+       |     WHEN score_fr = $g THEN 'fr'
+       |     ELSE 'es' END""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      s"""$toksCte, scored AS (
+         |  SELECT doc_id,
+         |         $langScoreSql
+         |  FROM toks
+         |)
+         |SELECT *, $langPredSql AS predicted FROM scored""".stripMargin,
+
+    "q_quality" ->
+      s"""$toksCte, m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) END, 6) AS mean_token_len,
+         |    ${ratioSql(s"len(list_filter(ts, t -> list_contains([$stopList], t)))")} AS stopword_ratio,
+         |    round(CASE WHEN len(text) = 0 THEN 0.0
+         |          ELSE CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
+         |  FROM toks JOIN documents USING (doc_id)
+         |)
+         |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
+         |  round(((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN mean_token_len BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN stopword_ratio <= 0.6 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)) / 4.0, 2) AS quality
+         |FROM m""".stripMargin,
+
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |           t -> t <> '')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""$toksCte, sh AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, greatest(len(ts)-2, 0)+1),
+         |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+         |  FROM toks
+         |)
+         |SELECT doc_id, md5(sh) AS fp FROM sh WHERE substr(md5(sh), 32, 1) = '0'""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type""".stripMargin,
+
+    "q_props_extract" ->
+      """SELECT event_id, event_type,
+        |       TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT) AS k
+        |FROM events""".stripMargin,
+  )
+}

@@ -17,9 +17,14 @@ object Tables {
     * raw long (`spark.sql.legacy.parquet.nanosAsLong`, SPARK-40819) and derive
     * a microsecond TimestampType column. Integer `div 1000` truncates exactly
     * like DuckDB's ns→µs conversion, so oracle comparisons line up.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session build (Verify/Bench/test session) — a loader must not flip
+    * session conf as a read side-effect.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     tbl(s, dir, "events")
       .withColumn("t", expr("timestamp_micros(ts div 1000)"))
       .drop("ts")

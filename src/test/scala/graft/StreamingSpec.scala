@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventPipeline
+
+/** The SAME EventPipeline.windowedCounts transform that backs the batch
+  * oracle query (q_events_window) runs here under Structured Streaming
+  * with a MemoryStream source, proving watermark + tumbling-window
+  * semantics (append mode only emits a window once the watermark passes
+  * its end).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("windowed counts over a stream: append mode emits closed windows only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventPipeline.windowedCounts(input.toDF().toDF("t", "event_type", "value"))
+      .writeStream.format("memory").queryName("ev_counts").outputMode("append").start()
+    try {
+      // two events in the 10:00 window, one in 11:00
+      input.addData((ts("10:05"), "click", 1.5), (ts("10:40"), "click", 2.5),
+        (ts("11:10"), "view", 1.0))
+      q.processAllAvailable()
+      // watermark so far = 11:10 - 10min = 11:00 → 10:00 window closed? It
+      // closes when watermark >= 11:00, which holds → emitted on next batch.
+      input.addData((ts("13:00"), "view", 9.0)) // advances watermark to 12:50
+      q.processAllAvailable()
+      val rows = spark.table("ev_counts")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 4.0)))
+      assert(rows.contains(("2024-01-01 11:00:00", "view", 1L, 1.0)))
+      // 13:00 window is still open — not emitted in append mode
+      assert(!rows.exists(_._1 == "2024-01-01 13:00:00"))
+    } finally q.stop()
+  }
+
+  test("batch and streaming agree on the same input") {
+    import spark.implicits._
+    val batch = Seq((ts("10:05"), "click", 1.5), (ts("10:40"), "click", 2.5))
+      .toDF("t", "event_type", "value")
+    val r = EventPipeline.windowedCounts(batch).as[(String, String, Long, Double)].collect()
+    assert(r.toSeq === Seq(("2024-01-01 10:00:00", "click", 2L, 4.0)))
+  }
+}
