@@ -61,6 +61,18 @@ object AnalysisQueries {
       Tables.events(s, dir).select(
         col("event_id"), col("event_type"),
         from_json(col("props"), lit("k INT")).getField("k").as("k"))),
+
+    // Multimodal: binary payload + typed metadata (Multimodal.withMeta)
+    // over utf-8 document bytes standing in for an opaque media column.
+    "q_binary_stats" -> ((s, dir) => {
+      val payload = docs(s, dir).select(
+        col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      graft.operators.Multimodal.withMeta(payload, col("payload"))
+        .select(col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.digest").as("digest"),
+          col("meta.format").as("format"))
+    }),
   )
 
   private val stopList = Text.EffectiveStopwords.map(w => s"'$w'").mkString(", ")
@@ -143,5 +155,15 @@ object AnalysisQueries {
       """SELECT event_id, event_type,
         |       TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT) AS k
         |FROM events""".stripMargin,
+
+    "q_binary_stats" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CASE WHEN starts_with(hex(encode(substr(text,1,4))), 'FFD8') THEN 'jpeg'
+        |       WHEN starts_with(hex(encode(substr(text,1,4))), '89504E47') THEN 'png'
+        |       WHEN starts_with(hex(encode(substr(text,1,4))), '52494646') THEN 'riff'
+        |       ELSE 'unknown' END AS format
+        |FROM documents""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Corpus ingestion (reference S1-S3).
   *
@@ -18,35 +19,48 @@ object Corpus {
     spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("url", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
 
-  /** Reference S2: a JSON array-of-strings URL list (e.g. the reference's
-    * `artist_URIs.json`). Assigns dense positional doc_ids exactly like the
-    * master's chunk-offset scheme — `zipWithIndex`, NOT
-    * `monotonically_increasing_id` (non-dense). One extra job, paid once.
+  /** Reference S2: a JSON array-of-strings URL list (the reference's
+    * `artist_URIs.json` shape). `posexplode` of the parsed array assigns
+    * dense positional doc_ids exactly like the master's chunk-offset
+    * scheme — array order IS document identity, with no RDD round-trip.
+    * (Spark's JSON *source* cannot infer scalar-element top-level arrays —
+    * it yields only `_corrupt_record` — so the file is read as whole text
+    * and parsed with `from_json`.)
     */
-  def fromUrlList(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val urls = spark.read.option("multiLine", true).json(path).as[String]
-    urls.rdd.zipWithIndex.map { case (u, i) => (i, u) }.toDF("doc_id", "url")
-  }
+  def fromUrlList(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", true).text(path)
+      .select(posexplode(from_json(col("value"), ArrayType(StringType))))
+      .select(col("pos").cast("long").as("doc_id"), col("col").as("url"))
 
-  /** Reference S3 (live HTTP fetch + HTML text extraction) is deliberately a
-    * driver-opt-in, never used in tests (hermetic builds). The fetch is plain
-    * `mapPartitions` with one HTTP client per partition; failures yield EMPTY
-    * TEXT, not dropped rows, so doc_ids keep their gaps (reference
-    * `mapper/src/processor.py:184-187`). Network is unavailable in this
-    * environment, so the transport is stubbed: a deterministic fake that
-    * derives pseudo-content from the url. The Spark-side plumbing (schema,
-    * partition-local client lifecycle, failure semantics) is the real design.
+  /** Reference S3 (per-document fetch + extract). The transport is a
+    * partition-local client built ONCE per partition inside
+    * `mapPartitions` — the distributed-fetch shape (never per-row client
+    * construction, never a driver loop). Failures yield EMPTY TEXT, not
+    * dropped rows, so doc_ids keep their gaps (reference
+    * `mapper/src/processor.py:184-187`).
+    *
+    * No egress exists in this environment, so the default factory is a
+    * deterministic stub; a real deployment passes e.g.
+    * `() => url => Html.extractText(httpGet(url))` with an HTTP client
+    * held per partition. The Spark-side plumbing (schema, client
+    * lifecycle, failure semantics) is the real design and is what tests
+    * cover.
     */
-  def fetchText(urlsDf: DataFrame, fetcher: String => String = stubFetcher): DataFrame = {
+  def fetchText(urlsDf: DataFrame,
+                fetcherFactory: () => String => String = () => stubFetcher): DataFrame = {
     val spark = urlsDf.sparkSession
     import spark.implicits._
-    val fetchUdf = udf((url: String) =>
-      try fetcher(url) catch { case _: Exception => "" })
-    urlsDf.withColumn("text", fetchUdf(col("url")))
+    urlsDf.select(col("doc_id"), col("url")).as[(Long, String)]
+      .mapPartitions { it =>
+        val fetch = fetcherFactory() // one client per partition
+        it.map { case (id, url) =>
+          (id, url, try fetch(url) catch { case _: Exception => "" })
+        }
+      }
+      .toDF("doc_id", "url", "text")
   }
 
-  /** Deterministic stand-in for the HTTP+jsoup fetcher (no egress here). */
+  /** Deterministic stand-in for the HTTP+parser fetcher (no egress here). */
   private[graft] def stubFetcher(url: String): String =
     s"stub content for ${url.toLowerCase}"
 }
