@@ -78,16 +78,23 @@ object Text {
   def tokensNoStop(text: Column): Column =
     filter(tokenize(text), t => !t.isin(EffectiveStopwords: _*))
 
-  /** Word n-gram shingles over the stopword-kept token stream, e.g. n=3 →
-    * `"a b c"` strings. Used by MinHash / n-gram-Jaccard dedup.
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column,
+    * e.g. n=3 → `"a b c"` strings. Used by MinHash / n-gram-Jaccard dedup.
+    *
+    * Take tokens as an attribute (project `tokenize(text)` first), not an
+    * expression: Catalyst does not CSE inside lambda bodies, so passing
+    * `tokenize(text)` directly would re-run the regex+split pipeline once
+    * per shingle position per row.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokenize(text)
-    // transform over valid start offsets; join n consecutive tokens.
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))), i =>
         when(size(toks) >= n,
           concat_ws(" ", slice(toks, i + 1, lit(n)))).otherwise(lit(null))),
       s => s.isNotNull)
-  }
+
+  /** Convenience single-expression form — ONLY for tiny inputs/tests; hot
+    * paths must project `tokenize` first and use `shinglesFromTokens`.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokenize(text), n)
 }

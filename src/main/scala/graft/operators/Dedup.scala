@@ -37,26 +37,91 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
+  /** Distinct word-n-gram shingle sets per document WITHOUT the
+    * empty-set filter. Tokens are materialized in a projection BEFORE
+    * shingling so the tokenizer runs once per row, not once per position.
+    */
+  private[operators] def rawShingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
+      .select(col("doc_id"), array_distinct(Text.shinglesFromTokens(col("ts"), n)).as("sh"))
+
   /** Distinct word-n-gram shingle sets per document; documents shorter than
     * `n` tokens produce an empty set and are excluded (they cannot carry a
     * MinHash signature).
+    *
+    * CAUTION on composition: the `size(sh) > 0` predicate is deterministic,
+    * so Catalyst will push it through a downstream `repartition` — and then
+    * the full tokenize→shingle expression evaluates on the PRE-shuffle
+    * partitioning (serially, if the input is one file). Pipelines that
+    * repartition for CPU parallelism must filter AFTER a cache/shuffle
+    * boundary — see `nearDuplicates`.
     */
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    docs
-      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    rawShingleSets(docs, n).filter(size(col("sh")) > 0)
 
-  /** MinHash band signatures: for band i, sig_i = min over shingles of
-    * md5("i:" || shingle). One row per (doc, band). The signature
-    * computation is a pure map-side projection over the shingle array.
+  /** Modulus and per-hash (multiplier, offset) for the universal-hash
+    * family h_k(v) = (a_k·v + b_k) mod P. a_k < 2^20 keeps a·v+b < 2^52
+    * for the 32-bit base values — no overflow in any engine's BIGINT.
+    * Deterministic so the DuckDB oracle embeds the identical literals.
     */
-  def minhashBands(shingles: DataFrame, numBands: Int): DataFrame = {
-    val bands = array((0 until numBands).map { i =>
+  private[graft] val HashModulus: Long = 2147483647L
+  private[graft] def hashParams(k: Int): (Long, Long) = {
+    val a = ((2654435761L * (k + 1)) % 1048573L) | 1L
+    val b = (40503L * (k + 7)) % 65521L
+    (a, b)
+  }
+
+  /** One hex nibble of a hash string, decoded arithmetically. */
+  private def nib(h: Column, i: Int): Column = {
+    val c = ascii(substring(h, i, 1))
+    when(c <= 57, c - 48).otherwise(c - 87)
+  }
+
+  /** 32-bit int from the first 8 hex chars. `h` must be an ATTRIBUTE or
+    * lambda variable (each nibble re-references it). The accumulator is
+    * long from the first step — 8 nibbles overflow a 32-bit int.
+    */
+  private def hex32(h: Column): Column =
+    (2 to 8).map(nib(h, _))
+      .foldLeft(nib(h, 1).cast("long"))((acc, n) => acc * 16 + n)
+
+  /** One-permutation base hash values: ONE md5 per shingle, decoded to a
+    * 32-bit int. All k minhashes derive from this array with cheap
+    * multiply-mod arithmetic — k× less digest work than hashing every
+    * shingle k times, which is the difference at 100 TB.
+    */
+  def hashValues(shingles: DataFrame): DataFrame =
+    shingles.withColumn("hv",
+      transform(transform(col("sh"), s => substring(md5(s), 1, 8)), h => hex32(h)))
+
+  /** Banded MinHash signatures from a `hashValues` frame: band j's key
+    * concatenates `bandSize` derived minhashes. Pure map-side arithmetic
+    * over the `hv` array.
+    *
+    * Band size r is the collision-noise dial: two docs collide in band j
+    * with probability J^r, so random pairs (J≈0) almost never collide
+    * while true near-dups (J ≥ threshold) collide in some band with
+    * probability 1-(1-J^r)^b. r=1 maximizes recall but buckets every pair
+    * of docs sharing ONE min shingle — at corpus scale that floods the
+    * candidate join; r=3, b=24 keeps recall ≈0.96 at J=0.5 with ~J³
+    * false-candidate mass.
+    *
+    * NOTE: feed a CACHED/materialized `hashValues` output on hot paths —
+    * adjacent projections otherwise collapse and the md5 pass is inlined
+    * into every band's min-lambda (Catalyst does not CSE across lambdas).
+    */
+  def minhashBands(withHv: DataFrame, numBands: Int, bandSize: Int): DataFrame = {
+    val bands = array((0 until numBands).map { j =>
       struct(
-        lit(i).as("band"),
-        array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s)))).as("sig"))
+        lit(j).as("band"),
+        concat_ws(",", (0 until bandSize).map { k =>
+          val (a, b) = hashParams(j * bandSize + k)
+          array_min(transform(col("hv"), v => (v * a + b) % HashModulus))
+            .cast("string")
+        }: _*).as("sig"))
     }: _*)
-    shingles
+    withHv
       .select(col("doc_id"), explode(bands).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -67,22 +132,30 @@ object Dedup {
     *    (`groupBy`-shaped self-join on (band, sig) — never all-pairs);
     * 2. verify: exact Jaccard over the distinct shingle sets, keep pairs
     *    ≥ `threshold`.
-    *
-    * With band size r=1 and b bands, recall for true Jaccard J is
-    * 1-(1-J)^b (b=12, J=0.5 → 0.9998). For adversarial corpora with hot
-    * shingles, raise r (band key = concat of r minhashes) to trade recall
-    * for bucket-size robustness; candidate skew is also AQE-handled since
-    * the verify join keys are the pair's doc_ids.
     */
-  def nearDuplicates(docs: DataFrame, n: Int = 3, numBands: Int = 12,
-                     threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSets(docs, n)
-    val sigs = minhashBands(sh, numBands)
-    val cands = sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  def nearDuplicates(docs: DataFrame, n: Int = 3, numBands: Int = 24,
+                     bandSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Re-balance the narrow (doc_id, shingles) projection across the
+    // cluster — signature hashing is CPU-bound and must not inherit a
+    // too-coarse file split — and PERSIST it: it feeds both the signature
+    // pass and the two verify-join legs. The eager count() materializes
+    // the cache in ONE pass; otherwise the branches of the verify join
+    // race and each recomputes the tokenize→shingle pipeline.
+    val shAll = hashValues(rawShingleSets(docs.repartition(col("doc_id")), n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shAll.count()
+    val sh = shAll.filter(size(col("sh")) > 0)
+    // Candidates by bucket aggregation, not a self-join: one shuffle of
+    // the narrow signature relation, then in-bucket pair expansion
+    // (bucket sizes are the r-dial's job — see minhashBands).
+    val cands = minhashBands(sh, numBands, bandSize)
+      .groupBy("band", "sig")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
     val jac = (size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb"))))

@@ -48,8 +48,9 @@ object AnalysisQueries {
     // a compact, mergeable document sketch for copy detection.
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir)
+        .select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
         .select(col("doc_id"),
-          explode(array_distinct(Text.shingles(col("text"), 3))).as("sh"))
+          explode(array_distinct(Text.shinglesFromTokens(col("ts"), 3))).as("sh"))
         .select(col("doc_id"), md5(col("sh")).as("fp"))
         .filter(substring(col("fp"), 32, 1) === "0")),
 

@@ -39,6 +39,25 @@ object DedupQueries {
 
   private val stopList = graft.functions.Text.EffectiveStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** SQL mirror of Dedup's nibble decode: first 8 hex chars of a hash
+    * string `h` → BIGINT (first term cast so the accumulation never
+    * overflows 32-bit ints).
+    */
+  private val nibDecodeSql: String = {
+    def nibSql(i: Int) =
+      s"(CASE WHEN ascii(substr(h,$i,1)) <= 57 THEN ascii(substr(h,$i,1)) - 48 ELSE ascii(substr(h,$i,1)) - 87 END)"
+    (2 to 8).map(nibSql).foldLeft(s"CAST(${nibSql(1)} AS BIGINT)")((acc, n) => s"($acc * 16 + $n)")
+  }
+
+  /** The identical (k, a, b) universal-hash literals the Spark operator
+    * uses (Dedup.hashParams), as VALUES rows — 24 bands × band size 3.
+    */
+  private val hashParamRows: String =
+    (0 until 72).map { k =>
+      val (a, b) = graft.operators.Dedup.hashParams(k)
+      s"($k, $a, $b)"
+    }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH fp AS (
@@ -51,10 +70,20 @@ object DedupQueries {
         |FROM fp""".stripMargin,
 
     "q_dedup_near" ->
-      s"""$shingleCte, sigs AS (
-         |  SELECT doc_id, i AS band,
-         |         list_min(list_transform(sh, s -> md5(i || ':' || s))) AS sig
-         |  FROM shs, range(12) t(i)
+      s"""$shingleCte, hv AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(list_transform(sh, s -> substr(md5(s), 1, 8)),
+         |                        h -> $nibDecodeSql) AS hv
+         |  FROM shs
+         |), params(k, a, b) AS (VALUES $hashParamRows),
+         |mins AS (
+         |  SELECT doc_id, k,
+         |         list_min(list_transform(hv, v -> (v * a + b) % ${Dedup.HashModulus})) AS mh
+         |  FROM hv, params
+         |), sigs AS (
+         |  SELECT doc_id, k // 3 AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS sig
+         |  FROM mins GROUP BY doc_id, k // 3
          |), cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sigs a JOIN sigs b

@@ -62,7 +62,10 @@ object RelationalQueries {
     }),
 
     // TPC-H Q5-style: 4-way join through the dimension chain, revenue per
-    // customer nation. region/nation/customer are broadcast dims.
+    // customer nation. region/nation are bounded-size dims (25/5 rows at
+    // ANY scale factor) → explicit broadcast; customer GROWS with sf, so
+    // its join strategy is left to AQE/size thresholds — a hard-coded
+    // broadcast hint there is a driver-OOM time bomb at 100 TB.
     "q5_multijoin" -> ((s, dir) => {
       val r = tbl(s, dir, "region")
       val n = tbl(s, dir, "nation")
@@ -70,7 +73,7 @@ object RelationalQueries {
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
