@@ -23,6 +23,8 @@ object Bench {
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // engine Catalyst extensions (hamming_hex)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -166,6 +166,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into four
+    * 16-bit chunks; by pigeonhole, any pair within Hamming distance 3
+    * agrees on at least one chunk, so chunk-bucketing finds ALL such
+    * pairs without an all-pairs comparison. Verification runs the native
+    * `hamming_hex` Catalyst expression (graft.plans.HammingHex) — a
+    * scalar codegen'd bit count, no per-pair explode/aggregate.
+    *
+    * Fingerprints ride along through the bucket aggregation so the
+    * verify step needs no join back to the fingerprint relation.
+    */
+  def simhashPairs(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= 3, "4-chunk banding only guarantees recall for distance <= 3")
+    val fp = simhash(docs)
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c => substring(col("simhash"), c * 4 + 1, 4)): _*))
+        .as(Seq("ci", "chunk")))
+    chunks
+      .groupBy("ci", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(col("xs")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        graft.plans.HammingHex.hammingHex(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
   /** 64-bit SimHash fingerprint per document as a 16-char hex string.
     *
     * Per distinct term: take the first 16 hex nibbles of md5(term) (64

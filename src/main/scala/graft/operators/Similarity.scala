@@ -61,6 +61,45 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(embedding, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** IVF-style ANN top-k: a coarse quantizer assigns every vector to its
+    * nearest centroid cell; the query ranks only the members of its
+    * `nProbe` nearest cells. Centroids here are DETERMINISTIC (the first
+    * `nCells` vectors by vec_id) so the operator is oracle-checkable —
+    * swap in k-means-trained centroids without touching the plumbing
+    * (assign → probe → in-cell rank), which is the part that scales:
+    * assignment is a broadcast of nCells rows, probing reads ~nProbe/nCells
+    * of the corpus, and nothing is ever all-pairs.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val p = prepared(embeddings)
+    val cents = p.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
+    val simToCent = cosine(col("v"), col("norm"), col("cv"), col("cn"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = p.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id"), simToCent.as("csim"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val probeCells = p.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(cents))
+      .select(col("cent_id"), simToCent.as("csim"), col("vec_id"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("cent_id").as("cell"))
+    val q = p.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    assigned
+      .join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Approximate nearest neighbor per vector: each vector's best match
     * within its sign bucket (vectors alone in their bucket yield no row —
     * the approximation's recall/latency trade, documented not hidden).

@@ -17,6 +17,7 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_dedup_near" -> ((s, dir) => Dedup.nearDuplicates(docs(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
   )
 
   /** Tokens (stopwords kept) per doc — mirror of `Text.tokenize`. */
@@ -98,7 +99,34 @@ object DedupQueries {
          |)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
 
-    "q_simhash" ->
+    "q_simhash" -> simhashSql,
+
+    "q_simhash_pairs" ->
+      s"""WITH fp AS (
+         |${simhashSql.linesIterator.map("  " + _).mkString("\n")}
+         |), c AS (
+         |  SELECT doc_id, simhash, i AS ci, substr(simhash, CAST(i*4+1 AS INT), 4) AS chunk
+         |  FROM fp, range(4) t(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.simhash AS ha, b.simhash AS hb
+         |  FROM c a JOIN c b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |), bits AS (
+         |  SELECT da, db,
+         |    CASE WHEN ascii(substr(ha, CAST(p+1 AS INT), 1)) <= 57
+         |         THEN ascii(substr(ha, CAST(p+1 AS INT), 1)) - 48
+         |         ELSE ascii(substr(ha, CAST(p+1 AS INT), 1)) - 87 END AS na,
+         |    CASE WHEN ascii(substr(hb, CAST(p+1 AS INT), 1)) <= 57
+         |         THEN ascii(substr(hb, CAST(p+1 AS INT), 1)) - 48
+         |         ELSE ascii(substr(hb, CAST(p+1 AS INT), 1)) - 87 END AS nb
+         |  FROM cand, range(16) t(p)
+         |), ham AS (
+         |  SELECT da, db, CAST(sum(bit_count(xor(na, nb))) AS INT) AS hamming
+         |  FROM bits GROUP BY da, db
+         |)
+         |SELECT da AS doc_a, db AS doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+  )
+
+  private lazy val simhashSql: String =
       s"""$toksCte, terms AS (
          |  SELECT DISTINCT doc_id, t.term FROM toks, unnest(ts) AS t(term)
          |  WHERE t.term NOT IN ($stopList)
@@ -123,6 +151,5 @@ object DedupQueries {
          |  FROM agg
          |)
          |SELECT doc_id, string_agg(substr('0123456789abcdef', nv+1, 1), '' ORDER BY p) AS simhash
-         |FROM nv GROUP BY doc_id""".stripMargin,
-  )
+         |FROM nv GROUP BY doc_id""".stripMargin
 }

@@ -16,6 +16,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L, k = 10)),
     "q_ann_nn" -> ((s, dir) => Similarity.annNearestNeighbor(emb(s, dir), bits = 8)),
+    "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), queryId = 0L, k = 10)),
   )
 
   /** vec_id, v (double list), norm — mirror of `Similarity.prepared`. */
@@ -39,6 +40,30 @@ object SimilarityQueries {
          |       round(list_sum(list_transform(range(1, len(v)+1), k -> v[k]*qv[k]))
          |             / (norm * qn), 6) AS sim
          |FROM n, q WHERE vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""$prepCte, cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
+         |), csims AS (
+         |  SELECT n.vec_id, n.v, n.norm, cent_id,
+         |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
+         |               / (norm * cn), 6) AS csim
+         |  FROM n, cents
+         |), assigned AS (
+         |  SELECT vec_id, v, norm, cent_id AS cell FROM csims
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+         |), probe AS (
+         |  SELECT cent_id AS cell FROM csims WHERE vec_id = 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) <= 2
+         |), q AS (
+         |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0
+         |)
+         |SELECT vec_id,
+         |       round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+         |             / (norm * qn), 6) AS sim
+         |FROM assigned JOIN probe USING (cell), q
+         |WHERE vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_ann_nn" ->

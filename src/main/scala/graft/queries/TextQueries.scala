@@ -56,12 +56,15 @@ object TextQueries {
 
     "q_topk_df" -> ((s, dir) => InvertedIndex.topKByDocFreq(postings(s, dir), 20)),
 
+    // postings_csv is CAPPED at the first 100 doc_ids: an unbounded
+    // collect_list per term means a common term's row holds the whole
+    // corpus at scale.
     "q_index_stats" -> ((s, dir) =>
       postings(s, dir).groupBy("term").agg(
         count(lit(1)).as("df"),
         min("doc_id").as("min_doc"),
         max("doc_id").as("max_doc"),
-        array_join(transform(sort_array(collect_list(col("doc_id"))),
+        array_join(transform(slice(sort_array(collect_list(col("doc_id"))), 1, 100),
           d => d.cast("string")), ",").as("postings_csv"))),
 
     "q_bool_and" -> ((s, dir) => BooleanQuery.and(storedPostings(s, dir), Seq("spark", "hash"))),
@@ -126,7 +129,8 @@ object TextQueries {
 
     "q_index_stats" ->
       s"""$termsCte SELECT term, count(*) AS df, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_csv
+         |  array_to_string(list_transform(list_slice(list(doc_id ORDER BY doc_id), 1, 100),
+         |                  d -> CAST(d AS VARCHAR)), ',') AS postings_csv
          |FROM terms GROUP BY term""".stripMargin,
 
     "q_bool_and" ->
