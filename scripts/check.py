@@ -56,8 +56,13 @@ for name in sorted(os.listdir(out)):
     ok = True
     for c in g.columns:
         gv, ev = g[c].to_numpy(), e[c].to_numpy()
-        if pd.api.types.is_float_dtype(g[c]) and pd.api.types.is_float_dtype(e[c]):
-            same = (gv == ev) | (np.isnan(gv.astype(float)) & np.isnan(ev.astype(float)))
+        g_num = pd.api.types.is_numeric_dtype(g[c])
+        e_num = pd.api.types.is_numeric_dtype(e[c])
+        if g_num and e_num and (pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(e[c])):
+            # numeric pair with at least one float side (covers int64-vs-float64
+            # aggregates): compare as float, NaN == NaN
+            gf, ef = gv.astype(float), ev.astype(float)
+            same = (gf == ef) | (np.isnan(gf) & np.isnan(ef))
         else:
             same = pd.Series(gv).astype(str).to_numpy() == pd.Series(ev).astype(str).to_numpy()
         if not same.all():

@@ -100,6 +100,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-bucket LSH candidates,
+    * then keep in-bucket pairs with cosine ≥ `threshold`. The dedup-flavor
+    * counterpart of `annNearestNeighbor` — same bucketing, pair output.
+    */
+  def embeddingDuplicates(embeddings: DataFrame, bits: Int = 8,
+                          threshold: Double = 0.3): DataFrame = {
+    val p = prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+    val a = p.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = p.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("na"), col("vb"), col("nb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Approximate nearest neighbor per vector: each vector's best match
     * within its sign bucket (vectors alone in their bucket yield no row —
     * the approximation's recall/latency trade, documented not hidden).

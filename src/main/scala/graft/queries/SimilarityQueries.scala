@@ -17,6 +17,7 @@ object SimilarityQueries {
     "q_sim_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L, k = 10)),
     "q_ann_nn" -> ((s, dir) => Similarity.annNearestNeighbor(emb(s, dir), bits = 8)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), queryId = 0L, k = 10)),
+    "q_embed_dup" -> ((s, dir) => Similarity.embeddingDuplicates(emb(s, dir))),
   )
 
   /** vec_id, v (double list), norm — mirror of `Similarity.prepared`. */
@@ -77,5 +78,16 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, nn_id, sim FROM pairs
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1""".stripMargin,
+
+    "q_embed_dup" ->
+      s"""$prepCte, b AS (
+         |  SELECT vec_id, v, norm, $signBucket AS bucket FROM n
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k]*b2.v[k]))
+         |               / (a.norm * b2.norm), 6) AS sim
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |)
+         |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.3""".stripMargin,
   )
 }

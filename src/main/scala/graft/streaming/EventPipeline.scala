@@ -1,8 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+/** Per-user session summary emitted when a session closes (event-time
+  * gap timeout).
+  */
+case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+                       start: Timestamp, end: Timestamp)
+
+private[streaming] case class SessionBuf(n: Long, total: Double, start: Long, last: Long)
 
 /** Event-stream analytics (SURVEY §2.2 streaming row). The same transform
   * serves batch (`spark.read` → the oracle-checked `q_events_window`) and
@@ -30,4 +40,54 @@ object EventPipeline {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Custom streaming state (SURVEY §2.2 "stateful"): sessionization via
+    * `flatMapGroupsWithState` with an EVENT-TIME timeout — a session is
+    * the run of a user's events with gaps < `gapMinutes`, emitted once
+    * the watermark passes the gap. State per key is one fixed-size
+    * buffer (count/total/bounds), so state-store size is O(active users),
+    * not O(events) — the shape that survives an unbounded stream.
+    *
+    * Input: `t TIMESTAMP, user_id LONG, value DOUBLE` (watermark is
+    * applied here; the caller passes the raw stream).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[(Long, Timestamp, Double)],
+               state: GroupState[SessionBuf]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(UserSession(userId, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last)))
+      } else {
+        val sorted = rows.toSeq.sortBy(_._2.getTime)
+        var buf = state.getOption.getOrElse(SessionBuf(0, 0.0, Long.MaxValue, Long.MinValue))
+        val closed = Seq.newBuilder[UserSession]
+        for ((_, t, v) <- sorted) {
+          val ts = t.getTime
+          if (buf.n > 0 && ts - buf.last > gapMs) {
+            closed += UserSession(userId, buf.n, buf.total, new Timestamp(buf.start), new Timestamp(buf.last))
+            buf = SessionBuf(0, 0.0, Long.MaxValue, Long.MinValue)
+          }
+          buf = SessionBuf(buf.n + 1, buf.total + v, math.min(buf.start, ts), math.max(buf.last, ts))
+        }
+        state.update(buf)
+        state.setTimeoutTimestamp(buf.last + gapMs)
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("t", "10 minutes")
+      // keep the watermarked column itself in the typed projection —
+      // replacing it (e.g. with unix_millis) drops the watermark and
+      // event-time timeout is rejected
+      .select(col("user_id"), col("t"), col("value"))
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.EventPipeline
+import graft.streaming.{EventPipeline, UserSession}
 
 /** The SAME EventPipeline.windowedCounts transform that backs the batch
   * oracle query (q_events_window) runs here under Structured Streaming
@@ -38,6 +38,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains(("2024-01-01 11:00:00", "view", 1L, 1.0)))
       // 13:00 window is still open — not emitted in append mode
       assert(!rows.exists(_._1 == "2024-01-01 13:00:00"))
+    } finally q.stop()
+  }
+
+  test("sessionize: event-time gap timeout closes and emits sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventPipeline.sessionize(input.toDF().toDF("t", "user_id", "value"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 7: two events 10 min apart (one session); user 8: one event
+      input.addData((ts("10:00"), 7L, 1.0), (ts("10:10"), 7L, 2.0), (ts("10:05"), 8L, 5.0))
+      q.processAllAvailable()
+      // advance watermark far past both sessions' gap windows
+      input.addData((ts("13:00"), 9L, 0.5))
+      q.processAllAvailable()
+      input.addData((ts("16:00"), 9L, 0.5)) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .as[UserSession].collect().map(s => s.user_id -> s).toMap
+      assert(rows(7L).n_events === 2 && rows(7L).total_value === 3.0)
+      assert(rows(7L).start === ts("10:00") && rows(7L).end === ts("10:10"))
+      assert(rows(8L).n_events === 1 && rows(8L).total_value === 5.0)
     } finally q.stop()
   }
 
