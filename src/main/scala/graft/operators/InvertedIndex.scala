@@ -43,6 +43,21 @@ object InvertedIndex {
   def lookup(postingsDf: DataFrame, term: String): DataFrame =
     postingsDf.filter(col("term") === term).select("doc_id", "url")
 
+  /** Typed surface (SURVEY §1.3): the same pipeline over case-class
+    * Datasets for compile-time-safe composition in Scala.
+    */
+  def typedPostings(docs: org.apache.spark.sql.Dataset[graft.model.Doc])
+      : org.apache.spark.sql.Dataset[graft.model.Posting] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    postings(docs.toDF()).as[graft.model.Posting]
+  }
+
+  /** Typed index build via the PostingListAgg Aggregator (UDAF surface). */
+  def typedIndex(docs: org.apache.spark.sql.Dataset[graft.model.Doc])
+      : org.apache.spark.sql.Dataset[graft.model.PostingList] =
+    graft.functions.PostingListAgg.buildIndex(typedPostings(docs))
+
   /** Document frequency per term (size of the posting set). */
   def docFreq(postingsDf: DataFrame): DataFrame =
     postingsDf.groupBy("term").agg(count(lit(1)).as("df"))

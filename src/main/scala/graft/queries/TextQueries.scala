@@ -54,6 +54,12 @@ object TextQueries {
 
     "q_doc_freq" -> ((s, dir) => InvertedIndex.docFreq(postings(s, dir))),
 
+    // docFreq again via the two-phase SALTED aggregation (skew-mitigation
+    // operator) — same result, hot-key shuffle split 16 ways.
+    "q_salted_df" -> ((s, dir) =>
+      graft.operators.Skew.saltedCount(postings(s, dir), "term")
+        .withColumnRenamed("count", "df")),
+
     "q_topk_df" -> ((s, dir) => InvertedIndex.topKByDocFreq(postings(s, dir), 20)),
 
     // postings_csv is CAPPED at the first 100 doc_ids: an unbounded
@@ -121,6 +127,9 @@ object TextQueries {
       s"""$termsCte SELECT doc_id, $urlSql AS url FROM terms WHERE term = 'spark'""",
 
     "q_doc_freq" ->
+      s"""$termsCte SELECT term, count(*) AS df FROM terms GROUP BY term""",
+
+    "q_salted_df" ->
       s"""$termsCte SELECT term, count(*) AS df FROM terms GROUP BY term""",
 
     "q_topk_df" ->

@@ -63,4 +63,18 @@ object Corpus {
   /** Deterministic stand-in for the HTTP+parser fetcher (no egress here). */
   private[graft] def stubFetcher(url: String): String =
     s"stub content for ${url.toLowerCase}"
+
+  /** Reference S1: build the URL corpus from already-fetched category
+    * listing pages (driver-side, exactly like the reference's
+    * single-threaded crawl — `master/src/master.py:48-86`). Pagination is
+    * the caller's loop: fetch page → `Html.nextPageLink` → fetch next;
+    * this function takes the accumulated page HTMLs and assigns dense
+    * positional doc_ids across them in order.
+    */
+  def fromCategoryHtml(spark: SparkSession, pages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    pages.flatMap(Html.wikiLinks).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+  }
 }
