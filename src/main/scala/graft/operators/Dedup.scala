@@ -191,8 +191,11 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         graft.plans.HammingHex.hammingHex(col("x.simhash"), col("y.simhash")).as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: hamming is a cheap codegen'd scalar, so
+      // filtering first shrinks the distinct's shuffle to the matches
+      // (a pair re-found via several chunks costs re-evaluation, not I/O)
       .filter(col("hamming") <= maxDistance)
+      .distinct()
   }
 
   /** 64-bit SimHash fingerprint per document as a 16-char hex string.

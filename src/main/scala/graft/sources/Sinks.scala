@@ -55,6 +55,17 @@ object Sinks {
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.writeString(p, envelope)
   }
+
+  /** Read a reference-format index envelope back into the engine's
+    * relational index shape (`term, postings ARRAY<STRUCT<doc_id,url>>`) —
+    * the migration path for existing reference artifacts. Term order in
+    * the file is insertion order and is irrelevant here (SURVEY §4.3.5).
+    */
+  def readJsonEnvelope(spark: SparkSession, file: String): DataFrame =
+    spark.read.option("wholetext", true).text(file)
+      .select(from_json(col("value"),
+        lit("index MAP<STRING, ARRAY<STRUCT<doc_id: BIGINT, url: STRING>>>")).as("e"))
+      .select(explode(col("e.index")).as(Seq("term", "postings")))
 }
 
 /** Session-scoped registry of persisted, term-bucketed posting tables —

@@ -37,6 +37,16 @@ class SinksSpec extends AnyFunSuite {
     assert(txt.contains(""""cat":[{"doc_id":1,"url":"u1"},{"doc_id":3,"url":"u3"}]"""))
   }
 
+  test("JSON envelope round-trips: write then read equals the in-memory index") {
+    val out = Files.createTempDirectory("graft_rt").toString + "/index.json"
+    val idx = InvertedIndex.index(docs)
+    Sinks.writeJsonEnvelope(idx, out)
+    val back = Sinks.readJsonEnvelope(spark, out)
+      .as[(String, Seq[(Long, String)])].collect().toMap
+    val orig = idx.as[(String, Seq[(Long, String)])].collect().toMap
+    assert(back === orig)
+  }
+
   test("IndexStore builds once and serves bucket-pruned boolean queries") {
     val p1 = graft.sources.IndexStore.postings(spark, "/root/testdata/sf0.001")
     val p2 = graft.sources.IndexStore.postings(spark, "/root/testdata/sf0.001")
