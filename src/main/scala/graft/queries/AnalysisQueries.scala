@@ -57,6 +57,15 @@ object AnalysisQueries {
     "q_events_window" -> ((s, dir) =>
       graft.streaming.EventPipeline.windowedCounts(Tables.events(s, dir))),
 
+    // Sliding windows (1h size, 30m step): every event lands in exactly
+    // two windows; same epoch-aligned grid as the oracle's time_bucket.
+    "q_events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"))),
+
     // Multimodal/semi-structured: JSON props → typed struct column.
     "q_props_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -151,6 +160,18 @@ object AnalysisQueries {
         |       event_type, count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH s AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b, ts, event_type FROM events
+        |), w AS (
+        |  SELECT b AS ws, event_type FROM s
+        |  UNION ALL
+        |  SELECT b - INTERVAL 30 MINUTE AS ws, event_type FROM s
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |       count(*) AS n_events
+        |FROM w GROUP BY window_start, event_type""".stripMargin,
 
     "q_props_extract" ->
       """SELECT event_id, event_type,
