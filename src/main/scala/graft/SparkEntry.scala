@@ -26,6 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextQueries.queries ++ RelationalQueries.queries ++
+      RelationalQueries.queriesExtra ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       AnalysisQueries.queries
 

@@ -81,7 +81,56 @@ object RelationalQueries {
     }),
   )
 
+  val queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hierarchical totals via ROLLUP: (region, nation), (region), (grand
+    // total) — subtotal rows carry nulls in the rolled-up columns.
+    // Expressed through the spark.sql surface: Spark 4.1's Dataset
+    // rollup() trips the ambiguous-self-join check after any join
+    // (grouping-set expansion re-references join-lineage attributes);
+    // the SQL path plans the identical Expand + aggregate.
+    "q_rollup_revenue" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer", "nation", "region")
+        .foreach(t => tbl(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+      s.sql(
+        s"""SELECT r_name, n_name,
+           |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_lineitems
+           |FROM graft_lineitem
+           |JOIN graft_orders   ON l_orderkey = o_orderkey
+           |JOIN graft_customer ON o_custkey = c_custkey
+           |JOIN graft_nation   ON c_nationkey = n_nationkey
+           |JOIN graft_region   ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    }),
+
+    // Analytic window over event time: each event with the user's
+    // previous value (lag) and running event number.
+    "q_user_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      graft.sources.Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        row_number().over(w).cast("long").as("event_no"))
+    }),
+  )
+
   val oracles: Map[String, String] = Map(
+    "q_rollup_revenue" ->
+      s"""SELECT r_name, n_name, $revenueSql AS revenue, COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q_user_lag" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_no
+        |FROM events""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
