@@ -64,6 +64,24 @@ object Corpus {
   private[graft] def stubFetcher(url: String): String =
     s"stub content for ${url.toLowerCase}"
 
+  /** Documents from CSV (`doc_id,text,...` with header) — format breadth
+    * on the same corpus contract; schema is declared, not inferred, so
+    * the scan stays single-pass.
+    */
+  def documentsFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", true)
+      .schema("doc_id LONG, text STRING, source STRING")
+      .csv(path)
+      .withColumn("url", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+
+  /** Documents from JSON-lines (one object per line). */
+  def documentsFromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id LONG, text STRING, source STRING")
+      .json(path)
+      .withColumn("url", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+
   /** Reference S1: build the URL corpus from already-fetched category
     * listing pages (driver-side, exactly like the reference's
     * single-threaded crawl — `master/src/master.py:48-86`). Pagination is
