@@ -66,6 +66,19 @@ object AnalysisQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"))),
 
+    // As-of join (operator Spark lacks natively — union+window, one
+    // shuffle): each event with the user's latest signup at-or-before it.
+    "q_asof_signup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinAsOf(
+        left = ev.select(col("event_id"), col("user_id"), col("t")),
+        right = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("t"), col("event_id")),
+        key = "user_id", time = "t", rightValue = "event_id",
+        as = "signup_event_id")
+        .select("event_id", "user_id", "signup_event_id")
+    }),
+
     // Multimodal/semi-structured: JSON props → typed struct column.
     "q_props_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -172,6 +185,11 @@ object AnalysisQueries {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |       count(*) AS n_events
         |FROM w GROUP BY window_start, event_type""".stripMargin,
+
+    "q_asof_signup" ->
+      """SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
+        |FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
 
     "q_props_extract" ->
       """SELECT event_id, event_type,
