@@ -103,6 +103,19 @@ object RelationalQueries {
            |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     }),
 
+    // Range join (bucketed, large×large-safe): lineitem quantities
+    // matched to [lo, hi) tier intervals via bucket equi-join + residual
+    // filter — not a nested-loop non-equi join.
+    "q_range_tier" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = Seq((0.0, 10.0, "small"), (10.0, 25.0, "mid"), (25.0, 60.0, "large"))
+        .toDF("lo", "hi", "tier")
+      graft.operators.RangeJoin
+        .byBucket(tbl(s, dir, "lineitem"), "l_quantity", tiers, "lo", "hi", bucketWidth = 10.0)
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+
     // Analytic window over event time: each event with the user's
     // previous value (lag) and running event number.
     "q_user_lag" -> ((s, dir) => {
@@ -124,6 +137,12 @@ object RelationalQueries {
          |JOIN nation   ON c_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q_range_tier" ->
+      """WITH tiers(lo, hi, tier) AS (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'), (25.0, 60.0, 'large'))
+        |SELECT tier, count(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY tier""".stripMargin,
 
     "q_user_lag" ->
       """SELECT event_id, user_id, value,
