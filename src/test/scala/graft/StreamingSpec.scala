@@ -64,6 +64,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index build: postings emitted incrementally, re-deliveries deduped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val q = graft.streaming.StreamingIndex
+      .postingsStream(input.toDF().toDF("doc_id", "url", "text", "ingest_t"))
+      .writeStream.format("memory").queryName("stream_postings").outputMode("append").start()
+    try {
+      input.addData((1L, "u1", "the cat sat", ts("10:00")))
+      q.processAllAvailable()
+      // re-delivery of doc 1 (same terms) plus a new doc in a later batch
+      input.addData((1L, "u1", "the cat sat", ts("10:05")), (2L, "u2", "cat and dog", ts("10:06")))
+      q.processAllAvailable()
+      val got = spark.table("stream_postings")
+        .as[(String, Long, String)].collect().toSet
+      assert(got === Set(
+        ("cat", 1L, "u1"), ("sat", 1L, "u1"), // batch 1, re-delivery dropped
+        ("cat", 2L, "u2"), ("dog", 2L, "u2")))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same input") {
     import spark.implicits._
     val batch = Seq((ts("10:05"), "click", 1.5), (ts("10:40"), "click", 2.5))
