@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale-critical physical-plan
+  * properties (pushdown, broadcast policy, shuffle counts) asserted
+  * directly, so a refactor that silently degrades a plan fails CI, not
+  * the 100 TB run. See PLANS.md for the full audit.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
+  private def broadcasts(p: String): Int = "BroadcastExchange".r.findAllIn(p).length
+
+  test("q3_join: filters pushed to every scan, dims broadcast, one shuffle") {
+    val p = plan("q3_join")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "customer filter not pushed to scan")
+    assert(p.contains("GreaterThan(l_shipdate"), "lineitem date filter not pushed to scan")
+    assert(broadcasts(p) === 2, s"expected orders+customer broadcast:\n$p")
+    assert(shuffles(p) === 1, s"expected exactly the aggregation shuffle:\n$p")
+  }
+
+  test("q1_agg: map-side partial aggregation before a single exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    assert(shuffles(p) === 1)
+  }
+
+  test("q_postings and projection queries are shuffle-free") {
+    Seq("q_postings", "q_token_count", "q_quality", "q_lang_id", "q_binary_stats").foreach { q =>
+      assert(shuffles(plan(q)) === 0, s"$q gained a shuffle")
+    }
+  }
+
+  test("q_sim_topk: broadcast query vector, no hash-partition shuffle") {
+    val p = plan("q_sim_topk")
+    assert(broadcasts(p) === 1)
+    assert(shuffles(p) === 0, s"brute-force top-k must not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should be TakeOrdered, not global sort")
+  }
+
+  test("q_term_lookup: bucket-pruned persisted index, zero exchanges") {
+    val p = plan("q_term_lookup")
+    assert(p.contains("SelectedBucketsCount: 1 out of 32"), s"no bucket pruning:\n$p")
+    assert(shuffles(p) === 0 && broadcasts(p) === 0)
+  }
+
+  test("boolean queries read the bucket-pruned index with one scan pass per side") {
+    val and = plan("q_bool_and")
+    assert(and.contains("SelectedBucketsCount"), "AND not bucket-pruned")
+    assert(shuffles(and) === 1, "AND should be filter + one aggregation shuffle")
+    val not = plan("q_bool_not")
+    assert(not.contains("SelectedBucketsCount"), "NOT not bucket-pruned")
+  }
+}
