@@ -166,6 +166,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Transitive duplicate clusters: connected components over an
+    * undirected pair relation (`doc_a`, `doc_b`), labeling every member
+    * with the MINIMUM doc_id of its component — the actionable form of
+    * near-dup output (keep one representative per cluster).
+    *
+    * Algorithm: min-label propagation to fixpoint. Each iteration is one
+    * join + one aggregation; iteration count is the component diameter
+    * (near-dup clusters are small, so a handful). Lineage is truncated
+    * per iteration with an eager localCheckpoint — the standard
+    * DataFrame-iterative pattern (a 1000-executor deployment would swap
+    * in a checkpoint dir on durable storage).
+    *
+    * Output: (doc_id, cluster_id) for every doc that appears in a pair.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val prop = labels.join(sym, labels("node") === sym("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      // labels only ever decrease → the sum is a convergence witness
+      val before = labels.agg(sum("label").cast("long")).head().getLong(0)
+      val after = next.agg(sum("label").cast("long")).head().getLong(0)
+      labels = next
+      converged = after == before
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters straight from a corpus: MinHash-LSH pairs →
+    * connected components.
+    */
+  def duplicateClusters(docs: DataFrame, n: Int = 3, numBands: Int = 24,
+                        bandSize: Int = 3, threshold: Double = 0.5): DataFrame =
+    clusters(nearDuplicates(docs, n, numBands, bandSize, threshold))
+
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit chunks; by pigeonhole, any pair within Hamming distance 3
     * agrees on at least one chunk, so chunk-bucketing finds ALL such

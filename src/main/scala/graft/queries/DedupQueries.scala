@@ -16,6 +16,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_dedup_near" -> ((s, dir) => Dedup.nearDuplicates(docs(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docs(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
   )
@@ -70,34 +71,23 @@ object DedupQueries {
         |       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
         |FROM fp""".stripMargin,
 
-    "q_dedup_near" ->
-      s"""$shingleCte, hv AS (
-         |  SELECT doc_id, sh,
-         |         list_transform(list_transform(sh, s -> substr(md5(s), 1, 8)),
-         |                        h -> $nibDecodeSql) AS hv
-         |  FROM shs
-         |), params(k, a, b) AS (VALUES $hashParamRows),
-         |mins AS (
-         |  SELECT doc_id, k,
-         |         list_min(list_transform(hv, v -> (v * a + b) % ${Dedup.HashModulus})) AS mh
-         |  FROM hv, params
-         |), sigs AS (
-         |  SELECT doc_id, k // 3 AS band,
-         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS sig
-         |  FROM mins GROUP BY doc_id, k // 3
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sigs a JOIN sigs b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |), j AS (
-         |  SELECT doc_a, doc_b,
-         |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |               / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
-         |  FROM cands
-         |  JOIN shs sa ON cands.doc_a = sa.doc_id
-         |  JOIN shs sb ON cands.doc_b = sb.doc_id
+    "q_dedup_near" -> nearDupSql,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
+         |), sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM sym
+         |), reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
          |)
-         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+         |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
 
     "q_simhash" -> simhashSql,
 
@@ -125,6 +115,35 @@ object DedupQueries {
          |)
          |SELECT da AS doc_a, db AS doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
   )
+
+  private lazy val nearDupSql: String =
+    s"""$shingleCte, hv AS (
+       |  SELECT doc_id, sh,
+       |         list_transform(list_transform(sh, s -> substr(md5(s), 1, 8)),
+       |                        h -> $nibDecodeSql) AS hv
+       |  FROM shs
+       |), params(k, a, b) AS (VALUES $hashParamRows),
+       |mins AS (
+       |  SELECT doc_id, k,
+       |         list_min(list_transform(hv, v -> (v * a + b) % ${Dedup.HashModulus})) AS mh
+       |  FROM hv, params
+       |), sigs AS (
+       |  SELECT doc_id, k // 3 AS band,
+       |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS sig
+       |  FROM mins GROUP BY doc_id, k // 3
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), j AS (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |               / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+       |  FROM cands
+       |  JOIN shs sa ON cands.doc_a = sa.doc_id
+       |  JOIN shs sb ON cands.doc_b = sb.doc_id
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
 
   private lazy val simhashSql: String =
       s"""$toksCte, terms AS (

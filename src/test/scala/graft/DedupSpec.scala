@@ -50,6 +50,21 @@ class DedupSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("clusters: transitive pairs collapse to min-id components") {
+    import org.apache.spark.sql.functions._
+    // chain 1-2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("duplicateClusters groups the planted near-dups under one canonical id") {
+    val c = Dedup.duplicateClusters(docs).as[(Long, Long)].collect().toMap
+    assert(c(1L) === 1L && c(3L) === 1L) // 1-3 identical pair → cluster 1
+    assert(c(2L) === 2L && c(4L) === 2L)
+    assert(!c.contains(5L)) // non-dup doc not in any cluster
+  }
+
   test("simhash: identical docs share fingerprints, near docs are close") {
     val fp = Dedup.simhash(docs).as[(Long, String)].collect().toMap
     assert(fp(1L).length === 16)
