@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.sources.Corpus
 
@@ -17,6 +18,20 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_dedup_near" -> ((s, dir) => Dedup.nearDuplicates(docs(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docs(s, dir))),
+
+    // The end-to-end curation pipeline a training-data stack runs: score
+    // quality, cluster near-duplicates, keep high-quality cluster
+    // representatives (or unduplicated docs). Composes the quality,
+    // LSH-dedup and clustering operators in one declarative plan.
+    "q_curate" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+      val cl = Dedup.duplicateClusters(docs(s, dir))
+      scored.join(cl, Seq("doc_id"), "left")
+        .filter(col("quality") >= 0.75 &&
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
+        .select("doc_id", "quality")
+    }),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
   )
@@ -88,6 +103,48 @@ object DedupQueries {
          |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
          |)
          |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+    "q_curate" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
+         |), sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM sym
+         |), reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
+         |), comp AS (
+         |  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+         |), qtoks AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |                     t -> t <> '') AS ts
+         |  FROM documents
+         |), qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) END, 6) AS mean_token_len,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(ts, t -> list_contains([$stopList], t))) AS DOUBLE) / len(ts) END, 6) AS stopword_ratio,
+         |    round(CASE WHEN len(text) = 0 THEN 0.0
+         |          ELSE CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
+         |  FROM qtoks
+         |), qscore AS (
+         |  SELECT doc_id,
+         |    round(((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN mean_token_len BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN stopword_ratio <= 0.6 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)) / 4.0, 2) AS quality
+         |  FROM qm
+         |)
+         |SELECT qscore.doc_id, quality
+         |FROM qscore LEFT JOIN comp ON qscore.doc_id = comp.doc_id
+         |WHERE quality >= 0.75 AND (cluster_id IS NULL OR cluster_id = qscore.doc_id)""".stripMargin,
 
     "q_simhash" -> simhashSql,
 
