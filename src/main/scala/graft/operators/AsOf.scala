@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,12 +28,12 @@ object AsOf {
     val leftU = left
       .withColumn("_rv", lit(null).cast(valueType))
       .withColumn("_isL", lit(1))
-    val rightU = right.select(
-      left.columns.map {
-        case c if c == key => col(key)
-        case c if c == time => col(time)
-        case c => lit(null).cast(left.schema(c).dataType).as(c)
-      } :+ col(rightValue).cast(valueType).as("_rv") :+ lit(0).as("_isL"): _*)
+    val rightCols = left.columns.toSeq.map {
+      case c if c == key => col(key)
+      case c if c == time => col(time)
+      case c => lit(null).cast(left.schema(c).dataType).as(c)
+    } :+ col(rightValue).cast(valueType).as("_rv") :+ lit(0).as("_isL")
+    val rightU = right.select(rightCols: _*)
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc, col("_isL").asc, col("_rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
