@@ -71,6 +71,25 @@ object TextAnalysis {
         / size(toks)), 6)
   }
 
+  /** Deterministic dataset split for train/val/test: bucket 0..99 from
+    * the md5 of the id — engine-portable and stable across runs and
+    * cluster sizes (the property random `sample()` cannot give you).
+    * Four hex chars (65536 values) mod 100 keep the modulo bias ≤ 0.15%.
+    */
+  def hashBucket100(id: Column): Column = {
+    val nibs = (1 to 4).map { i =>
+      val c = ascii(substring(md5(id.cast("string")), i, 1))
+      when(c <= 57, c - 48).otherwise(c - 87)
+    }
+    nibs.reduce((acc, n) => acc * 16 + n) % 100
+  }
+
+  /** Split label from the deterministic bucket: 80/10/10 train/val/test. */
+  def splitLabel(id: Column): Column = {
+    val b = hashBucket100(id)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
   /** Heuristic quality score in [0,1]: one point per satisfied band,
     * equally weighted — length band, mean-token-length band, stopword
     * band, punctuation band. Deterministic integer arithmetic.

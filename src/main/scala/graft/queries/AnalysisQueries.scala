@@ -66,6 +66,13 @@ object AnalysisQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"))),
 
+    // Deterministic 80/10/10 split assignment — stable across runs,
+    // engines and cluster sizes (md5-bucketed, not RNG-sampled).
+    "q_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.hashBucket100(col("doc_id")).as("bucket"),
+        TextAnalysis.splitLabel(col("doc_id")).as("split"))),
+
     // As-of join (operator Spark lacks natively — union+window, one
     // shuffle): each event with the user's latest signup at-or-before it.
     "q_asof_signup" -> ((s, dir) => {
@@ -185,6 +192,21 @@ object AnalysisQueries {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |       count(*) AS n_events
         |FROM w GROUP BY window_start, event_type""".stripMargin,
+
+    "q_split" -> {
+      def nib(i: Int) =
+        s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) <= 57
+           |      THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48
+           |      ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87 END)""".stripMargin
+      val v = (2 to 4).map(nib).foldLeft(nib(1))((acc, n) => s"($acc * 16 + $n)")
+      s"""WITH b AS (
+         |  SELECT doc_id, $v % 100 AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin
+    },
 
     "q_asof_signup" ->
       """SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
