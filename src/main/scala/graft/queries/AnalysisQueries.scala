@@ -66,6 +66,18 @@ object AnalysisQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"))),
 
+    // Deterministic stratified sample: 3 docs per source, chosen by md5
+    // order — stable subsampling per domain, one window shuffle.
+    "q_sample_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("source", "doc_id", "rk")
+    }),
+
     // Deterministic 80/10/10 split assignment — stable across runs,
     // engines and cluster sizes (md5-bucketed, not RNG-sampled).
     "q_split" -> ((s, dir) =>
@@ -192,6 +204,14 @@ object AnalysisQueries {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |       count(*) AS n_events
         |FROM w GROUP BY window_start, event_type""".stripMargin,
+
+    "q_sample_per_source" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents
+        |) WHERE rk <= 3""".stripMargin,
 
     "q_split" -> {
       def nib(i: Int) =
