@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import scala.io.Source
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.InvertedIndex
+import graft.sources.{Corpus, Html, Sinks}
+
+/** The reference's complete job, hermetically: category page → link
+  * filter (S1) → per-doc fetch with a partition-local client (S3, stub
+  * transport serving checked-in HTML) → extract → tokenize → index →
+  * bucketed sink (K2) → point lookup with bucket pruning.
+  */
+class EndToEndSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("S1→K2: crawl, fetch, extract, index, persist, query") {
+    // S1: corpus from the category listing (driver-side, like the master)
+    val urls = Corpus.fromCategoryHtml(spark, Seq(fixture("category_page.html")))
+    assert(urls.count() === 3)
+
+    // S3: fetch each url with a partition-local client; /wiki/Alpha_Band
+    // serves the article fixture, everything else 404s to empty text
+    val article = fixture("article.html")
+    val docs = Corpus.fetchText(urls, () => {
+      url => if (url == "/wiki/Alpha_Band") Html.extractText(article) else ""
+    })
+    val byUrl = docs.as[(Long, String, String)].collect().map(d => d._2 -> d).toMap
+    assert(byUrl("/wiki/Alpha_Band")._3.startsWith("The Alpha Band was a rock & roll group"))
+    assert(byUrl("/wiki/Beta_Singer")._3 === "") // failed fetch keeps its doc_id gap
+
+    // index + K2 bucketed sink + pruned lookup
+    val path = Files.createTempDirectory("graft_e2e").toString + "/idx"
+    Sinks.writeIndex(InvertedIndex.postings(docs), "t_e2e", path, buckets = 4)
+    val lookup = InvertedIndex.lookup(spark.table("t_e2e"), "albums")
+    assert(lookup.as[(Long, String)].collect().map(_._2).toSeq === Seq("/wiki/Alpha_Band"))
+    assert(lookup.queryExecution.executedPlan.toString.contains("SelectedBucketsCount: 1 out of 4"))
+
+    // K2 JSON envelope of the same index parses back losslessly
+    val json = Files.createTempDirectory("graft_e2e_json").toString + "/index.json"
+    Sinks.writeJsonEnvelope(InvertedIndex.index(docs), json)
+    val back = Sinks.readJsonEnvelope(spark, json)
+    assert(back.count() === InvertedIndex.index(docs).count())
+  }
+
+  test("streaming postings compact into the bucketed index") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val q = graft.streaming.StreamingIndex
+      .postingsStream(input.toDF().toDF("doc_id", "url", "text", "ingest_t"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/postings")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "u1", "grid search", Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, "u2", "grid compute", Timestamp.valueOf("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // compaction: micro-batch files → the K2 term-bucketed table
+    val path = Files.createTempDirectory("graft_compact").toString + "/idx"
+    Sinks.writeIndex(spark.read.parquet(s"$out/postings"), "t_compacted", path, buckets = 4)
+    val hits = InvertedIndex.lookup(spark.table("t_compacted"), "grid")
+      .as[(Long, String)].collect().map(_._1).sorted
+    assert(hits.toSeq === Seq(1L, 2L))
+  }
+}
