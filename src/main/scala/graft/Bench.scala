@@ -38,19 +38,32 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // Materialize EVERY row through the noop sink: unlike `count()`,
+    // which lets Catalyst prune a projection query down to a count-only
+    // scan (md5 digests, language scores etc. would never evaluate),
+    // the noop write evaluates the full result with no output cost.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // warm-up: codegen + parquet reader on the bench tables
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
-    try SparkEntry.queries("q_token_count")(spark, sfDir).count() catch { case _: Throwable => }
-    // one-time index build (the K2 sink) — reported, not hidden
+    try materialize(SparkEntry.queries("q1_agg")(spark, sfDir)) catch { case _: Throwable => }
+    try materialize(SparkEntry.queries("q_token_count")(spark, sfDir)) catch { case _: Throwable => }
+    // one-time index build (the K2 sink) — reported, not hidden — plus an
+    // untimed bucket-pruned read so the first timed index query measures
+    // the steady-state read path, not first-touch table/file-listing costs
     val tIdx = System.nanoTime()
     val indexBuildSec =
-      try { graft.sources.IndexStore.postings(spark, sfDir).count(); (System.nanoTime() - tIdx) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try {
+        val p = graft.sources.IndexStore.postings(spark, sfDir)
+        p.count()
+        materialize(p.filter(org.apache.spark.sql.functions.col("term") === "the"))
+        (System.nanoTime() - tIdx) / 1e9
+      } catch { case _: Throwable => -1.0 }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try { materialize(fn(spark, sfDir)); None }
         catch { case e: Throwable => Some(e.toString.take(300)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }

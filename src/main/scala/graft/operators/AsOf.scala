@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   * per-key window ordered by (time, side) — ONE linear shuffle keyed on
   * the join key, skew handled by AQE like any other exchange. Right rows
   * order before left rows at equal timestamps, making the match
-  * inclusive and deterministic (ties among right rows break on the value
-  * column).
+  * inclusive and deterministic.
+  *
+  * TIE-BREAK CONTRACT: when several right rows share a key's timestamp,
+  * the MAXIMUM `rightValue` wins (the window orders `_rv` ascending and
+  * takes the last non-null). This is a deliberate, documented choice —
+  * engines differ here (DuckDB's ASOF JOIN picks an arbitrary matching
+  * row on ties), so any cross-engine comparison must mirror this rule
+  * explicitly (see the `q_asof_signup` oracle's window formulation).
   */
 object AsOf {
 

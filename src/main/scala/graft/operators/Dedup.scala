@@ -135,16 +135,17 @@ object Dedup {
     */
   def nearDuplicates(docs: DataFrame, n: Int = 3, numBands: Int = 24,
                      bandSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // Re-balance the narrow (doc_id, shingles) projection across the
     // cluster — signature hashing is CPU-bound and must not inherit a
-    // too-coarse file split — and PERSIST it: it feeds both the signature
-    // pass and the two verify-join legs. The eager count() materializes
-    // the cache in ONE pass; otherwise the branches of the verify join
-    // race and each recomputes the tokenize→shingle pipeline.
+    // too-coarse file split — and materialize it ONCE with an eager
+    // localCheckpoint: it feeds both the signature pass and the two
+    // verify-join legs, and without a plan boundary the branches race
+    // and each recomputes the tokenize→shingle pipeline. Checkpoint
+    // blocks (unlike an explicit persist) are released by the context
+    // cleaner when this frame goes out of scope, so repeated calls in
+    // one session don't accumulate cached copies.
     val shAll = hashValues(rawShingleSets(docs.repartition(col("doc_id")), n))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    shAll.count()
+      .localCheckpoint(true)
     val sh = shAll.filter(size(col("sh")) > 0)
     // Candidates by bucket aggregation, not a self-join: one shuffle of
     // the narrow signature relation, then in-bucket pair expansion
@@ -171,34 +172,76 @@ object Dedup {
     * with the MINIMUM doc_id of its component — the actionable form of
     * near-dup output (keep one representative per cluster).
     *
-    * Algorithm: min-label propagation to fixpoint. Each iteration is one
-    * join + one aggregation; iteration count is the component diameter
-    * (near-dup clusters are small, so a handful). Lineage is truncated
-    * per iteration with an eager localCheckpoint — the standard
-    * DataFrame-iterative pattern (a 1000-executor deployment would swap
-    * in a checkpoint dir on durable storage).
+    * Algorithm: min-label propagation with POINTER JUMPING. Each
+    * iteration propagates labels along graph edges AND along the current
+    * label assignment itself (node → its label's label), which doubles
+    * the reach per step — O(log diameter) iterations even on chain-shaped
+    * components, vs O(diameter) for plain propagation.
+    *
+    * Iteration cost discipline (the 100 TB concern is fixed per-round
+    * latency × rounds):
+    *   - ONE driver action per iteration: the convergence checksum's
+    *     action also materializes the lazily-marked checkpoint;
+    *   - the label relation is repartitioned to match ITS size, not the
+    *     session-wide shuffle width, so a tiny relation doesn't pay
+    *     full-width shuffle latency every round;
+    *   - the convergence witness is a DECIMAL(38) sum of labels (labels
+    *     only ever decrease, so the sum strictly decreases until
+    *     fixpoint) — no BIGINT overflow on huge id spaces;
+    *   - lineage is truncated per iteration via `checkpoint` when the
+    *     session has a durable checkpoint dir (the cluster deployment),
+    *     falling back to `localCheckpoint` for local runs.
     *
     * Output: (doc_id, cluster_id) for every doc that appears in a pair.
     */
   def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a"), col("doc_b"))
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    val edgeCount = sym.count() // materializes the cache; also the empty gate
+    if (edgeCount == 0) {
+      // no pairs → no clusters; an agg over the empty frame would yield a
+      // single null row (sum of nothing) and NPE downstream
+      sym.unpersist()
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id")
+    }
+    val durable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint(false) else df.localCheckpoint(false)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    // size the label relation's partitioning to the edge count — ~500k
+    // labels per partition — instead of the session shuffle width
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt + 1))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .repartition(parts, col("node"))
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prev = checksum(labels)
     var converged = false
     while (!converged) {
       val prop = labels.join(sym, labels("node") === sym("src"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      // labels only ever decrease → the sum is a convergence witness
-      val before = labels.agg(sum("label").cast("long")).head().getLong(0)
-      val after = next.agg(sum("label").cast("long")).head().getLong(0)
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
+      // repartition BEFORE the groupBy: the aggregate's distribution
+      // requirement is satisfied by the explicit hash partitioning, so
+      // the iteration has exactly one exchange, at the label relation's
+      // own width
+      val next = truncate(
+        labels.union(prop).union(jump)
+          .repartition(parts, col("node"))
+          .groupBy("node").agg(min("label").as("label")))
+      val cur = checksum(next) // one action: materializes checkpoint + sum
       labels = next
-      converged = after == before
+      converged = cur.compareTo(prev) == 0
+      prev = cur
     }
     sym.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -82,14 +82,23 @@ object BooleanQuery {
 
   /** Documents containing ALL of the given terms. One scan, one shuffle:
     * filter to the wanted terms, then keep doc_ids that matched every one.
+    *
+    * PRECONDITION: `postings` is unique on (term, doc_id) — guaranteed by
+    * `InvertedIndex.postings` (per-doc distinct before explode) and by the
+    * persisted index. That uniqueness lets the match counter be a plain
+    * `count` (partial/final, no Expand) instead of `countDistinct`, whose
+    * two-phase distinct aggregate doubles the shuffle. Duplicate query
+    * terms are deduplicated first (`countDistinct(term)` can never reach
+    * `terms.size` when the list repeats a term).
     */
   def and(postings: DataFrame, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "BooleanQuery.and: terms must be non-empty")
+    val ts = terms.distinct
+    require(ts.nonEmpty, "BooleanQuery.and: terms must be non-empty")
     postings
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(ts: _*))
       .groupBy("doc_id")
-      .agg(countDistinct(col("term")).as("n_hit"))
-      .filter(col("n_hit") === terms.size)
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === ts.size)
       .select("doc_id")
   }
 

@@ -228,10 +228,27 @@ object AnalysisQueries {
          |FROM b""".stripMargin
     },
 
+    // Window formulation (not DuckDB's ASOF JOIN): DuckDB's ASOF picks an
+    // arbitrary right row on equal timestamps, while the engine's tie-break
+    // is documented and deterministic (max right value — AsOf.joinAsOf).
+    // This mirrors the engine's union+window construction exactly,
+    // including the µs time key (epoch_ns//1000 = Spark's nanos div 1000).
     "q_asof_signup" ->
-      """SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
-        |FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-        |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+      """WITH u AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus,
+        |         CAST(NULL AS BIGINT) AS rv, 1 AS isl
+        |  FROM events
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT) AS event_id, user_id, epoch_ns(ts)//1000 AS tus,
+        |         event_id AS rv, 0 AS isl
+        |  FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT event_id, user_id, signup_event_id FROM (
+        |  SELECT event_id, user_id, isl,
+        |         last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, isl, rv
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_event_id
+        |  FROM u
+        |) WHERE isl = 1""".stripMargin,
 
     "q_props_extract" ->
       """SELECT event_id, event_type,

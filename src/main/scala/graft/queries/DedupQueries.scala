@@ -16,18 +16,19 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
-    "q_dedup_near" -> ((s, dir) => Dedup.nearDuplicates(docs(s, dir))),
-    "q_dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docs(s, dir))),
+    "q_dedup_near" -> ((s, dir) => DedupStore.pairs(s, dir)),
+    "q_dedup_clusters" -> ((s, dir) => DedupStore.clusters(s, dir)),
 
     // The end-to-end curation pipeline a training-data stack runs: score
     // quality, cluster near-duplicates, keep high-quality cluster
     // representatives (or unduplicated docs). Composes the quality,
-    // LSH-dedup and clustering operators in one declarative plan.
+    // LSH-dedup and clustering operators; the cluster relation comes from
+    // the shared store, so the LSH + clustering work is NOT re-run when
+    // the other dedup queries already materialized it.
     "q_curate" -> ((s, dir) => {
       val scored = docs(s, dir).select(col("doc_id"),
         graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
-      val cl = Dedup.duplicateClusters(docs(s, dir))
-      scored.join(cl, Seq("doc_id"), "left")
+      scored.join(DedupStore.clusters(s, dir), Seq("doc_id"), "left")
         .filter(col("quality") >= 0.75 &&
           (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
         .select("doc_id", "quality")
@@ -35,6 +36,43 @@ object DedupQueries {
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
   )
+
+  /** Session-scoped shared dedup relations (the `IndexStore` pattern,
+    * `sources/Sinks.scala`): the MinHash-LSH near-dup PAIR relation and the
+    * connected-component CLUSTER relation for a corpus dir are each
+    * computed and persisted ONCE per session, then served to every
+    * consumer — `q_dedup_near`, `q_dedup_clusters` and `q_curate` share
+    * one LSH pass + one clustering run instead of re-running the pipeline
+    * three times. Both relations are tiny (pairs of near-duplicates, one
+    * row per clustered doc), so holding them cached for the session is
+    * cheap; the heavyweight intermediate (the shingle/hash frame) is a
+    * checkpoint inside `Dedup.nearDuplicates` whose blocks the context
+    * cleaner reclaims once the pass completes.
+    */
+  object DedupStore {
+
+    private val lock = new Object
+    private var pairCache = Map.empty[(SparkSession, String), DataFrame]
+    private var clusterCache = Map.empty[(SparkSession, String), DataFrame]
+
+    def pairs(s: SparkSession, dir: String): DataFrame = lock.synchronized {
+      pairCache.getOrElse((s, dir), {
+        val p = Dedup.nearDuplicates(Corpus.documents(s, dir)).persist()
+        p.count() // materialize in one pass before fan-out to consumers
+        pairCache += (s, dir) -> p
+        p
+      })
+    }
+
+    def clusters(s: SparkSession, dir: String): DataFrame = lock.synchronized {
+      clusterCache.getOrElse((s, dir), {
+        val c = Dedup.clusters(pairs(s, dir)).persist()
+        c.count()
+        clusterCache += (s, dir) -> c
+        c
+      })
+    }
+  }
 
   /** Tokens (stopwords kept) per doc — mirror of `Text.tokenize`. */
   private val toksCte =

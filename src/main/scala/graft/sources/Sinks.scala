@@ -78,8 +78,21 @@ object IndexStore {
 
   private val building = new Object
 
-  private def tableNameFor(dir: String): String =
-    "graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+  /** One random scope id per JVM: table files live under a per-process
+    * directory so two concurrent sessions (each overwriting on build)
+    * can never race each other's files.
+    */
+  private val processScope: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Sanitized dir + an md5 tag of the RAW dir string: two distinct
+    * corpus dirs that sanitize identically (`/a/b` vs `/a_b`) must not
+    * collide on one table name and serve postings from the wrong corpus.
+    */
+  private def tableNameFor(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    "graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + tag
+  }
 
   /** The posting relation for `dir`, served from the persisted bucketed
     * table (building it on first use in this session).
@@ -88,7 +101,8 @@ object IndexStore {
     val tbl = tableNameFor(dir)
     building.synchronized {
       if (!spark.catalog.tableExists(tbl)) {
-        val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/$tbl"
+        val path =
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/$processScope/$tbl"
         Sinks.writeIndex(
           graft.operators.InvertedIndex.postings(Corpus.documents(spark, dir)),
           tbl, path)

@@ -58,6 +58,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("clusters: empty pair relation yields an empty cluster frame, not an NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(empty)
+    assert(got.columns.toSeq === Seq("doc_id", "cluster_id"))
+    assert(got.count() === 0)
+  }
+
+  test("clusters: long chain converges (pointer jumping) to one component") {
+    // a 16-node path graph — diameter 15; plain propagation needs ~15
+    // rounds, pointer jumping a handful — either way the answer is one
+    // component labeled by the min id
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
+    assert(got.keySet === (0L to 15L).toSet)
+    assert(got.values.toSet === Set(0L))
+  }
+
   test("duplicateClusters groups the planted near-dups under one canonical id") {
     val c = Dedup.duplicateClusters(docs).as[(Long, Long)].collect().toMap
     assert(c(1L) === 1L && c(3L) === 1L) // 1-3 identical pair → cluster 1

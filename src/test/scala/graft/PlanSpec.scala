@@ -54,6 +54,10 @@ class PlanSpec extends AnyFunSuite {
     val and = plan("q_bool_and")
     assert(and.contains("SelectedBucketsCount"), "AND not bucket-pruned")
     assert(shuffles(and) === 1, "AND should be filter + one aggregation shuffle")
+    // the match counter is a plain count over the (term, doc_id)-unique
+    // posting relation — a countDistinct here plans an Expand + two-phase
+    // distinct aggregate, doubling the shuffle width
+    assert(!and.contains("Expand"), s"AND regressed to a distinct aggregate:\n$and")
     val not = plan("q_bool_not")
     assert(not.contains("SelectedBucketsCount"), "NOT not bucket-pruned")
   }
