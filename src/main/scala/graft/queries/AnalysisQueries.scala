@@ -85,6 +85,33 @@ object AnalysisQueries {
         TextAnalysis.hashBucket100(col("doc_id")).as("bucket"),
         TextAnalysis.splitLabel(col("doc_id")).as("split"))),
 
+    // Batch sessionization (gaps-and-islands): the oracle-checked batch
+    // equivalent of the streaming `flatMapGroupsWithState` sessionizer
+    // (EventPipeline.sessionize) — same 30-minute-gap, ms-precision rule,
+    // so the stateful operator's semantics get a CORRECTNESS row, not
+    // just a spec. One shuffle (the per-user window); the session-number
+    // aggregation reuses the window's partitioning.
+    "q_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val gapMs = 30L * 60L * 1000L
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("t"), col("event_id"), col("value"))
+        .withColumn("prev_ms", lag(unix_millis(col("t")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("t")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_no",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+          date_format(min("t"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max("t"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+    }),
+
     // As-of join (operator Spark lacks natively — union+window, one
     // shuffle): each event with the user's latest signup at-or-before it.
     "q_asof_signup" -> ((s, dir) => {
@@ -227,6 +254,28 @@ object AnalysisQueries {
          |       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin
     },
+
+    // Same µs time key discipline as the asof oracle; the 30-minute gap
+    // compares at ms precision exactly like the Spark side's unix_millis
+    // (and the streaming sessionizer's getTime).
+    "q_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts)//1000 AS us FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us//1000 - (lag(us) OVER w)//1000 > 1800000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM g GROUP BY user_id, session_no""".stripMargin,
 
     // Window formulation (not DuckDB's ASOF JOIN): DuckDB's ASOF picks an
     // arbitrary right row on equal timestamps, while the engine's tie-break

@@ -1,8 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 /** Corpus ingestion (reference S1-S3).
   *
@@ -64,6 +65,58 @@ object Corpus {
   private[graft] def stubFetcher(url: String): String =
     s"stub content for ${url.toLowerCase}"
 
+  /** Dense-stable-id assigner for id-less corpora (SURVEY §1.3; the
+    * reference mints dense positional ids itself —
+    * `master/src/coordinator.py:57`, advanced at `:135`). Mints gap-free
+    * `0..n-1` longs ONCE at ingestion; downstream operators never
+    * re-derive them.
+    *
+    * `orderBy` imposes a total order first (recommended: a stable natural
+    * key such as url/filename), making the assignment reproducible no
+    * matter how the input happened to be partitioned. Without it, ids
+    * follow the source's split order — deterministic for a given file
+    * listing (parquet/text splits are offset-ordered), which is the
+    * reference's chunk-offset scheme.
+    *
+    * Scale: `zipWithIndex` runs one lightweight per-partition count job
+    * and then assigns offsets map-side — no global sort (beyond the
+    * explicit `orderBy`, if any), no single-partition funnel, no driver
+    * materialization.
+    */
+  def withDenseIds(df: DataFrame, idCol: String = "doc_id",
+                   orderBy: Seq[String] = Nil): DataFrame = {
+    val base = if (orderBy.isEmpty) df else df.orderBy(orderBy.map(col): _*)
+    val schema = StructType(
+      StructField(idCol, LongType, nullable = false) +: base.schema.fields)
+    base.sparkSession.createDataFrame(
+      base.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
+      schema)
+  }
+
+  /** Raw-text ingestion: one document per file under `dir` (wholetext),
+    * `url` = file path, dense ids in url order — the ingestion path for
+    * corpora that arrive as bare files with no identifiers.
+    */
+  def documentsFromTextFiles(spark: SparkSession, dir: String): DataFrame =
+    withDenseIds(
+      spark.read.option("wholetext", true).text(dir)
+        .select(input_file_name().as("url"), col("value").as("text")),
+      orderBy = Seq("url"))
+
+  /** JSONL ingestion for records WITHOUT ids (`{"text":…,"source":…}`):
+    * dense ids follow file line order (text splits are offset-ordered, so
+    * the order — and therefore the assignment — is stable for a given
+    * file regardless of split count). Parsing happens AFTER id
+    * assignment so malformed lines keep their position (null text, id
+    * gap preserved — reference failure semantics).
+    */
+  def documentsFromJsonlNoIds(spark: SparkSession, path: String): DataFrame =
+    withDenseIds(spark.read.text(path))
+      .select(col("doc_id"),
+        from_json(col("value"), lit("text STRING, source STRING")).as("j"))
+      .select(col("doc_id"), col("j.text").as("text"), col("j.source").as("source"))
+      .withColumn("url", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+
   /** Documents from CSV (`doc_id,text,...` with header) — format breadth
     * on the same corpus contract; schema is declared, not inferred, so
     * the scan stays single-pass.
@@ -94,5 +147,71 @@ object Corpus {
     pages.flatMap(Html.wikiLinks).zipWithIndex
       .map { case (u, i) => (i.toLong, u) }
       .toDF("doc_id", "url")
+  }
+
+  /** The S1 crawl loop (reference `master/src/master.py:48-86`): fetch the
+    * category page, follow its "next page" link with a politeness delay
+    * (the reference sleeps 1 s/page at `:76`) until pagination ends, a
+    * page repeats, or `maxPages`. Driver-side and single-threaded BY
+    * DESIGN — it mirrors the reference's crawl and is polite to the
+    * target site; the resulting URL corpus then fans out to the
+    * DISTRIBUTED per-document fetch (`fetchText`). The sleep is
+    * injectable so tests run with a fake clock.
+    */
+  def crawlCategory(fetch: String => String, startUrl: String,
+                    maxPages: Int = 100, delayMs: Long = 1000L,
+                    sleep: Long => Unit = Thread.sleep): Seq[String] = {
+    val pages = mutable.ArrayBuffer[String]()
+    val seen = mutable.Set[String]()
+    var cur: Option[String] = Some(startUrl)
+    while (cur.isDefined && pages.length < maxPages && seen.add(cur.get)) {
+      val html = fetch(cur.get)
+      pages += html
+      cur = Html.nextPageLink(html).map(resolveUrl(cur.get, _))
+      if (cur.exists(u => !seen.contains(u)) && pages.length < maxPages)
+        sleep(delayMs)
+    }
+    pages.toSeq
+  }
+
+  /** Resolve a (possibly relative) pagination href against the page it
+    * came from, like the reference's urljoin (`master/src/master.py:78`).
+    */
+  private[graft] def resolveUrl(base: String, href: String): String =
+    try java.net.URI.create(base).resolve(href).toString
+    catch { case _: Exception => href }
+
+  /** S1 end-to-end: crawl → link-extract → dense-id URL corpus. */
+  def crawlToCorpus(spark: SparkSession, fetch: String => String, startUrl: String,
+                    maxPages: Int = 100, delayMs: Long = 1000L,
+                    sleep: Long => Unit = Thread.sleep): DataFrame =
+    fromCategoryHtml(spark, crawlCategory(fetch, startUrl, maxPages, delayMs, sleep))
+
+  /** Config-gated transport factory for `fetchText`/`crawlCategory`: a
+    * deployment with egress sets `spark.graft.fetch.live=true` and gets a
+    * real JDK HttpClient built once per partition; the default is the
+    * deterministic stub (this environment has no egress, so the live path
+    * is deployment-shaped but never exercised in CI).
+    */
+  def fetcherFactory(spark: SparkSession): () => String => String =
+    if (spark.conf.get("spark.graft.fetch.live", "false") == "true")
+      httpFetcherFactory()
+    else
+      () => stubFetcher
+
+  /** A per-partition JDK HttpClient fetcher (Java 11+ `java.net.http`, no
+    * extra dependency). Follows redirects; the caller's `fetchText`
+    * failure contract (empty text, id gap preserved) handles errors.
+    */
+  def httpFetcherFactory(timeoutMs: Long = 10000L): () => String => String = () => {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    url => {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    }
   }
 }

@@ -56,6 +56,74 @@ object Sinks {
     Files.writeString(p, envelope)
   }
 
+  /** K1 raw mapper envelope (reference `mapper/src/processor.py:58-68`):
+    * `{"metadata": {"timestamp", "mapper_id", "num_terms",
+    * "creation_time"}, "terms": [{"term", "doc_id", "url"}, ...]}`.
+    * Driver-materialized like the reference's per-mapper file —
+    * interop/debug parity only; the engine's real K1 is Spark's shuffle
+    * files (SURVEY §2.1).
+    */
+  def writeMapperEnvelope(postings: DataFrame, mapperId: Int, outFile: String): Unit = {
+    val agged = postings
+      .agg(
+        to_json(collect_list(struct(col("term"), col("doc_id"), col("url"))))
+          .as("terms_json"),
+        count(lit(1)).as("num_terms"))
+      .head()
+    val now = java.time.Instant.now()
+    val envelope =
+      s"""{"metadata": {"timestamp": ${now.getEpochSecond}, "mapper_id": $mapperId, "num_terms": ${agged.getLong(1)}, "creation_time": "$now"}, "terms": ${agged.getString(0)}}"""
+    writeFile(outFile, envelope)
+  }
+
+  /** K1 shuffled mapper envelope (`mapper/src/processor.py:115-123`):
+    * metadata gains `{"shuffled": true, "shuffle_time", "unique_terms"}`
+    * and terms group into `[{"term", "occurrences": [{"doc_id", "url"},
+    * ...]}, ...]`, term-sorted like the reference's `sorted(...)` pass
+    * (occurrences additionally doc_id-sorted here — the engine's
+    * canonical posting order).
+    */
+  def writeShuffledEnvelope(postings: DataFrame, mapperId: Int, outFile: String): Unit = {
+    val agged = postings
+      .groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("url")))).as("occurrences"))
+      .agg(
+        to_json(sort_array(collect_list(struct(col("term"), col("occurrences")))))
+          .as("terms_json"),
+        count(lit(1)).as("unique_terms"),
+        sum(size(col("occurrences"))).as("num_terms"))
+      .head()
+    val now = java.time.Instant.now()
+    val envelope =
+      s"""{"metadata": {"timestamp": ${now.getEpochSecond}, "mapper_id": $mapperId, "num_terms": ${agged.getLong(2)}, "creation_time": "$now", "shuffled": true, "shuffle_time": "$now", "unique_terms": ${agged.getLong(1)}}, "terms": ${agged.getString(0)}}"""
+    writeFile(outFile, envelope)
+  }
+
+  /** Read a raw K1 envelope back to the posting relation (term, doc_id,
+    * url) — the engine↔reference intermediate interop path.
+    */
+  def readMapperEnvelope(spark: SparkSession, file: String): DataFrame =
+    spark.read.option("wholetext", true).text(file)
+      .select(from_json(col("value"),
+        lit("terms ARRAY<STRUCT<term: STRING, doc_id: BIGINT, url: STRING>>")).as("e"))
+      .select(explode(col("e.terms")).as("p"))
+      .select(col("p.term").as("term"), col("p.doc_id").as("doc_id"), col("p.url").as("url"))
+
+  /** Read a shuffled K1 envelope back to the posting relation. */
+  def readShuffledEnvelope(spark: SparkSession, file: String): DataFrame =
+    spark.read.option("wholetext", true).text(file)
+      .select(from_json(col("value"),
+        lit("terms ARRAY<STRUCT<term: STRING, occurrences: ARRAY<STRUCT<doc_id: BIGINT, url: STRING>>>>")).as("e"))
+      .select(explode(col("e.terms")).as("g"))
+      .select(col("g.term").as("term"), explode(col("g.occurrences")).as("o"))
+      .select(col("term"), col("o.doc_id").as("doc_id"), col("o.url").as("url"))
+
+  private def writeFile(outFile: String, content: String): Unit = {
+    val p = Paths.get(outFile)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
   /** Read a reference-format index envelope back into the engine's
     * relational index shape (`term, postings ARRAY<STRUCT<doc_id,url>>`) —
     * the migration path for existing reference artifacts. Term order in

@@ -69,6 +69,37 @@ object IndexProperties extends Properties("InvertedIndex") {
     base == permuted
   }
 
+  property("(e) R3 tie-break modes agree whenever urls are unique per doc") = forAll(docsGen) { docs =>
+    import spark.implicits._
+    // one url per doc_id (the docsGen invariant) → no tie to break, so the
+    // strict first-url-wins mode and the canonical min-url mode must agree
+    val typed = InvertedIndex.postings(toDf(docs)).as[graft.model.Posting]
+    val strict = graft.functions.FirstUrlPostingListAgg.buildIndex(typed)
+      .collect().map(pl => pl.term -> pl.postings).toMap
+    val canonical = graft.functions.PostingListAgg.buildIndex(typed)
+      .collect().map(pl => pl.term -> pl.postings).toMap
+    strict == canonical
+  }
+
+  property("(f) strict R3 mode ≡ sequential reference reducer on ordered input") = forAll(docsGen) { docs =>
+    import spark.implicits._
+    // plant url ties: every doc contributes its posting twice under two
+    // urls, arrival order (uB before uA) differing from lexical order
+    val tied = docs.flatMap { case (id, _, t) =>
+      Seq((id, s"uB$id", t), (id, s"uA$id", t))
+    }
+    val seqPostings = tied.flatMap { case (id, u, t) => refTerms(t).map(term => (term, id, u)) }
+    val expected = seqPostings.groupBy(_._1).map { case (term, ps) =>
+      term -> ps.distinctBy(_._2).map(p => graft.model.DocRef(p._2, p._3))
+        .sortBy(r => (r.doc_id, r.url))
+    }
+    val ds = seqPostings.map(p => graft.model.Posting(p._1, p._2, p._3))
+      .toDS().coalesce(1) // sequential runtime, like the reference reducer
+    val got = graft.functions.FirstUrlPostingListAgg.buildIndex(ds)
+      .collect().map(pl => pl.term -> pl.postings.toList).toMap
+    got == expected.map { case (k, v) => k -> v.toList }
+  }
+
   property("(d) union of partition builds ≡ whole build") = forAll(docsGen) { docs =>
     import spark.implicits._
     val (g1, g2) = docs.partition(_._1 % 2 == 0)

@@ -47,6 +47,35 @@ class SinksSpec extends AnyFunSuite {
     assert(back === orig)
   }
 
+  test("K1 raw mapper envelope round-trips and carries reference metadata") {
+    val out = Files.createTempDirectory("graft_k1").toString + "/mapper_3_part0.json"
+    val postings = InvertedIndex.postings(docs)
+    Sinks.writeMapperEnvelope(postings, mapperId = 3, out)
+    val txt = Files.readString(Paths.get(out))
+    assert(txt.contains(""""mapper_id": 3"""))
+    assert(txt.contains(""""num_terms": 7"""))
+    assert(txt.contains(""""creation_time""""))
+    val back = Sinks.readMapperEnvelope(spark, out)
+      .as[(String, Long, String)].collect().toSet
+    assert(back === postings.as[(String, Long, String)].collect().toSet)
+  }
+
+  test("K1 shuffled envelope groups occurrences per term and round-trips") {
+    val out = Files.createTempDirectory("graft_k1s").toString + "/shuffled_mapper_3.json"
+    val postings = InvertedIndex.postings(docs)
+    Sinks.writeShuffledEnvelope(postings, mapperId = 3, out)
+    val txt = Files.readString(Paths.get(out))
+    assert(txt.contains(""""shuffled": true"""))
+    assert(txt.contains(""""unique_terms": 5"""))
+    assert(txt.contains(""""num_terms": 7"""))
+    assert(txt.contains(""""shuffle_time""""))
+    // grouped shape: one entry per term with its occurrence list
+    assert(txt.contains(""""cat","occurrences":[{"doc_id":1,"url":"u1"},{"doc_id":3,"url":"u3"}]"""))
+    val back = Sinks.readShuffledEnvelope(spark, out)
+      .as[(String, Long, String)].collect().toSet
+    assert(back === postings.as[(String, Long, String)].collect().toSet)
+  }
+
   test("IndexStore builds once and serves bucket-pruned boolean queries") {
     val p1 = graft.sources.IndexStore.postings(spark, "/root/testdata/sf0.001")
     val p2 = graft.sources.IndexStore.postings(spark, "/root/testdata/sf0.001")

@@ -39,6 +39,89 @@ class SourcesSpec extends AnyFunSuite {
     assert(fetched(0)._3 === "body of u0")
   }
 
+  test("withDenseIds mints gap-free 0..n-1 ids, stable under input partitioning") {
+    val rows = ('a' to 'j').map(c => (s"u$c", s"text $c"))
+    def load(parts: Int) =
+      Corpus.withDenseIds(rows.toDF("url", "text").repartition(parts), orderBy = Seq("url"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+    val one = load(1)
+    // dense, gap-free, starts at 0
+    assert(one.map(_._1).toSeq === (0L until 10L))
+    // same (id → url) assignment no matter how the input was partitioned
+    assert(load(7).toSeq === one.toSeq)
+    assert(load(3).toSeq === one.toSeq)
+    // ids follow the natural-key order
+    assert(one.map(_._2).toSeq === rows.map(_._1))
+  }
+
+  test("withDenseIds without orderBy is still dense and gap-free") {
+    val ids = Corpus.withDenseIds(Seq("x", "y", "z", "w").toDF("text").repartition(3))
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 4L))
+  }
+
+  test("raw-text ingestion: one doc per file, url = path, ids in url order") {
+    val dir = Files.createTempDirectory("graft_txt")
+    Seq("b" -> "second file content", "a" -> "first file content", "c" -> "third")
+      .foreach { case (n, t) => Files.writeString(dir.resolve(s"$n.txt"), t) }
+    val got = Corpus.documentsFromTextFiles(spark, dir.toString)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got.map(_._2).toSeq.map(u => u.substring(u.length - 5)) === Seq("a.txt", "b.txt", "c.txt"))
+    assert(got(0)._3 === "first file content")
+  }
+
+  test("id-less JSONL ingestion: dense ids in line order, malformed lines keep their slot") {
+    val f = Files.createTempFile("docs", ".jsonl")
+    Files.writeString(f,
+      """{"text": "doc zero", "source": "s1"}
+        |{"text": "doc one", "source": "s2"}
+        |not valid json
+        |{"text": "doc three", "source": "s1"}""".stripMargin)
+    val got = Corpus.documentsFromJsonlNoIds(spark, f.toString)
+      .select("doc_id", "text").as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(got(1)._2 === Some("doc one"))
+    assert(got(2)._2 === None) // malformed line: id gap preserved, not dropped
+    assert(got(3)._2 === Some("doc three"))
+  }
+
+  test("S1: crawlCategory follows next-page links with politeness delays, guards cycles") {
+    val page1 = """<ul><li><a href="/wiki/A">A</a></li></ul>
+                  |<a href="/w/page2">next page</a>""".stripMargin
+    val page2 = """<ul><li><a href="/wiki/B">B</a></li></ul>
+                  |<a href="/w/page1">next page</a>""".stripMargin // cycle back
+    val served = Map(
+      "https://ex.org/w/page1" -> page1,
+      "https://ex.org/w/page2" -> page2)
+    val fetched = scala.collection.mutable.ArrayBuffer[String]()
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val pages = Corpus.crawlCategory(
+      url => { fetched += url; served(url) },
+      "https://ex.org/w/page1", maxPages = 10, delayMs = 1234L, sleep = sleeps += _)
+    assert(pages === Seq(page1, page2)) // cycle stopped the crawl
+    assert(fetched.toSeq === Seq("https://ex.org/w/page1", "https://ex.org/w/page2"))
+    assert(sleeps.toSeq === Seq(1234L)) // one delay between the two fetches, none after
+    // the crawl feeds the standard dense-id corpus builder
+    val corpus = Corpus.fromCategoryHtml(spark, pages).as[(Long, String)].collect().toSeq
+    assert(corpus === Seq((0L, "/wiki/A"), (1L, "/wiki/B")))
+  }
+
+  test("crawlCategory respects maxPages") {
+    val page = """<a href="/w/next">next page</a>"""
+    var n = 0
+    val pages = Corpus.crawlCategory(
+      _ => { n += 1; page.replace("/w/next", s"/w/p$n") },
+      "https://ex.org/w/p0", maxPages = 3, sleep = _ => ())
+    assert(pages.length === 3 && n === 3)
+  }
+
+  test("fetcherFactory is config-gated: stub by default") {
+    // no egress here — the default factory must be the deterministic stub
+    val fetch = Corpus.fetcherFactory(spark)()
+    assert(fetch("https://EX.org/x") === "stub content for https://ex.org/x")
+  }
+
   test("S1: category link filter keeps li-nested /wiki/ links without colons, in order") {
     val links = Html.wikiLinks(fixture("category_page.html"))
     assert(links === Seq("/wiki/Alpha_Band", "/wiki/Beta_Singer", "/wiki/Delta_Duo"))

@@ -39,6 +39,17 @@ class TypedApiSpec extends AnyFunSuite {
     assert(idx.postings === Seq(DocRef(1L, "ua"), DocRef(2L, "uc")))
   }
 
+  test("FirstUrlPostingListAgg keeps the first-arrival url (reference R3 parity)") {
+    // single ordered partition = the reference's sequential reducer runtime
+    val dup = Seq(
+      Posting("cat", 1L, "ub"), Posting("cat", 1L, "ua"), Posting("cat", 2L, "uc")
+    ).toDS().coalesce(1)
+    val strict = graft.functions.FirstUrlPostingListAgg.buildIndex(dup).collect().head
+    assert(strict.postings === Seq(DocRef(1L, "ub"), DocRef(2L, "uc"))) // ub arrived first
+    val canonical = graft.functions.PostingListAgg.buildIndex(dup).collect().head
+    assert(canonical.postings === Seq(DocRef(1L, "ua"), DocRef(2L, "uc"))) // min url
+  }
+
   test("salted aggregation matches direct groupBy on skewed data") {
     val skewed = Seq.fill(500)(("hot", 1.0)) ++ Seq(("a", 2.0), ("b", 3.0), ("b", 4.0))
     val df = skewed.toDF("k", "v").repartition(7)
