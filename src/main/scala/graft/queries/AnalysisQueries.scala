@@ -66,6 +66,14 @@ object AnalysisQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"))),
 
+    // Stream-static enrichment join, batch instantiation: events enriched
+    // with the customer segment (broadcast dim), totals per (hour window,
+    // segment). The same transform runs under readStream in StreamingSpec.
+    "q_events_enriched" -> ((s, dir) =>
+      graft.streaming.EventPipeline.enrichedWindowedTotals(
+        Tables.events(s, dir).withColumn("c_custkey", col("user_id")),
+        Tables.tbl(s, dir, "customer"), "c_custkey", "c_mktsegment")),
+
     // Deterministic stratified sample: 3 docs per source, chosen by md5
     // order — stable subsampling per domain, one window shuffle.
     "q_sample_per_source" -> ((s, dir) => {
@@ -219,6 +227,13 @@ object AnalysisQueries {
         |       event_type, count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type""".stripMargin,
+
+    "q_events_enriched" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       c_mktsegment, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY window_start, c_mktsegment""".stripMargin,
 
     "q_events_sliding" ->
       """WITH s AS (

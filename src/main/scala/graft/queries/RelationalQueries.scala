@@ -116,6 +116,53 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     }),
 
+    // Semi join (EXISTS): customers with at least one urgent order —
+    // left_semi keeps the build side out of the output entirely, so the
+    // probe never widens; the orders branch is filtered BEFORE the join
+    // (predicate pushed to its scan).
+    "q_semijoin" -> ((s, dir) => {
+      val urgent = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      tbl(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_acctbal"))
+    }),
+
+    // CUBE grouping sets: all four (region, nation) subtotal combinations
+    // in ONE Expand + single aggregation exchange — the grouping-set
+    // companion to q_rollup_revenue (same spark.sql surface; Dataset
+    // cube() trips the post-join ambiguous-self-join check in Spark 4.1).
+    "q_cube_revenue" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer", "nation", "region")
+        .foreach(t => tbl(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+      s.sql(
+        s"""SELECT r_name, n_name,
+           |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_lineitems
+           |FROM graft_lineitem
+           |JOIN graft_orders   ON l_orderkey = o_orderkey
+           |JOIN graft_customer ON o_custkey = c_custkey
+           |JOIN graft_nation   ON c_nationkey = n_nationkey
+           |JOIN graft_region   ON n_regionkey = r_regionkey
+           |GROUP BY CUBE (r_name, n_name)""".stripMargin)
+    }),
+
+    // Exact percentiles (sort-based `percentile`, linear interpolation —
+    // the exact counterpart of the GK sketch in operators/Sketches):
+    // quartiles of extended price per return flag. One aggregation
+    // exchange; rounded at the output boundary for cross-engine float
+    // parity.
+    "q_percentiles" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          count(lit(1)).as("n"))),
+
     // Analytic window over event time: each event with the user's
     // previous value (lag) and running event number.
     "q_user_lag" -> ((s, dir) => {
@@ -143,6 +190,31 @@ object RelationalQueries {
         |SELECT tier, count(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY tier""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_cube_revenue" ->
+      s"""SELECT r_name, n_name, $revenueSql AS revenue, COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY CUBE (r_name, n_name)""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_user_lag" ->
       """SELECT event_id, user_id, value,

@@ -41,6 +41,31 @@ object EventPipeline {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment (SURVEY §2.2 streaming row): join each
+    * event to a STATIC dimension and aggregate per (hour window, dim
+    * attribute). Stream-static joins are STATELESS on the stream side —
+    * the dim is just re-planned per micro-batch (broadcast here: a dim
+    * small enough to enrich with should be small enough to broadcast) —
+    * so state-store size stays bounded by the windowed agg alone. This is
+    * the canonical shape for joining an unbounded event stream to a
+    * bounded dimension at scale.
+    *
+    * Serves batch and streaming identically (same declared plan); the
+    * batch instantiation is the oracle-checked `q_events_enriched`.
+    */
+  def enrichedWindowedTotals(events: DataFrame, dim: DataFrame,
+                             dimKey: String, dimValue: String): DataFrame =
+    events
+      .withWatermark("t", "10 minutes")
+      .join(broadcast(dim.select(col(dimKey), col(dimValue))), Seq(dimKey))
+      .groupBy(window(col("t"), "1 hour"), col(dimValue))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col(dimValue), col("n_events"), col("sum_value"))
+
   /** Custom streaming state (SURVEY §2.2 "stateful"): sessionization via
     * `flatMapGroupsWithState` with an EVENT-TIME timeout — a session is
     * the run of a user's events with gaps < `gapMinutes`, emitted once

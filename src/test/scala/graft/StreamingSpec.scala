@@ -85,6 +85,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: dim attributes attach with no stream-side state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventPipeline.enrichedWindowedTotals(
+        input.toDF().toDF("t", "user_id", "value"), dim, "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData((ts("10:05"), 7L, 1.5), (ts("10:40"), 7L, 2.5), (ts("10:10"), 8L, 5.0))
+      q.processAllAvailable()
+      input.addData((ts("13:00"), 7L, 0.5)) // advance watermark → close 10:00
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "gold", 2L, 4.0)))
+      assert(rows.contains(("2024-01-01 10:00:00", "basic", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same input") {
     import spark.implicits._
     val batch = Seq((ts("10:05"), "click", 1.5), (ts("10:40"), "click", 2.5))
