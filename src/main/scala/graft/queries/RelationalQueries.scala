@@ -130,6 +130,44 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_acctbal"))
     }),
 
+    // Anti join (NOT EXISTS): customers with NO urgent order — the
+    // relational complement of q_semijoin (the posting-set flavor is
+    // q_bool_not). Same pushed filter on the build side; AQE broadcasts
+    // the anti side.
+    "q_antijoin" -> ((s, dir) => {
+      val urgent = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      tbl(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Pivot: quantity totals per return flag, one column per line status.
+    // Explicit pivot values keep the schema static (a dynamic pivot would
+    // need a driver-side distinct pass — an anti-pattern at scale) and the
+    // plan a single Expand-free aggregation.
+    "q_pivot" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))),
+
+    // Unpivot/melt (Spark 4 Dataset.unpivot): per-flag aggregates to tall
+    // (flag, metric, value) form — the wide→long reshaping step feature
+    // pipelines need.
+    "q_unpivot" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum("l_quantity").cast("double").as("sum_qty"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("n_rows")),
+          "metric", "value")),
+
     // CUBE grouping sets: all four (region, nation) subtotal combinations
     // in ONE Expand + single aggregation exchange — the grouping-set
     // companion to q_rollup_revenue (same spark.sql surface; Dataset
@@ -198,6 +236,29 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        |       SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |         CAST(COUNT(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a""".stripMargin,
 
     "q_cube_revenue" ->
       s"""SELECT r_name, n_name, $revenueSql AS revenue, COUNT(*) AS n_lineitems

@@ -50,6 +50,35 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) === 0 && broadcasts(p) === 0)
   }
 
+  test("semi/anti joins: filter pushed to the build-side scan, no output widening") {
+    val semi = plan("q_semijoin")
+    assert(semi.contains("LeftSemi"), s"expected a semi join:\n$semi")
+    assert(semi.contains("EqualTo(o_orderpriority,1-URGENT)"), "orders filter not pushed to scan")
+    val anti = plan("q_antijoin")
+    assert(anti.contains("LeftAnti"), s"expected an anti join:\n$anti")
+    assert(anti.contains("EqualTo(o_orderpriority,1-URGENT)"), "orders filter not pushed to scan")
+  }
+
+  test("q_percentiles: single aggregation exchange (partial percentile buffers)") {
+    assert(shuffles(plan("q_percentiles")) === 1)
+  }
+
+  test("q_pivot: two-phase pivot, second exchange over pre-aggregated rows only") {
+    // Spark's pivot contract: groupBy(flag, status) pre-aggregate, then
+    // pivotfirst — the second exchange moves one row per (flag, status)
+    // combination, not source data, so it is O(cardinality) at any scale
+    val pv = plan("q_pivot")
+    assert(shuffles(pv) === 2)
+    assert(pv.contains("pivotfirst"), s"expected pivot aggregation:\n$pv")
+    assert(!pv.contains("Expand"), "explicit-value pivot should not Expand")
+  }
+
+  test("q_events_enriched: dim broadcast, one windowed-agg shuffle") {
+    val p = plan("q_events_enriched")
+    assert(broadcasts(p) === 1, s"dim must broadcast:\n$p")
+    assert(shuffles(p) === 1)
+  }
+
   test("boolean queries read the bucket-pruned index with one scan pass per side") {
     val and = plan("q_bool_and")
     assert(and.contains("SelectedBucketsCount"), "AND not bucket-pruned")
