@@ -107,8 +107,10 @@ object HammingHex {
   * and Column surfaces.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hammingHexDescriptor)
+    ext.injectFunction(GraftExtensions.rollingHashesDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -119,5 +121,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "hamming_hex(a, b) takes exactly two arguments")
       HammingHex(children.head, children(1))
+    })
+
+  private[plans] val rollingHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hashes"),
+    new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "rolling_hashes(str, w) takes exactly two arguments")
+      RollingHashes(children.head, children(1))
     })
 }

@@ -54,6 +54,18 @@ object AnalysisQueries {
         .select(col("doc_id"), md5(col("sh")).as("fp"))
         .filter(substring(col("fp"), 32, 1) === "0")),
 
+    // Rolling-hash (Rabin-Karp) fingerprints via the native
+    // `rolling_hashes` Catalyst expression: every 16-byte window of the
+    // normalized text hashed in one codegen'd O(n) pass, winnowing-style
+    // 1/16 sample (h % 16 = 0). Complements q_fingerprint's shingle-md5
+    // sketch with a byte-level, tokenization-free fingerprint.
+    "q_rolling_fp" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.plans.RollingHashes.rollingHashes(Text.normalize(col("text")), 16)).as("h"))
+        .filter(col("h") % 16 === 0)
+        .distinct()),
+
     "q_events_window" -> ((s, dir) =>
       graft.streaming.EventPipeline.windowedCounts(Tables.events(s, dir))),
 
@@ -221,6 +233,29 @@ object AnalysisQueries {
          |  FROM toks
          |)
          |SELECT doc_id, md5(sh) AS fp FROM sh WHERE substr(md5(sh), 32, 1) = '0'""".stripMargin,
+
+    // Direct-sum mirror of the rolling recurrence: h_i = Σ_j byte_j ·
+    // B^(15-j) mod P with the identical coefficient literals
+    // (RollingHashes.coefficients) — same values, O(n·w) from-scratch
+    // form (fine for an oracle; the engine's O(n) rolling form is the
+    // point of the custom expression).
+    "q_rolling_fp" -> {
+      val terms = graft.plans.RollingHashes.coefficients(16).zipWithIndex
+        .map { case (c, j) => s"ascii(substr(s, CAST(i+$j AS INT), 1)) * CAST($c AS BIGINT)" }
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z\\s]', '', 'g') AS s
+         |  FROM documents
+         |), hs AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, greatest(len(s) - 15, 0) + 1),
+         |                        i -> ($terms) % ${graft.plans.RollingHashes.Modulus}) AS hl
+         |  FROM t
+         |)
+         |SELECT DISTINCT doc_id, h
+         |FROM (SELECT doc_id, unnest(hl) AS h FROM hs)
+         |WHERE h % 16 = 0""".stripMargin
+    },
 
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

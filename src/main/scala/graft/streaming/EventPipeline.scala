@@ -66,6 +66,29 @@ object EventPipeline {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col(dimValue), col("n_events"), col("sum_value"))
 
+  /** Stream-STREAM interval join (SURVEY §2.2 streaming row): attribute
+    * each purchase to the same user's clicks within the preceding hour.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * skew, so each side's state store retains only the interval window
+    * (Spark evicts rows once the other side's watermark passes the bound)
+    * — the only state-bounded formulation for joining two UNBOUNDED
+    * inputs, vs. the stream-static join (`enrichedWindowedTotals`) whose
+    * static side needs no state at all.
+    */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("t").as("click_t"))
+      .withWatermark("click_t", "10 minutes")
+    val p = purchases
+      .select(col("user_id"), col("t").as("purchase_t"), col("value"))
+      .withWatermark("purchase_t", "10 minutes")
+    p.join(c, expr(
+      """user_id = click_user AND
+        |click_t >= purchase_t - INTERVAL 1 HOUR AND
+        |click_t <= purchase_t""".stripMargin))
+      .select("user_id", "purchase_t", "value", "click_t")
+  }
+
   /** Custom streaming state (SURVEY §2.2 "stateful"): sessionization via
     * `flatMapGroupsWithState` with an EVENT-TIME timeout — a session is
     * the run of a user's events with gaps < `gapMinutes`, emitted once

@@ -105,6 +105,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to preceding-hour clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventPipeline.attributedPurchases(
+        clicks.toDF().toDF("t", "user_id"),
+        purchases.toDF().toDF("t", "user_id", "value"))
+      .writeStream.format("memory").queryName("attributed").outputMode("append").start()
+    try {
+      // user 7 clicks at 10:00 and 12:30; purchase at 10:45 → only the
+      // 10:00 click is within the preceding hour. user 8's click is
+      // AFTER their purchase → no match.
+      clicks.addData((ts("10:00"), 7L), (ts("12:30"), 7L), (ts("11:00"), 8L))
+      purchases.addData((ts("10:45"), 7L, 99.0), (ts("10:30"), 8L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("attributed")
+        .as[(Long, Timestamp, Double, Timestamp)].collect().toSet
+      assert(rows === Set((7L, ts("10:45"), 99.0, ts("10:00"))))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same input") {
     import spark.implicits._
     val batch = Seq((ts("10:05"), "click", 1.5), (ts("10:40"), "click", 2.5))
