@@ -1,0 +1,59 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.plans.RollingHashes
+
+/** Property invariants for the native Catalyst expressions, checked
+  * against independent plain-Scala reference implementations (never the
+  * expression's own code paths).
+  */
+object ExpressionProperties extends Properties("Expressions") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  lazy val spark = SparkTestSession.spark
+
+  private val asciiStr = Gen.choose(0, 40)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ ' ')))
+    .map(_.mkString)
+  private val width = Gen.choose(1, 8)
+
+  private def directRolling(s: String, w: Int): Seq[Long] = {
+    val bytes = s.getBytes("UTF-8")
+    val cs = RollingHashes.coefficients(w)
+    (0 to bytes.length - w).map { i =>
+      cs.zipWithIndex.map { case (c, j) => (bytes(i + j) & 0xff) * c }.sum % RollingHashes.Modulus
+    }
+  }
+
+  property("rolling_hashes ≡ direct polynomial sum on random strings") =
+    forAll(asciiStr, width) { (s, w) =>
+      import spark.implicits._
+      val got = Seq(s).toDF("s")
+        .select(RollingHashes.rollingHashes($"s", w).as("h"))
+        .as[Seq[Long]].head()
+      got == directRolling(s, w)
+    }
+
+  private val hexStr = Gen.choose(1, 16)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf("0123456789abcdef".toSeq)))
+    .map(_.mkString)
+
+  private def refHamming(a: String, b: String): Int =
+    a.zip(b).map { case (x, y) =>
+      Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+    }.sum
+
+  property("hamming_hex ≡ nibble-wise bit count on equal-length hex strings") =
+    forAll(hexStr, hexStr) { (a0, b0) =>
+      import spark.implicits._
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.plans.HammingHex.hammingHex($"a", $"b").as("d"))
+        .as[Int].head()
+      got == refHamming(a, b)
+    }
+}
