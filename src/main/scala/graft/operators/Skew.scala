@@ -37,4 +37,29 @@ object Skew {
       .agg(sum(col(value)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).as("sum"))
+
+  /** Salted EQUI-JOIN for a skewed probe side: the big (skewed) side gets
+    * a deterministic salt, the small side is REPLICATED once per salt
+    * (explode of a literal range — `salts`× the small relation, which
+    * must therefore be the dimension side), and the join key becomes
+    * (key, salt) — a hot key's rows now spread over `salts` tasks
+    * instead of funneling into one.
+    *
+    * This is the explicit fallback for when AQE's runtime skew-join
+    * splitting can't apply (e.g. the skewed side already aggregated, or
+    * a sort-merge join forced by a non-splittable stage boundary). Join
+    * semantics are inner, 1:n preserved — each big-side row matches
+    * exactly the small-side rows it would have matched unsalted.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt", salt(big, salts))
+    val replicated = small
+      .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    saltedBig
+      .join(replicated,
+        saltedBig(bigKey) === replicated(smallKey) &&
+          saltedBig("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
 }

@@ -130,6 +130,44 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_acctbal"))
     }),
 
+    // Salted equi-join (explicit skew fallback — Skew.saltedJoin): the
+    // skewed probe side spreads each key over 8 salts, the dimension side
+    // replicates 8×. Result must equal the plain join bit-for-bit (the
+    // oracle runs the UNSALTED join).
+    "q_salted_join" -> ((s, dir) =>
+      graft.operators.Skew
+        .saltedJoin(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_lineitems"))),
+
+    // Relational set operations on key sets (the corpus-level complement
+    // of the posting-set q_bool_* family): Spark plans INTERSECT/EXCEPT
+    // as semi/anti joins — no full-row sort-merge.
+    "q_intersect" -> ((s, dir) => {
+      val d = graft.sources.Corpus.documents(s, dir)
+      d.filter(col("lang") === "en").select("doc_id")
+        .intersect(d.filter(col("n_chars") > 300).select("doc_id"))
+    }),
+    "q_except" -> ((s, dir) => {
+      val d = graft.sources.Corpus.documents(s, dir)
+      d.filter(col("lang") === "en").select("doc_id")
+        .except(d.filter(col("n_chars") > 300).select("doc_id"))
+    }),
+
+    // Scalar subquery in a predicate: customers above the global mean
+    // balance (mean written as DECIMAL sum/count — the engine's float
+    // parity rule). The subquery plans as one tiny broadcast aggregate.
+    "q_scalar_sub" -> ((s, dir) => {
+      tbl(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_above
+          |FROM graft_customer
+          |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          |                   FROM graft_customer)
+          |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
     // Anti join (NOT EXISTS): customers with NO urgent order — the
     // relational complement of q_semijoin (the posting-set flavor is
     // q_bool_not). Same pushed filter on the build side; AQE broadcasts
@@ -235,6 +273,28 @@ object RelationalQueries {
         |FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_salted_join" ->
+      s"""SELECT o_orderpriority, $revenueSql AS revenue, COUNT(*) AS n_lineitems
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |INTERSECT
+        |SELECT doc_id FROM documents WHERE n_chars > 300""".stripMargin,
+
+    "q_except" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |EXCEPT
+        |SELECT doc_id FROM documents WHERE n_chars > 300""".stripMargin,
+
+    "q_scalar_sub" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_above
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer)
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_antijoin" ->

@@ -59,6 +59,18 @@ class TypedApiSpec extends AnyFunSuite {
     assert(sums === Map("hot" -> 500.0, "a" -> 2.0, "b" -> 7.0))
   }
 
+  test("salted join matches the plain join on skewed keys, 1:n preserved") {
+    val big = (Seq.fill(300)((7L, "hot")) ++ Seq((1L, "a"), (2L, "b"), (9L, "c")))
+      .toDF("k", "tag").repartition(5)
+    val small = Seq((7L, "dim7"), (1L, "dim1"), (2L, "dim2"), (8L, "dim8"))
+      .toDF("sk", "name")
+    val salted = Skew.saltedJoin(big, small, "k", "sk", salts = 4)
+      .select("k", "tag", "name")
+    val plain = big.join(small, big("k") === small("sk")).select("k", "tag", "name")
+    assert(salted.count() === plain.count()) // 302 matches incl. 300 hot
+    assert(salted.except(plain).count() === 0 && plain.except(salted).count() === 0)
+  }
+
   test("S1: fromCategoryHtml assigns dense ids across pages in order") {
     val p1 = """<ul><li><a href="/wiki/A">A</a></li><li><a href="/wiki/B">B</a></li></ul>"""
     val p2 = """<ul><li><a href="/wiki/C">C</a></li></ul>"""
