@@ -53,20 +53,28 @@ object Multimodal {
     * deterministic fake with the correct shape/lifecycle, NOT a real
     * decoder (none exists in this environment).
     */
-  def decodeFeaturesStub(df: DataFrame, dims: Int = 16): DataFrame = {
+  def decodeFeaturesStub(df: DataFrame, dims: Int = 16,
+                         batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // partition-local "codec" — swap this line for a real decoder handle
-        val codec: Array[Byte] => Array[Float] = { bytes =>
+        // partition-local "codec" — swap this for a real decoder handle.
+        // The BATCH signature is the real contract: hardware decoders and
+        // vectorized runtimes amortize per-call overhead across a batch,
+        // so rows flow through in `batchSize` groups (same shape a Pandas
+        // UDF sees its Arrow batches in), never one call per row.
+        val codecBatch: Seq[Array[Byte]] => Seq[Array[Float]] = _.map { bytes =>
           val hist = new Array[Float](dims)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xff) % dims) += 1f; i += 1 }
           val n = math.max(1, bytes.length).toFloat
           hist.map(_ / n)
         }
-        it.map { case (id, bytes) => (id, codec(Option(bytes).getOrElse(Array.empty))) }
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = codecBatch(batch.map(b => Option(b._2).getOrElse(Array.empty[Byte])))
+          batch.map(_._1).zip(feats)
+        }
       }
       .toDF("doc_id", "features")
   }

@@ -130,6 +130,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_acctbal"))
     }),
 
+    // LEFT OUTER join with null-to-zero handling: every customer with
+    // their urgent-order count (0 when none) — completes the join-type
+    // matrix (inner/semi/anti/left/as-of/range) at the relational level.
+    "q_left_join" -> ((s, dir) => {
+      val urgent = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      tbl(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_urgent"))
+    }),
+
+    // Time-series rollup on a calendar grain: revenue per month
+    // (date_trunc before the aggregation so the grouping key is computed
+    // map-side and the exchange carries one row per month partial).
+    "q_monthly_revenue" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("month"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_lineitems"))),
+
     // Salted equi-join (explicit skew fallback — Skew.saltedJoin): the
     // skewed probe side spreads each key over 8 salts, the dimension side
     // replicates 8×. Result must equal the plain join bit-for-bit (the
@@ -274,6 +294,18 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_left_join" ->
+      """SELECT c_custkey, COALESCE(cnt, 0) AS n_urgent
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q_monthly_revenue" ->
+      s"""SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,
+         |       $revenueSql AS revenue, COUNT(*) AS n_lineitems
+         |FROM lineitem GROUP BY month""".stripMargin,
 
     "q_salted_join" ->
       s"""SELECT o_orderpriority, $revenueSql AS revenue, COUNT(*) AS n_lineitems
