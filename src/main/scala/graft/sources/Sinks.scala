@@ -56,6 +56,25 @@ object Sinks {
     Files.writeString(p, envelope)
   }
 
+  /** Hive-layout partitioned parquet sink: one directory per value of
+    * `partitionCol` (e.g. `lang=en/`), rows sorted within partitions by
+    * `sortCol` for run-length/delta-friendly encoding. A downstream
+    * filter on the partition column prunes whole directories at planning
+    * time (`PartitionFilters` in the scan, zero data files read for
+    * non-matching values) — the complement of the term-BUCKETED index:
+    * bucket on high-cardinality point-lookup keys, partition on
+    * low-cardinality scan-slicing keys. Never partition on a
+    * high-cardinality column (one directory per value is the small-files
+    * catastrophe at scale).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       sortCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), col(sortCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** K1 raw mapper envelope (reference `mapper/src/processor.py:58-68`):
     * `{"metadata": {"timestamp", "mapper_id", "num_terms",
     * "creation_time"}, "terms": [{"term", "doc_id", "url"}, ...]}`.

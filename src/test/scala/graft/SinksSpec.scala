@@ -47,6 +47,20 @@ class SinksSpec extends AnyFunSuite {
     assert(back === orig)
   }
 
+  test("partitioned sink: partition filter prunes directories at planning time") {
+    val path = Files.createTempDirectory("graft_part").toString + "/docs"
+    val df = Seq(
+      (1L, "en", "hello"), (2L, "en", "world"), (3L, "de", "hallo"), (4L, "fr", "salut")
+    ).toDF("doc_id", "lang", "text")
+    Sinks.writePartitioned(df, path, partitionCol = "lang", sortCol = "doc_id")
+    val back = spark.read.parquet(path).filter($"lang" === "en")
+    assert(back.select("doc_id").as[Long].collect().sorted === Seq(1L, 2L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$plan")
+    // partition pruning is directory-level: only the lang=en files are listed
+    assert(!plan.toLowerCase.contains("exchange"))
+  }
+
   test("K1 raw mapper envelope round-trips and carries reference metadata") {
     val out = Files.createTempDirectory("graft_k1").toString + "/mapper_3_part0.json"
     val postings = InvertedIndex.postings(docs)
