@@ -111,7 +111,20 @@ object Dedup {
     * adjacent projections otherwise collapse and the md5 pass is inlined
     * into every band's min-lambda (Catalyst does not CSE across lambdas).
     */
-  def minhashBands(withHv: DataFrame, numBands: Int, bandSize: Int): DataFrame = {
+  def minhashBands(withHv: DataFrame, numBands: Int, bandSize: Int): DataFrame =
+    withHv.select(col("doc_id"),
+      posexplode(graft.plans.MinHashSigs.minhashSigs(col("hv"), numBands, bandSize))
+        .as(Seq("band", "sig")))
+
+  /** The pre-round-3 pure-column formulation of `minhashBands` — numBands
+    * × bandSize `array_min(transform(...))` passes, each an interpreted
+    * (CodegenFallback) lambda traversal in Spark 4.1. Kept as the
+    * independent cross-check oracle for the native `minhash_sigs`
+    * expression (DedupProperties asserts bit-identical output) and as
+    * documentation of why the expression exists.
+    */
+  private[graft] def minhashBandsViaColumns(withHv: DataFrame, numBands: Int,
+                                            bandSize: Int): DataFrame = {
     val bands = array((0 until numBands).map { j =>
       struct(
         lit(j).as("band"),

@@ -110,6 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hammingHexDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashesDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigsDescriptor)
   }
 }
 
@@ -130,5 +131,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "rolling_hashes(str, w) takes exactly two arguments")
       RollingHashes(children.head, children(1))
+    })
+
+  private[plans] val minhashSigsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sigs"),
+    new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "minhash_sigs(hv, numBands, bandSize) takes exactly three arguments")
+      MinHashSigs(children.head, children(1), children(2))
     })
 }

@@ -35,6 +35,14 @@ object DedupProperties extends Properties("Dedup") {
     docs.toDF("doc_id", "text")
   }
 
+  property("native minhash_sigs ≡ the pure-column band formulation, bit-identical") = forAll(corpusGen) { docs =>
+    import spark.implicits._
+    val hv = Dedup.hashValues(Dedup.shingleSets(toDf(docs), 3))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, String)].collect().toSet
+    canon(Dedup.minhashBands(hv, 8, 3)) == canon(Dedup.minhashBandsViaColumns(hv, 8, 3))
+  }
+
   property("exact dedup flags every normalized-identical doc, keeps min id") = forAll(corpusGen) { docs =>
     import spark.implicits._
     val got = Dedup.exact(toDf(docs))
