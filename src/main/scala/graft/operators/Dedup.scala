@@ -89,9 +89,20 @@ object Dedup {
   /** One-permutation base hash values: ONE md5 per shingle, decoded to a
     * 32-bit int. All k minhashes derive from this array with cheap
     * multiply-mod arithmetic — k× less digest work than hashing every
-    * shingle k times, which is the difference at 100 TB.
+    * shingle k times, which is the difference at 100 TB. Computed by the
+    * native `md5_prefix32` expression (one codegen'd loop, one digest
+    * instance per generated class) — the column form below is the
+    * cross-check oracle.
     */
   def hashValues(shingles: DataFrame): DataFrame =
+    shingles.withColumn("hv", graft.plans.Md5Prefix32.md5Prefix32(col("sh")))
+
+  /** Pre-round-3 pure-column formulation of `hashValues` — two nested
+    * CodegenFallback lambdas (~30 interpreted expression nodes per
+    * shingle). Kept as the independent cross-check for `md5_prefix32`
+    * (DedupProperties asserts bit-identical output).
+    */
+  private[graft] def hashValuesViaColumns(shingles: DataFrame): DataFrame =
     shingles.withColumn("hv",
       transform(transform(col("sh"), s => substring(md5(s), 1, 8)), h => hex32(h)))
 

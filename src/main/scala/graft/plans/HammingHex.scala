@@ -111,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hammingHexDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashesDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigsDescriptor)
+    ext.injectFunction(GraftExtensions.md5Prefix32Descriptor)
   }
 }
 
@@ -141,5 +142,14 @@ object GraftExtensions {
       require(children.size == 3,
         "minhash_sigs(hv, numBands, bandSize) takes exactly three arguments")
       MinHashSigs(children.head, children(1), children(2))
+    })
+
+  private[plans] val md5Prefix32Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_prefix32"),
+    new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "md5_prefix32(arr) takes exactly one argument")
+      Md5Prefix32(children.head)
     })
 }

@@ -35,6 +35,14 @@ object DedupProperties extends Properties("Dedup") {
     docs.toDF("doc_id", "text")
   }
 
+  property("native md5_prefix32 ≡ the nested-lambda hex decode, bit-identical") = forAll(corpusGen) { docs =>
+    import spark.implicits._
+    val sh = Dedup.shingleSets(toDf(docs), 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "hv").as[(Long, Seq[Long])].collect().toMap
+    canon(Dedup.hashValues(sh)) == canon(Dedup.hashValuesViaColumns(sh))
+  }
+
   property("native minhash_sigs ≡ the pure-column band formulation, bit-identical") = forAll(corpusGen) { docs =>
     import spark.implicits._
     val hv = Dedup.hashValues(Dedup.shingleSets(toDf(docs), 3))
