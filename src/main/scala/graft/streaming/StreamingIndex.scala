@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.functions.Text
 
 /** Streaming index build (SURVEY §2.2): the SAME tokenize → distinct →
@@ -29,4 +30,25 @@ object StreamingIndex {
         explode(Text.terms(col("text"))).as("term"))
       .dropDuplicatesWithinWatermark("term", "doc_id")
       .select("term", "doc_id", "url")
+
+  /** Land the streaming posting relation in the SAME term-bucketed table
+    * layout the batch K2 sink writes (`Sinks.writeIndex`): `foreachBatch`
+    * appends each micro-batch with identical bucketing, so point/boolean
+    * queries over the growing table keep bucket pruning — the streaming
+    * half of "build once, query many". Micro-batch appends accumulate
+    * one file per bucket per batch; run the batch sink periodically to
+    * compact (the standard streaming-ingest + batch-compaction split).
+    */
+  def sinkToIndex(postings: DataFrame, tableName: String, path: String,
+                  checkpointDir: String, buckets: Int = 32): StreamingQuery =
+    postings.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Append)
+          .option("path", path)
+          .bucketBy(buckets, "term").sortBy("term")
+          .saveAsTable(tableName)
+      }
+      .start()
 }

@@ -127,6 +127,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index sink: micro-batches append to the bucketed table, lookups bucket-prune") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_stream").toString
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val q = graft.streaming.StreamingIndex.sinkToIndex(
+      graft.streaming.StreamingIndex
+        .postingsStream(input.toDF().toDF("doc_id", "url", "text", "ingest_t")),
+      "t_stream_idx", s"$dir/idx", s"$dir/ckpt", buckets = 8)
+    try {
+      input.addData((1L, "u1", "the cat sat", ts("10:00")))
+      q.processAllAvailable()
+      input.addData((2L, "u2", "cat and dog", ts("10:05")))
+      q.processAllAvailable()
+      val tbl = spark.table("t_stream_idx")
+      assert(tbl.count() === 4) // cat,sat / cat,dog — both batches landed
+      val lookup = tbl.filter($"term" === "cat")
+      assert(lookup.select("doc_id").as[Long].collect().sorted === Seq(1L, 2L))
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), s"no pruning:\n$plan")
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same input") {
     import spark.implicits._
     val batch = Seq((ts("10:05"), "click", 1.5), (ts("10:40"), "click", 2.5))
