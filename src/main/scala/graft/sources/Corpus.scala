@@ -48,12 +48,15 @@ object Corpus {
     * cover.
     */
   def fetchText(urlsDf: DataFrame,
-                fetcherFactory: () => String => String = () => stubFetcher): DataFrame = {
+                fetcherFactory: () => String => String = null): DataFrame = {
     val spark = urlsDf.sparkSession
     import spark.implicits._
+    // default transport comes from session config: live HTTP when
+    // spark.graft.fetch.live=true, the deterministic stub otherwise
+    val factory = Option(fetcherFactory).getOrElse(Corpus.fetcherFactory(spark))
     urlsDf.select(col("doc_id"), col("url")).as[(Long, String)]
       .mapPartitions { it =>
-        val fetch = fetcherFactory() // one client per partition
+        val fetch = factory() // one client per partition
         it.map { case (id, url) =>
           (id, url, try fetch(url) catch { case _: Exception => "" })
         }

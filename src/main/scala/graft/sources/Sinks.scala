@@ -110,7 +110,9 @@ object Sinks {
         to_json(sort_array(collect_list(struct(col("term"), col("occurrences")))))
           .as("terms_json"),
         count(lit(1)).as("unique_terms"),
-        sum(size(col("occurrences"))).as("num_terms"))
+        // sum over zero rows is null, not 0 — an empty posting relation
+        // must produce a valid empty envelope, not an NPE
+        coalesce(sum(size(col("occurrences"))), lit(0L)).as("num_terms"))
       .head()
     val now = java.time.Instant.now()
     val envelope =

@@ -90,6 +90,17 @@ class SinksSpec extends AnyFunSuite {
     assert(back === postings.as[(String, Long, String)].collect().toSet)
   }
 
+  test("K1 envelopes of an EMPTY posting relation are valid, not an NPE") {
+    val dir = Files.createTempDirectory("graft_k1e").toString
+    val empty = docs.filter($"doc_id" < 0)
+    Sinks.writeMapperEnvelope(InvertedIndex.postings(empty), 1, s"$dir/raw.json")
+    Sinks.writeShuffledEnvelope(InvertedIndex.postings(empty), 1, s"$dir/shuf.json")
+    assert(Files.readString(Paths.get(s"$dir/raw.json")).contains(""""num_terms": 0"""))
+    val shuf = Files.readString(Paths.get(s"$dir/shuf.json"))
+    assert(shuf.contains(""""num_terms": 0""") && shuf.contains(""""unique_terms": 0"""))
+    assert(Sinks.readShuffledEnvelope(spark, s"$dir/shuf.json").count() === 0)
+  }
+
   test("IndexStore builds once and serves bucket-pruned boolean queries") {
     val p1 = graft.sources.IndexStore.postings(spark, "/root/testdata/sf0.001")
     val p2 = graft.sources.IndexStore.postings(spark, "/root/testdata/sf0.001")

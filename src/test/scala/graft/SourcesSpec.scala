@@ -122,6 +122,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(fetch("https://EX.org/x") === "stub content for https://ex.org/x")
   }
 
+  test("fetchText with no explicit factory takes the config-gated transport") {
+    val urls = Seq((0L, "uA")).toDF("doc_id", "url")
+    val got = Corpus.fetchText(urls).as[(Long, String, String)].head()
+    assert(got._3 === "stub content for ua")
+  }
+
   test("S1: category link filter keeps li-nested /wiki/ links without colons, in order") {
     val links = Html.wikiLinks(fixture("category_page.html"))
     assert(links === Seq("/wiki/Alpha_Band", "/wiki/Beta_Singer", "/wiki/Delta_Duo"))
