@@ -151,6 +151,15 @@ object AnalysisQueries {
         col("event_id"), col("event_type"),
         from_json(col("props"), lit("k INT")).getField("k").as("k"))),
 
+    // Approximate sketches, registered ROWS-ONLY (no oracleSql entry —
+    // sketch outputs are engine-specific by construction; SketchesSpec
+    // asserts error bounds against exact answers). Registration puts the
+    // sketch surface in the driver's coverage and the benchmark.
+    "q_vocab_hll" -> ((s, dir) =>
+      graft.operators.Sketches.vocabularyBySource(docs(s, dir))),
+    "q_quantiles_gk" -> ((s, dir) =>
+      graft.operators.Sketches.tokenCountQuantiles(docs(s, dir))),
+
     // Multimodal: binary payload + typed metadata (Multimodal.withMeta)
     // over utf-8 document bytes standing in for an opaque media column.
     "q_binary_stats" -> ((s, dir) => {
