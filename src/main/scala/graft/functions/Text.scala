@@ -80,6 +80,8 @@ object Text {
 
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column,
     * e.g. n=3 → `"a b c"` strings. Used by MinHash / n-gram-Jaccard dedup.
+    * Computed by the native `word_shingles` expression (one generated
+    * loop); the column formulation below is the cross-check oracle.
     *
     * Take tokens as an attribute (project `tokenize(text)` first), not an
     * expression: Catalyst does not CSE inside lambda bodies, so passing
@@ -87,6 +89,14 @@ object Text {
     * per shingle position per row.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
+    graft.plans.WordShingles.wordShingles(toks, n)
+
+  /** Pre-round-3 pure-column formulation of `shinglesFromTokens` — two
+    * CodegenFallback lambda traversals with a sliced array per position.
+    * Kept as the independent cross-check for `word_shingles`
+    * (DedupProperties asserts bit-identical output).
+    */
+  private[graft] def shinglesFromTokensViaColumns(toks: Column, n: Int): Column =
     filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))), i =>
         when(size(toks) >= n,

@@ -112,6 +112,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingHashesDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigsDescriptor)
     ext.injectFunction(GraftExtensions.md5Prefix32Descriptor)
+    ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
   }
 }
 
@@ -151,5 +152,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "md5_prefix32(arr) takes exactly one argument")
       Md5Prefix32(children.head)
+    })
+
+  private[plans] val wordShinglesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "word_shingles(toks, n) takes exactly two arguments")
+      WordShingles(children.head, children(1))
     })
 }

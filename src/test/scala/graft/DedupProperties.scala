@@ -35,6 +35,18 @@ object DedupProperties extends Properties("Dedup") {
     docs.toDF("doc_id", "text")
   }
 
+  property("native word_shingles ≡ the lambda slice/concat formulation, bit-identical") = forAll(corpusGen) { docs =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def canon(shingleCol: org.apache.spark.sql.Column) =
+      toDf(docs)
+        .select(col("doc_id"), graft.functions.Text.tokenize(col("text")).as("ts"))
+        .select(col("doc_id"), shingleCol.as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+    canon(graft.functions.Text.shinglesFromTokens(col("ts"), 3)) ==
+      canon(graft.functions.Text.shinglesFromTokensViaColumns(col("ts"), 3))
+  }
+
   property("native md5_prefix32 ≡ the nested-lambda hex decode, bit-identical") = forAll(corpusGen) { docs =>
     import spark.implicits._
     val sh = Dedup.shingleSets(toDf(docs), 3)
