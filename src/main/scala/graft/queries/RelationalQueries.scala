@@ -88,18 +88,32 @@ object RelationalQueries {
     // rollup() trips the ambiguous-self-join check after any join
     // (grouping-set expansion re-references join-lineage attributes);
     // the SQL path plans the identical Expand + aggregate.
+    //
+    // PRE-AGGREGATE BEFORE THE GROUPING SETS: Expand multiplies its
+    // input by the number of grouping sets, so it must run over the 25
+    // (region, nation) leaf aggregates, not the joined fact rows —
+    // at 100 TB that is the difference between replicating the fact
+    // table 3× and replicating 25 rows 3×. Exactness holds because the
+    // leaf partials stay DECIMAL until the final cast.
     "q_rollup_revenue" -> ((s, dir) => {
       Seq("lineitem", "orders", "customer", "nation", "region")
         .foreach(t => tbl(s, dir, t).createOrReplaceTempView(s"graft_$t"))
       s.sql(
-        s"""SELECT r_name, n_name,
-           |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           |  COUNT(*) AS n_lineitems
-           |FROM graft_lineitem
-           |JOIN graft_orders   ON l_orderkey = o_orderkey
-           |JOIN graft_customer ON o_custkey = c_custkey
-           |JOIN graft_nation   ON c_nationkey = n_nationkey
-           |JOIN graft_region   ON n_regionkey = r_regionkey
+        s"""WITH leaf AS (
+           |  SELECT r_name, n_name,
+           |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev,
+           |    COUNT(*) AS cnt
+           |  FROM graft_lineitem
+           |  JOIN graft_orders   ON l_orderkey = o_orderkey
+           |  JOIN graft_customer ON o_custkey = c_custkey
+           |  JOIN graft_nation   ON c_nationkey = n_nationkey
+           |  JOIN graft_region   ON n_regionkey = r_regionkey
+           |  GROUP BY r_name, n_name
+           |)
+           |SELECT r_name, n_name,
+           |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+           |  SUM(cnt) AS n_lineitems
+           |FROM leaf
            |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     }),
 
@@ -227,37 +241,42 @@ object RelationalQueries {
           "metric", "value")),
 
     // CUBE grouping sets: all four (region, nation) subtotal combinations
-    // in ONE Expand + single aggregation exchange — the grouping-set
-    // companion to q_rollup_revenue (same spark.sql surface; Dataset
-    // cube() trips the post-join ambiguous-self-join check in Spark 4.1).
+    // — the grouping-set companion to q_rollup_revenue (same spark.sql
+    // surface; Dataset cube() trips the post-join ambiguous-self-join
+    // check in Spark 4.1). Same pre-aggregate-before-Expand shape: the
+    // 4-way Expand runs over 25 leaf rows, not the fact table.
     "q_cube_revenue" -> ((s, dir) => {
       Seq("lineitem", "orders", "customer", "nation", "region")
         .foreach(t => tbl(s, dir, t).createOrReplaceTempView(s"graft_$t"))
       s.sql(
-        s"""SELECT r_name, n_name,
-           |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           |  COUNT(*) AS n_lineitems
-           |FROM graft_lineitem
-           |JOIN graft_orders   ON l_orderkey = o_orderkey
-           |JOIN graft_customer ON o_custkey = c_custkey
-           |JOIN graft_nation   ON c_nationkey = n_nationkey
-           |JOIN graft_region   ON n_regionkey = r_regionkey
+        s"""WITH leaf AS (
+           |  SELECT r_name, n_name,
+           |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev,
+           |    COUNT(*) AS cnt
+           |  FROM graft_lineitem
+           |  JOIN graft_orders   ON l_orderkey = o_orderkey
+           |  JOIN graft_customer ON o_custkey = c_custkey
+           |  JOIN graft_nation   ON c_nationkey = n_nationkey
+           |  JOIN graft_region   ON n_regionkey = r_regionkey
+           |  GROUP BY r_name, n_name
+           |)
+           |SELECT r_name, n_name,
+           |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+           |  SUM(cnt) AS n_lineitems
+           |FROM leaf
            |GROUP BY CUBE (r_name, n_name)""".stripMargin)
     }),
 
-    // Exact percentiles (sort-based `percentile`, linear interpolation —
-    // the exact counterpart of the GK sketch in operators/Sketches):
-    // quartiles of extended price per return flag. One aggregation
-    // exchange; rounded at the output boundary for cross-engine float
-    // parity.
+    // Exact percentiles by SORT (operators/Percentiles — the exact
+    // counterpart of the GK sketch): quartiles of extended price per
+    // return flag. Spark's built-in exact `percentile` buffers every
+    // value of a group in memory, which does not survive corpus scale;
+    // the sort-based form is one spillable sort exchange + a two-row
+    // interpolation per quantile.
     "q_percentiles" -> ((s, dir) =>
-      tbl(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
-          count(lit(1)).as("n"))),
+      graft.operators.Percentiles.exactQuantiles(
+        tbl(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))),
 
     // Analytic window over event time: each event with the user's
     // previous value (lag) and running event number.
