@@ -21,8 +21,13 @@ class EndToEndSpec extends AnyFunSuite {
   }
 
   test("S1→K2: crawl, fetch, extract, index, persist, query") {
-    // S1: corpus from the category listing (driver-side, like the master)
-    val urls = Corpus.fromCategoryHtml(spark, Seq(fixture("category_page.html")))
+    // S1: the actual crawl loop (fetch → link filter → pagination →
+    // politeness hook), driver-side like the master; the category fixture
+    // has a next-page link whose target serves an empty listing
+    val category = fixture("category_page.html")
+    val crawlFetch: String => String =
+      url => if (url == "cat://start") category else "<ul></ul>"
+    val urls = Corpus.crawlToCorpus(spark, crawlFetch, "cat://start", sleep = _ => ())
     assert(urls.count() === 3)
 
     // S3: fetch each url with a partition-local client; /wiki/Alpha_Band

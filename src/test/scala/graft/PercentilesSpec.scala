@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Percentiles
+
+class PercentilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Independent reference: NumPy/DuckDB "linear" interpolation. */
+  private def refQuantile(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted
+    val pos = p * (s.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    val f = pos - lo
+    BigDecimal(s(lo) * (1 - f) + s(hi) * f)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("sort-based quantiles match linear interpolation on known groups") {
+    val a = Seq(10.0, 20.0, 30.0, 40.0) // p50 = 25.0, p25 = 17.5
+    val b = Seq(5.0, 6.0, 100.0)        // p50 = 6.0
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("k", "v")
+    val got = Percentiles.exactQuantiles(df, "k", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", refQuantile(a, 0.25), refQuantile(a, 0.5), refQuantile(a, 0.75), 4L)))
+    assert(got("b") === (("b", refQuantile(b, 0.25), refQuantile(b, 0.5), refQuantile(b, 0.75), 3L)))
+  }
+
+  test("single-element group: every quantile is the element itself") {
+    val got = Percentiles.exactQuantiles(Seq(("x", 7.5)).toDF("k", "v"), "k", "v",
+        Seq("p50" -> 0.5))
+      .as[(String, Double, Long)].head()
+    assert(got === (("x", 7.5, 1L)))
+  }
+
+  test("boundary quantiles p=0 and p=1 are min and max") {
+    val vs = Seq(3.0, 1.0, 2.0)
+    val got = Percentiles.exactQuantiles(vs.map(("k", _)).toDF("k", "v"), "k", "v",
+        Seq("lo" -> 0.0, "hi" -> 1.0))
+      .as[(String, Double, Double, Long)].head()
+    assert(got === (("k", 1.0, 3.0, 3L)))
+  }
+}
