@@ -50,6 +50,12 @@ case class Md5Prefix32(child: Expression) extends UnaryExpression {
     val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
       v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
               |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }""".stripMargin)
+    // CONSTRAINT on every snippet below: no line may BEGIN with '|'.
+    // Spark's operator templates splice child snippets into
+    // s"""…""".stripMargin strings (e.g. ProjectExec.doConsume), and
+    // stripMargin runs AFTER interpolation — a spliced line whose first
+    // non-blank char is '|' loses it, producing uncompilable Java that
+    // silently falls back to interpreted eval (CodegenGuardSpec pins this).
     nullSafeCodeGen(ctx, ev, arr => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
@@ -63,8 +69,8 @@ case class Md5Prefix32(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($arr.isNullAt($i)) { $hadNull = true; break; }
          |  byte[] $d = $md.digest($arr.getUTF8String($i).getBytes());
-         |  $out[$i] = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16)
-         |           | (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |  $out[$i] = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |             (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
          |}
          |if ($hadNull) {
          |  ${ev.isNull} = true;

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards against the silent-interpreted-fallback failure class that hit
+  * BENCH_r03: a native expression whose generated Java does not compile
+  * makes Spark fall back to interpreted evaluation with only an ERROR log
+  * — correctness holds, throughput collapses (q_curate ran 7× slow).
+  *
+  * Two layers:
+  *   1. a static lint on every native expression's generated snippet —
+  *      no line may begin with '|', because Spark operator templates
+  *      splice snippets into `s"""…""".stripMargin` strings
+  *      (ProjectExec.doConsume et al.) and stripMargin runs AFTER
+  *      interpolation, silently eating the spliced '|' (the exact
+  *      BENCH_r03 bug, Md5Prefix32's byte-packing line);
+  *   2. an execution pass per expression under CODEGEN_ONLY factory mode
+  *      with whole-stage fallback disabled, so a compile failure is a
+  *      test failure instead of a 25× slowdown.
+  */
+class CodegenGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def nativeExprs: Map[String, Expression] = Map(
+    "md5_prefix32" -> graft.plans.Md5Prefix32(
+      BoundReference(0, ArrayType(StringType), nullable = true)),
+    "minhash_sigs" -> graft.plans.MinHashSigs(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      Literal(24), Literal(3)),
+    "word_shingles" -> graft.plans.WordShingles(
+      BoundReference(0, ArrayType(StringType), nullable = true), Literal(3)),
+    "hamming_hex" -> graft.plans.HammingHex(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, StringType, nullable = true)),
+    "rolling_hashes" -> graft.plans.RollingHashes(
+      BoundReference(0, StringType, nullable = true), Literal(4)))
+
+  test("no generated snippet line begins with '|' (stripMargin splice hazard)") {
+    spark // force session init (codegen touches SQLConf.get)
+    for ((name, expr) <- nativeExprs) {
+      val ctx = new CodegenContext
+      val code = expr.genCode(ctx).code.toString
+      val bad = code.linesIterator.zipWithIndex
+        .filter { case (l, _) => l.dropWhile(_.isWhitespace).startsWith("|") }
+        .toSeq
+      assert(bad.isEmpty,
+        s"$name generated code has line(s) starting with '|' — enclosing " +
+          s"stripMargin templates will corrupt them: $bad")
+    }
+  }
+
+  /** Run `body` with codegen forced (compile failures throw instead of
+    * falling back to interpreted eval / non-wholestage plans).
+    */
+  private def withCodegenOnly[A](body: => A): A = {
+    val conf = spark.conf
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally {
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
+  // NOTE: every execution check below reads the real corpus — a
+  // Seq(...).toDF source would be folded by ConvertToLocalRelation at
+  // optimize time (interpreted eval) and never exercise codegen.
+
+  test("md5_prefix32 + minhash_sigs + word_shingles compile and run CODEGEN_ONLY") {
+    withCodegenOnly {
+      val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+      // shingleSets → word_shingles; hashValues → md5_prefix32;
+      // minhashBands → minhash_sigs — the full q_dedup_near hash pipeline
+      // at real corpus widths; a wrong-compile throws before any row
+      val hv = graft.operators.Dedup.hashValues(
+        graft.operators.Dedup.shingleSets(docs, 3))
+      val sigs = graft.operators.Dedup.minhashBands(hv, 24, 3)
+      assert(sigs.count() > 0)
+    }
+  }
+
+  test("hamming_hex + rolling_hashes compile and run CODEGEN_ONLY") {
+    withCodegenOnly {
+      val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+      // simhashPairs verifies candidates with the native hamming_hex
+      val pairs = graft.operators.Dedup.simhashPairs(docs)
+      assert(pairs.count() >= 0)
+      val fp = docs.select(
+        graft.plans.RollingHashes.rollingHashes(col("text"), 16).as("h"))
+      assert(fp.selectExpr("sum(size(h))").head().getLong(0) > 0)
+    }
+  }
+}
