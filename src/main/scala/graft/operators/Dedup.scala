@@ -150,37 +150,91 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Default cap on in-buffer bucket expansion (`bucketPairs`). Buckets
+    * up to this size expand inside one aggregation buffer row (≤ ~0.5M
+    * pairs); larger ones route through the join path. Sized so a buffer
+    * row stays well under a megabyte of ids.
+    */
+  private[graft] val MaxAggBucketSize = 1024
+
+  /** Materialize a frame ONCE behind a plan boundary so multiple
+    * consuming branches in one action don't race-recompute it. Uses a
+    * RELIABLE checkpoint when the context has a checkpoint dir (the
+    * cluster deployment — survives executor loss), falling back to
+    * `localCheckpoint` for local runs. Checkpoint blocks are released by
+    * the context cleaner when the frame goes out of scope.
+    */
+  private[graft] def materializeOnce(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** All within-bucket candidate pairs (x, y), x < y, of a bucketed
+    * relation — with BOUNDED task memory on degenerate buckets.
+    *
+    * A single `groupBy(keys).agg(collect_list)` holds an entire bucket's
+    * membership in ONE aggregation buffer row: correct until a templated/
+    * boilerplate corpus (exactly what a web crawl contains) produces a
+    * mega-bucket, then it is an executor-memory bomb. Hybrid expansion
+    * keeps both properties:
+    *   - buckets ≤ `cap` members: `collect_list` + double-explode — one
+    *     aggregation that reuses the window's hash partitioning, buffer
+    *     rows bounded by `cap`;
+    *   - buckets > `cap`: equi-self-join on the bucket key — a shuffle
+    *     join AQE can skew-split across tasks; per-task memory stays flat
+    *     no matter the bucket size (the pair OUTPUT is inherently
+    *     quadratic in the bucket — that belongs to the caller's
+    *     semantics, not to one task's buffer).
+    * The pair SET is identical to the naive expansion (DedupSpec asserts
+    * cap-invariance); callers apply their own verify filter and
+    * `distinct` (pairs re-found via several buckets are emitted again).
+    *
+    * The windowed size count is materialized once (`materializeOnce`) so
+    * the three consuming branches don't re-run the signature pipeline.
+    *
+    * @param payload column whose values are paired; ordering on it must
+    *        identify rows (an id, or a struct whose FIRST field is one)
+    */
+  private[operators] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
+                                     payload: String, cap: Int): DataFrame = {
+    require(cap > 1, s"bucket cap must exceed 1, got $cap")
+    val kcols = keyCols.map(col)
+    val sized = materializeOnce(bucketed.withColumn("_bn",
+      count(lit(1)).over(Window.partitionBy(kcols: _*))))
+    val small = sized.filter(col("_bn") > 1 && col("_bn") <= cap)
+      .groupBy(kcols: _*)
+      .agg(collect_list(col(payload)).as("xs"))
+      .select(explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(col("xs")).as("y"))
+      .select(col("x"), col("y"))
+    val big = sized.filter(col("_bn") > cap)
+    val pairs = big.select(kcols :+ col(payload).as("x"): _*).alias("pa")
+      .join(big.select(kcols :+ col(payload).as("y"): _*).alias("pb"), keyCols)
+      .select(col("x"), col("y"))
+    small.union(pairs).filter(col("x") < col("y"))
+  }
+
   /** Near-duplicate pairs via MinHash-LSH + exact n-gram-Jaccard verify.
     *
     * 1. bucket: docs sharing any band signature become candidates
-    *    (`groupBy`-shaped self-join on (band, sig) — never all-pairs);
+    *    (within-bucket expansion via `bucketPairs` — never all-pairs,
+    *    never an unbounded aggregation buffer);
     * 2. verify: exact Jaccard over the distinct shingle sets, keep pairs
     *    ≥ `threshold`.
     */
   def nearDuplicates(docs: DataFrame, n: Int = 3, numBands: Int = 24,
-                     bandSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                     bandSize: Int = 3, threshold: Double = 0.5,
+                     maxAggBucket: Int = MaxAggBucketSize): DataFrame = {
     // Re-balance the narrow (doc_id, shingles) projection across the
     // cluster — signature hashing is CPU-bound and must not inherit a
-    // too-coarse file split — and materialize it ONCE with an eager
-    // localCheckpoint: it feeds both the signature pass and the two
-    // verify-join legs, and without a plan boundary the branches race
-    // and each recomputes the tokenize→shingle pipeline. Checkpoint
-    // blocks (unlike an explicit persist) are released by the context
-    // cleaner when this frame goes out of scope, so repeated calls in
-    // one session don't accumulate cached copies.
-    val shAll = hashValues(rawShingleSets(docs.repartition(col("doc_id")), n))
-      .localCheckpoint(true)
+    // too-coarse file split — and materialize it ONCE: it feeds both the
+    // signature pass and the two verify-join legs, and without a plan
+    // boundary the branches race and each recomputes the
+    // tokenize→shingle pipeline.
+    val shAll = materializeOnce(hashValues(rawShingleSets(docs.repartition(col("doc_id")), n)))
     val sh = shAll.filter(size(col("sh")) > 0)
-    // Candidates by bucket aggregation, not a self-join: one shuffle of
-    // the narrow signature relation, then in-bucket pair expansion
-    // (bucket sizes are the r-dial's job — see minhashBands).
-    val cands = minhashBands(sh, numBands, bandSize)
-      .groupBy("band", "sig")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    val cands = bucketPairs(minhashBands(sh, numBands, bandSize),
+        Seq("band", "sig"), "doc_id", maxAggBucket)
+      .select(col("x").as("doc_a"), col("y").as("doc_b"))
       .distinct()
     val jac = (size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb"))))
@@ -288,19 +342,19 @@ object Dedup {
     * Fingerprints ride along through the bucket aggregation so the
     * verify step needs no join back to the fingerprint relation.
     */
-  def simhashPairs(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDistance: Int = 3,
+                   maxAggBucket: Int = MaxAggBucketSize): DataFrame = {
     require(maxDistance <= 3, "4-chunk banding only guarantees recall for distance <= 3")
     val fp = simhash(docs)
-    val chunks = fp.select(col("doc_id"), col("simhash"),
+    val chunks = fp.select(
       posexplode(array((0 until 4).map(c => substring(col("simhash"), c * 4 + 1, 4)): _*))
-        .as(Seq("ci", "chunk")))
-    chunks
-      .groupBy("ci", "chunk")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(col("xs")).as("x"), col("xs"))
-      .select(col("x"), explode(col("xs")).as("y"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+        .as(Seq("ci", "chunk")),
+      struct(col("doc_id"), col("simhash")).as("v"))
+    // fingerprints ride along inside the payload struct so the verify
+    // step needs no join back to the fingerprint relation; the struct's
+    // FIRST field is doc_id, so bucketPairs' x < y ordering is the
+    // doc_a < doc_b canonicalization
+    bucketPairs(chunks, Seq("ci", "chunk"), "v", maxAggBucket)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         graft.plans.HammingHex.hammingHex(col("x.simhash"), col("y.simhash")).as("hamming"))
       // verify BEFORE dedup: hamming is a cheap codegen'd scalar, so

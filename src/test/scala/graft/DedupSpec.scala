@@ -82,6 +82,38 @@ class DedupSpec extends AnyFunSuite {
     assert(!c.contains(5L)) // non-dup doc not in any cluster
   }
 
+  test("bucket cap: near-dup pair set is cap-invariant on the small fixture") {
+    val expected = Dedup.nearDuplicates(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // cap=2 forces every bucket of 3+ members through the join path
+    val capped = Dedup.nearDuplicates(docs, maxAggBucket = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === expected)
+  }
+
+  test("bucket cap: one degenerate mega-bucket completes with bounded buffers") {
+    // 300 identical docs — every LSH band yields ONE bucket of 300
+    // members. With cap=16 the collect_list path never sees it; the join
+    // path expands it across tasks. All C(300,2) pairs at jaccard 1.0.
+    val mega = (1 to 300).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog repeatedly")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(mega, maxAggBucket = 16).cache()
+    assert(pairs.count() === 300L * 299L / 2L)
+    assert(pairs.filter($"jaccard" =!= 1.0).count() === 0)
+    // the actionable downstream form stays linear: one cluster, min id
+    val c = Dedup.clusters(pairs.select("doc_a", "doc_b"))
+    assert(c.select(countDistinct($"cluster_id")).as[Long].head() === 1L)
+    pairs.unpersist()
+  }
+
+  test("bucket cap: simhash pair set is cap-invariant") {
+    val expected = Dedup.simhashPairs(docs)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val capped = Dedup.simhashPairs(docs, maxAggBucket = 2)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(capped === expected)
+  }
+
   test("simhash: identical docs share fingerprints, near docs are close") {
     val fp = Dedup.simhash(docs).as[(Long, String)].collect().toMap
     assert(fp(1L).length === 16)
