@@ -44,4 +44,40 @@ class PercentilesSpec extends AnyFunSuite {
       .as[(String, Double, Double, Long)].head()
     assert(got === (("k", 1.0, 3.0, 3L)))
   }
+
+  test("nulls are ignored, matching quantile_cont semantics") {
+    val df = Seq(("k", Some(1.0)), ("k", None), ("k", Some(3.0)), ("k", None))
+      .toDF("k", "v")
+    val got = Percentiles.exactQuantiles(df, "k", "v", Seq("p50" -> 0.5))
+      .as[(String, Double, Long)].head()
+    assert(got === (("k", 2.0, 2L))) // median of {1, 3}; nulls neither counted nor sorted
+  }
+
+  test("one hot key spreads across more than one task (parallelism is data-sized)") {
+    // 20k rows of a SINGLE key: the old per-key window ranked these in
+    // exactly one task; range repartitioning must use several. AQE's
+    // small-partition coalescing is disabled for the assertion — at this
+    // toy size it (correctly) folds everything into one task, which
+    // would hide the range spread the operator exists to provide.
+    val prev = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val df = spark.range(20000).selectExpr("'hot' AS k", "CAST(id AS DOUBLE) AS v")
+    val ranked = Percentiles.rankedByRange(df, "k", "v").cache()
+    try {
+      val pids = ranked.select("_pid").distinct().count()
+      assert(pids > 1, s"expected >1 partitions for the hot key, got $pids")
+      // and the offset-adjusted ranks are still the exact global ranks
+      val wrong = ranked.filter($"_rn" =!= $"_v" + 1).count()
+      assert(wrong === 0)
+      val got = Percentiles.exactQuantiles(df, "k", "v",
+          Seq("p25" -> 0.25, "p99" -> 0.99))
+        .as[(String, Double, Double, Long)].head()
+      assert(got === (("hot", refQuantile((0 until 20000).map(_.toDouble), 0.25),
+        refQuantile((0 until 20000).map(_.toDouble), 0.99), 20000L)))
+    } finally {
+      ranked.unpersist()
+      prev.fold(spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled"))(
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", _))
+    }
+  }
 }

@@ -59,8 +59,24 @@ class PlanSpec extends AnyFunSuite {
     assert(anti.contains("EqualTo(o_orderpriority,1-URGENT)"), "orders filter not pushed to scan")
   }
 
-  test("q_percentiles: single aggregation exchange (partial percentile buffers)") {
-    assert(shuffles(plan("q_percentiles")) === 1)
+  test("q_percentiles: one full-data range exchange, stats joined back by broadcast") {
+    // r4 shape: the fact table crosses the wire ONCE — the stats branch
+    // and the rank branch both reference the range repartition (two
+    // static nodes) and AQE dedupes them into one materialized shuffle
+    // (ReusedExchange, asserted on the executed plan); the hash
+    // exchanges carry only per-(partition, key) stats and per-key
+    // boundary partials; the rank join is a broadcast, never a shuffle
+    // of the ranked data
+    val df = SparkEntry.queries("q_percentiles")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(p).length === 2,
+      s"expected the two branch references to one range exchange:\n$p")
+    assert(shuffles(p) === 3, s"expected only the three tiny stats/offset/agg exchanges:\n$p")
+    assert(broadcasts(p) === 1, s"rank offsets must broadcast:\n$p")
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      s"range exchange must materialize once at runtime:\n$fin")
   }
 
   test("q_pivot: two-phase pivot, second exchange over pre-aggregated rows only") {
