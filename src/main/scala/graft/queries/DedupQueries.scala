@@ -51,11 +51,34 @@ object DedupQueries {
     */
   object DedupStore {
 
+    // CACHE CONTRACT: entries are keyed by (session, corpus dir) and live
+    // for the SESSION lifetime — a corpus dir whose contents change
+    // mid-session keeps serving the relations computed at first touch
+    // (exactly like a materialized view; call `invalidate` after
+    // rewriting a corpus in place). Entries of stopped sessions are
+    // pruned on every access so the map cannot pin dead SparkSessions or
+    // their persisted blocks for the JVM lifetime.
     private val lock = new Object
     private var pairCache = Map.empty[(SparkSession, String), DataFrame]
     private var clusterCache = Map.empty[(SparkSession, String), DataFrame]
 
+    private def pruneStopped(): Unit = {
+      pairCache = pairCache.filter(!_._1._1.sparkContext.isStopped)
+      clusterCache = clusterCache.filter(!_._1._1.sparkContext.isStopped)
+    }
+
+    /** Drop the cached relations for one corpus dir (all sessions),
+      * unpersisting their blocks — for corpora rewritten in place.
+      */
+    def invalidate(dir: String): Unit = lock.synchronized {
+      pairCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
+      clusterCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
+      pairCache = pairCache.filter(_._1._2 != dir)
+      clusterCache = clusterCache.filter(_._1._2 != dir)
+    }
+
     def pairs(s: SparkSession, dir: String): DataFrame = lock.synchronized {
+      pruneStopped()
       pairCache.getOrElse((s, dir), {
         val p = Dedup.nearDuplicates(Corpus.documents(s, dir)).persist()
         p.count() // materialize in one pass before fan-out to consumers
@@ -65,6 +88,7 @@ object DedupQueries {
     }
 
     def clusters(s: SparkSession, dir: String): DataFrame = lock.synchronized {
+      pruneStopped()
       clusterCache.getOrElse((s, dir), {
         val c = Dedup.clusters(pairs(s, dir)).persist()
         c.count()

@@ -156,6 +156,29 @@ object RelationalQueries {
         .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_urgent"))
     }),
 
+    // FULL OUTER join with null handling in BOTH directions: urgent-order
+    // counts ⟗ low-priority counts per customer — either side can lack a
+    // customer (188/171 one-sided keys at sf0.01), so coalescing the key
+    // and both metrics is load-bearing, not decorative. Completes the
+    // join-type matrix (inner/left/semi/anti/as-of/range/full). Scale
+    // note: full outer admits no broadcast strategy in Spark — both
+    // sides MUST shuffle — so each side is pre-aggregated to one row per
+    // customer before the join, which is the smallest thing that can
+    // cross the wire.
+    "q_full_join" -> ((s, dir) => {
+      def perCust(priority: String, out: String) =
+        tbl(s, dir, "orders")
+          .filter(col("o_orderpriority") === priority)
+          .groupBy("o_custkey").agg(count(lit(1)).as(out))
+      val u = perCust("1-URGENT", "cnt_u").withColumnRenamed("o_custkey", "u_custkey")
+      val l = perCust("5-LOW", "cnt_l").withColumnRenamed("o_custkey", "l_custkey")
+      u.join(l, col("u_custkey") === col("l_custkey"), "full_outer")
+        .select(
+          coalesce(col("u_custkey"), col("l_custkey")).as("custkey"),
+          coalesce(col("cnt_u"), lit(0L)).as("n_urgent"),
+          coalesce(col("cnt_l"), lit(0L)).as("n_low"))
+    }),
+
     // Time-series rollup on a calendar grain: revenue per month
     // (date_trunc before the aggregation so the grouping key is computed
     // map-side and the exchange carries one row per month partial).
@@ -320,6 +343,16 @@ object RelationalQueries {
         |LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders
         |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
         |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q_full_join" ->
+      """WITH u AS (SELECT o_custkey, COUNT(*) AS cnt_u FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |     l AS (SELECT o_custkey, COUNT(*) AS cnt_l FROM orders
+        |           WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey)
+        |SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
+        |       COALESCE(cnt_u, CAST(0 AS BIGINT)) AS n_urgent,
+        |       COALESCE(cnt_l, CAST(0 AS BIGINT)) AS n_low
+        |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey""".stripMargin,
 
     "q_monthly_revenue" ->
       s"""SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,

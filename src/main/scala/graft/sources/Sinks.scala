@@ -185,13 +185,26 @@ object IndexStore {
 
   /** The posting relation for `dir`, served from the persisted bucketed
     * table (building it on first use in this session).
+    *
+    * STALENESS GUARD: with a PERSISTENT metastore, a new JVM can see
+    * `tableExists = true` for a table whose files live under a PREVIOUS
+    * process's scope directory (possibly already deleted) — serving it
+    * would fail or read another process's files. A table whose location
+    * is not under THIS process's scope is therefore dropped and rebuilt,
+    * which restores the overwrite-rebuild self-healing of a stable path
+    * while keeping per-process isolation.
     */
   def postings(spark: SparkSession, dir: String): DataFrame = {
     val tbl = tableNameFor(dir)
+    val path =
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/$processScope/$tbl"
     building.synchronized {
-      if (!spark.catalog.tableExists(tbl)) {
-        val path =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/$processScope/$tbl"
+      val stale = spark.catalog.tableExists(tbl) &&
+        !spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+          .filter(col("col_name") === "Location")
+          .collect().headOption.exists(_.getString(1).contains(s"/$processScope/"))
+      if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      if (stale || !spark.catalog.tableExists(tbl)) {
         Sinks.writeIndex(
           graft.operators.InvertedIndex.postings(Corpus.documents(spark, dir)),
           tbl, path)

@@ -38,17 +38,46 @@ object StreamingIndex {
     * half of "build once, query many". Micro-batch appends accumulate
     * one file per bucket per batch; run the batch sink periodically to
     * compact (the standard streaming-ingest + batch-compaction split).
+    *
+    * REPLAY SAFETY: `foreachBatch` is at-least-once — after a failure/
+    * restart the engine re-delivers the last uncommitted micro-batch, and
+    * a blind append would duplicate its (term, doc_id) rows, silently
+    * breaking consumers that rely on posting uniqueness (`BooleanQuery
+    * .and` counts plain hits). Each appended batch therefore commits a
+    * marker under `<path>/_graft_commits/<batchId>` AFTER its append job
+    * commits; a re-delivered batchId whose marker exists is skipped.
+    * Residual window: a crash BETWEEN the append's job commit and the
+    * marker write still replays that one batch (exact-once would need a
+    * transactional table format); the periodic batch-sink compaction
+    * restores uniqueness, and readers that must be exact across an
+    * uncompacted window should `dropDuplicates("term", "doc_id")` first.
     */
   def sinkToIndex(postings: DataFrame, tableName: String, path: String,
                   checkpointDir: String, buckets: Int = 32): StreamingQuery =
     postings.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(SaveMode.Append)
-          .option("path", path)
-          .bucketBy(buckets, "term").sortBy("term")
-          .saveAsTable(tableName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, tableName, path, buckets): Unit
       }
       .start()
+
+  /** One idempotent micro-batch append (factored out of `sinkToIndex` so
+    * replay behavior is directly testable). @return whether the batch was
+    * appended (false = replay of an already-committed batchId, skipped).
+    */
+  private[graft] def appendBatch(batch: DataFrame, batchId: Long, tableName: String,
+                                 path: String, buckets: Int): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$batchId")
+    val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      batch.write.mode(SaveMode.Append)
+        .option("path", path)
+        .bucketBy(buckets, "term").sortBy("term")
+        .saveAsTable(tableName)
+      fs.create(marker, true).close()
+      true
+    }
+  }
 }

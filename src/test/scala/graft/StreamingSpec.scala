@@ -150,6 +150,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index equals the batch build when the corpus arrives in micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_equiv_stream").toString
+    val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "url", "text").as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val q = graft.streaming.StreamingIndex.sinkToIndex(
+      graft.streaming.StreamingIndex
+        .postingsStream(input.toDF().toDF("doc_id", "url", "text", "ingest_t")),
+      "t_equiv_idx", s"$dir/idx", s"$dir/ckpt", buckets = 8)
+    try {
+      // four micro-batches, minutes apart — all inside the 1h watermark
+      docs.grouped(math.max(1, docs.length / 4 + 1)).zipWithIndex.foreach { case (chunk, i) =>
+        input.addData(chunk.map(d => (d._1, d._2, d._3, ts(s"10:0$i"))).toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("t_equiv_idx")
+        .select("term", "doc_id", "url").as[(String, Long, String)].collect()
+      val batch = graft.operators.InvertedIndex
+        .postings(graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001"))
+        .as[(String, Long, String)].collect()
+      assert(streamed.length === batch.length) // no replay duplicates
+      assert(streamed.toSet === batch.toSet)   // identical posting relation
+    } finally q.stop()
+  }
+
+  test("replayed micro-batch id is skipped, not re-appended") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_stream").toString
+    val batch = Seq(("cat", 1L, "u1"), ("dog", 2L, "u2")).toDF("term", "doc_id", "url")
+    assert(graft.streaming.StreamingIndex
+      .appendBatch(batch, 0L, "t_replay_idx", s"$dir/idx", buckets = 4))
+    // at-least-once re-delivery of the SAME batchId must be a no-op
+    assert(!graft.streaming.StreamingIndex
+      .appendBatch(batch, 0L, "t_replay_idx", s"$dir/idx", buckets = 4))
+    assert(spark.table("t_replay_idx").count() === 2)
+    // a NEW batchId still appends
+    assert(graft.streaming.StreamingIndex
+      .appendBatch(batch.filter($"term" === "cat"), 1L, "t_replay_idx", s"$dir/idx", buckets = 4))
+    assert(spark.table("t_replay_idx").count() === 3)
+  }
+
   test("batch and streaming agree on the same input") {
     import spark.implicits._
     val batch = Seq((ts("10:05"), "click", 1.5), (ts("10:40"), "click", 2.5))
