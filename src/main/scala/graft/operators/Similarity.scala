@@ -103,6 +103,14 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH candidates,
     * then keep in-bucket pairs with cosine ≥ `threshold`. The dedup-flavor
     * counterpart of `annNearestNeighbor` — same bucketing, pair output.
+    *
+    * Mega-bucket note: expansion here is a JOIN on the bucket key (not a
+    * `collect_list` aggregation), deliberately — when many vectors share
+    * a sign pattern (all-positive embeddings are common), AQE's skew-join
+    * split spreads the hot bucket across tasks and per-task memory stays
+    * flat; only the pair OUTPUT grows quadratically in the bucket, which
+    * is the operator's contract. This is the same bounded-buffer shape
+    * `Dedup.bucketPairs` routes its over-cap buckets through.
     */
   def embeddingDuplicates(embeddings: DataFrame, bits: Int = 8,
                           threshold: Double = 0.3): DataFrame = {
