@@ -368,11 +368,26 @@ object Dedup {
     *
     * Per distinct term: take the first 16 hex nibbles of md5(term) (64
     * bits). Per bit position: majority vote across the document's terms
-    * (strict majority sets the bit; ties clear it). The heavy part is a
-    * single groupBy (doc_id, nibble position) aggregation — one shuffle of
-    * |terms per doc| × 16 narrow rows; everything else is projection.
+    * (strict majority sets the bit; ties clear it). Computed by the
+    * native `simhash_hex` expression — one codegen'd pass per document,
+    * ZERO shuffles (the whole fingerprint stage is a narrow projection).
+    * Documents with no terms produce no row, matching the aggregation
+    * form (`simhashViaAgg`, kept as the independent cross-check —
+    * DedupSpec asserts corpus-level bit-identity).
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.plans.SimHashHex.simhashHex(Text.terms(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** Pre-round-4 relational formulation of `simhash` — explodes every
+    * document into |terms| × 16 nibble rows and majority-votes in a
+    * groupBy: a 16× shuffle amplification the native expression avoids.
+    * Kept as the independent cross-check oracle for `simhash_hex` and as
+    * the shape the DuckDB oracle SQL mirrors.
+    */
+  private[graft] def simhashViaAgg(docs: DataFrame): DataFrame = {
     val hexChars = "0123456789abcdef"
     val perTerm = docs
       .select(col("doc_id"), explode(Text.terms(col("text"))).as("term"))

@@ -113,6 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigsDescriptor)
     ext.injectFunction(GraftExtensions.md5Prefix32Descriptor)
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
+    ext.injectFunction(GraftExtensions.simhashHexDescriptor)
   }
 }
 
@@ -161,5 +162,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "word_shingles(toks, n) takes exactly two arguments")
       WordShingles(children.head, children(1))
+    })
+
+  private[plans] val simhashHexDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_hex"),
+    new ExpressionInfo(classOf[SimHashHex].getName, "simhash_hex"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "simhash_hex(terms) takes exactly one argument")
+      SimHashHex(children.head)
     })
 }

@@ -37,7 +37,9 @@ class CodegenGuardSpec extends AnyFunSuite {
       BoundReference(0, StringType, nullable = true),
       BoundReference(1, StringType, nullable = true)),
     "rolling_hashes" -> graft.plans.RollingHashes(
-      BoundReference(0, StringType, nullable = true), Literal(4)))
+      BoundReference(0, StringType, nullable = true), Literal(4)),
+    "simhash_hex" -> graft.plans.SimHashHex(
+      BoundReference(0, ArrayType(StringType), nullable = true)))
 
   test("no generated snippet line begins with '|' (stripMargin splice hazard)") {
     spark // force session init (codegen touches SQLConf.get)
@@ -88,10 +90,11 @@ class CodegenGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("hamming_hex + rolling_hashes compile and run CODEGEN_ONLY") {
+  test("hamming_hex + rolling_hashes + simhash_hex compile and run CODEGEN_ONLY") {
     withCodegenOnly {
       val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
-      // simhashPairs verifies candidates with the native hamming_hex
+      // simhashPairs fingerprints with simhash_hex and verifies
+      // candidates with hamming_hex
       val pairs = graft.operators.Dedup.simhashPairs(docs)
       assert(pairs.count() >= 0)
       val fp = docs.select(

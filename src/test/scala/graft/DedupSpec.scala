@@ -114,6 +114,14 @@ class DedupSpec extends AnyFunSuite {
     assert(capped === expected)
   }
 
+  test("native simhash_hex is bit-identical to the aggregation form on the corpus") {
+    val corpus = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+    val native = Dedup.simhash(corpus).as[(Long, String)].collect().toSet
+    val viaAgg = Dedup.simhashViaAgg(corpus).as[(Long, String)].collect().toSet
+    assert(native === viaAgg)
+    assert(native.nonEmpty)
+  }
+
   test("simhash: identical docs share fingerprints, near docs are close") {
     val fp = Dedup.simhash(docs).as[(Long, String)].collect().toMap
     assert(fp(1L).length === 16)

@@ -32,7 +32,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_postings and projection queries are shuffle-free") {
-    Seq("q_postings", "q_token_count", "q_quality", "q_lang_id", "q_binary_stats").foreach { q =>
+    // q_simhash joined this list in r4: the native simhash_hex expression
+    // fingerprints map-side, replacing the 16×-amplified explode+groupBy
+    Seq("q_postings", "q_token_count", "q_quality", "q_lang_id", "q_binary_stats",
+        "q_simhash").foreach { q =>
       assert(shuffles(plan(q)) === 0, s"$q gained a shuffle")
     }
   }
