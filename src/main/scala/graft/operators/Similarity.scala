@@ -27,7 +27,19 @@ object Similarity {
   /** Element-wise double-cast of an array<float> column. */
   private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  /** Left-to-right double dot product — the native `dot_f64` expression
+    * (one codegen'd FMA loop). The column form below is the retained
+    * cross-check; higher-order-function lambdas are CodegenFallback in
+    * Spark 4.1, so the built-in route pays ~|dims| interpreted nodes per
+    * comparison in the candidate-pair inner loop.
+    */
+  private def dot(a: Column, b: Column): Column = graft.plans.DotF64.dotF64(a, b)
+
+  /** Pre-round-4 higher-order-function formulation of `dot` — kept as
+    * the independent cross-check oracle for `dot_f64`
+    * (SimilarityProperties asserts bit-identity).
+    */
+  private[graft] def dotViaColumns(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** vec_id, v (double embedding), norm — the shared projection. */

@@ -114,6 +114,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.md5Prefix32Descriptor)
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
     ext.injectFunction(GraftExtensions.simhashHexDescriptor)
+    ext.injectFunction(GraftExtensions.dotF64Descriptor)
   }
 }
 
@@ -171,5 +172,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "simhash_hex(terms) takes exactly one argument")
       SimHashHex(children.head)
+    })
+
+  private[plans] val dotF64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_f64"),
+    new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "dot_f64(a, b) takes exactly two arguments")
+      DotF64(children.head, children(1))
     })
 }

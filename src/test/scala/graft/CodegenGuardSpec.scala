@@ -39,7 +39,10 @@ class CodegenGuardSpec extends AnyFunSuite {
     "rolling_hashes" -> graft.plans.RollingHashes(
       BoundReference(0, StringType, nullable = true), Literal(4)),
     "simhash_hex" -> graft.plans.SimHashHex(
-      BoundReference(0, ArrayType(StringType), nullable = true)))
+      BoundReference(0, ArrayType(StringType), nullable = true)),
+    "dot_f64" -> graft.plans.DotF64(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, ArrayType(DoubleType), nullable = true)))
 
   test("no generated snippet line begins with '|' (stripMargin splice hazard)") {
     spark // force session init (codegen touches SQLConf.get)
@@ -100,6 +103,15 @@ class CodegenGuardSpec extends AnyFunSuite {
       val fp = docs.select(
         graft.plans.RollingHashes.rollingHashes(col("text"), 16).as("h"))
       assert(fp.selectExpr("sum(size(h))").head().getLong(0) > 0)
+    }
+  }
+
+  test("dot_f64 compiles and runs CODEGEN_ONLY") {
+    withCodegenOnly {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      // the q_sim_topk inner loop at real embedding widths
+      val top = graft.operators.Similarity.topK(emb, queryId = 0L, k = 5)
+      assert(top.count() === 5)
     }
   }
 }

@@ -52,6 +52,22 @@ object SimilarityProperties extends Properties("Similarity") {
     k2.startsWith(k1)
   }
 
+  private val dvecGen: Gen[List[Double]] =
+    Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, Gen.choose(-10.0, 10.0)))
+
+  property("native dot_f64 is bit-identical to the aggregate/zip_with column form") =
+    forAll(dvecGen, dvecGen) { (a0, b0) =>
+      import spark.implicits._
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val df = Seq((a, b)).toDF("a", "b")
+      // java.lang.Double equality (not ==) so NaN==NaN and -0.0 != 0.0:
+      // "bit-identical" is the claim
+      val native = df.select(graft.plans.DotF64.dotF64($"a", $"b")).as[Double].head()
+      val viaCols = df.select(Similarity.dotViaColumns($"a", $"b")).as[Double].head()
+      java.lang.Double.valueOf(native).equals(java.lang.Double.valueOf(viaCols))
+    }
+
   property("ANN neighbors share the query's sign bucket and sim is exact") = forAll(embGen) { emb =>
     import spark.implicits._
     val byId = emb.map(e => e._1 -> e._2).toMap
