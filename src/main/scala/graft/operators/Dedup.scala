@@ -245,6 +245,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram-Jaccard near-duplicate pairs with RARE-SHINGLE
+    * candidate generation — the inverted-index-flavored alternative to
+    * MinHash-LSH bucketing (`nearDuplicates`): two documents become
+    * candidates when they share a shingle whose document frequency is in
+    * [2, `maxDf`], then every candidate pair is verified with the exact
+    * Jaccard over the full distinct shingle sets.
+    *
+    * `maxDf` is the recall/cost dial: boilerplate shingles shared by
+    * half the corpus generate quadratic candidate mass and are dropped —
+    * a pair sharing ONLY ubiquitous shingles is missed (at J ≥ 0.5 such
+    * pairs share many shingles, and all of them being frequent means the
+    * docs are boilerplate anyway — exactly what LSH banding also
+    * deprioritizes). Unlike MinHash the verify set is EXACT for every
+    * pair that shares at least one rare shingle: no banding
+    * probability, no hash collisions.
+    *
+    * Scale shape: one shingle explode, a windowed doc-frequency filter
+    * (the same exchange feeds `bucketPairs`), bounded in-bucket
+    * expansion, and the two verify joins — nothing all-pairs, no
+    * unbounded buffer.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 10,
+                   threshold: Double = 0.5,
+                   maxAggBucket: Int = MaxAggBucketSize): DataFrame = {
+    val shAll = materializeOnce(rawShingleSets(docs.repartition(col("doc_id")), n))
+    val sh = shAll.filter(size(col("sh")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val rare = ex
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select("shingle", "doc_id")
+    val cands = bucketPairs(rare, Seq("shingle"), "doc_id", maxAggBucket)
+      .select(col("x").as("doc_a"), col("y").as("doc_b"))
+      .distinct()
+    val jac = (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb"))))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Transitive duplicate clusters: connected components over an
     * undirected pair relation (`doc_a`, `doc_b`), labeling every member
     * with the MINIMUM doc_id of its component — the actionable form of

@@ -35,6 +35,7 @@ object DedupQueries {
     }),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
   )
 
   /** Session-scoped shared dedup relations (the `IndexStore` pattern,
@@ -209,6 +210,25 @@ object DedupQueries {
          |WHERE quality >= 0.75 AND (cluster_id IS NULL OR cluster_id = qscore.doc_id)""".stripMargin,
 
     "q_simhash" -> simhashSql,
+
+    "q_jaccard_pairs" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.shingle FROM shs, unnest(sh) AS t(shingle)
+         |), rare AS (
+         |  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN rare r ON a.shingle = r.shingle
+         |), j AS (
+         |  SELECT doc_a, doc_b,
+         |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |               / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+         |  FROM cand
+         |  JOIN shs sa ON cand.doc_a = sa.doc_id
+         |  JOIN shs sb ON cand.doc_b = sb.doc_id
+         |)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
 
     "q_simhash_pairs" ->
       s"""WITH fp AS (

@@ -106,6 +106,19 @@ class DedupSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("jaccard pairs: rare-shingle candidates find the planted near-dups") {
+    val pairs = Dedup.jaccardPairs(docs)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 3L)) === 1.0) // identical after normalization
+    assert(pairs.contains((2L, 4L))) // 7 of 9 distinct shingles shared
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L))
+    // cap-invariance of the third bucketPairs consumer
+    val capped = Dedup.jaccardPairs(docs, maxAggBucket = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === pairs.keySet)
+  }
+
   test("bucket cap: simhash pair set is cap-invariant") {
     val expected = Dedup.simhashPairs(docs)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
