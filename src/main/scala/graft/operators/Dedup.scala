@@ -221,27 +221,67 @@ object Dedup {
     * 2. verify: exact Jaccard over the distinct shingle sets, keep pairs
     *    ≥ `threshold`.
     */
+  /** The narrow (doc_id, sh, hv) shingle + base-hash projection every
+    * shingle-flavored dedup path starts from — re-balanced across the
+    * cluster (signature hashing is CPU-bound and must not inherit a
+    * too-coarse file split). NOT materialized: single-shot callers wrap
+    * it in `materializeOnce`; session-shared consumers persist it once
+    * (`DedupQueries.DedupStore.hashes`) so LSH and jaccard dedup pay the
+    * tokenize→shingle→md5 pass exactly once per corpus.
+    */
+  def shingleHashFrame(docs: DataFrame, n: Int = 3): DataFrame =
+    hashValues(rawShingleSets(docs.repartition(col("doc_id")), n))
+
   def nearDuplicates(docs: DataFrame, n: Int = 3, numBands: Int = 24,
                      bandSize: Int = 3, threshold: Double = 0.5,
-                     maxAggBucket: Int = MaxAggBucketSize): DataFrame = {
-    // Re-balance the narrow (doc_id, shingles) projection across the
-    // cluster — signature hashing is CPU-bound and must not inherit a
-    // too-coarse file split — and materialize it ONCE: it feeds both the
-    // signature pass and the two verify-join legs, and without a plan
-    // boundary the branches race and each recomputes the
-    // tokenize→shingle pipeline.
-    val shAll = materializeOnce(hashValues(rawShingleSets(docs.repartition(col("doc_id")), n)))
+                     maxAggBucket: Int = MaxAggBucketSize): DataFrame =
+    nearDuplicatesFromHashes(materializeOnce(shingleHashFrame(docs, n)),
+      numBands, bandSize, threshold, maxAggBucket)
+
+  /** `nearDuplicates` over a pre-built `shingleHashFrame` that is ALREADY
+    * materialized (checkpointed or persisted+counted) — it feeds the
+    * signature pass and the two verify-join legs, and without a plan
+    * boundary the branches race and each recomputes the whole pipeline.
+    */
+  def nearDuplicatesFromHashes(shAll: DataFrame, numBands: Int = 24,
+                               bandSize: Int = 3, threshold: Double = 0.5,
+                               maxAggBucket: Int = MaxAggBucketSize): DataFrame = {
     val sh = shAll.filter(size(col("sh")) > 0)
     val cands = bucketPairs(minhashBands(sh, numBands, bandSize),
         Seq("band", "sig"), "doc_id", maxAggBucket)
       .select(col("x").as("doc_a"), col("y").as("doc_b"))
       .distinct()
-    val jac = (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb"))))
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate (doc_a, doc_b) relation
+    * against the distinct shingle sets in `sh`.
+    *
+    * Verify is where candidate-based dedup spends its time (one
+    * `array_intersect` over two ~100-element sets per pair), so two
+    * sound reductions are built in:
+    *   - SIZE PRUNE first: J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
+    *     so pairs whose set-size ratio is under the threshold can never
+    *     verify — they are dropped after joining only the NARROW
+    *     (doc_id, size) relation, before any array payload is shuffled;
+    *   - no `array_union`: |A∪B| = |A| + |B| − |A∩B|, so the union
+    *     array is never materialized — one set operation per pair, not
+    *     two. Arithmetically identical to intersect/union on distinct
+    *     sets (the DuckDB oracles keep the textbook form).
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("_n"))
     cands
+      .join(sizes.select(col("doc_id").as("doc_a"), col("_n").as("_na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("_n").as("_nb")), "doc_b")
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        greatest(col("_na"), col("_nb")) * threshold)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .withColumn("_inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_inter") / (col("_na") + col("_nb") - col("_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -261,31 +301,38 @@ object Dedup {
     * pair that shares at least one rare shingle: no banding
     * probability, no hash collisions.
     *
-    * Scale shape: one shingle explode, a windowed doc-frequency filter
-    * (the same exchange feeds `bucketPairs`), bounded in-bucket
-    * expansion, and the two verify joins — nothing all-pairs, no
-    * unbounded buffer.
+    * Scale shape: one shingle explode, a doc-frequency COUNT aggregate
+    * (map-side partial, bounded buffers), an equi-join that keeps only
+    * rare-shingle rows, then in-bucket expansion whose aggregation
+    * buffer is bounded by `maxDf` BY CONSTRUCTION — the df filter is the
+    * bucket cap, so none of `bucketPairs`' hybrid machinery (window
+    * count, checkpoint, over-cap join) is needed here. No sorts, no
+    * all-pairs, no unbounded buffer.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 10,
-                   threshold: Double = 0.5,
-                   maxAggBucket: Int = MaxAggBucketSize): DataFrame = {
-    val shAll = materializeOnce(rawShingleSets(docs.repartition(col("doc_id")), n))
+                   threshold: Double = 0.5): DataFrame =
+    jaccardPairsFromShingles(materializeOnce(shingleHashFrame(docs, n)),
+      maxDf, threshold)
+
+  /** `jaccardPairs` over a pre-built, already-materialized
+    * `shingleHashFrame` (see `nearDuplicatesFromHashes` for why).
+    */
+  def jaccardPairsFromShingles(shAll: DataFrame, maxDf: Int = 10,
+                               threshold: Double = 0.5): DataFrame = {
     val sh = shAll.filter(size(col("sh")) > 0)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val rare = ex
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val rare = ex.groupBy("shingle")
+      .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
-      .select("shingle", "doc_id")
-    val cands = bucketPairs(rare, Seq("shingle"), "doc_id", maxAggBucket)
-      .select(col("x").as("doc_a"), col("y").as("doc_b"))
+      .select("shingle")
+    val cands = ex.join(rare, "shingle")
+      .groupBy("shingle")
+      .agg(collect_list(col("doc_id")).as("ids")) // ≤ maxDf by the join
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    val jac = (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb"))))
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cands, sh, threshold)
   }
 
   /** Transitive duplicate clusters: connected components over an

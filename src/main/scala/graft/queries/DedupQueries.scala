@@ -35,7 +35,9 @@ object DedupQueries {
     }),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
-    "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
+    // shares the session-cached shingle+hash frame with the LSH build —
+    // the tokenize→shingle→md5 pass runs once per corpus, not per query
+    "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir))),
   )
 
   /** Session-scoped shared dedup relations (the `IndexStore` pattern,
@@ -60,10 +62,12 @@ object DedupQueries {
     // pruned on every access so the map cannot pin dead SparkSessions or
     // their persisted blocks for the JVM lifetime.
     private val lock = new Object
+    private var hashCache = Map.empty[(SparkSession, String), DataFrame]
     private var pairCache = Map.empty[(SparkSession, String), DataFrame]
     private var clusterCache = Map.empty[(SparkSession, String), DataFrame]
 
     private def pruneStopped(): Unit = {
+      hashCache = hashCache.filter(!_._1._1.sparkContext.isStopped)
       pairCache = pairCache.filter(!_._1._1.sparkContext.isStopped)
       clusterCache = clusterCache.filter(!_._1._1.sparkContext.isStopped)
     }
@@ -72,16 +76,32 @@ object DedupQueries {
       * unpersisting their blocks — for corpora rewritten in place.
       */
     def invalidate(dir: String): Unit = lock.synchronized {
+      hashCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
       pairCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
       clusterCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
+      hashCache = hashCache.filter(_._1._2 != dir)
       pairCache = pairCache.filter(_._1._2 != dir)
       clusterCache = clusterCache.filter(_._1._2 != dir)
+    }
+
+    /** The shared shingle+hash frame (doc_id, sh, hv): the CPU-heavy
+      * tokenize→shingle→md5 pass, persisted once per corpus and fed to
+      * BOTH the LSH build (`pairs`) and `q_jaccard_pairs`.
+      */
+    def hashes(s: SparkSession, dir: String): DataFrame = lock.synchronized {
+      pruneStopped()
+      hashCache.getOrElse((s, dir), {
+        val h = Dedup.shingleHashFrame(Corpus.documents(s, dir)).persist()
+        h.count() // materialize before fan-out (cache does not dedupe within one action)
+        hashCache += (s, dir) -> h
+        h
+      })
     }
 
     def pairs(s: SparkSession, dir: String): DataFrame = lock.synchronized {
       pruneStopped()
       pairCache.getOrElse((s, dir), {
-        val p = Dedup.nearDuplicates(Corpus.documents(s, dir)).persist()
+        val p = Dedup.nearDuplicatesFromHashes(hashes(s, dir)).persist()
         p.count() // materialize in one pass before fan-out to consumers
         pairCache += (s, dir) -> p
         p
