@@ -138,6 +138,23 @@ class DedupSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("configured checkpoint dir switches dedup to reliable checkpoints") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // exercises materializeOnce's durable branch (df.checkpoint) on the
+      // cluster-deployment path — executor loss recomputes from the
+      // checkpoint instead of killing the job (localCheckpoint blocks
+      // are unreplicated)
+      val pairs = Dedup.nearDuplicates(docs)
+      assert(pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        .contains((1L, 3L)))
+      val landed = new java.io.File(dir).listFiles
+      assert(landed != null && landed.nonEmpty, "no reliable checkpoint written")
+    } finally sc.setCheckpointDir(null) // Option(null) unsets — back to localCheckpoint
+  }
+
   test("simhash: identical docs share fingerprints, near docs are close") {
     val fp = Dedup.simhash(docs).as[(Long, String)].collect().toMap
     assert(fp(1L).length === 16)
