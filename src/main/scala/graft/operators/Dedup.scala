@@ -161,8 +161,13 @@ object Dedup {
     * consuming branches in one action don't race-recompute it. Uses a
     * RELIABLE checkpoint when the context has a checkpoint dir (the
     * cluster deployment — survives executor loss), falling back to
-    * `localCheckpoint` for local runs. Checkpoint blocks are released by
-    * the context cleaner when the frame goes out of scope.
+    * `localCheckpoint` for local runs. localCheckpoint BLOCKS are
+    * released by the context cleaner when the frame goes out of scope;
+    * reliable checkpoint FILES are only auto-deleted when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false) — deployments that set a checkpoint dir should either
+    * enable that conf or use a per-job checkpoint directory they
+    * delete on completion.
     */
   private[graft] def materializeOnce(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
@@ -275,8 +280,11 @@ object Dedup {
     cands
       .join(sizes.select(col("doc_id").as("doc_a"), col("_n").as("_na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("_n").as("_nb")), "doc_b")
+      // 1e-6 slack: the final filter compares round(J, 6), which can
+      // round a just-under-threshold J UP to it — the prune must keep
+      // any pair the rounded filter could keep
       .filter(least(col("_na"), col("_nb")).cast("double") >=
-        greatest(col("_na"), col("_nb")) * threshold)
+        greatest(col("_na"), col("_nb")) * (threshold - 1e-6))
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .withColumn("_inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))

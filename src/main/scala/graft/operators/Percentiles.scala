@@ -58,6 +58,16 @@ object Percentiles {
     * parallelism assertion in PercentilesSpec).
     */
   private[graft] def rankedByRange(df: DataFrame, key: String, value: String): DataFrame = {
+    // HARD REQUIREMENT: the stats branch and the rank branch below both
+    // reference the same range exchange, and correctness depends on it
+    // materializing ONCE (exchange reuse). Without reuse each branch
+    // would sample its OWN range boundaries (RangePartitioner seeds from
+    // the RDD id), the layouts would diverge, and the offsets joined
+    // back by (_pid, key) would describe the wrong partitions — silently
+    // wrong quantiles. Fail loudly instead.
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "Percentiles.exactQuantiles requires spark.sql.exchange.reuse=true " +
+        "(rank offsets are only valid against a single materialization of the range exchange)")
     val vals = df
       .select(col(key), col(value).cast("double").as("_v"))
       .filter(col("_v").isNotNull)

@@ -44,13 +44,17 @@ object DedupQueries {
     * `sources/Sinks.scala`): the MinHash-LSH near-dup PAIR relation and the
     * connected-component CLUSTER relation for a corpus dir are each
     * computed and persisted ONCE per session, then served to every
-    * consumer — `q_dedup_near`, `q_dedup_clusters` and `q_curate` share
-    * one LSH pass + one clustering run instead of re-running the pipeline
-    * three times. Both relations are tiny (pairs of near-duplicates, one
-    * row per clustered doc), so holding them cached for the session is
-    * cheap; the heavyweight intermediate (the shingle/hash frame) is a
-    * checkpoint inside `Dedup.nearDuplicates` whose blocks the context
-    * cleaner reclaims once the pass completes.
+    * consumer — `q_dedup_near`, `q_dedup_clusters`, `q_curate` and
+    * `q_jaccard_pairs` share one shingle/hash pass, one LSH run and one
+    * clustering run instead of re-running the pipeline per query. The
+    * pair and cluster relations are tiny (pairs of near-duplicates, one
+    * row per clustered doc). The shingle/hash frame (`hashes`) is NOT
+    * tiny — (doc_id, shingle array, hash array) is the widest
+    * intermediate in the system — and it stays persisted
+    * (MEMORY_AND_DISK, spillable) for the session so the LSH and
+    * jaccard paths share it; size executor storage for roughly the
+    * tokenized corpus, or `invalidate(dir)` after the dedup queries to
+    * release it early.
     */
   object DedupStore {
 

@@ -418,7 +418,7 @@ object RelationalQueries {
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
         |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
-        |       COUNT(*) AS n
+        |       COUNT(l_extendedprice) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_user_lag" ->

@@ -194,20 +194,30 @@ object IndexStore {
     * which restores the overwrite-rebuild self-healing of a stable path
     * while keeping per-process isolation.
     */
+  /** Tables this process has already built or location-validated — a
+    * table we wrote (or checked) under our own scope can never go stale
+    * within the process, so the per-call DESCRIBE round-trip is paid at
+    * most once per table.
+    */
+  private var verified = Set.empty[String]
+
   def postings(spark: SparkSession, dir: String): DataFrame = {
     val tbl = tableNameFor(dir)
     val path =
       s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/$processScope/$tbl"
     building.synchronized {
-      val stale = spark.catalog.tableExists(tbl) &&
-        !spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
-          .filter(col("col_name") === "Location")
-          .collect().headOption.exists(_.getString(1).contains(s"/$processScope/"))
-      if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      if (stale || !spark.catalog.tableExists(tbl)) {
-        Sinks.writeIndex(
-          graft.operators.InvertedIndex.postings(Corpus.documents(spark, dir)),
-          tbl, path)
+      if (!verified.contains(tbl)) {
+        val stale = spark.catalog.tableExists(tbl) &&
+          !spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+            .filter(col("col_name") === "Location")
+            .collect().headOption.exists(_.getString(1).contains(s"/$processScope/"))
+        if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        if (stale || !spark.catalog.tableExists(tbl)) {
+          Sinks.writeIndex(
+            graft.operators.InvertedIndex.postings(Corpus.documents(spark, dir)),
+            tbl, path)
+        }
+        verified += tbl
       }
     }
     spark.table(tbl)

@@ -44,8 +44,14 @@ object StreamingIndex {
     * a blind append would duplicate its (term, doc_id) rows, silently
     * breaking consumers that rely on posting uniqueness (`BooleanQuery
     * .and` counts plain hits). Each appended batch therefore commits a
-    * marker under `<path>/_graft_commits/<batchId>` AFTER its append job
-    * commits; a re-delivered batchId whose marker exists is skipped.
+    * marker under `<path>/_graft_commits/<checkpoint-scope>/<batchId>`
+    * AFTER its append job commits; a re-delivered batchId whose marker
+    * exists is skipped. Markers are SCOPED by a digest of the
+    * checkpoint location because batchIds are only meaningful within
+    * one checkpoint lineage — a stream restarted with a FRESH
+    * checkpoint (or a second stream ingesting into the same table)
+    * restarts batchIds at 0, and unscoped markers would silently drop
+    * its first batches as "already committed".
     * Residual window: a crash BETWEEN the append's job commit and the
     * marker write still replays that one batch (exact-once would need a
     * transactional table format); the periodic batch-sink compaction
@@ -58,17 +64,25 @@ object StreamingIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, tableName, path, buckets): Unit
+        appendBatch(batch, batchId, tableName, path, buckets,
+          commitScope(checkpointDir)): Unit
       }
       .start()
 
+  /** Marker namespace for one checkpoint lineage (see `sinkToIndex`). */
+  private[graft] def commitScope(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
   /** One idempotent micro-batch append (factored out of `sinkToIndex` so
     * replay behavior is directly testable). @return whether the batch was
-    * appended (false = replay of an already-committed batchId, skipped).
+    * appended (false = replay of an already-committed batchId within the
+    * same checkpoint scope, skipped).
     */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long, tableName: String,
-                                 path: String, buckets: Int): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$batchId")
+                                 path: String, buckets: Int,
+                                 scope: String = "default"): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$scope/$batchId")
     val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
     else {

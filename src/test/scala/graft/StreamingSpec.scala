@@ -191,6 +191,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.StreamingIndex
       .appendBatch(batch.filter($"term" === "cat"), 1L, "t_replay_idx", s"$dir/idx", buckets = 4))
     assert(spark.table("t_replay_idx").count() === 3)
+    // a DIFFERENT checkpoint scope restarts batchIds at 0 — its batch 0
+    // must append, not be mistaken for the first stream's committed 0
+    assert(graft.streaming.StreamingIndex
+      .appendBatch(batch.filter($"term" === "dog"), 0L, "t_replay_idx", s"$dir/idx",
+        buckets = 4, scope = graft.streaming.StreamingIndex.commitScope("other-ckpt")))
+    assert(spark.table("t_replay_idx").count() === 4)
   }
 
   test("batch and streaming agree on the same input") {
