@@ -82,6 +82,23 @@ class PlanSpec extends AnyFunSuite {
       s"range exchange must materialize once at runtime:\n$fin")
   }
 
+  test("q_full_join: pre-aggregated sides, SMJ full outer, no nested loop") {
+    // full outer admits no broadcast strategy: the healthy shape is the
+    // two per-side pre-aggregation exchanges feeding one sort-merge
+    // full-outer join — nothing wider ever crosses the wire
+    val p = plan("q_full_join")
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(shuffles(p) === 2, s"expected only the two pre-agg exchanges:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"full outer degenerated to a nested loop:\n$p")
+  }
+
+  test("q_jaccard_pairs: equi-joins throughout, never a nested loop or cartesian") {
+    val p = plan("q_jaccard_pairs")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"jaccard pipeline degenerated to a non-equi join:\n$p")
+  }
+
   test("q_pivot: two-phase pivot, second exchange over pre-aggregated rows only") {
     // Spark's pivot contract: groupBy(flag, status) pre-aggregate, then
     // pivotfirst — the second exchange moves one row per (flag, status)
