@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Bench main: times every registered query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Protocol:
@@ -9,6 +10,25 @@ import org.apache.spark.sql.SparkSession
   *     `index_build_sec` (persisted K2 index) and `dedup_build_sec`
   *     (shared LSH pair + cluster relations) — so point/boolean/dedup
   *     queries are measured at steady state: build once, query many;
+  *   - each query is timed as the MIN OF 2 runs taken from two FULL
+  *     passes over the suite (pass A: q1..qN, then pass B: q1..qN) —
+  *     steady-state protocol. Interleaving matters: a multi-second
+  *     CPU-contention burst on a shared host covers BOTH samples of a
+  *     back-to-back min-of-2 (observed: q_lang_id 10.3 s min-of-2 vs
+  *     0.93 s standalone), but with full-suite interleave the same
+  *     query's two samples are ~half a suite apart, so a burst must
+  *     last minutes AND align twice to corrupt a minimum (r04: an
+  *     otherwise-unchanged scan family read 5–9× slower on a contended
+  *     host and the single-run artifact failed its gate);
+  *   - CONTENTION SENTINELS make a degraded run detectable inside the
+  *     artifact itself: `cpu_sentinel_start_sec`/`cpu_sentinel_end_sec`
+  *     time a fixed pure-CPU microbench (sum of xxhash64 over a constant
+  *     range — no I/O, no shuffle, identical work every round) before
+  *     and after the timed pass, and `rollup_end_sec` re-times
+  *     q_rollup_revenue after everything else so `cube_rollup_ratio`
+  *     (identically-planned queries, documented healthy ratio ≈1.1)
+  *     plus start/end sentinel drift expose a host that degraded
+  *     mid-run;
   *   - a failing query records its error in `errors` instead of
   *     masquerading as a fast timing;
   *   - queries run in sorted name order for run-to-run comparability.
@@ -47,6 +67,19 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Fixed pure-CPU reference microbench: identical work every run and
+    // every round (constant range, no files, one partition per core, no
+    // shuffle — the sum is a map-side partial + a 1-row merge), so its
+    // timing moves ONLY with host CPU availability. ~1 s on a quiet host.
+    def cpuSentinel(): Double = {
+      val t0 = System.nanoTime()
+      // % 1e6 bounds the summand so the 400M-row sum stays far under
+      // Long.MaxValue (ANSI mode makes a raw sum(xxhash64) overflow)
+      spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .select(sum(xxhash64(col("id")) % 1000000L)).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // warm-up: codegen + parquet reader on the bench tables. The TPC-H
     // join-chain path is warmed explicitly (q5_multijoin touches orders/
     // customer/nation/region/supplier/lineitem) — without it the first
@@ -71,7 +104,7 @@ object Bench {
         p.count()
         // warm with a term that exists ("the" is a stopword and never
         // reaches the index) so the warm read touches real bucket data
-        materialize(p.filter(org.apache.spark.sql.functions.col("term") === "spark"))
+        materialize(p.filter(col("term") === "spark"))
         (System.nanoTime() - tIdx) / 1e9
       } catch { case _: Throwable => -1.0 }
     // one-time LSH + connected-components build shared by the dedup
@@ -86,18 +119,50 @@ object Bench {
         (System.nanoTime() - tDedup) / 1e9
       } catch { case _: Throwable => -1.0 }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val cpuStart = cpuSentinel()
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try { materialize(fn(spark, sfDir)); None }
         catch { case e: Throwable => Some(e.toString.take(300)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
     }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def fullPass(): Seq[(String, (Double, Option[String]))] =
+      named.map { case (name, fn) => (name, timeOnce(fn)) }
+    val passA = fullPass().toMap
+    val passB = fullPass().toMap
+    val results = named.map { case (name, _) =>
+      val samples = Seq(passA(name), passB(name))
+      val ok = samples.collect { case (t, None) => t }
+      if (ok.nonEmpty) (name, ok.min, None)
+      else (name, samples.head._1, samples.head._2)
+    }
+
+    // end-of-run sentinels: the fixed microbench again, and a re-time of
+    // q_rollup_revenue (min-of-2, same protocol) after the whole suite —
+    // paired with q_cube_revenue's mid-run timing these bound how much
+    // the host degraded between the cube measurement and the end
+    val cpuEnd = cpuSentinel()
+    val rollupEnd =
+      SparkEntry.queries.get("q_rollup_revenue").map { fn =>
+        val (a, e) = timeOnce(fn)
+        if (e.isDefined) -1.0 else math.min(a, timeOnce(fn)._1)
+      }.getOrElse(-1.0)
+    val timed = results.map { case (k, v, _) => (k, v) }.toMap
+    val cubeRollupRatio =
+      (timed.get("q_cube_revenue"), timed.get("q_rollup_revenue")) match {
+        case (Some(c), Some(r)) if r > 0 => c / r
+        case _ => -1.0
+      }
+
     val qs = results.map { case (k, v, _) => esc(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => esc(k) + ":" + esc(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"index_build_sec":$indexBuildSec,"dedup_build_sec":$dedupBuildSec,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2","cube_rollup_ratio":$cubeRollupRatio,"rollup_end_sec":$rollupEnd,"cpu_sentinel_start_sec":$cpuStart,"cpu_sentinel_end_sec":$cpuEnd,"index_build_sec":$indexBuildSec,"dedup_build_sec":$dedupBuildSec,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -296,9 +296,19 @@ object Dedup {
   /** Exact n-gram-Jaccard near-duplicate pairs with RARE-SHINGLE
     * candidate generation — the inverted-index-flavored alternative to
     * MinHash-LSH bucketing (`nearDuplicates`): two documents become
-    * candidates when they share a shingle whose document frequency is in
-    * [2, `maxDf`], then every candidate pair is verified with the exact
-    * Jaccard over the full distinct shingle sets.
+    * candidates when they share at least `minSharedRare` shingles whose
+    * document frequency is in [2, `maxDf`], then every candidate pair is
+    * verified with the exact Jaccard over the full distinct shingle sets.
+    *
+    * `minSharedRare` (default 2) exists because verify mass is the whole
+    * cost of this operator: with a 1-shingle rule most candidates share
+    * exactly one rare shingle and fail verification (~450k verifies for
+    * ~25 true pairs at sf0.1). A pair at J ≥ 0.5 shares |A∩B| ≥
+    * max(|A|,|B|)/2 shingles, so requiring 2 of them to be rare only
+    * misses pairs whose shared set is almost entirely high-df
+    * boilerplate — the same pairs the maxDf dial already deprioritizes.
+    * The count reuses the shuffle the old DISTINCT needed anyway: same
+    * exchange, ~two orders of magnitude fewer verify joins.
     *
     * `maxDf` is the recall/cost dial: boilerplate shingles shared by
     * half the corpus generate quadratic candidate mass and are dropped —
@@ -318,28 +328,36 @@ object Dedup {
     * all-pairs, no unbounded buffer.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 10,
-                   threshold: Double = 0.5): DataFrame =
+                   threshold: Double = 0.5, minSharedRare: Int = 2): DataFrame =
     jaccardPairsFromShingles(materializeOnce(shingleHashFrame(docs, n)),
-      maxDf, threshold)
+      maxDf, threshold, minSharedRare)
 
   /** `jaccardPairs` over a pre-built, already-materialized
     * `shingleHashFrame` (see `nearDuplicatesFromHashes` for why).
     */
   def jaccardPairsFromShingles(shAll: DataFrame, maxDf: Int = 10,
-                               threshold: Double = 0.5): DataFrame = {
+                               threshold: Double = 0.5,
+                               minSharedRare: Int = 2): DataFrame = {
     val sh = shAll.filter(size(col("sh")) > 0)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = ex.groupBy("shingle")
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
       .select("shingle")
+    // the shared-rare-shingle count replaces the old DISTINCT: identical
+    // shuffle (hash partition on the pair), but the HAVING-style filter
+    // drops the share-exactly-one-rare-shingle mass before the verify
+    // joins move any array payload
     val cands = ex.join(rare, "shingle")
       .groupBy("shingle")
       .agg(collect_list(col("doc_id")).as("ids")) // ≤ maxDf by the join
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minSharedRare)
+      .select("doc_a", "doc_b")
     verifyJaccard(cands, sh, threshold)
   }
 

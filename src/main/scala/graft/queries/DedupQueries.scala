@@ -241,9 +241,10 @@ object DedupQueries {
          |), rare AS (
          |  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
          |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  JOIN rare r ON a.shingle = r.shingle
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
          |), j AS (
          |  SELECT doc_a, doc_b,
          |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

@@ -90,8 +90,11 @@ object TextQueries {
         .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))),
 
-    // tf-idf: tf × ln(N/df). Both factors come from single-shuffle aggregates;
-    // df and N are tiny (vocabulary-sized / scalar) so both joins broadcast.
+    // tf-idf: tf × ln(N/df). Both factors come from single-shuffle aggregates.
+    // The df relation is VOCABULARY-sized — small here, but a web-scale corpus
+    // has 1e8–1e9 terms, so no broadcast hint: AQE picks broadcast at small
+    // scale and falls back to a shuffle join when df outgrows the threshold.
+    // The n relation is a single scalar row, safe to hint at any scale.
     // Rounded to 6dp on both sides — ln() libm rounding is engine-specific.
     "q_tfidf" -> ((s, dir) => {
       val tf = docs(s, dir)
@@ -99,7 +102,7 @@ object TextQueries {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = InvertedIndex.docFreq(postings(s, dir))
       val n = docs(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
-      tf.join(broadcast(df), "term")
+      tf.join(df, "term")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"), col("tf"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time individual registered queries in isolation, with the
+  * same session config as `graft.Bench`, e.g.
+  * `sbt "runMain graft.tools.TimeQuery q_lang_id q_tfidf"`.
+  * Each named query runs `SPARK_GRAFT_RUNS` times (default 3) after a
+  * table warm-up; prints one line per run. Not part of the engine or the
+  * bench protocol — exists so a single regressed query can be profiled
+  * without paying for the full suite.
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def mat(n: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (name <- args) {
+      for (i <- 1 to runs) println(f"$name run$i: ${mat(name)}%.3f s")
+    }
+    spark.stop()
+  }
+}
