@@ -145,6 +145,24 @@ object AnalysisQueries {
         .select("event_id", "user_id", "signup_event_id")
     }),
 
+    // Stream-stream interval join, batch instantiation: each purchase
+    // attributed to the same user's clicks within the preceding hour —
+    // the SAME declared plan `StreamingSpec` runs under MemoryStream
+    // (watermarks are no-ops in batch execution), so the stream-stream
+    // operator's semantics get a CORRECTNESS row, not just a spec.
+    // Output time keys as unix µs (the engine-portable precision of the
+    // nanos-backed events table) rather than raw timestamps.
+    "q_attributed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventPipeline.attributedPurchases(
+        clicks = ev.filter(col("event_type") === "click"),
+        purchases = ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("purchase_t")).as("purchase_us"),
+          col("value"),
+          unix_micros(col("click_t")).as("click_us"))
+    }),
+
     // Multimodal/semi-structured: JSON props → typed struct column.
     "q_props_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -357,6 +375,21 @@ object AnalysisQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_event_id
         |  FROM u
         |) WHERE isl = 1""".stripMargin,
+
+    // Same µs time-key discipline as the asof/sessions oracles; the
+    // 1-hour interval bound compares in µs (3_600_000_000).
+    "q_attributed" ->
+      """WITH c AS (
+        |  SELECT user_id AS click_user, epoch_ns(ts)//1000 AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS purchase_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, purchase_us, value, click_us
+        |FROM p JOIN c ON user_id = click_user
+        |  AND click_us >= purchase_us - 3600000000
+        |  AND click_us <= purchase_us""".stripMargin,
 
     "q_props_extract" ->
       """SELECT event_id, event_type,
