@@ -59,20 +59,32 @@ object StreamingIndex {
     * uncompacted window should `dropDuplicates("term", "doc_id")` first.
     */
   def sinkToIndex(postings: DataFrame, tableName: String, path: String,
-                  checkpointDir: String, buckets: Int = 32): StreamingQuery =
+                  checkpointDir: String, buckets: Int = 32): StreamingQuery = {
+    val scope = commitScope(checkpointDir,
+      postings.sparkSession.sparkContext.hadoopConfiguration)
     postings.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, tableName, path, buckets,
-          commitScope(checkpointDir)): Unit
+        appendBatch(batch, batchId, tableName, path, buckets, scope): Unit
       }
       .start()
+  }
 
-  /** Marker namespace for one checkpoint lineage (see `sinkToIndex`). */
-  private[graft] def commitScope(checkpointDir: String): String =
+  /** Marker namespace for one checkpoint lineage (see `sinkToIndex`).
+    * The path is filesystem-QUALIFIED before hashing: equivalent
+    * spellings of the same directory (relative vs absolute, trailing
+    * slash, scheme-qualified) across a restart must land in the SAME
+    * marker scope, or a re-delivered batch would be re-appended — the
+    * exact duplication the markers exist to prevent.
+    */
+  private[graft] def commitScope(checkpointDir: String,
+                                 hadoopConf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val qualified = p.getFileSystem(hadoopConf).makeQualified(p).toString
     java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(qualified.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
 
   /** One idempotent micro-batch append (factored out of `sinkToIndex` so
     * replay behavior is directly testable). @return whether the batch was
@@ -93,5 +105,66 @@ object StreamingIndex {
       fs.create(marker, true).close()
       true
     }
+  }
+
+  /** Compact a streaming-appended index table (the periodic batch half of
+    * the streaming-ingest + batch-compaction split `sinkToIndex`
+    * documents): rewrite the accumulated one-file-per-bucket-per-batch
+    * table through the batch K2 layout, restoring (term, doc_id)
+    * uniqueness across the replay residual window (`url` is functionally
+    * dependent on `doc_id`, so dropping duplicate keys loses nothing) and
+    * collapsing each bucket to a single file.
+    *
+    * MUST run while ingest into `tableName` is stopped (stop the
+    * `sinkToIndex` query, compact, restart from the same checkpoint) —
+    * the standard pause-compact-resume discipline; compacting under a
+    * live appender would race the directory swap.
+    *
+    * The rewrite goes to a side directory, then swaps in via two
+    * renames, so the data rewrite and the committed-marker clearing are
+    * one directory replacement rather than two windows:
+    *   1. write compacted table files to `<path>__compacting`;
+    *   2. rename `<path>` → `<path>__pre_compact` (data + marker tree
+    *      leave together), rename `<path>__compacting` → `<path>`,
+    *      delete `<path>__pre_compact`;
+    *   3. re-register `tableName` over `<path>` with the same bucket
+    *      spec.
+    * A crash between the renames leaves every row recoverable on disk
+    * (`__pre_compact` or `__compacting`) — never a half-compacted mix
+    * under the live path.
+    *
+    * Clearing markers establishes a fresh dedup baseline: if the stopped
+    * stream later resumes from a micro-batch whose engine checkpoint
+    * commit didn't complete, that one batch re-appends (at-least-once)
+    * and the NEXT compaction collapses it — the same residual-window
+    * contract as `sinkToIndex`, now bounded per compaction cycle instead
+    * of accumulating marker files forever.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, tableName: String,
+              path: String, buckets: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmpTable = tableName + "__compacting"
+    val tmpPath = path + "__compacting"
+    val oldPath = path + "__pre_compact"
+    val compacted = spark.table(tableName).dropDuplicates("term", "doc_id")
+    val schemaDdl = compacted.schema.toDDL
+    graft.sources.Sinks.writeIndex(compacted, tmpTable, tmpPath, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")   // files stay (external path)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(oldPath), true) // clear any residue of a crashed compact
+    if (!fs.rename(dst, new Path(oldPath)))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(new Path(tmpPath), dst))
+      throw new java.io.IOException(s"compact: cannot install $tmpPath at $path")
+    fs.delete(new Path(oldPath), true)
+    // re-register the table over the compacted files with the identical
+    // bucket spec (bucket ids live in the file names, so the new catalog
+    // entry keeps bucket pruning over the renamed files)
+    spark.sql(
+      s"""CREATE TABLE $tableName ($schemaDdl) USING PARQUET
+         |CLUSTERED BY (term) SORTED BY (term) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
   }
 }

@@ -195,8 +195,54 @@ class StreamingSpec extends AnyFunSuite {
     // must append, not be mistaken for the first stream's committed 0
     assert(graft.streaming.StreamingIndex
       .appendBatch(batch.filter($"term" === "dog"), 0L, "t_replay_idx", s"$dir/idx",
-        buckets = 4, scope = graft.streaming.StreamingIndex.commitScope("other-ckpt")))
+        buckets = 4, scope = graft.streaming.StreamingIndex.commitScope("other-ckpt",
+          spark.sparkContext.hadoopConfiguration)))
     assert(spark.table("t_replay_idx").count() === 4)
+  }
+
+  test("commitScope: equivalent spellings of one checkpoint dir share a marker scope") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def scope(s: String) = graft.streaming.StreamingIndex.commitScope(s, conf)
+    assert(scope("/tmp/ckpt") === scope("/tmp/ckpt/"))
+    assert(scope("/tmp/ckpt") === scope("file:/tmp/ckpt"))
+    assert(scope("/tmp/ckpt") !== scope("/tmp/other"))
+  }
+
+  test("compact: replay duplicates collapse, one file per bucket, pruning survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_stream").toString
+    val (tbl, path) = ("t_compact_idx", s"$dir/idx")
+    val b0 = Seq(("cat", 1L, "u1"), ("sat", 1L, "u1")).toDF("term", "doc_id", "url")
+    val b1 = Seq(("cat", 2L, "u2"), ("dog", 2L, "u2")).toDF("term", "doc_id", "url")
+    assert(graft.streaming.StreamingIndex.appendBatch(b0, 0L, tbl, path, buckets = 4))
+    assert(graft.streaming.StreamingIndex.appendBatch(b1, 1L, tbl, path, buckets = 4))
+    // forced replay of batch 1 through the residual window: the crash
+    // happened AFTER the append's job commit but BEFORE the marker write,
+    // so on restart the marker is absent and the batch re-appends
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_commits/default/1")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(marker, false)
+    assert(graft.streaming.StreamingIndex.appendBatch(b1, 1L, tbl, path, buckets = 4))
+    assert(spark.table(tbl).count() === 6) // duplicates present pre-compact
+
+    graft.streaming.StreamingIndex.compact(spark, tbl, path, buckets = 4)
+
+    // uniqueness restored: boolean AND counts plain hits correctly again
+    assert(spark.table(tbl).count() === 4)
+    assert(graft.operators.BooleanQuery.and(spark.table(tbl), Seq("cat", "dog"))
+      .as[Long].collect().toSeq === Seq(2L))
+    // exactly one data file per non-empty bucket (bucket id is the _NNNNN
+    // suffix in the file name)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val bucketIds = files.map(_.getName.replaceAll(".*_(\\d{5})\\..*", "$1"))
+    assert(bucketIds.length === bucketIds.distinct.length,
+      s"multiple files in one bucket: ${files.map(_.getName).toSeq}")
+    // marker tree cleared with the swap
+    assert(!new java.io.File(s"$path/_graft_commits").exists())
+    // bucket pruning still active over the re-registered table
+    val plan = spark.table(tbl).filter($"term" === "cat")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 4"), s"no pruning:\n$plan")
   }
 
   test("batch and streaming agree on the same input") {
