@@ -73,31 +73,33 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(embedding, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
-  /** IVF-style ANN top-k: a coarse quantizer assigns every vector to its
-    * nearest centroid cell; the query ranks only the members of its
-    * `nProbe` nearest cells. Centroids here are DETERMINISTIC (the first
-    * `nCells` vectors by vec_id) so the operator is oracle-checkable —
-    * swap in k-means-trained centroids without touching the plumbing
-    * (assign → probe → in-cell rank), which is the part that scales:
-    * assignment is a broadcast of nCells rows, probing reads ~nProbe/nCells
-    * of the corpus, and nothing is ever all-pairs.
+  /** Nearest-centroid assignment (6-dp-rounded cosine, cent_id
+    * tie-break): every vector labeled with its cell. The centroid
+    * relation is nCells rows — broadcast by construction.
     */
-  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val p = prepared(embeddings)
-    val cents = p.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
-    val simToCent = cosine(col("v"), col("norm"), col("cv"), col("cn"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val assigned = p.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("norm"), col("cent_id"), simToCent.as("csim"))
-      .withColumn("rk", row_number().over(wAssign))
+  private def assignCells(p: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    p.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id"),
+        cosine(col("v"), col("norm"), col("cv"), col("cn")).as("csim"))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+  }
+
+  /** The probe + in-cell rank half of IVF, shared by the deterministic
+    * and the Lloyd-trained quantizers: assignment broadcasts nCells
+    * rows, probing reads ~nProbe/nCells of the corpus, nothing is ever
+    * all-pairs.
+    */
+  private def ivfRank(p: DataFrame, cents: DataFrame, queryId: Long,
+                      k: Int, nProbe: Int): DataFrame = {
+    val assigned = assignCells(p, cents)
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     val probeCells = p.filter(col("vec_id") === queryId)
       .crossJoin(broadcast(cents))
-      .select(col("cent_id"), simToCent.as("csim"), col("vec_id"))
+      .select(col("cent_id"),
+        cosine(col("v"), col("norm"), col("cv"), col("cn")).as("csim"), col("vec_id"))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("cent_id").as("cell"))
@@ -110,6 +112,71 @@ object Similarity {
       .select(col("vec_id"), cosine(col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** IVF-style ANN top-k: a coarse quantizer assigns every vector to its
+    * nearest centroid cell; the query ranks only the members of its
+    * `nProbe` nearest cells. Centroids here are DETERMINISTIC (the first
+    * `nCells` vectors by vec_id) so the operator is oracle-checkable —
+    * `ivfTopKTrained` swaps in Lloyd-trained centroids without touching
+    * the plumbing.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val p = prepared(embeddings)
+    val cents = p.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
+    ivfRank(p, cents, queryId, k, nProbe)
+  }
+
+  /** A fixed number of Lloyd (k-means) iterations from the deterministic
+    * first-`nCells` init. Everything is engine-portable by construction:
+    * assignment uses the 6-dp-rounded cosine with a cent_id tie-break,
+    * and each new centroid is the per-position mean computed through an
+    * exact DECIMAL sum — order-INDEPENDENT, so the result is identical
+    * run-to-run (Spark sums partitions in nondeterministic order) and
+    * engine-to-engine (the oracle mirrors the same decimal sum). The
+    * division back to double is IEEE-deterministic. A cell that loses
+    * all members simply disappears (k shrinks) — deterministic in both
+    * engines.
+    *
+    * Scale shape per iteration: one broadcast-assign pass + one
+    * (cell, pos)-keyed aggregate whose cardinality is nCells × dims —
+    * tiny regardless of corpus size. `iters` is fixed and small (2): the
+    * goal is oracle-checkable trained centroids, not convergence; more
+    * iterations change cost linearly, not shape.
+    */
+  def lloydCentroids(p: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = p.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
+    for (_ <- 1 to iters) {
+      val means = assignCells(p, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cell")
+        // array_sort on struct(pos, m) orders by pos — rebuilds the
+        // vector in position order regardless of aggregation order
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      cents = means.select(col("cell").as("cent_id"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("cn"))
+    }
+    cents
+  }
+
+  /** `ivfTopK` with Lloyd-TRAINED centroids (fixed `iters` from the
+    * deterministic init) — better-shaped cells than the first-nCells
+    * quantizer, same assign → probe → in-cell-rank plumbing, still
+    * oracle-checkable because training is deterministic and
+    * engine-portable (see `lloydCentroids`).
+    */
+  def ivfTopKTrained(embeddings: DataFrame, queryId: Long, k: Int,
+                     nCells: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val p = prepared(embeddings)
+    ivfRank(p, lloydCentroids(p, nCells, iters), queryId, k, nProbe)
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH candidates,

@@ -17,6 +17,8 @@ object SimilarityQueries {
     "q_sim_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L, k = 10)),
     "q_ann_nn" -> ((s, dir) => Similarity.annNearestNeighbor(emb(s, dir), bits = 8)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), queryId = 0L, k = 10)),
+    "q_ann_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTopKTrained(emb(s, dir), queryId = 0L, k = 10)),
     "q_embed_dup" -> ((s, dir) => Similarity.embeddingDuplicates(emb(s, dir))),
   )
 
@@ -31,6 +33,32 @@ object SimilarityQueries {
 
   private val signBucket =
     (1 to 8).map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** One unrolled Lloyd iteration (mirror of `Similarity.lloydCentroids`):
+    * assignment by 6-dp cosine vs centroids `c$it`, then per-position
+    * means through an exact DECIMAL(27,12) sum (order-independent — the
+    * portability hinge; the divide back to double is IEEE-deterministic),
+    * producing `c${it+1}`. Dims are the fixture's fixed 64 (the lateral
+    * `range(1, 65)`).
+    */
+  private def lloydIterSql(it: Int): String =
+    s"""s$it AS (
+       |  SELECT n.vec_id, n.v, n.norm, cent_id,
+       |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
+       |               / (norm * cn), 6) AS csim
+       |  FROM n, c$it
+       |), a$it AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM s$it
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+       |), m$it AS (
+       |  SELECT cell, i AS pos,
+       |         CAST(SUM(CAST(v[i] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+       |  FROM a$it, range(1, 65) t(i) GROUP BY cell, i
+       |), l$it AS (
+       |  SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM m$it GROUP BY cell
+       |), c${it + 1} AS (
+       |  SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn FROM l$it
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
@@ -56,6 +84,30 @@ object SimilarityQueries {
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
          |), probe AS (
          |  SELECT cent_id AS cell FROM csims WHERE vec_id = 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) <= 2
+         |), q AS (
+         |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0
+         |)
+         |SELECT vec_id,
+         |       round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+         |             / (norm * qn), 6) AS sim
+         |FROM assigned JOIN probe USING (cell), q
+         |WHERE vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivf_trained" ->
+      s"""$prepCte, c0 AS (
+         |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
+         |), ${lloydIterSql(0)}, ${lloydIterSql(1)}, sf AS (
+         |  SELECT n.vec_id, n.v, n.norm, cent_id,
+         |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
+         |               / (norm * cn), 6) AS csim
+         |  FROM n, c2
+         |), assigned AS (
+         |  SELECT vec_id, v, norm, cent_id AS cell FROM sf
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+         |), probe AS (
+         |  SELECT cent_id AS cell FROM sf WHERE vec_id = 0
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) <= 2
          |), q AS (
          |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0

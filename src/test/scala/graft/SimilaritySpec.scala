@@ -43,4 +43,21 @@ class SimilaritySpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(nn(2L) === expected)
   }
+
+  test("trained IVF: recall >= 0.9 @ k=10 vs the exact brute-force answer") {
+    val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = Similarity.topK(corpus, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val trained = Similarity.ivfTopKTrained(corpus, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = exact.intersect(trained).size / 10.0
+    assert(recall >= 0.9, s"recall $recall; exact=$exact trained=$trained")
+  }
+
+  test("lloyd training is deterministic across invocations") {
+    val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
+    def run() = Similarity.ivfTopKTrained(corpus, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(run() === run())
+  }
 }
