@@ -165,13 +165,71 @@ object Dedup {
     * released by the context cleaner when the frame goes out of scope;
     * reliable checkpoint FILES are only auto-deleted when
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
-    * false) — deployments that set a checkpoint dir should either
-    * enable that conf or use a per-job checkpoint directory they
-    * delete on completion.
+    * false), so every durable checkpoint is RECORDED here and released
+    * by `releaseCheckpoints` (explicit end-of-job call) or by the stale
+    * sweep `DedupStore` runs when a session stops — repeated cluster
+    * invocations no longer leak checkpoint storage.
     */
   private[graft] def materializeOnce(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      recordCheckpointDir(df.sparkSession.sparkContext)
+      df.checkpoint(true)
+    } else df.localCheckpoint(true)
+
+  /** Durable-checkpoint garbage registry. `SparkContext.setCheckpointDir`
+    * appends a per-context UUID to the caller's base directory, so each
+    * entry here is a directory holding ONLY this context's checkpoint
+    * files — deleting it can never touch another job's checkpoints, and
+    * once the owning context is stopped (or the caller says the dedup
+    * relations are done) the files are unreachable garbage by
+    * construction: checkpoint files are only readable through the RDD
+    * lineage of the context that wrote them.
+    */
+  private val ckptRegistry =
+    new java.util.concurrent.ConcurrentHashMap[
+      String,
+      (java.lang.ref.WeakReference[org.apache.spark.SparkContext],
+        org.apache.hadoop.conf.Configuration)]()
+
+  private def recordCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.getCheckpointDir.foreach { d =>
+      ckptRegistry.putIfAbsent(d,
+        (new java.lang.ref.WeakReference(sc), sc.hadoopConfiguration))
+    }
+
+  /** Delete the recorded checkpoint directories of THIS context (call
+    * when no dedup/cluster relation from this session will be used
+    * again, e.g. end of job), plus any whose context is gone.
+    */
+  def releaseCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit =
+    releaseWhere { ref =>
+      val sc = ref.get
+      sc == null || sc.isStopped || sc.eq(spark.sparkContext)
+    }
+
+  /** Delete recorded checkpoint dirs whose owning context is stopped or
+    * collected — the background sweep (`DedupStore.pruneStopped`).
+    */
+  private[graft] def releaseStaleCheckpoints(): Unit =
+    releaseWhere { ref =>
+      val sc = ref.get
+      sc == null || sc.isStopped
+    }
+
+  private def releaseWhere(
+      pred: java.lang.ref.WeakReference[org.apache.spark.SparkContext] => Boolean): Unit = {
+    val it = ckptRegistry.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (pred(e.getValue._1)) {
+        try {
+          val p = new org.apache.hadoop.fs.Path(e.getKey)
+          p.getFileSystem(e.getValue._2).delete(p, true)
+        } catch { case _: Exception => } // best-effort; re-attempted next sweep
+        it.remove()
+      }
+    }
+  }
 
   /** All within-bucket candidate pairs (x, y), x < y, of a bucketed
     * relation — with BOUNDED task memory on degenerate buckets.
@@ -403,6 +461,7 @@ object Dedup {
       return spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id")
     }
     val durable = spark.sparkContext.getCheckpointDir.isDefined
+    if (durable) recordCheckpointDir(spark.sparkContext)
     def truncate(df: DataFrame): DataFrame =
       if (durable) df.checkpoint(false) else df.localCheckpoint(false)
     def checksum(df: DataFrame): java.math.BigDecimal =

@@ -93,7 +93,15 @@ object Percentiles {
         lit(0L)))
       .withColumn("_n", sum(col("_c")).over(wKey))
       .select(col("_pid"), col(key), col("_m0"), col("_off"), col("_n"))
-    sorted.join(broadcast(offsets), Seq("_pid", key))
+    // No broadcast hint on offsets: it is bounded by #partitions × #keys,
+    // but #keys is data-dependent — a high-cardinality group key makes
+    // this ~one row per distinct key, and a forced broadcast bypasses the
+    // size threshold straight into a driver OOM at exactly the scale this
+    // operator targets. AQE broadcasts it whenever it is actually small
+    // (always, for sane key cardinalities). Correctness is join-strategy-
+    // independent: _mid/_pid are computed BELOW any join exchange, against
+    // the pinned range layout, so even a shuffle join only costs time.
+    sorted.join(offsets, Seq("_pid", key))
       .withColumn("_rn", col("_mid") - col("_m0") + col("_off") + 1)
       .select(col(key), col("_v"), col("_rn"), col("_n"), col("_pid"))
   }

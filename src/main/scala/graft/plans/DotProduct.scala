@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: dot product of two `array<double>`
   * columns with LEFT-TO-RIGHT double accumulation.
@@ -33,6 +34,23 @@ case class DotF64(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_f64"
+
+  /** `dot_f64` is session-registered SQL: without this check an
+    * `array<float>` / `array<int>` argument passes analysis and
+    * `ArrayData.getDouble` reads garbage bits at runtime. Fail at
+    * analysis instead (internal callers cast via `Similarity.asDouble`;
+    * SQL users get the error). `checkInputDataTypes` rather than
+    * `ExpectsInputTypes`: the latter's `AbstractDataType` signature is
+    * `private[sql]`.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -34,6 +35,18 @@ case class SimHashHex(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash_hex"
+
+  /** Session-registered SQL function — reject non-`array<string>` input
+    * at analysis (`getUTF8String` on e.g. array<binary> would read
+    * garbage). See DotF64 for why not `ExpectsInputTypes`.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -74,6 +74,9 @@ object DedupQueries {
       hashCache = hashCache.filter(!_._1._1.sparkContext.isStopped)
       pairCache = pairCache.filter(!_._1._1.sparkContext.isStopped)
       clusterCache = clusterCache.filter(!_._1._1.sparkContext.isStopped)
+      // a stopped session's durable checkpoint files are unreachable
+      // garbage (readable only through its RDD lineage) — sweep them
+      Dedup.releaseStaleCheckpoints()
     }
 
     /** Drop the cached relations for one corpus dir (all sessions),

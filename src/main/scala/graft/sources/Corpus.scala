@@ -203,8 +203,11 @@ object Corpus {
       () => stubFetcher
 
   /** A per-partition JDK HttpClient fetcher (Java 11+ `java.net.http`, no
-    * extra dependency). Follows redirects; the caller's `fetchText`
-    * failure contract (empty text, id gap preserved) handles errors.
+    * extra dependency). Follows redirects. Non-2xx responses THROW rather
+    * than return the error page's body — `HttpClient.send` happily hands
+    * back a 404 page, which would otherwise be indexed as document text;
+    * throwing engages `fetchText`'s failure contract (empty text, id gap
+    * preserved) exactly like a transport error.
     */
   def httpFetcherFactory(timeoutMs: Long = 10000L): () => String => String = () => {
     val client = java.net.http.HttpClient.newBuilder()
@@ -214,7 +217,10 @@ object Corpus {
     url => {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
-      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+      resp.body()
     }
   }
 }

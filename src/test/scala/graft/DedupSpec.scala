@@ -152,6 +152,14 @@ class DedupSpec extends AnyFunSuite {
         .contains((1L, 3L)))
       val landed = new java.io.File(dir).listFiles
       assert(landed != null && landed.nonEmpty, "no reliable checkpoint written")
+      // the checkpoint files are recorded garbage once the relations are
+      // done: an explicit release deletes this context's checkpoint
+      // subdir (the UUID dir setCheckpointDir minted under `dir`), so
+      // repeated cluster invocations don't leak checkpoint storage
+      val ctxDir = new java.io.File(new java.net.URI(sc.getCheckpointDir.get).getPath)
+      assert(ctxDir.exists())
+      Dedup.releaseCheckpoints(spark)
+      assert(!ctxDir.exists(), "release left the context checkpoint dir behind")
     } finally sc.setCheckpointDir(null) // Option(null) unsets — back to localCheckpoint
   }
 

@@ -53,6 +53,35 @@ class PercentilesSpec extends AnyFunSuite {
     assert(got === (("k", 2.0, 2L))) // median of {1, 3}; nulls neither counted nor sorted
   }
 
+  test("width stress: shuffle partitions >> group count, ties spanning range boundaries") {
+    // The documented degenerate cases at once: far more range partitions
+    // than (key, value) diversity — most partitions end up EMPTY or
+    // mid-tie — and long runs of equal values that the range partitioner
+    // must split across partition boundaries. Quantiles must still equal
+    // the reference interpolation exactly.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      // 3 groups × 500 rows drawn from just 3 distinct values each: ties
+      // vastly outnumber the 64-way partitioning, so equal-value runs
+      // necessarily span boundaries
+      val data = for {
+        (k, base) <- Seq(("a", 1.0), ("b", 10.0), ("c", -5.0))
+        i <- 0 until 500
+      } yield (k, base + (i % 3))
+      val df = data.toDF("k", "v")
+      val got = Percentiles.exactQuantiles(df, "k", "v",
+          Seq("p10" -> 0.10, "p50" -> 0.5, "p90" -> 0.90))
+        .as[(String, Double, Double, Double, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      for ((k, base) <- Seq(("a", 1.0), ("b", 10.0), ("c", -5.0))) {
+        val vs = (0 until 500).map(i => base + (i % 3))
+        assert(got(k) === ((k, refQuantile(vs, 0.10), refQuantile(vs, 0.5),
+          refQuantile(vs, 0.90), 500L)), s"group $k")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("one hot key spreads across more than one task (parallelism is data-sized)") {
     // 20k rows of a SINGLE key: the old per-key window ranked these in
     // exactly one task; range repartitioning must use several. AQE's

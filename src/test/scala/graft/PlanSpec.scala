@@ -62,24 +62,30 @@ class PlanSpec extends AnyFunSuite {
     assert(anti.contains("EqualTo(o_orderpriority,1-URGENT)"), "orders filter not pushed to scan")
   }
 
-  test("q_percentiles: one full-data range exchange, stats joined back by broadcast") {
-    // r4 shape: the fact table crosses the wire ONCE — the stats branch
-    // and the rank branch both reference the range repartition (two
-    // static nodes) and AQE dedupes them into one materialized shuffle
-    // (ReusedExchange, asserted on the executed plan); the hash
-    // exchanges carry only per-(partition, key) stats and per-key
-    // boundary partials; the rank join is a broadcast, never a shuffle
-    // of the ranked data
+  test("q_percentiles: one full-data range exchange, rank join never re-shuffles ranked data") {
+    // r5 shape: the stats relation carries NO broadcast hint (a
+    // high-cardinality key would make a forced broadcast a driver OOM) —
+    // the planner/AQE picks the strategy by size. What stays pinned:
+    // the stats branch and the rank branch both reference the range
+    // repartition (two static nodes) that AQE dedupes into ONE
+    // materialized shuffle (ReusedExchange on the runtime plan), and the
+    // rank join resolves as a broadcast join at runtime — the ranked
+    // data is never hash-re-shuffled for the join. (At toy scale the
+    // planner may broadcast the small fact side; at 100 TB that side
+    // exceeds the threshold and AQE broadcasts the tiny stats side —
+    // size-driven either way, which is the point of dropping the hint.)
     val df = SparkEntry.queries("q_percentiles")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert("Exchange rangepartitioning".r.findAllIn(p).length === 2,
       s"expected the two branch references to one range exchange:\n$p")
-    assert(shuffles(p) === 3, s"expected only the three tiny stats/offset/agg exchanges:\n$p")
-    assert(broadcasts(p) === 1, s"rank offsets must broadcast:\n$p")
     df.collect()
-    val fin = df.queryExecution.executedPlan.toString
+    // slice off AQE's "== Initial Plan ==" echo — assertions pin the FINAL plan
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(fin.contains("ReusedExchange"),
       s"range exchange must materialize once at runtime:\n$fin")
+    assert(fin.contains("BroadcastHashJoin") && !fin.contains("SortMergeJoin"),
+      s"rank join must resolve as a broadcast join at runtime:\n$fin")
+    assert(shuffles(fin) <= 3, s"only the tiny stats/offset/agg exchanges may shuffle:\n$fin")
   }
 
   test("q_full_join: pre-aggregated sides, SMJ full outer, no nested loop") {

@@ -44,6 +44,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nn(2L) === expected)
   }
 
+  test("dot_f64 / simhash_hex reject wrong-typed SQL arguments at analysis") {
+    // both are session-registered SQL functions: without the input-type
+    // check, array<float> passes analysis and ArrayData.getDouble reads
+    // garbage bits at runtime
+    Seq((Array(1f, 2f), Array("a", "b"))).toDF("vf", "vs")
+      .createOrReplaceTempView("t_typed_args")
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT dot_f64(vf, vf) FROM t_typed_args").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT simhash_hex(vf) FROM t_typed_args").collect())
+    // the declared types still pass
+    assert(spark.sql(
+      "SELECT dot_f64(transform(vf, x -> CAST(x AS DOUBLE)), " +
+        "transform(vf, x -> CAST(x AS DOUBLE))) FROM t_typed_args").count() === 1)
+    assert(spark.sql("SELECT simhash_hex(vs) FROM t_typed_args").count() === 1)
+  }
+
   test("trained IVF: recall >= 0.9 @ k=10 vs the exact brute-force answer") {
     val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
     val exact = Similarity.topK(corpus, queryId = 0L, k = 10)

@@ -139,6 +139,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(Html.nextPageLink(fixture("article.html")) === None)
   }
 
+  test("S3: live HTTP transport end-to-end against a local server — failures keep id gaps") {
+    import spark.implicits._
+    // test-scoped JDK HttpServer, no new dependency; one good page, one
+    // 404, one connection-refused port — the three live failure shapes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handle(path: String, status: Int, body: String): Unit =
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    handle("/doc0", 200, "alpha page body")
+    handle("/missing", 404, "not found page must never become text")
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val urls = Seq(
+        (0L, s"http://127.0.0.1:$port/doc0"),
+        (1L, s"http://127.0.0.1:$port/missing"),     // HTTP-level failure
+        (2L, s"http://127.0.0.1:1/doc2"))            // transport-level failure
+        .toDF("doc_id", "url")
+      val got = Corpus.fetchText(urls, Corpus.httpFetcherFactory(timeoutMs = 3000L))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L)) // every id kept, gaps preserved
+      assert(got(0)._3 === "alpha page body")
+      assert(got(1)._3 === "" && got(2)._3 === "")    // failures -> empty text, not rows lost
+    } finally server.stop(0)
+  }
+
   test("S3: extractText takes the content div, drops table/script/style, joins text") {
     val text = Html.extractText(fixture("article.html"))
     assert(text === "The Alpha Band was a rock & roll group formed in 1976. They released three albums <fast>.")
