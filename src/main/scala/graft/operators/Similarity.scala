@@ -148,6 +148,8 @@ object Similarity {
     */
   def lloydCentroids(p: DataFrame, nCells: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    val spark = p.sparkSession
+    import spark.implicits._
     var cents = p.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
     for (_ <- 1 to iters) {
@@ -161,8 +163,15 @@ object Similarity {
         // vector in position order regardless of aggregation order
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
-      cents = means.select(col("cell").as("cent_id"), col("cv"),
-        sqrt(dot(col("cv"), col("cv"))).as("cn"))
+        // centroids are DRIVER-SIZED by construction (≤ nCells rows of
+        // dims doubles — the k-means contract; MLlib collects centers
+        // every iteration too). Materializing them as a local relation
+        // flattens the lineage: without this, every consumer branch of
+        // the final centroid frame re-runs ALL previous iterations.
+        .select(col("cell").cast("long"), col("cv"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      cents = means.toDF("cent_id", "cv")
+        .select(col("cent_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
     }
     cents
   }
