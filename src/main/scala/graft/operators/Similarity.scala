@@ -24,8 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise double-cast of an array<float> column. */
-  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  /** Element-wise double-cast of an array<float> column. Native `Cast`
+    * to the array type, NOT `transform(a, _.cast("double"))`: the HOF
+    * lambda is CodegenFallback in Spark 4.1 (one interpreted node per
+    * element per row in every `prepared` pass), while Cast generates a
+    * primitive copy loop. Same values bit-for-bit (float→double widening
+    * is exact).
+    */
+  private def asDouble(a: Column): Column = a.cast("array<double>")
 
   /** Left-to-right double dot product — the native `dot_f64` expression
     * (one codegen'd FMA loop). The column form below is the retained
