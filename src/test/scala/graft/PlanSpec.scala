@@ -88,6 +88,19 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(fin) <= 3, s"only the tiny stats/offset/agg exchanges may shuffle:\n$fin")
   }
 
+  test("q_attributed: interval join keys on user_id, never a nested loop") {
+    // the stream-stream interval join's batch twin: the equality on
+    // user_id must anchor the join (SMJ/BHJ with the time-interval bound
+    // as residual predicate) — a planner that only sees the range
+    // condition would fall back to BroadcastNestedLoop, which is
+    // all-pairs-per-user-cross at scale
+    val p = plan("q_attributed")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"expected an equi-anchored join:\n$p")
+  }
+
   test("q_full_join: pre-aggregated sides, SMJ full outer, no nested loop") {
     // full outer admits no broadcast strategy: the healthy shape is the
     // two per-side pre-aggregation exchanges feeding one sort-merge
