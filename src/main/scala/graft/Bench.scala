@@ -148,8 +148,11 @@ object Bench {
     val cpuEnd = cpuSentinel()
     val rollupEnd =
       SparkEntry.queries.get("q_rollup_revenue").map { fn =>
-        val (a, e) = timeOnce(fn)
-        if (e.isDefined) -1.0 else math.min(a, timeOnce(fn)._1)
+        // min over the ERROR-FREE samples only: a fast-failing second
+        // run would otherwise report a bogus small timing as a falsely
+        // healthy end-of-run sentinel
+        val ok = Seq(timeOnce(fn), timeOnce(fn)).collect { case (t, None) => t }
+        if (ok.isEmpty) -1.0 else ok.min
       }.getOrElse(-1.0)
     val timed = results.map { case (k, v, _) => (k, v) }.toMap
     val cubeRollupRatio =

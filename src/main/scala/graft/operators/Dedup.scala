@@ -197,9 +197,18 @@ object Dedup {
         (new java.lang.ref.WeakReference(sc), sc.hadoopConfiguration))
     }
 
-  /** Delete the recorded checkpoint directories of THIS context (call
-    * when no dedup/cluster relation from this session will be used
-    * again, e.g. end of job), plus any whose context is gone.
+  /** Delete the recorded checkpoint directories of THIS context, plus
+    * any whose context is gone.
+    *
+    * SCOPE WARNING — this deletes the context's WHOLE checkpoint subdir
+    * (`sc.getCheckpointDir`), which is shared by every reliable
+    * checkpoint the context ever wrote, not only dedup's: call it only
+    * when NO checkpointed data of this context is needed again (end of
+    * job), and prefer `DedupQueries.DedupStore.release(spark)`, which
+    * first drops the cached dedup relations whose lineage depends on
+    * these files — releasing under a live DedupStore cache would leave
+    * cached frames backed by deleted checkpoints (FileNotFoundException
+    * on any block recompute).
     */
   def releaseCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit =
     releaseWhere { ref =>
@@ -222,11 +231,14 @@ object Dedup {
     while (it.hasNext) {
       val e = it.next()
       if (pred(e.getValue._1)) {
+        // unregister ONLY after a successful delete (false = already
+        // gone, also fine) — a transient FS failure keeps the entry so
+        // the next sweep retries instead of leaking the directory
         try {
           val p = new org.apache.hadoop.fs.Path(e.getKey)
           p.getFileSystem(e.getValue._2).delete(p, true)
-        } catch { case _: Exception => } // best-effort; re-attempted next sweep
-        it.remove()
+          it.remove()
+        } catch { case _: Exception => } // kept; re-attempted next sweep
       }
     }
   }
@@ -368,6 +380,14 @@ object Dedup {
     * The count reuses the shuffle the old DISTINCT needed anyway: same
     * exchange, ~two orders of magnitude fewer verify joins.
     *
+    * SHORT-DOC GUARD: the requirement is `min(minSharedRare, |A|, |B|)`
+    * — a document with a single distinct shingle can never share two,
+    * and the |A∩B| ≥ max/2 argument needs ≥4 shingles; without the
+    * bound, two IDENTICAL 3-token documents (one shingle, J = 1.0)
+    * would be silently undetectable. The size join is against the
+    * narrow per-doc shingle-count relation, before any array payload
+    * moves.
+    *
     * `maxDf` is the recall/cost dial: boilerplate shingles shared by
     * half the corpus generate quadratic candidate mass and are dropped —
     * a pair sharing ONLY ubiquitous shingles is missed (at J ≥ 0.5 such
@@ -405,7 +425,9 @@ object Dedup {
     // the shared-rare-shingle count replaces the old DISTINCT: identical
     // shuffle (hash partition on the pair), but the HAVING-style filter
     // drops the share-exactly-one-rare-shingle mass before the verify
-    // joins move any array payload
+    // joins move any array payload; the requirement is capped by each
+    // doc's own shingle count (short-doc guard above)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("_ns"))
     val cands = ex.join(rare, "shingle")
       .groupBy("shingle")
       .agg(collect_list(col("doc_id")).as("ids")) // ≤ maxDf by the join
@@ -414,7 +436,9 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("_shared"))
-      .filter(col("_shared") >= minSharedRare)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("_ns").as("_sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("_ns").as("_sb")), "doc_b")
+      .filter(col("_shared") >= least(lit(minSharedRare), col("_sa"), col("_sb")))
       .select("doc_a", "doc_b")
     verifyJaccard(cands, sh, threshold)
   }

@@ -91,6 +91,25 @@ object DedupQueries {
       clusterCache = clusterCache.filter(_._1._2 != dir)
     }
 
+    /** End-of-job release for one session: drop this session's cached
+      * dedup relations FIRST (their lineage references the reliable
+      * checkpoints), then delete the context's recorded checkpoint
+      * directories (`Dedup.releaseCheckpoints`). This is the safe order —
+      * deleting the files under a live cache would leave cached frames
+      * that FileNotFound on any block recompute. Only call when no
+      * checkpointed data of this context (dedup or otherwise) is needed
+      * again — see the scope warning on `Dedup.releaseCheckpoints`.
+      */
+    def release(s: SparkSession): Unit = lock.synchronized {
+      hashCache.filter(_._1._1 eq s).values.foreach(_.unpersist())
+      pairCache.filter(_._1._1 eq s).values.foreach(_.unpersist())
+      clusterCache.filter(_._1._1 eq s).values.foreach(_.unpersist())
+      hashCache = hashCache.filter(e => !(e._1._1 eq s))
+      pairCache = pairCache.filter(e => !(e._1._1 eq s))
+      clusterCache = clusterCache.filter(e => !(e._1._1 eq s))
+      Dedup.releaseCheckpoints(s)
+    }
+
     /** The shared shingle+hash frame (doc_id, sh, hv): the CPU-heavy
       * tokenize→shingle→md5 pass, persisted once per corpus and fed to
       * BOTH the LSH build (`pairs`) and `q_jaccard_pairs`.
@@ -243,11 +262,15 @@ object DedupQueries {
          |  SELECT doc_id, t.shingle FROM shs, unnest(sh) AS t(shingle)
          |), rare AS (
          |  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
+         |), sz AS (
+         |  SELECT doc_id, len(sh) AS ns FROM shs
          |), cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  JOIN rare r ON a.shingle = r.shingle
-         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |  JOIN sz sa ON sa.doc_id = a.doc_id
+         |  JOIN sz sb ON sb.doc_id = b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= least(2, min(sa.ns), min(sb.ns))
          |), j AS (
          |  SELECT doc_a, doc_b,
          |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

@@ -168,11 +168,19 @@ object Corpus {
     val seen = mutable.Set[String]()
     var cur: Option[String] = Some(startUrl)
     while (cur.isDefined && pages.length < maxPages && seen.add(cur.get)) {
-      val html = fetch(cur.get)
-      pages += html
-      cur = Html.nextPageLink(html).map(resolveUrl(cur.get, _))
-      if (cur.exists(u => !seen.contains(u)) && pages.length < maxPages)
-        sleep(delayMs)
+      // a failing page (HTTP error, timeout) ENDS pagination but keeps
+      // everything fetched so far — a 404'd page-7 link must not throw
+      // away pages 1-6 (the throwing HTTP fetcher would otherwise
+      // propagate out of the whole crawl)
+      scala.util.Try(fetch(cur.get)) match {
+        case scala.util.Success(html) =>
+          pages += html
+          cur = Html.nextPageLink(html).map(resolveUrl(cur.get, _))
+          if (cur.exists(u => !seen.contains(u)) && pages.length < maxPages)
+            sleep(delayMs)
+        case scala.util.Failure(_) =>
+          cur = None
+      }
     }
     pages.toSeq
   }

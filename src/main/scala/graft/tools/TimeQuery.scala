@@ -2,13 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time individual registered queries in isolation, with the
-  * same session config as `graft.Bench`, e.g.
+/** Dev tool: time individual registered queries in isolation, e.g.
   * `sbt "runMain graft.tools.TimeQuery q_lang_id q_tfidf"`.
-  * Each named query runs `SPARK_GRAFT_RUNS` times (default 3) after a
-  * table warm-up; prints one line per run. Not part of the engine or the
-  * bench protocol — exists so a single regressed query can be profiled
-  * without paying for the full suite.
+  * Each named query runs `SPARK_GRAFT_RUNS` times (default 3); the
+  * FIRST run absorbs cold file-listing/codegen costs — read the later
+  * runs as steady state (or list a cheap same-table query first as an
+  * explicit warm-up). Session flags mirror `graft.Bench` but CPUS
+  * defaults to 32 (this box's dev profile) where Bench defaults to 4 —
+  * set SPARK_GRAFT_CPUS explicitly when comparing against an artifact.
+  * Not part of the engine or the bench protocol.
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
