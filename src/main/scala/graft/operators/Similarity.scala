@@ -79,11 +79,67 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(embedding, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
-  /** Nearest-centroid assignment (6-dp-rounded cosine, cent_id
-    * tie-break): every vector labeled with its cell. The centroid
-    * relation is nCells rows — broadcast by construction.
+  /** Driver-local centroid (id, double vector, norm). Centroid sets are
+    * driver-sized BY CONTRACT (≤ nCells rows of `dims` doubles — the
+    * k-means coarse-quantizer shape; MLlib holds centers on the driver
+    * too), which is what lets assignment be a map-side expression over
+    * LITERAL vectors instead of a join.
     */
-  private def assignCells(p: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] case class Centroid(id: Long, cv: Seq[Double], cn: Double)
+
+  /** Left-to-right sum of squares + sqrt — the SAME IEEE double ops the
+    * engine expression `sqrt(dot_f64(cv, cv))` performs, so
+    * driver-computed norms are bit-identical to the engine-computed
+    * norms they replace (and to the oracle's `sqrt(list_sum(...))`).
+    */
+  private def normOf(cv: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** The deterministic quantizer init: the first `nCells` vectors by
+    * vec_id, lifted to the driver (one metadata-sized action).
+    */
+  private[graft] def collectCentroids(p: DataFrame, nCells: Int): Seq[Centroid] = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    p.filter(col("vec_id") < nCells).select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (id, cv) => Centroid(id, cv, normOf(cv)) }
+      .sortBy(_.id)
+  }
+
+  /** Per-row `(csim, -cent_id)` score entries against LITERAL centroids —
+    * the shared kernel of map-side cell assignment and probe ranking.
+    * Struct comparison orders by (csim, -cent_id), so max/sort reproduce
+    * the `ORDER BY csim DESC, cent_id ASC` tie-break exactly.
+    */
+  private def centroidScores(cents: Seq[Centroid]): Column =
+    array(cents.map { c =>
+      struct(
+        cosine(col("v"), col("norm"), typedLit(c.cv), lit(c.cn)).as("csim"),
+        lit(-c.id).as("negid"))
+    }: _*)
+
+  /** Nearest-centroid cell id as a ZERO-SHUFFLE map-side expression:
+    * one codegen'd `dot_f64` loop per centroid and an `array_max`
+    * argmax. The former formulation (retained below as
+    * `assignCellsViaJoin`, spec-asserted identical) broadcast-joined the
+    * centroid relation and ranked with a `Window.partitionBy(vec_id)` —
+    * a FULL-CORPUS shuffle of nCells× amplified rows per Lloyd
+    * iteration, repeated for the final assignment; at 100 TB that is
+    * 3+ corpus shuffles an expression evaluates for free.
+    */
+  private[graft] def bestCell(cents: Seq[Centroid]): Column =
+    -array_max(centroidScores(cents)).getField("negid")
+
+  /** Pre-round-5 join+window formulation of `bestCell` — retained as the
+    * independent cross-check (SimilaritySpec asserts identical
+    * assignments on the corpus fixture).
+    */
+  private[graft] def assignCellsViaJoin(p: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     p.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("norm"), col("cent_id"),
@@ -94,25 +150,30 @@ object Similarity {
   }
 
   /** The probe + in-cell rank half of IVF, shared by the deterministic
-    * and the Lloyd-trained quantizers: assignment broadcasts nCells
-    * rows, probing reads ~nProbe/nCells of the corpus, nothing is ever
-    * all-pairs.
+    * and the Lloyd-trained quantizers: assignment is a map-side literal
+    * argmax (zero shuffle), the ≤nProbe probe-cell ids are ranked on the
+    * 1-row query frame and lifted into a literal IN filter (a
+    * metadata-sized driver action, like the centroids themselves), and
+    * the in-cell rank reads ~nProbe/nCells of the corpus through a
+    * pushable `cell IN (...)` predicate. Nothing is ever all-pairs and
+    * no stage shuffles the corpus.
     */
-  private def ivfRank(p: DataFrame, cents: DataFrame, queryId: Long,
+  private def ivfRank(p: DataFrame, cents: Seq[Centroid], queryId: Long,
                       k: Int, nProbe: Int): DataFrame = {
-    val assigned = assignCells(p, cents)
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val probeCells = p.filter(col("vec_id") === queryId)
-      .crossJoin(broadcast(cents))
-      .select(col("cent_id"),
-        cosine(col("v"), col("norm"), col("cv"), col("cn")).as("csim"), col("vec_id"))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nProbe)
-      .select(col("cent_id").as("cell"))
+    val spark = p.sparkSession
+    import spark.implicits._
+    // ascending array_sort by (csim, -cent_id); the LAST nProbe entries
+    // are exactly row_number(csim DESC, cent_id ASC) <= nProbe
+    val probeCells: Seq[Long] =
+      if (cents.length <= nProbe) cents.map(_.id)
+      else p.filter(col("vec_id") === queryId)
+        .select(explode(slice(array_sort(centroidScores(cents)), -nProbe, nProbe)).as("e"))
+        .select((-col("e.negid")).as("cell"))
+        .as[Long].collect().toSeq
     val q = p.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("norm").as("qn"))
-    assigned
-      .join(broadcast(probeCells), "cell")
+    p.withColumn("cell", bestCell(cents))
+      .filter(col("cell").isin(probeCells: _*))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), cosine(col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
@@ -130,9 +191,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val p = prepared(embeddings)
-    val cents = p.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
-    ivfRank(p, cents, queryId, k, nProbe)
+    ivfRank(p, collectCentroids(p, nCells), queryId, k, nProbe)
   }
 
   /** A fixed number of Lloyd (k-means) iterations from the deterministic
@@ -146,20 +205,21 @@ object Similarity {
     * all members simply disappears (k shrinks) — deterministic in both
     * engines.
     *
-    * Scale shape per iteration: one broadcast-assign pass + one
-    * (cell, pos)-keyed aggregate whose cardinality is nCells × dims —
-    * tiny regardless of corpus size. `iters` is fixed and small (2): the
-    * goal is oracle-checkable trained centroids, not convergence; more
-    * iterations change cost linearly, not shape.
+    * Scale shape per iteration: one ZERO-SHUFFLE map-side assignment
+    * (literal-centroid argmax) + one (cell, pos)-keyed aggregate whose
+    * post-combine cardinality is nCells × dims — tiny regardless of
+    * corpus size; the only driver action per iteration is the ≤nCells-row
+    * centroid lift the next iteration's literals need. `iters` is fixed
+    * and small (2): the goal is oracle-checkable trained centroids, not
+    * convergence; more iterations change cost linearly, not shape.
     */
-  def lloydCentroids(p: DataFrame, nCells: Int, iters: Int): DataFrame = {
+  def lloydCentroids(p: DataFrame, nCells: Int, iters: Int): Seq[Centroid] = {
     import org.apache.spark.sql.types.DecimalType
     val spark = p.sparkSession
     import spark.implicits._
-    var cents = p.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
+    var cents = collectCentroids(p, nCells)
     for (_ <- 1 to iters) {
-      val means = assignCells(p, cents)
+      val means = p.withColumn("cell", bestCell(cents))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double") /
@@ -169,15 +229,11 @@ object Similarity {
         // vector in position order regardless of aggregation order
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
-        // centroids are DRIVER-SIZED by construction (≤ nCells rows of
-        // dims doubles — the k-means contract; MLlib collects centers
-        // every iteration too). Materializing them as a local relation
-        // flattens the lineage: without this, every consumer branch of
-        // the final centroid frame re-runs ALL previous iterations.
         .select(col("cell").cast("long"), col("cv"))
         .as[(Long, Seq[Double])].collect().toSeq
-      cents = means.toDF("cent_id", "cv")
-        .select(col("cent_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      // norms computed on the driver with the same left-to-right IEEE
+      // ops the engine expression performed (see normOf)
+      cents = means.map { case (id, cv) => Centroid(id, cv, normOf(cv)) }.sortBy(_.id)
     }
     cents
   }
