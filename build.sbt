@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE JSON line from sbt stdout. With the
+// default LoggedOutput strategy every forked-JVM line is re-logged with
+// an "[info] " prefix, which breaks a strict json.loads of the line
+// (BENCH_r04/r05 both recorded parsed:null). StdoutOutput inherits the
+// parent's stdout so the JSON line arrives raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

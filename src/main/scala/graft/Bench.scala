@@ -154,17 +154,23 @@ object Bench {
         val ok = Seq(timeOnce(fn), timeOnce(fn)).collect { case (t, None) => t }
         if (ok.isEmpty) -1.0 else ok.min
       }.getOrElse(-1.0)
-    val timed = results.map { case (k, v, _) => (k, v) }.toMap
+    // error entries carry pass A's wall time — a plausible-looking number
+    // that means nothing. Keep them out of the timed map so the sentinel
+    // ratio can't be computed from a failing query's bogus timing.
+    val timed = results.collect { case (k, v, None) => (k, v) }.toMap
     val cubeRollupRatio =
       (timed.get("q_cube_revenue"), timed.get("q_rollup_revenue")) match {
         case (Some(c), Some(r)) if r > 0 => c / r
         case _ => -1.0
       }
 
-    val qs = results.map { case (k, v, _) => esc(k) + ":" + v }.mkString("{", ",", "}")
+    // queries/total carry error-free timings only: an errored query lives
+    // in `errors` alone (its wall time is an artifact of where it failed)
+    val qs = results.collect { case (k, v, None) => esc(k) + ":" + v }
+      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => esc(k) + ":" + esc(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2","cube_rollup_ratio":$cubeRollupRatio,"rollup_end_sec":$rollupEnd,"cpu_sentinel_start_sec":$cpuStart,"cpu_sentinel_end_sec":$cpuEnd,"index_build_sec":$indexBuildSec,"dedup_build_sec":$dedupBuildSec,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -370,8 +370,8 @@ object Dedup {
     * document frequency is in [2, `maxDf`], then every candidate pair is
     * verified with the exact Jaccard over the full distinct shingle sets.
     *
-    * `minSharedRare` (default 2) exists because verify mass is the whole
-    * cost of this operator: with a 1-shingle rule most candidates share
+    * `minSharedRare` is the verify-mass dial — verify cost is the whole
+    * cost of this operator: with the 1-shingle rule most candidates share
     * exactly one rare shingle and fail verification (~450k verifies for
     * ~25 true pairs at sf0.1). A pair at J ≥ 0.5 shares |A∩B| ≥
     * max(|A|,|B|)/2 shingles, so requiring 2 of them to be rare only
@@ -379,6 +379,10 @@ object Dedup {
     * boilerplate — the same pairs the maxDf dial already deprioritizes.
     * The count reuses the shuffle the old DISTINCT needed anyway: same
     * exchange, ~two orders of magnitude fewer verify joins.
+    * The DEFAULT stays 1 for API stability: raising it is a (small,
+    * quantifiable) recall change, so callers opt in — the engine's own
+    * `q_jaccard_pairs` runs with 2, validated pair-for-pair against the
+    * minSharedRare=1 oracle at two scale factors.
     *
     * SHORT-DOC GUARD: the requirement is `min(minSharedRare, |A|, |B|)`
     * — a document with a single distinct shingle can never share two,
@@ -406,7 +410,7 @@ object Dedup {
     * all-pairs, no unbounded buffer.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 10,
-                   threshold: Double = 0.5, minSharedRare: Int = 2): DataFrame =
+                   threshold: Double = 0.5, minSharedRare: Int = 1): DataFrame =
     jaccardPairsFromShingles(materializeOnce(shingleHashFrame(docs, n)),
       maxDf, threshold, minSharedRare)
 
@@ -415,7 +419,7 @@ object Dedup {
     */
   def jaccardPairsFromShingles(shAll: DataFrame, maxDf: Int = 10,
                                threshold: Double = 0.5,
-                               minSharedRare: Int = 2): DataFrame = {
+                               minSharedRare: Int = 1): DataFrame = {
     val sh = shAll.filter(size(col("sh")) > 0)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = ex.groupBy("shingle")

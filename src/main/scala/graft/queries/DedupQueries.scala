@@ -37,7 +37,10 @@ object DedupQueries {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // shares the session-cached shingle+hash frame with the LSH build —
     // the tokenize→shingle→md5 pass runs once per corpus, not per query
-    "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir))),
+    // opts into minSharedRare=2 (verify-mass cut; the library default
+    // stays 1 for recall stability — see Dedup.jaccardPairs scaladoc)
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir), minSharedRare = 2)),
   )
 
   /** Session-scoped shared dedup relations (the `IndexStore` pattern,

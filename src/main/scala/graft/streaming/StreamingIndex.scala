@@ -62,11 +62,18 @@ object StreamingIndex {
                   checkpointDir: String, buckets: Int = 32): StreamingQuery = {
     val scope = commitScope(checkpointDir,
       postings.sparkSession.sparkContext.hadoopConfiguration)
+    // one-release migration window: marker trees written before scopes
+    // were filesystem-qualified hash the RAW checkpoint string. Lookups
+    // consult that legacy scope too, so a batch replayed across the
+    // upgrade still sees its old marker instead of re-appending. New
+    // markers land only in the qualified scope; a compact() clears the
+    // lingering legacy tree.
+    val legacy = Seq(legacyCommitScope(checkpointDir)).filterNot(_ == scope)
     postings.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, tableName, path, buckets, scope): Unit
+        appendBatch(batch, batchId, tableName, path, buckets, scope, legacy): Unit
       }
       .start()
   }
@@ -82,9 +89,19 @@ object StreamingIndex {
                                  hadoopConf: org.apache.hadoop.conf.Configuration): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
     val qualified = p.getFileSystem(hadoopConf).makeQualified(p).toString
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(qualified.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    md5Scope(qualified)
   }
+
+  /** Pre-qualification scope (the raw checkpoint string, e.g. '/tmp/ckpt'
+    * vs the qualified 'file:/tmp/ckpt') — consulted on marker LOOKUP only,
+    * as a migration window for marker trees written by older runs.
+    */
+  private[graft] def legacyCommitScope(checkpointDir: String): String =
+    md5Scope(checkpointDir)
+
+  private def md5Scope(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
   /** One idempotent micro-batch append (factored out of `sinkToIndex` so
     * replay behavior is directly testable). @return whether the batch was
@@ -93,10 +110,14 @@ object StreamingIndex {
     */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long, tableName: String,
                                  path: String, buckets: Int,
-                                 scope: String = "default"): Boolean = {
+                                 scope: String = "default",
+                                 lookupAlso: Seq[String] = Nil): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$scope/$batchId")
     val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
+    val committed = fs.exists(marker) || lookupAlso.exists { s =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$s/$batchId"))
+    }
+    if (committed) false
     else {
       batch.write.mode(SaveMode.Append)
         .option("path", path)
@@ -149,8 +170,12 @@ object StreamingIndex {
     val compacted = spark.table(tableName).dropDuplicates("term", "doc_id")
     val schemaDdl = compacted.schema.toDDL
     graft.sources.Sinks.writeIndex(compacted, tmpTable, tmpPath, buckets)
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")   // files stay (external path)
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(tmpTable)}") // files stay (external path)
+    // Renames FIRST, catalog swap LAST: a crash mid-rename leaves the old
+    // catalog entry pointing at whichever complete directory survives
+    // (`path` or `__pre_compact`), and a crash before the swap leaves the
+    // table registered over the already-compacted files — at no point is
+    // the table unregistered while a reader could arrive.
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(oldPath), true) // clear any residue of a crashed compact
@@ -161,10 +186,19 @@ object StreamingIndex {
     fs.delete(new Path(oldPath), true)
     // re-register the table over the compacted files with the identical
     // bucket spec (bucket ids live in the file names, so the new catalog
-    // entry keeps bucket pruning over the renamed files)
+    // entry keeps bucket pruning over the renamed files). DROP + CREATE is
+    // the narrowest remaining window, and runs only after the data swap
+    // is durable — recovery from a crash here is re-running this DDL.
+    spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(tableName)}")
     spark.sql(
-      s"""CREATE TABLE $tableName ($schemaDdl) USING PARQUET
+      s"""CREATE TABLE ${quoteIdent(tableName)} ($schemaDdl) USING PARQUET
          |CLUSTERED BY (term) SORTED BY (term) INTO $buckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
+         |LOCATION '${path.replace("'", "''")}'""".stripMargin)
   }
+
+  /** Backtick-quote a (possibly db-qualified) table identifier for
+    * interpolation into generated DDL.
+    */
+  private def quoteIdent(name: String): String =
+    name.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
 }
