@@ -59,21 +59,36 @@ object StreamingIndex {
     * uncompacted window should `dropDuplicates("term", "doc_id")` first.
     */
   def sinkToIndex(postings: DataFrame, tableName: String, path: String,
-                  checkpointDir: String, buckets: Int = 32): StreamingQuery = {
-    val scope = commitScope(checkpointDir,
-      postings.sparkSession.sparkContext.hadoopConfiguration)
-    // one-release migration window: marker trees written before scopes
-    // were filesystem-qualified hash the RAW checkpoint string. Lookups
-    // consult that legacy scope too, so a batch replayed across the
-    // upgrade still sees its old marker instead of re-appending. New
-    // markers land only in the qualified scope; a compact() clears the
-    // lingering legacy tree.
-    val legacy = Seq(legacyCommitScope(checkpointDir)).filterNot(_ == scope)
+                  checkpointDir: String, buckets: Int = 32,
+                  migrateLegacyMarkers: Boolean = false): StreamingQuery = {
+    val conf = postings.sparkSession.sparkContext.hadoopConfiguration
+    val scope = commitScope(checkpointDir, conf)
+    // EXPLICIT one-time migration: marker trees written before scopes were
+    // filesystem-qualified hash the RAW checkpoint string. An upgrading
+    // deployment passes migrateLegacyMarkers=true ONCE; the legacy tree is
+    // RENAMED into the qualified scope before the stream starts, so a batch
+    // replayed across the upgrade still sees its old marker. The default is
+    // OFF because the legacy scope does not identify a lineage: a FRESH
+    // stream whose raw checkpoint spelling happens to collide with an old
+    // run's (relative path from another cwd, same spelling on another
+    // filesystem) would otherwise find legacy markers for batchIds 0..N and
+    // silently drop its first batches — the exact loss mode qualified
+    // scoping exists to prevent. The rename also makes the window expire by
+    // construction: after one migrated start the legacy tree is gone.
+    if (migrateLegacyMarkers)
+      migrateLegacyScope(path, legacyCommitScope(checkpointDir), scope, conf)
     postings.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, tableName, path, buckets, scope, legacy): Unit
+        val appended = appendBatch(batch, batchId, tableName, path, buckets, scope)
+        // a SKIPPED replay must still EXECUTE the batch plan: the engine
+        // validates that every stateful operator in the micro-batch
+        // (dropDuplicatesWithinWatermark here) committed its state store,
+        // and an unexecuted batch fails with
+        // STATE_STORE_COMMIT_VALIDATION_FAILED. The noop sink drives the
+        // plan — state advances, nothing is written.
+        if (!appended) batch.write.format("noop").mode("overwrite").save()
       }
       .start()
   }
@@ -93,8 +108,9 @@ object StreamingIndex {
   }
 
   /** Pre-qualification scope (the raw checkpoint string, e.g. '/tmp/ckpt'
-    * vs the qualified 'file:/tmp/ckpt') — consulted on marker LOOKUP only,
-    * as a migration window for marker trees written by older runs.
+    * vs the qualified 'file:/tmp/ckpt') — used only by the OPT-IN one-time
+    * migration (`sinkToIndex(migrateLegacyMarkers = true)`) of marker trees
+    * written by pre-qualification releases. Never consulted on lookup.
     */
   private[graft] def legacyCommitScope(checkpointDir: String): String =
     md5Scope(checkpointDir)
@@ -103,6 +119,34 @@ object StreamingIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
+  /** One-time marker-tree migration (see `sinkToIndex`): rename the legacy
+    * (raw-string-hashed) marker tree into the qualified scope. If the
+    * qualified tree already exists — e.g. the stream already ran once
+    * post-upgrade — individual markers are moved only where no qualified
+    * marker claims that batchId (the qualified marker is newer truth), and
+    * the legacy tree is removed either way so the migration never re-runs.
+    */
+  private[graft] def migrateLegacyScope(path: String, legacyScope: String, scope: String,
+                                        hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (legacyScope == scope) return
+    import org.apache.hadoop.fs.Path
+    val legacyDir = new Path(s"$path/_graft_commits/$legacyScope")
+    val fs = legacyDir.getFileSystem(hadoopConf)
+    if (!fs.exists(legacyDir)) return
+    val dst = new Path(s"$path/_graft_commits/$scope")
+    if (!fs.exists(dst)) {
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(legacyDir, dst))
+        throw new java.io.IOException(s"migrateLegacyScope: cannot rename $legacyDir to $dst")
+    } else {
+      fs.listStatus(legacyDir).foreach { st =>
+        val t = new Path(dst, st.getPath.getName)
+        if (!fs.exists(t)) fs.rename(st.getPath, t): Unit
+      }
+      fs.delete(legacyDir, true): Unit
+    }
+  }
+
   /** One idempotent micro-batch append (factored out of `sinkToIndex` so
     * replay behavior is directly testable). @return whether the batch was
     * appended (false = replay of an already-committed batchId within the
@@ -110,15 +154,22 @@ object StreamingIndex {
     */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long, tableName: String,
                                  path: String, buckets: Int,
-                                 scope: String = "default",
-                                 lookupAlso: Seq[String] = Nil): Boolean = {
+                                 scope: String = "default"): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$scope/$batchId")
     val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    val committed = fs.exists(marker) || lookupAlso.exists { s =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$s/$batchId"))
-    }
-    if (committed) false
+    if (fs.exists(marker)) false
     else {
+      val spark = batch.sparkSession
+      // Register the external table BEFORE the first append of this
+      // session: a table-CREATING `saveAsTable(Append)` is a CTAS, and
+      // Spark's CTAS job CLEARS the target location — in a fresh session
+      // over an existing on-disk index (catalog entry gone after a JVM
+      // restart, files still there) that would silently wipe every
+      // committed batch AND the marker tree before writing the new one.
+      // Registering first makes the append always take the
+      // insert-into-existing-table path, which never clears.
+      if (!spark.catalog.tableExists(tableName))
+        registerBucketedTable(spark, tableName, path, buckets, batch.schema.toDDL)
       batch.write.mode(SaveMode.Append)
         .option("path", path)
         .bucketBy(buckets, "term").sortBy("term")
@@ -152,7 +203,8 @@ object StreamingIndex {
     *      spec.
     * A crash between the renames leaves every row recoverable on disk
     * (`__pre_compact` or `__compacting`) — never a half-compacted mix
-    * under the live path.
+    * under the live path; `recoverCompact` finishes or unwinds an
+    * interrupted run from any of these states.
     *
     * Clearing markers establishes a fresh dedup baseline: if the stopped
     * stream later resumes from a micro-batch whose engine checkpoint
@@ -188,12 +240,57 @@ object StreamingIndex {
     // bucket spec (bucket ids live in the file names, so the new catalog
     // entry keeps bucket pruning over the renamed files). DROP + CREATE is
     // the narrowest remaining window, and runs only after the data swap
-    // is durable — recovery from a crash here is re-running this DDL.
+    // is durable — recovery from a crash here is `recoverCompact` (which
+    // re-runs this DDL).
+    registerBucketedTable(spark, tableName, path, buckets, schemaDdl)
+  }
+
+  /** Recover from a compact() interrupted at ANY point — the executable
+    * form of the crash-recovery contract compact() documents. Safe to run
+    * unconditionally before restarting ingest after an unclean shutdown:
+    *   - crash BEFORE the first rename: the live path is intact; the
+    *     side-dir rewrite (`__compacting`) is discarded — compact simply
+    *     re-runs later;
+    *   - crash BETWEEN the renames: the live path is absent and the
+    *     compacted files sit complete in `__compacting` — they are
+    *     installed at the live path and the pre-compact copy dropped;
+    *   - crash AFTER the swap but before/inside the DDL: the files are
+    *     already final — the table is just re-registered.
+    * In every case the catalog entry is re-created over the surviving
+    * live path with the identical bucket spec, and both side directories
+    * are cleared, so a subsequent compact() starts clean.
+    */
+  def recoverCompact(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                     path: String, buckets: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val tmp = new Path(path + "__compacting")
+    val old = new Path(path + "__pre_compact")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst)) {
+      if (!fs.exists(tmp))
+        throw new java.io.IOException(
+          s"recoverCompact: neither $path nor $tmp exists — nothing to recover")
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"recoverCompact: cannot install $tmp at $path")
+    }
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+    val schemaDdl = spark.read.parquet(path).schema.toDDL
+    registerBucketedTable(spark, tableName, path, buckets, schemaDdl)
+  }
+
+  /** (Re-)register `tableName` as an external bucketed parquet table over
+    * `path` — the shared final step of compact() and recoverCompact().
+    */
+  private def registerBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                                    tableName: String, path: String, buckets: Int,
+                                    schemaDdl: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(tableName)}")
     spark.sql(
       s"""CREATE TABLE ${quoteIdent(tableName)} ($schemaDdl) USING PARQUET
          |CLUSTERED BY (term) SORTED BY (term) INTO $buckets BUCKETS
-         |LOCATION '${path.replace("'", "''")}'""".stripMargin)
+         |LOCATION '${path.replace("'", "''")}'""".stripMargin): Unit
   }
 
   /** Backtick-quote a (possibly db-qualified) table identifier for

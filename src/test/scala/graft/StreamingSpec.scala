@@ -200,6 +200,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_replay_idx").count() === 4)
   }
 
+  test("legacy marker migration is opt-in: default lookup never consults the legacy scope") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_off").toString
+    val (tbl, path, ckpt) = ("t_legacy_off_idx", s"$dir/idx", s"$dir/ckpt")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val scope = graft.streaming.StreamingIndex.commitScope(ckpt, conf)
+    val legacy = graft.streaming.StreamingIndex.legacyCommitScope(ckpt)
+    assert(scope !== legacy) // raw '/…' vs qualified 'file:/…' hash apart
+    // a PREVIOUS lineage (or a raw-spelling collision) left a legacy marker
+    // claiming batch 0 — a fresh stream that did NOT ask for migration must
+    // ignore it, or its first batch would be silently dropped
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$legacy"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$legacy/0"), true).close()
+    val batch = Seq(("cat", 1L, "u1")).toDF("term", "doc_id", "url")
+    assert(graft.streaming.StreamingIndex.appendBatch(batch, 0L, tbl, path, 4, scope))
+    assert(spark.table(tbl).count() === 1) // batch 0 landed despite the legacy marker
+  }
+
+  test("legacy marker migration: opted-in upgrade replays skip, window expires, merge keeps qualified truth") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_mig").toString
+    val (tbl, path, ckpt) = ("t_legacy_mig_idx", s"$dir/idx", s"$dir/ckpt")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val scope = graft.streaming.StreamingIndex.commitScope(ckpt, conf)
+    val legacy = graft.streaming.StreamingIndex.legacyCommitScope(ckpt)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def mark(s: String, id: Long) = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$s"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$s/$id"), true).close()
+    }
+    // pre-upgrade run committed batches 0 and 1 under the raw-string scope
+    mark(legacy, 0L); mark(legacy, 1L)
+    graft.streaming.StreamingIndex.migrateLegacyScope(path, legacy, scope, conf)
+    // post-upgrade replay of batch 1 must SKIP — its marker migrated
+    val batch = Seq(("cat", 1L, "u1")).toDF("term", "doc_id", "url")
+    assert(!graft.streaming.StreamingIndex.appendBatch(batch, 1L, tbl, path, 4, scope))
+    // …and the window has EXPIRED: the legacy tree is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$legacy")))
+    // a new batch appends into the qualified scope as usual
+    assert(graft.streaming.StreamingIndex.appendBatch(batch, 2L, tbl, path, 4, scope))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$scope/2")))
+    // MERGE case: qualified scope already has batch 3 (post-upgrade run
+    // happened before a second migration attempt); legacy claims 3 and 4.
+    // Migration must keep the qualified 3, adopt 4, and remove the tree.
+    mark(legacy, 3L); mark(legacy, 4L)
+    assert(graft.streaming.StreamingIndex.appendBatch(batch, 3L, tbl, path, 4, scope))
+    graft.streaming.StreamingIndex.migrateLegacyScope(path, legacy, scope, conf)
+    assert(!graft.streaming.StreamingIndex.appendBatch(batch, 4L, tbl, path, 4, scope))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$legacy")))
+    // migrating when no legacy tree exists is a no-op
+    graft.streaming.StreamingIndex.migrateLegacyScope(path, legacy, scope, conf)
+  }
+
+  test("sinkToIndex(migrateLegacyMarkers=true): pre-upgrade batch 0 marker suppresses the stream's replayed batch 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_e2e").toString
+    val (path, ckpt) = (s"$dir/idx", s"$dir/ckpt")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val legacy = graft.streaming.StreamingIndex.legacyCommitScope(ckpt)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$legacy"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$legacy/0"), true).close()
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    // micro-batch 0: in the upgrade-replay scenario this is the batch the
+    // pre-upgrade run already appended (its rows are on disk via that
+    // run; here the table starts empty so a skip leaves count 0). Data is
+    // added BEFORE start so batch 0 deterministically carries doc 1.
+    input.addData((1L, "u1", "the cat sat", ts("10:00")))
+    val q = graft.streaming.StreamingIndex.sinkToIndex(
+      graft.streaming.StreamingIndex
+        .postingsStream(input.toDF().toDF("doc_id", "url", "text", "ingest_t")),
+      "t_legacy_e2e_idx", path, ckpt, buckets = 4, migrateLegacyMarkers = true)
+    try {
+      q.processAllAvailable()
+      // skipped, not re-appended: doc 1's postings never land (the
+      // pre-upgrade run's rows would already be on disk in the real
+      // scenario). A trailing no-data watermark-advance batch may create
+      // the table empty — content, not existence, is the contract.
+      if (spark.catalog.tableExists("t_legacy_e2e_idx"))
+        assert(spark.table("t_legacy_e2e_idx").count() === 0)
+      // a later micro-batch is new — it lands normally
+      input.addData((2L, "u2", "cat and dog", ts("10:05")))
+      q.processAllAvailable()
+      // the count() above cached this session's (empty) relation; the
+      // append ran in the stream's CLONED session, whose refresh doesn't
+      // reach this session's cache — standard cross-session visibility
+      spark.catalog.refreshTable("t_legacy_e2e_idx")
+      assert(spark.table("t_legacy_e2e_idx").select("term", "doc_id", "url")
+        .as[(String, Long, String)].collect().toSet
+        === Set(("cat", 2L, "u2"), ("dog", 2L, "u2"))) // doc 1 stayed suppressed
+    } finally q.stop()
+  }
+
   test("commitScope: equivalent spellings of one checkpoint dir share a marker scope") {
     val conf = spark.sparkContext.hadoopConfiguration
     def scope(s: String) = graft.streaming.StreamingIndex.commitScope(s, conf)
@@ -240,6 +335,90 @@ class StreamingSpec extends AnyFunSuite {
     // marker tree cleared with the swap
     assert(!new java.io.File(s"$path/_graft_commits").exists())
     // bucket pruning still active over the re-registered table
+    val plan = spark.table(tbl).filter($"term" === "cat")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 4"), s"no pruning:\n$plan")
+  }
+
+  test("fresh-session restart: appendBatch over an existing on-disk index must not wipe it (no-CTAS regression)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (tbl, path) = ("t_restart_idx", s"$dir/idx")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b0 = Seq(("cat", 1L, "u1"), ("sat", 1L, "u1")).toDF("term", "doc_id", "url")
+    val b1 = Seq(("dog", 2L, "u2")).toDF("term", "doc_id", "url")
+    assert(graft.streaming.StreamingIndex.appendBatch(b0, 0L, tbl, path, buckets = 4))
+    // simulate a JVM restart: the in-memory catalog entry is gone, the
+    // external table's files (and committed markers) remain on disk
+    spark.sql(s"DROP TABLE $tbl")
+    assert(fs.exists(new Path(s"$path/_graft_commits/default/0")))
+    // first append of the new session: before the no-CTAS fix this went
+    // down saveAsTable's table-creating CTAS path, which CLEARS the
+    // location — wiping batch 0's rows and its commit marker
+    assert(graft.streaming.StreamingIndex.appendBatch(b1, 1L, tbl, path, buckets = 4))
+    assert(fs.exists(new Path(s"$path/_graft_commits/default/0")), "batch 0's marker was wiped")
+    assert(spark.table(tbl).as[(String, Long, String)].collect().toSet
+      === Set(("cat", 1L, "u1"), ("sat", 1L, "u1"), ("dog", 2L, "u2")))
+    // and replay of batch 0 is still recognized as committed
+    assert(!graft.streaming.StreamingIndex.appendBatch(b0, 0L, tbl, path, buckets = 4))
+    // bucket pruning intact over the re-registered table
+    val plan = spark.table(tbl).filter($"term" === "cat")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 4"), s"no pruning:\n$plan")
+  }
+
+  test("compact crash windows: every row recoverable on disk, recoverCompact restores the table from each state") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_compact").toString
+    val (tbl, path) = ("t_crash_idx", s"$dir/idx")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b0 = Seq(("cat", 1L, "u1"), ("sat", 1L, "u1")).toDF("term", "doc_id", "url")
+    val b1 = Seq(("cat", 2L, "u2"), ("dog", 2L, "u2")).toDF("term", "doc_id", "url")
+    assert(graft.streaming.StreamingIndex.appendBatch(b0, 0L, tbl, path, buckets = 4))
+    assert(graft.streaming.StreamingIndex.appendBatch(b1, 1L, tbl, path, buckets = 4))
+    assert(graft.streaming.StreamingIndex.appendBatch(b1, 2L, tbl, path, buckets = 4)) // replay dup
+    val distinctRows = Set(("cat", 1L, "u1"), ("sat", 1L, "u1"), ("cat", 2L, "u2"), ("dog", 2L, "u2"))
+
+    // Replicate compact()'s steps, stopping at each crash point in turn.
+    val (tmpTable, tmpPath, oldPath) = (tbl + "__compacting", path + "__compacting", path + "__pre_compact")
+    val compacted = spark.table(tbl).dropDuplicates("term", "doc_id")
+    graft.sources.Sinks.writeIndex(compacted, tmpTable, tmpPath, 4)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+
+    // CRASH POINT B — before the first rename: live path intact, side-dir
+    // rewrite present. Recovery keeps the live (uncompacted) data and
+    // discards the rewrite; a later compact() just re-runs.
+    graft.streaming.StreamingIndex.recoverCompact(spark, tbl, path, buckets = 4)
+    assert(spark.table(tbl).count() === 6) // dups still present — compact never landed
+    assert(!fs.exists(new Path(tmpPath)))
+
+    // …re-create the rewrite and crash BETWEEN the renames (point A): the
+    // live path is gone; originals sit in __pre_compact, compacted files in
+    // __compacting — every distinct row is recoverable from disk.
+    graft.sources.Sinks.writeIndex(spark.table(tbl).dropDuplicates("term", "doc_id"),
+      tmpTable, tmpPath, 4)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    fs.delete(new Path(oldPath), true)
+    assert(fs.rename(new Path(path), new Path(oldPath))) // …and the process dies here
+    assert(!fs.exists(new Path(path)))
+    val survivors = spark.read.parquet(oldPath).select("term", "doc_id", "url")
+      .as[(String, Long, String)].collect().toSet ++
+      spark.read.parquet(tmpPath).select("term", "doc_id", "url")
+        .as[(String, Long, String)].collect().toSet
+    assert(survivors === distinctRows)
+    graft.streaming.StreamingIndex.recoverCompact(spark, tbl, path, buckets = 4)
+    assert(spark.table(tbl).as[(String, Long, String)].collect().toSet === distinctRows)
+    assert(!fs.exists(new Path(oldPath)) && !fs.exists(new Path(tmpPath)))
+
+    // CRASH POINT C — after the swap, before/inside the DDL: drop the
+    // catalog entry to simulate dying mid-re-registration; the files are
+    // final, recovery is exactly re-running the DDL.
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.streaming.StreamingIndex.recoverCompact(spark, tbl, path, buckets = 4)
+    assert(spark.table(tbl).as[(String, Long, String)].collect().toSet === distinctRows)
+    // bucket pruning survives recovery (the re-registered spec matches the files)
     val plan = spark.table(tbl).filter($"term" === "cat")
       .queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount: 1 out of 4"), s"no pruning:\n$plan")
