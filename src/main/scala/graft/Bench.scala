@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   *     last minutes AND align twice to corrupt a minimum (r04: an
   *     otherwise-unchanged scan family read 5–9× slower on a contended
   *     host and the single-run artifact failed its gate);
+  *   - any query whose two interleaved samples disagree by >2× gets a
+  *     THIRD sample at end-of-run (`remeasured` counts them): the plans
+  *     are deterministic, so a >2× split means one sample absorbed a
+  *     contention burst — a genuine regression moves both samples;
   *   - CONTENTION SENTINELS make a degraded run detectable inside the
   *     artifact itself: `cpu_sentinel_start_sec`/`cpu_sentinel_end_sec`
   *     time a fixed pure-CPU microbench (sum of xxhash64 over a constant
@@ -134,8 +138,21 @@ object Bench {
       named.map { case (name, fn) => (name, timeOnce(fn)) }
     val passA = fullPass().toMap
     val passB = fullPass().toMap
+    // end-of-run RE-MEASURE pass: a query whose two interleaved samples
+    // disagree by >2× was hit by host contention on one of them (the plans
+    // are deterministic; a genuine regression moves BOTH samples). One
+    // more sample at end of run — when the suite's own warm-up pressure is
+    // gone — bounds the damage a mid-run burst can do to any single
+    // minimum. Bounded extra work: only the disagreeing queries re-run.
+    val contended = named.collect {
+      case (name, _) if {
+        val (a, b) = (passA(name), passB(name))
+        a._2.isEmpty && b._2.isEmpty && math.max(a._1, b._1) > 2 * math.min(a._1, b._1)
+      } => name
+    }
+    val passC = contended.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
     val results = named.map { case (name, _) =>
-      val samples = Seq(passA(name), passB(name))
+      val samples = Seq(passA(name), passB(name)) ++ passC.get(name)
       val ok = samples.collect { case (t, None) => t }
       if (ok.nonEmpty) (name, ok.min, None)
       else (name, samples.head._1, samples.head._2)
@@ -164,14 +181,29 @@ object Bench {
         case _ => -1.0
       }
 
+    // timings serialize at 4 decimal places (0.1 ms — far below run-to-run
+    // noise): at full double precision the 61-entry queries map pushed the
+    // JSON line past the ~2 KB stdout tail the driver retains, decapitating
+    // the line and recording parsed:null (BENCH_r04–r06)
+    def f4(v: Double): String =
+      java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
     // queries/total carry error-free timings only: an errored query lives
     // in `errors` alone (its wall time is an artifact of where it failed)
-    val qs = results.collect { case (k, v, None) => esc(k) + ":" + v }
+    val qs = results.collect { case (k, v, None) => esc(k) + ":" + f4(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => esc(k) + ":" + esc(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2","cube_rollup_ratio":$cubeRollupRatio,"rollup_end_sec":$rollupEnd,"cpu_sentinel_start_sec":$cpuStart,"cpu_sentinel_end_sec":$cpuEnd,"index_build_sec":$indexBuildSec,"dedup_build_sec":$dedupBuildSec,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
+    println(line)
+    // sidecar copy for any consumer whose stdout capture truncates
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      (line + "\n").getBytes("UTF-8")): Unit
+    catch { case _: Throwable => }
     spark.stop()
+    // a query that regresses into an error must FAIL the run, not shrink
+    // the headline total past the gate: the smaller error-free total is
+    // only meaningful alongside rc == 0
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }
