@@ -90,19 +90,26 @@ object TextQueries {
         .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))),
 
-    // tf-idf: tf × ln(N/df). Both factors come from single-shuffle aggregates.
-    // The df relation is VOCABULARY-sized — small here, but a web-scale corpus
-    // has 1e8–1e9 terms, so no broadcast hint: AQE picks broadcast at small
-    // scale and falls back to a shuffle join when df outgrows the threshold.
-    // The n relation is a single scalar row, safe to hint at any scale.
+    // tf-idf: tf × ln(N/df). df comes from a count-over-window ON the tf
+    // relation (one row per distinct (doc, term), so rows-per-term IS
+    // document frequency): the corpus is scanned and (doc_id, term)-shuffled
+    // ONCE, then one term-keyed exchange feeds the window — 2 scans total
+    // (tf + the scalar N) instead of the 3 a separate postings→docFreq
+    // branch costs. A tf.groupBy(term) self-join can't get there: Catalyst
+    // rewrites the df branch's copy of the tf aggregate into a distinct-only
+    // aggregate (count elimination + column pruning), so the two exchanges
+    // never canonicalize equal and the corpus is scanned/shuffled twice.
+    // The count-only window buffers each term partition (hot terms spill);
+    // that replaces a full second pass over the corpus, the right trade at
+    // any SF. The scalar N is a single row, safe to broadcast at any scale.
     // Rounded to 6dp on both sides — ln() libm rounding is engine-specific.
     "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = InvertedIndex.docFreq(postings(s, dir))
       val n = docs(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
-      tf.join(df, "term")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"), col("tf"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
