@@ -292,4 +292,45 @@ object Similarity {
       .filter(col("rk") === 1)
       .select("vec_id", "nn_id", "sim")
   }
+
+  /** The `bits + 1` multi-probe bucket keys of a sign bucket: the bucket
+    * itself plus each single-bit flip (Hamming-distance-1 neighborhood).
+    */
+  private[graft] def probeBuckets(bucket: Column, bits: Int): Column =
+    array(bucket +: (1 to bits).map { i =>
+      concat(
+        substring(bucket, 1, i - 1),
+        when(substring(bucket, i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(bucket, i + 1, bits - i))
+    }: _*)
+
+  /** Multi-probe variant of `annNearestNeighbor`: each vector probes its
+    * own sign bucket AND the `bits` Hamming-distance-1 neighbor buckets,
+    * closing the single-probe recall hole where a vector alone in its
+    * bucket yields no row (a near neighbor usually sits one flipped sign
+    * bit away — the sign closest to zero).
+    *
+    * Scale shape: the probe keys replicate only the QUERY side, (bits+1)×
+    * as exploded (vector, probe-bucket) rows into the same bucket-keyed
+    * equi-join — the candidate side stays 1× and per-bucket join mass
+    * grows by the neighborhood factor, never all-pairs. A (vec, candidate)
+    * pair can meet through at most ONE probe key (the candidate's bucket
+    * is a single string and the probe array is duplicate-free), so no
+    * dedup pass is needed before the per-vector top-1 window.
+    */
+  def annNearestNeighborMultiProbe(embeddings: DataFrame, bits: Int = 8): DataFrame = {
+    val p = prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+    val a = p.select(col("vec_id"), col("v"), col("norm"),
+      explode(probeBuckets(col("bucket"), bits)).as("bucket"))
+    val b = p.select(col("bucket"), col("vec_id").as("nn_id"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        cosine(col("v"), col("norm"), col("vb"), col("nb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "nn_id", "sim")
+  }
 }

@@ -16,6 +16,8 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L, k = 10)),
     "q_ann_nn" -> ((s, dir) => Similarity.annNearestNeighbor(emb(s, dir), bits = 8)),
+    "q_ann_nn_mp" -> ((s, dir) =>
+      Similarity.annNearestNeighborMultiProbe(emb(s, dir), bits = 8)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), queryId = 0L, k = 10)),
     "q_ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTopKTrained(emb(s, dir), queryId = 0L, k = 10)),
@@ -127,6 +129,26 @@ object SimilarityQueries {
          |         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k]*b2.v[k]))
          |               / (a.norm * b2.norm), 6) AS sim
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+         |)
+         |SELECT vec_id, nn_id, sim FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1""".stripMargin,
+
+    // the Spark side joins on exploded Hamming-1 probe keys (scale shape);
+    // the oracle states the same SEMANTICS directly — candidates within
+    // Hamming distance <= 1 of the vector's bucket — as an inequality join
+    // over the per-position mismatch count (fine for an oracle, not a plan)
+    "q_ann_nn_mp" ->
+      s"""$prepCte, b AS (
+         |  SELECT vec_id, v, norm, $signBucket AS bucket FROM n
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_id, b2.vec_id AS nn_id,
+         |         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k]*b2.v[k]))
+         |               / (a.norm * b2.norm), 6) AS sim
+         |  FROM b a JOIN b b2
+         |    ON a.vec_id <> b2.vec_id
+         |   AND (${(1 to 8).map(k =>
+               s"(CASE WHEN substring(a.bucket,$k,1) <> substring(b2.bucket,$k,1) THEN 1 ELSE 0 END)")
+               .mkString(" + ")}) <= 1
          |)
          |SELECT vec_id, nn_id, sim FROM pairs
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1""".stripMargin,

@@ -61,6 +61,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.sql("SELECT simhash_hex(vs) FROM t_typed_args").count() === 1)
   }
 
+  test("multi-probe ANN: a vector alone in its bucket gets a neighbor from a Hamming-1 bucket") {
+    // single-probe: v3 ("01") is alone → no row (asserted above). Multi-
+    // probe reaches "11" (v0, v1, v2, v4) and "00": the orthogonal v2/v4
+    // (cosine 0.0) beat the opposite-direction v0/v1 (-1.0), id tie → v2.
+    val nn = Similarity.annNearestNeighborMultiProbe(emb, bits = 2)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(nn(3L) === ((2L, 0.0)))
+    // in-bucket pairs keep their single-probe answer unless an adjacent
+    // bucket holds something closer: v2's bucket-mate v4 (cos ≈ 0.995)
+    // still beats every Hamming-1 candidate
+    assert(nn(2L)._1 === 4L)
+  }
+
+  test("multi-probe ANN: covers >= 0.9 of singleton-bucket vectors, never worse than single-probe") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
+    val single = Similarity.annNearestNeighbor(corpus, bits = 8)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    val multi = Similarity.annNearestNeighborMultiProbe(corpus, bits = 8)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    val all = corpus.select(col("vec_id")).as[Long].collect().toSet
+    val orphans = all -- single.keySet
+    assert(orphans.nonEmpty, "fixture has no singleton-bucket vectors; recall case is vacuous")
+    val covered = orphans.count(multi.contains)
+    assert(covered.toDouble / orphans.size >= 0.9,
+      s"multi-probe covered $covered of ${orphans.size} singleton-bucket vectors")
+    // candidate superset ⇒ the per-vector top-1 similarity can only improve
+    for ((id, s) <- single) assert(multi(id) >= s, s"vec $id: multi ${multi(id)} < single $s")
+  }
+
   test("trained IVF: recall >= 0.9 @ k=10 vs the exact brute-force answer") {
     val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
     val exact = Similarity.topK(corpus, queryId = 0L, k = 10)
