@@ -38,7 +38,11 @@ object DedupQueries {
     // shares the session-cached shingle+hash frame with the LSH build —
     // the tokenize→shingle→md5 pass runs once per corpus, not per query
     // opts into minSharedRare=2 (verify-mass cut; the library default
-    // stays 1 for recall stability — see Dedup.jaccardPairs scaladoc)
+    // stays 1 for recall stability — see Dedup.jaccardPairs scaladoc).
+    // MEASURED recall cost of the opt-in: zero divergence from =1 at
+    // sf0.001/sf0.01; at sf0.1 exactly one true pair of 237 is dropped —
+    // pinned per scale in DedupSpec ("divergence is pinned per scale") so
+    // a corpus or operator change can't silently widen it
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir), minSharedRare = 2)),
   )

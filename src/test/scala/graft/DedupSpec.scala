@@ -122,6 +122,31 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(boiler, maxDf = 10).count() === 0)
   }
 
+  test("jaccard minSharedRare=2 vs =1: divergence is pinned per scale, never silent") {
+    // q_jaccard_pairs benches with minSharedRare=2 (verify-mass cut) while
+    // the library default stays 1 for recall stability. The cut's recall
+    // cost is a DATA property, not an operator invariant, so this spec
+    // PINS it at the scales the gates run: exact parity at sf0.001 (the
+    // quick verify loop; parity also holds at the sf0.01 oracle gate), and
+    // at the sf0.1 bench scale exactly ONE true pair — (2256, 4337), a
+    // J>=0.5 pair sharing a single rare shingle — is dropped (1 of 237,
+    // the documented price of the 11.5s -> 2.4s verify-mass cut). A corpus
+    // regeneration or operator change that moves this delta in either
+    // direction fails loudly here instead of silently diverging the bench
+    // from the library-default result.
+    val expectedDrop = Map(
+      "/root/testdata/sf0.001" -> Set.empty[(Long, Long)],
+      "/root/testdata/sf0.1" -> Set((2256L, 4337L)))
+    for ((dir, drop) <- expectedDrop) {
+      val hashes = graft.queries.DedupQueries.DedupStore.hashes(spark, dir)
+      def pairSet(m: Int) = Dedup.jaccardPairsFromShingles(hashes, minSharedRare = m)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val (r1, r2) = (pairSet(1), pairSet(2))
+      assert(r2.subsetOf(r1), s"=2 found pairs =1 did not at $dir: ${(r2 -- r1).take(5)}")
+      assert(r1 -- r2 === drop, s"minSharedRare recall delta moved at $dir")
+    }
+  }
+
   test("bucket cap: simhash pair set is cap-invariant") {
     val expected = Dedup.simhashPairs(docs)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet

@@ -82,6 +82,32 @@ class PercentilesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sf0.1 stress: q_percentiles at shuffle.partitions=64 equals the reference interpolation exactly") {
+    // The toy width-stress above plants the degenerate shapes; this runs
+    // the REAL bench query (lineitem l_extendedprice by l_returnflag,
+    // ~600k rows at sf0.1) at a partition width that guarantees ties and
+    // group runs span range-partition boundaries, and checks every cell
+    // against the independent driver-side interpolation — the same
+    // quantile_cont semantics the DuckDB oracle pins at sf0.01.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val li = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.1", "lineitem")
+      val got = Percentiles.exactQuantiles(li, "l_returnflag", "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .as[(String, Double, Double, Double, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val byFlag = li.select($"l_returnflag", $"l_extendedprice".cast("double"))
+        .as[(String, Double)].collect().groupBy(_._1)
+      assert(got.keySet === byFlag.keySet)
+      for ((k, rows) <- byFlag) {
+        val vs = rows.map(_._2).toSeq
+        assert(got(k) === ((k, refQuantile(vs, 0.25), refQuantile(vs, 0.5),
+          refQuantile(vs, 0.75), vs.length.toLong)), s"group $k at width 64")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("one hot key spreads across more than one task (parallelism is data-sized)") {
     // 20k rows of a SINGLE key: the old per-key window ranked these in
     // exactly one task; range repartitioning must use several. AQE's
