@@ -344,8 +344,8 @@ object Dedup {
     *     two. Arithmetically identical to intersect/union on distinct
     *     sets (the DuckDB oracles keep the textbook form).
     */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
+  private[graft] def verifyJaccard(cands: DataFrame, sh: DataFrame,
+                                   threshold: Double): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("_n"))
     cands
       .join(sizes.select(col("doc_id").as("doc_a"), col("_n").as("_na")), "doc_a")

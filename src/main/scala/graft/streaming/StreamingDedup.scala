@@ -1,0 +1,254 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+import graft.operators.Dedup
+
+/** Incremental MinHash-LSH near-duplicate detection over a DOCUMENT
+  * STREAM — the streaming twin of the batch `Dedup.nearDuplicates`
+  * pipeline (whose output is the oracle-checked `q_dedup_near`).
+  *
+  * A training-data ingest pipeline doesn't receive its corpus at once:
+  * documents arrive continuously, and re-running the full LSH build per
+  * batch is O(corpus) work per micro-batch. The incremental contract
+  * keeps per-batch work proportional to the BATCH, not the corpus:
+  *
+  *   - per micro-batch, the CPU-heavy tokenize→shingle→md5 pass and the
+  *     band signatures are computed for the NEW documents only;
+  *   - new-vs-corpus candidates come from an equi-join of the new
+  *     batch's band signatures against the accumulated signature store —
+  *     the batch side is micro-batch-sized, so the join broadcasts it
+  *     and the store is scanned once with only (band, sig, doc_id)
+  *     read, never shuffled;
+  *   - exact Jaccard verification (`Dedup.verifyJaccard` — the same
+  *     size-prune + no-array_union arithmetic as batch) reads only the
+  *     candidate docs' shingle sets from the hash store (candidate pairs
+  *     are few, so the verify joins broadcast them);
+  *   - discovered pairs append to a pair store; a pair (a, b) is found
+  *     exactly once — in the batch where the LATER of the two documents
+  *     arrives (new×old) or where both arrive (new×new, canonicalized
+  *     and deduped within the batch).
+  *
+  * EQUIVALENCE: the union of per-batch candidate sets is exactly the
+  * batch pipeline's bucket-collision candidate set (banding is a
+  * per-document deterministic map, and every unordered pair has a unique
+  * "later batch"), and verification is the identical exact Jaccard — so
+  * the accumulated pair store equals `Dedup.nearDuplicates` over the
+  * union of all batches (StreamingSpec proves set equality on a corpus
+  * fed through micro-batches).
+  *
+  * STORE LAYOUT under `storePath` (all plain parquet — no catalog
+  * dependency, readable by any engine):
+  *   - `hashes/`  (doc_id, sh, hv): distinct shingle sets + base hash
+  *     values of every ingested doc (empty-shingle docs excluded, as in
+  *     batch);
+  *   - `sigs/`    (doc_id, band, sig): banded MinHash signatures;
+  *   - `pairs/`   (doc_a, doc_b, jaccard): verified near-dup pairs;
+  *   - `_graft_commits/<scope>/<batchId>`: per-batch commit markers,
+  *     scoped by checkpoint lineage exactly like `StreamingIndex`.
+  *
+  * REPLAY SAFETY is the same at-least-once + marker contract as
+  * `StreamingIndex.sinkToIndex`: a re-delivered batchId whose marker
+  * exists is skipped outright. The residual window (crash AFTER some of
+  * the three appends but BEFORE the marker) can leave duplicate rows in
+  * the stores; `compactStore` restores uniqueness (dedup by key,
+  * side-dir rewrite + rename swap — never a half-compacted live store),
+  * and the read accessors (`pairs`/`hashes`/`sigs`) drop duplicates so
+  * readers are exact even across an uncompacted window. Run
+  * `compactStore` periodically alongside `StreamingIndex.compact`, with
+  * ingest stopped (same pause-compact-resume discipline).
+  *
+  * Input schema: `doc_id LONG, text STRING` (extra columns ignored).
+  */
+object StreamingDedup {
+
+  private[graft] def hashesPath(store: String) = s"$store/hashes"
+  private[graft] def sigsPath(store: String) = s"$store/sigs"
+  private[graft] def pairsPath(store: String) = s"$store/pairs"
+
+  private val hashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(StringType)),
+    StructField("hv", ArrayType(LongType))))
+  private val sigSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("band", IntegerType),
+    StructField("sig", StringType)))
+  private val pairSchema = StructType(Seq(
+    StructField("doc_a", LongType),
+    StructField("doc_b", LongType),
+    StructField("jaccard", DoubleType)))
+
+  /** Start the incremental near-dup sink over a document stream. The
+    * LSH parameters MUST stay fixed for the lifetime of a store —
+    * signatures computed under different (n, numBands, bandSize) don't
+    * collide meaningfully (re-shingle into a fresh store to re-tune).
+    */
+  def sinkNearDup(docs: DataFrame, storePath: String, checkpointDir: String,
+                  n: Int = 3, numBands: Int = 24, bandSize: Int = 3,
+                  threshold: Double = 0.5): StreamingQuery = {
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val scope = StreamingIndex.commitScope(checkpointDir, conf)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val appended =
+          processBatch(batch, batchId, storePath, scope, n, numBands, bandSize, threshold)
+        // a SKIPPED replay still executes the batch plan through the noop
+        // sink so any stateful upstream operator commits its state store
+        // (see StreamingIndex.sinkToIndex)
+        if (!appended) batch.write.format("noop").mode("overwrite").save()
+      }
+      .start()
+  }
+
+  /** One idempotent incremental micro-batch (factored out of
+    * `sinkNearDup` so replay behavior is directly testable — the
+    * `appendBatch` pattern). @return whether the batch was processed
+    * (false = replay of a committed batchId, skipped).
+    */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, storePath: String,
+                                  scope: String = "default", n: Int = 3,
+                                  numBands: Int = 24, bandSize: Int = 3,
+                                  threshold: Double = 0.5): Boolean = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits/$scope/$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return false
+
+    // new docs' shingle sets + base hashes: the only per-doc CPU work of
+    // the batch, materialized once — it feeds the signature projection
+    // and both sides of the verify joins
+    val newHash = Dedup.materializeOnce(
+      Dedup.shingleHashFrame(batch.select("doc_id", "text"), n)
+        .filter(size(col("sh")) > 0))
+    val newSigs = Dedup.minhashBands(newHash, numBands, bandSize)
+
+    val oldSigs = readOrEmpty(spark, sigsPath(storePath), sigSchema)
+    // candidates: new docs against the WHOLE corpus so far (old store +
+    // this batch, so new-new pairs are found too). The new side is
+    // micro-batch-sized — broadcast it, so the accumulated store is
+    // scanned (columns pruned to the three sig fields) but NEVER
+    // shuffled, whatever its size. Self-rows drop on doc_id inequality;
+    // least/greatest canonicalizes; distinct collapses a pair re-found
+    // via several bands (and the new-new double discovery).
+    val allSigs = oldSigs.select("doc_id", "band", "sig")
+      .unionByName(newSigs.select("doc_id", "band", "sig"))
+    val cands = allSigs.alias("al")
+      .join(broadcast(newSigs.select(col("band"), col("sig"), col("doc_id").as("_nid")))
+        .alias("nw"), Seq("band", "sig"))
+      .filter(col("al.doc_id") =!= col("_nid"))
+      .select(least(col("al.doc_id"), col("_nid")).as("doc_a"),
+        greatest(col("al.doc_id"), col("_nid")).as("doc_b"))
+      .distinct()
+
+    // verify against the shingle sets of BOTH sides (old docs' sets come
+    // from the hash store; candidate pairs are few → the verify joins
+    // broadcast them against the store scan)
+    val allHash = readOrEmpty(spark, hashesPath(storePath), hashSchema)
+      .select("doc_id", "sh", "hv")
+      .unionByName(newHash.select("doc_id", "sh", "hv"))
+    val newPairs = Dedup.verifyJaccard(cands, allHash, threshold).distinct()
+
+    // three appends, then the marker: at-least-once — a crash mid-window
+    // re-appends on replay, collapsed by compactStore / the accessors
+    newHash.select("doc_id", "sh", "hv").write.mode(SaveMode.Append)
+      .parquet(hashesPath(storePath))
+    newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
+      .parquet(sigsPath(storePath))
+    newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+    fs.create(marker, true).close()
+    true
+  }
+
+  /** The accumulated verified near-dup pair relation. Exact across the
+    * replay residual window: duplicates from a re-appended batch carry
+    * identical values, so dropping duplicate keys loses nothing.
+    */
+  def pairs(spark: SparkSession, storePath: String): DataFrame =
+    readOrEmpty(spark, pairsPath(storePath), pairSchema).dropDuplicates("doc_a", "doc_b")
+
+  /** The accumulated shingle+hash frame — feed it to
+    * `Dedup.jaccardPairsFromShingles` / `clusters` for the non-LSH dedup
+    * flavors over a streamed corpus.
+    */
+  def hashes(spark: SparkSession, storePath: String): DataFrame =
+    readOrEmpty(spark, hashesPath(storePath), hashSchema).dropDuplicates("doc_id")
+
+  private[graft] def sigs(spark: SparkSession, storePath: String): DataFrame =
+    readOrEmpty(spark, sigsPath(storePath), sigSchema).dropDuplicates("doc_id", "band")
+
+  /** Collapse replay-residual duplicates and per-batch small files in all
+    * three sub-stores: dedup by key, rewrite to a side directory, then
+    * swap via two renames — a crash at any point leaves every row
+    * recoverable on disk (`recoverStore` finishes or unwinds), never a
+    * half-compacted live store. Marker trees are cleared with the swap
+    * (fresh dedup baseline, same contract as `StreamingIndex.compact`).
+    * MUST run with ingest into this store stopped.
+    */
+  def compactStore(spark: SparkSession, storePath: String): Unit = {
+    compactSub(spark, hashesPath(storePath), hashSchema, Seq("doc_id"))
+    compactSub(spark, sigsPath(storePath), sigSchema, Seq("doc_id", "band"))
+    compactSub(spark, pairsPath(storePath), pairSchema, Seq("doc_a", "doc_b"))
+    val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
+    commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
+  }
+
+  /** Finish or unwind a `compactStore` interrupted at any crash point —
+    * safe to run unconditionally before restarting ingest: a live
+    * sub-store survives as-is (pending rewrites discarded); a swapped-out
+    * one is restored from whichever complete side directory survives.
+    */
+  def recoverStore(spark: SparkSession, storePath: String): Unit =
+    Seq(hashesPath(storePath), sigsPath(storePath), pairsPath(storePath)).foreach { p =>
+      recoverSub(spark, p)
+    }
+
+  private def compactSub(spark: SparkSession, path: String, schema: StructType,
+                         keys: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return
+    val (tmp, old) = (new Path(path + "__compacting"), new Path(path + "__pre_compact"))
+    fs.delete(tmp, true); fs.delete(old, true)
+    readOrEmpty(spark, path, schema).dropDuplicates(keys)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(new Path(path), old))
+      throw new java.io.IOException(s"compactStore: cannot move $path aside")
+    if (!fs.rename(tmp, new Path(path)))
+      throw new java.io.IOException(s"compactStore: cannot install $tmp at $path")
+    fs.delete(old, true): Unit
+  }
+
+  private def recoverSub(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val (tmp, old) = (new Path(path + "__compacting"), new Path(path + "__pre_compact"))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) {
+      // crashed between the renames: the compacted rewrite is complete
+      // (it was written before the first rename), install it; fall back
+      // to the pre-compact originals if the rewrite is missing
+      if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"recoverStore: cannot install $tmp at $path")
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, live))
+          throw new java.io.IOException(s"recoverStore: cannot restore $old at $path")
+      }
+    }
+    fs.delete(tmp, true); fs.delete(old, true): Unit
+  }
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

@@ -431,4 +431,124 @@ class StreamingSpec extends AnyFunSuite {
     val r = EventPipeline.windowedCounts(batch).as[(String, String, Long, Double)].collect()
     assert(r.toSeq === Seq(("2024-01-01 10:00:00", "click", 2L, 4.0)))
   }
+
+  /** Deterministic corpus with GUARANTEED near-duplicates: 24 base docs
+    * of 30 tokens from a 50-word pool, plus a one-token-replaced variant
+    * of every fourth doc (J ≈ 25/31 ≈ 0.81 ≥ 0.5, well above threshold).
+    * Variants get ids 1000+i so original and variant land in DIFFERENT
+    * micro-batches when fed in id order — the cross-batch discovery path.
+    */
+  private def nearDupFixture: Seq[(Long, String)] = {
+    val pool = (0 until 50).map(i => s"w${i}word")
+    val base = (0 until 24).map { i =>
+      i.toLong -> (0 until 30).map(j => pool((i * 7 + j * 3) % 50)).mkString(" ")
+    }
+    val variants = base.collect { case (id, text) if id % 4 == 0 =>
+      val ts = text.split(" ").toVector
+      (1000L + id) -> ts.updated(5, "mutated").mkString(" ")
+    }
+    base ++ variants
+  }
+
+  test("streaming near-dup equals the batch pair set when the corpus arrives in micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val fixture = nearDupFixture.sortBy(_._1) // originals first, variants last
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.sinkNearDup(
+      input.toDF().toDF("doc_id", "text"), store, ckpt)
+    try {
+      // three micro-batches: every variant arrives in a LATER batch than
+      // its original, so most pairs exercise the new-vs-store join
+      fixture.grouped(fixture.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = graft.streaming.StreamingDedup.pairs(spark, store)
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.operators.Dedup.nearDuplicates(fixture.toDF("doc_id", "text"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty) // the fixture must actually contain near-dups
+      assert(batch.size >= 6) // one pair per variant at minimum
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup replay: committed batchId skipped; residual-window duplicates collapse on compact") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_replay").toString
+    val store = s"$dir/store"
+    val fixture = nearDupFixture
+    val (b0, b1) = fixture.partition(_._1 < 1000L) // originals, then variants
+    assert(graft.streaming.StreamingDedup.processBatch(b0.toDF("doc_id", "text"), 0L, store))
+    assert(graft.streaming.StreamingDedup.processBatch(b1.toDF("doc_id", "text"), 1L, store))
+    val expected = graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty)
+    // at-least-once re-delivery of a committed batchId is a no-op
+    assert(!graft.streaming.StreamingDedup.processBatch(b1.toDF("doc_id", "text"), 1L, store))
+    // residual window: crash AFTER the appends, BEFORE the marker — on
+    // restart the marker is absent and the batch re-processes
+    val marker = new Path(s"$store/_graft_commits/default/1")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(marker, false)
+    assert(graft.streaming.StreamingDedup.processBatch(b1.toDF("doc_id", "text"), 1L, store))
+    // raw stores now hold duplicates, but the accessors stay EXACT…
+    assert(spark.read.parquet(s"$store/hashes").count()
+      > graft.streaming.StreamingDedup.hashes(spark, store).count())
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet === expected)
+    // …and compactStore restores physical uniqueness + clears markers
+    graft.streaming.StreamingDedup.compactStore(spark, store)
+    assert(spark.read.parquet(s"$store/hashes").count()
+      === graft.streaming.StreamingDedup.hashes(spark, store).count())
+    assert(spark.read.parquet(s"$store/pairs")
+      .as[(Long, Long, Double)].collect().toSet === expected)
+    assert(!new java.io.File(s"$store/_graft_commits").exists())
+    // the accumulated hash frame also feeds the OTHER dedup flavors: the
+    // rare-shingle jaccard path over the streamed store equals batch
+    val viaStore = graft.operators.Dedup.jaccardPairsFromShingles(
+        graft.operators.Dedup.materializeOnce(
+          graft.streaming.StreamingDedup.hashes(spark, store)))
+      .as[(Long, Long, Double)].collect().toSet
+    val viaBatch = graft.operators.Dedup.jaccardPairs(fixture.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStore === viaBatch && viaStore.nonEmpty)
+  }
+
+  test("streaming near-dup compact crash windows: recoverStore restores every sub-store state") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_crash").toString
+    val store = s"$dir/store"
+    val fixture = nearDupFixture
+    assert(graft.streaming.StreamingDedup.processBatch(fixture.toDF("doc_id", "text"), 0L, store))
+    val expected = graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash BETWEEN the renames on the pairs sub-store: live dir absent,
+    // compacted rewrite complete in __compacting — recover installs it
+    val pairsDir = s"$store/pairs"
+    spark.read.parquet(pairsDir).dropDuplicates("doc_a", "doc_b")
+      .write.mode("overwrite").parquet(pairsDir + "__compacting")
+    assert(fs.rename(new Path(pairsDir), new Path(pairsDir + "__pre_compact")))
+    assert(!fs.exists(new Path(pairsDir))) // …process dies here
+    graft.streaming.StreamingDedup.recoverStore(spark, store)
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet === expected)
+    assert(!fs.exists(new Path(pairsDir + "__compacting")))
+    assert(!fs.exists(new Path(pairsDir + "__pre_compact")))
+
+    // crash BEFORE any rename (stale side dirs only): recover discards
+    // the pending rewrite, live stores untouched
+    spark.read.parquet(s"$store/hashes")
+      .write.mode("overwrite").parquet(s"$store/hashes__compacting")
+    graft.streaming.StreamingDedup.recoverStore(spark, store)
+    assert(!fs.exists(new Path(s"$store/hashes__compacting")))
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet === expected)
+  }
 }
