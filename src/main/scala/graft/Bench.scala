@@ -123,6 +123,11 @@ object Bench {
         (System.nanoTime() - tDedup) / 1e9
       } catch { case _: Throwable => -1.0 }
 
+    // one untimed warm call first: the sentinel's OWN first execution pays
+    // its codegen/JIT, which the end-of-run call never does — without the
+    // warm-up every run reads start > end (r6: 0.72/0.34, r7 dev: 0.56/0.36)
+    // and the start/end drift check flags phantom "early contention"
+    cpuSentinel()
     val cpuStart = cpuSentinel()
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
