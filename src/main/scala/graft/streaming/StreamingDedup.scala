@@ -129,22 +129,9 @@ object StreamingDedup {
     val newSigs = Dedup.minhashBands(newHash, numBands, bandSize)
 
     val oldSigs = readOrEmpty(spark, sigsPath(storePath), sigSchema)
-    // candidates: new docs against the WHOLE corpus so far (old store +
-    // this batch, so new-new pairs are found too). The new side is
-    // micro-batch-sized — broadcast it, so the accumulated store is
-    // scanned (columns pruned to the three sig fields) but NEVER
-    // shuffled, whatever its size. Self-rows drop on doc_id inequality;
-    // least/greatest canonicalizes; distinct collapses a pair re-found
-    // via several bands (and the new-new double discovery).
     val allSigs = oldSigs.select("doc_id", "band", "sig")
       .unionByName(newSigs.select("doc_id", "band", "sig"))
-    val cands = allSigs.alias("al")
-      .join(broadcast(newSigs.select(col("band"), col("sig"), col("doc_id").as("_nid")))
-        .alias("nw"), Seq("band", "sig"))
-      .filter(col("al.doc_id") =!= col("_nid"))
-      .select(least(col("al.doc_id"), col("_nid")).as("doc_a"),
-        greatest(col("al.doc_id"), col("_nid")).as("doc_b"))
-      .distinct()
+    val cands = candidatePairs(newSigs, allSigs)
 
     // verify against the shingle sets of BOTH sides (old docs' sets come
     // from the hash store; candidate pairs are few → the verify joins
@@ -164,6 +151,25 @@ object StreamingDedup {
     fs.create(marker, true).close()
     true
   }
+
+  /** Candidate pairs of one incremental step: new docs against the WHOLE
+    * corpus so far (`allSigs` = accumulated store + this batch, so
+    * new-new pairs are found too). The new side is micro-batch-sized —
+    * BROADCAST it, so the accumulated store is scanned (columns pruned
+    * to the three sig fields) but NEVER shuffled, whatever its size —
+    * the property that keeps per-batch cost proportional to the batch
+    * (PlanSpec pins the broadcast shape). Self-rows drop on doc_id
+    * inequality; least/greatest canonicalizes; distinct collapses a
+    * pair re-found via several bands (and the new-new double discovery).
+    */
+  private[graft] def candidatePairs(newSigs: DataFrame, allSigs: DataFrame): DataFrame =
+    allSigs.alias("al")
+      .join(broadcast(newSigs.select(col("band"), col("sig"), col("doc_id").as("_nid")))
+        .alias("nw"), Seq("band", "sig"))
+      .filter(col("al.doc_id") =!= col("_nid"))
+      .select(least(col("al.doc_id"), col("_nid")).as("doc_a"),
+        greatest(col("al.doc_id"), col("_nid")).as("doc_b"))
+      .distinct()
 
   /** The accumulated verified near-dup pair relation. Exact across the
     * replay residual window: duplicates from a re-appended batch carry

@@ -145,4 +145,20 @@ class PlanSpec extends AnyFunSuite {
     val not = plan("q_bool_not")
     assert(not.contains("SelectedBucketsCount"), "NOT not bucket-pruned")
   }
+
+  test("streaming dedup candidate join: batch side broadcast, signature store never shuffled") {
+    import spark.implicits._
+    // the store side must stay shuffle-free whatever its size: per-batch
+    // incremental cost is only proportional to the batch if the join
+    // broadcasts the (small) new-signatures side
+    val newSigs = Seq((1L, 0, "a"), (2L, 1, "b")).toDF("doc_id", "band", "sig")
+    val allSigs = Seq((1L, 0, "a"), (2L, 1, "b"), (3L, 0, "a")).toDF("doc_id", "band", "sig")
+    val p = graft.streaming.StreamingDedup.candidatePairs(newSigs, allSigs)
+      .queryExecution.executedPlan.toString
+    assert(broadcasts(p) === 1, s"new side must broadcast:\n$p")
+    // the only hash exchange is the candidate-pair distinct — output-sized,
+    // never the store
+    assert(shuffles(p) === 1, s"store side must not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"must not sort-merge the store:\n$p")
+  }
 }
