@@ -117,6 +117,19 @@ object RelationalQueries {
            |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     }),
 
+    // Selective two-dim box over the session's Z-ORDERED lineitem copy
+    // (sources/Layout.scala): the layout-optimization read path end to
+    // end — build the Morton-clustered rewrite once, then answer box
+    // predicates from files whose min/max bounds overlap the box (the
+    // rest skip on statistics; LayoutSpec measures the skip rate). The
+    // oracle runs the same filter over the RAW table: layout must never
+    // change results.
+    "q_zorder_box" -> ((s, dir) =>
+      graft.sources.LayoutStore.lineitemZ(s, dir)
+        .filter(col("l_orderkey").between(100, 1200) &&
+          col("l_partkey").between(10, 150))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")),
+
     // Range join (bucketed, large×large-safe): lineitem quantities
     // matched to [lo, hi) tier intervals via bucket equi-join + residual
     // filter — not a nested-loop non-equi join.
@@ -322,6 +335,11 @@ object RelationalQueries {
          |JOIN nation   ON c_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q_zorder_box" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 1200 AND l_partkey BETWEEN 10 AND 150""".stripMargin,
 
     "q_range_tier" ->
       """WITH tiers(lo, hi, tier) AS (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'), (25.0, 60.0, 'large'))

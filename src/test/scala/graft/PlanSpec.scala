@@ -146,6 +146,16 @@ class PlanSpec extends AnyFunSuite {
     assert(not.contains("SelectedBucketsCount"), "NOT not bucket-pruned")
   }
 
+  test("q_zorder_box: single pushed-filter scan of the clustered rewrite, no exchange") {
+    val p = plan("q_zorder_box")
+    assert(shuffles(p) === 0 && broadcasts(p) === 0, s"box read must be scan-only:\n$p")
+    // the rendered PushedFilters list truncates past ~100 chars, so pin
+    // the first pushed range bound plus both columns' presence in the list
+    assert(p.contains("GreaterThanOrEqual(l_orderkey,100)"), s"orderkey bound not pushed:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), IsNotNull(l_partkey)"),
+      s"partkey not in the pushdown list:\n$p")
+  }
+
   test("streaming dedup candidate join: batch side broadcast, signature store never shuffled") {
     import spark.implicits._
     // the store side must stay shuffle-free whatever its size: per-batch
