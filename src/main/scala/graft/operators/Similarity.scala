@@ -55,7 +55,7 @@ object Similarity {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
 
-  private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+  private[graft] def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     round(dot(va, vb) / (na * nb), 6)
 
   /** Brute-force cosine top-k against the embedding of `queryId`.

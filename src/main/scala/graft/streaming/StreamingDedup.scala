@@ -214,8 +214,8 @@ object StreamingDedup {
       recoverSub(spark, p)
     }
 
-  private def compactSub(spark: SparkSession, path: String, schema: StructType,
-                         keys: Seq[String]): Unit = {
+  private[streaming] def compactSub(spark: SparkSession, path: String, schema: StructType,
+                                    keys: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
@@ -230,7 +230,7 @@ object StreamingDedup {
     fs.delete(old, true): Unit
   }
 
-  private def recoverSub(spark: SparkSession, path: String): Unit = {
+  private[streaming] def recoverSub(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(path)
     val (tmp, old) = (new Path(path + "__compacting"), new Path(path + "__pre_compact"))
@@ -250,8 +250,8 @@ object StreamingDedup {
     fs.delete(tmp, true); fs.delete(old, true): Unit
   }
 
-  private def readOrEmpty(spark: SparkSession, path: String,
-                          schema: StructType): DataFrame = {
+  private[streaming] def readOrEmpty(spark: SparkSession, path: String,
+                                     schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, Similarity}
+
+/** Incremental embedding-cosine near-duplicate detection over a VECTOR
+  * STREAM — the streaming twin of the batch
+  * `Similarity.embeddingDuplicates` (whose output is the oracle-checked
+  * `q_embed_dup`), and the embedding-flavored sibling of
+  * `StreamingDedup` (same store/marker/compaction machinery; see that
+  * scaladoc for the replay and residual-window contract).
+  *
+  * Per micro-batch, only the NEW vectors are normalized and
+  * sign-bucketed; candidates come from broadcast-joining the batch's
+  * (bucket, vector) rows against the accumulated vector store on the
+  * bucket key — the store is scanned, never shuffled — and the cosine
+  * verify is the same `dot_f64` + round(…, 6) arithmetic as batch, so
+  * the accumulated pair store equals `embeddingDuplicates` over the
+  * union of all batches (StreamingSpec proves set equality).
+  *
+  * STORE LAYOUT under `storePath`:
+  *   - `vecs/`  (vec_id, v, norm, bucket): double-cast vectors with
+  *     their norm and sign bucket (computed once, at ingest);
+  *   - `pairs/` (vec_a, vec_b, sim): verified near-dup pairs;
+  *   - `_graft_commits/<scope>/<batchId>`: commit markers.
+  *
+  * Input schema: `vec_id LONG, embedding ARRAY<FLOAT|DOUBLE>` (extra
+  * columns ignored).
+  */
+object StreamingEmbed {
+
+  private[graft] def vecsPath(store: String) = s"$store/vecs"
+  private[graft] def pairsPath(store: String) = s"$store/pairs"
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("norm", DoubleType),
+    StructField("bucket", StringType)))
+  private val pairSchema = StructType(Seq(
+    StructField("vec_a", LongType),
+    StructField("vec_b", LongType),
+    StructField("sim", DoubleType)))
+
+  /** Start the incremental embedding near-dup sink. `bits` MUST stay
+    * fixed for the lifetime of a store (bucket keys are not comparable
+    * across widths).
+    */
+  def sinkEmbedDup(embeddings: DataFrame, storePath: String, checkpointDir: String,
+                   bits: Int = 8, threshold: Double = 0.3): StreamingQuery = {
+    val conf = embeddings.sparkSession.sparkContext.hadoopConfiguration
+    val scope = StreamingIndex.commitScope(checkpointDir, conf)
+    embeddings.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val appended = processBatch(batch, batchId, storePath, scope, bits, threshold)
+        if (!appended) batch.write.format("noop").mode("overwrite").save()
+      }
+      .start()
+  }
+
+  /** One idempotent incremental micro-batch (testable replay unit — the
+    * `appendBatch` pattern). @return false = replay of a committed
+    * batchId, skipped.
+    */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, storePath: String,
+                                  scope: String = "default", bits: Int = 8,
+                                  threshold: Double = 0.3): Boolean = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits/$scope/$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return false
+
+    val newP = Dedup.materializeOnce(
+      Similarity.prepared(batch.select("vec_id", "embedding"))
+        .withColumn("bucket", Similarity.signBucket(col("v"), bits)))
+    val allVecs = StreamingDedup.readOrEmpty(spark, vecsPath(storePath), vecSchema)
+      .select("vec_id", "v", "norm", "bucket")
+      .unionByName(newP.select("vec_id", "v", "norm", "bucket"))
+    // candidates: new vectors against the whole corpus so far on the
+    // bucket key. The new side is micro-batch-sized — broadcast it, so
+    // the accumulated store never shuffles; cosine verifies in the same
+    // pass (the candidate join IS the verify join here — vectors ride
+    // along both sides, no second lookup needed). A new-new pair is
+    // discovered twice with the identical rounded sim → dropDuplicates.
+    val newPairs = allVecs.alias("al")
+      .join(broadcast(newP.select(col("bucket"), col("vec_id").as("_nid"),
+        col("v").as("_nv"), col("norm").as("_nn"))), Seq("bucket"))
+      .filter(col("al.vec_id") =!= col("_nid"))
+      .select(least(col("al.vec_id"), col("_nid")).as("vec_a"),
+        greatest(col("al.vec_id"), col("_nid")).as("vec_b"),
+        Similarity.cosine(col("al.v"), col("al.norm"), col("_nv"), col("_nn")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
+
+    newP.select("vec_id", "v", "norm", "bucket").write.mode(SaveMode.Append)
+      .parquet(vecsPath(storePath))
+    newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+    fs.create(marker, true).close()
+    true
+  }
+
+  /** The accumulated verified pair relation — exact across the replay
+    * residual window (duplicate keys carry identical sims).
+    */
+  def pairs(spark: SparkSession, storePath: String): DataFrame =
+    StreamingDedup.readOrEmpty(spark, pairsPath(storePath), pairSchema)
+      .dropDuplicates("vec_a", "vec_b")
+
+  /** The accumulated (vec_id, v, norm, bucket) store — feed it to batch
+    * similarity consumers over a streamed corpus.
+    */
+  def vectors(spark: SparkSession, storePath: String): DataFrame =
+    StreamingDedup.readOrEmpty(spark, vecsPath(storePath), vecSchema)
+      .dropDuplicates("vec_id")
+
+  /** Collapse replay-residual duplicates and per-batch small files —
+    * same contract and crash discipline as `StreamingDedup.compactStore`
+    * (run with ingest stopped; `recoverStore` finishes or unwinds).
+    */
+  def compactStore(spark: SparkSession, storePath: String): Unit = {
+    StreamingDedup.compactSub(spark, vecsPath(storePath), vecSchema, Seq("vec_id"))
+    StreamingDedup.compactSub(spark, pairsPath(storePath), pairSchema, Seq("vec_a", "vec_b"))
+    val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
+    commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
+  }
+
+  def recoverStore(spark: SparkSession, storePath: String): Unit =
+    Seq(vecsPath(storePath), pairsPath(storePath)).foreach { p =>
+      StreamingDedup.recoverSub(spark, p)
+    }
+}

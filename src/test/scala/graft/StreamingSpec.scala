@@ -518,6 +518,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStore === viaBatch && viaStore.nonEmpty)
   }
 
+  /** Deterministic embedding fixture: 24 base vectors (6 dims, values in
+    * [-5, 5] with varied sign patterns) plus a 0.5-scaled copy of every
+    * fourth (identical signs → same bucket; cosine exactly 1.0).
+    */
+  private def embedFixture: Seq[(Long, Seq[Double])] = {
+    val base = (0 until 24).map { i =>
+      i.toLong -> (0 until 6).map(d => (((i * 7 + d * 3) % 11) - 5).toDouble)
+    }
+    val variants = base.collect { case (id, v) if id % 4 == 0 =>
+      (1000L + id) -> v.map(_ * 0.5)
+    }
+    base ++ variants
+  }
+
+  test("streaming embedding near-dup equals the batch pair set; replay skipped; compact collapses residuals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_embed").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val fixture = embedFixture.sortBy(_._1) // variants arrive after their originals
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingEmbed.sinkEmbedDup(
+      input.toDF().toDF("vec_id", "embedding"), store, ckpt, bits = 4)
+    try {
+      fixture.grouped(fixture.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = graft.streaming.StreamingEmbed.pairs(spark, store)
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.operators.Similarity
+        .embeddingDuplicates(fixture.toDF("vec_id", "embedding"), bits = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.size >= 6) // every scaled copy pairs with its original at sim 1.0
+      assert(streamed === batch)
+    } finally q.stop()
+
+    // replay of a committed batchId is a no-op; after a forced residual
+    // re-append, compactStore restores physical uniqueness
+    val b = fixture.take(8).toDF("vec_id", "embedding")
+    assert(!graft.streaming.StreamingEmbed.processBatch(b, 0L, store,
+      graft.streaming.StreamingIndex.commitScope(ckpt, spark.sparkContext.hadoopConfiguration),
+      bits = 4))
+    assert(graft.streaming.StreamingEmbed.processBatch(b, 99L, store, bits = 4)) // new scope+id appends
+    val expected = graft.streaming.StreamingEmbed.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.streaming.StreamingEmbed.compactStore(spark, store)
+    assert(spark.read.parquet(s"$store/vecs").count()
+      === graft.streaming.StreamingEmbed.vectors(spark, store).count())
+    assert(graft.streaming.StreamingEmbed.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet === expected)
+    assert(!new java.io.File(s"$store/_graft_commits").exists())
+  }
+
   test("streaming near-dup compact crash windows: recoverStore restores every sub-store state") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
