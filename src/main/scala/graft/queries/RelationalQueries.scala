@@ -117,6 +117,24 @@ object RelationalQueries {
            |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     }),
 
+    // Large×large join with ZERO exchanges: lineitem ⋈ orders where BOTH
+    // sides are served from session tables bucketed (and sorted) on the
+    // order key into the same bucket count (sources/Sinks.scala
+    // ColocatedStore). Bucket i joins bucket i — no shuffle of either
+    // table at any scale — and the per-order aggregate's distribution
+    // requirement is already satisfied by the bucketing, so the ENTIRE
+    // query plans without an exchange (PlanSpec pins it). The merge hint
+    // keeps the plan on the sort-merge path (a broadcast would also be
+    // exchange-ish and stops being possible at real scale).
+    "q_colocated_join" -> ((s, dir) => {
+      val (li, ord) = graft.sources.ColocatedStore.orderJoinTables(s, dir)
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+    }),
+
     // Selective two-dim box over the session's Z-ORDERED lineitem copy
     // (sources/Layout.scala): the layout-optimization read path end to
     // end — build the Morton-clustered rewrite once, then answer box
@@ -335,6 +353,11 @@ object RelationalQueries {
          |JOIN nation   ON c_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q_colocated_join" ->
+      s"""SELECT o_orderkey, COUNT(*) AS n_items, $revenueSql AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey""".stripMargin,
 
     "q_zorder_box" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity

@@ -223,3 +223,59 @@ object IndexStore {
     spark.table(tbl)
   }
 }
+
+/** Session-scoped CO-LOCATED bucketed copies of lineitem and orders —
+  * both bucketed (and sorted) on the order key into the SAME bucket
+  * count, so their join needs NO exchange on either side at ANY size:
+  * bucket i of one table joins bucket i of the other, a property that
+  * survives a 1000-executor 100 TB layout where a shuffle join would
+  * move both tables. The large×large complement of broadcasting small
+  * dims; served build-once-query-many like `IndexStore` (same process
+  * scoping + metastore staleness guard).
+  */
+object ColocatedStore {
+
+  private val building = new Object
+  private val processScope: String = java.util.UUID.randomUUID().toString.take(8)
+  private var verified = Set.empty[String]
+
+  private def tableNameFor(base: String, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_${base}_bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + tag
+  }
+
+  private def served(spark: SparkSession, dir: String, base: String,
+                     bucketCol: String, buckets: Int): DataFrame = {
+    val tbl = tableNameFor(base, dir)
+    val path =
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_coloc/$processScope/$tbl"
+    building.synchronized {
+      if (!verified.contains(tbl)) {
+        val stale = spark.catalog.tableExists(tbl) &&
+          !spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+            .filter(col("col_name") === "Location")
+            .collect().headOption.exists(_.getString(1).contains(s"/$processScope/"))
+        if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        if (stale || !spark.catalog.tableExists(tbl)) {
+          Tables.tbl(spark, dir, base).write
+            .mode(SaveMode.Overwrite)
+            .option("path", path)
+            .bucketBy(buckets, bucketCol)
+            .sortBy(bucketCol)
+            .saveAsTable(tbl)
+        }
+        verified += tbl
+      }
+    }
+    spark.table(tbl)
+  }
+
+  /** (lineitem bucketed on l_orderkey, orders bucketed on o_orderkey) —
+    * equal bucket counts, ready for the exchange-free join.
+    */
+  def orderJoinTables(spark: SparkSession, dir: String,
+                      buckets: Int = 32): (DataFrame, DataFrame) =
+    (served(spark, dir, "lineitem", "l_orderkey", buckets),
+      served(spark, dir, "orders", "o_orderkey", buckets))
+}

@@ -146,6 +146,14 @@ class PlanSpec extends AnyFunSuite {
     assert(not.contains("SelectedBucketsCount"), "NOT not bucket-pruned")
   }
 
+  test("q_colocated_join: bucketed large×large join plus per-key agg with ZERO exchanges") {
+    val p = plan("q_colocated_join")
+    assert(p.contains("SortMergeJoin"), s"expected the sort-merge bucket join:\n$p")
+    assert(shuffles(p) === 0, s"co-located join must not shuffle either side:\n$p")
+    assert(broadcasts(p) === 0, s"no broadcast — the shape must scale large×large:\n$p")
+    assert(!p.contains("Exchange"), s"zero exchanges of any kind:\n$p")
+  }
+
   test("q_zorder_box: single pushed-filter scan of the clustered rewrite, no exchange") {
     val p = plan("q_zorder_box")
     assert(shuffles(p) === 0 && broadcasts(p) === 0, s"box read must be scan-only:\n$p")
