@@ -186,15 +186,19 @@ object Bench {
         case _ => -1.0
       }
 
-    // timings serialize at 4 decimal places (0.1 ms — far below run-to-run
-    // noise): at full double precision the 61-entry queries map pushed the
-    // JSON line past the ~2 KB stdout tail the driver retains, decapitating
-    // the line and recording parsed:null (BENCH_r04–r06)
-    def f4(v: Double): String =
-      java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+    // timings serialize at few decimal places (≥0.1 ms — far below
+    // run-to-run noise): at full double precision the 61-entry queries map
+    // pushed the JSON line past the ~2 KB stdout tail the driver retains,
+    // decapitating the line and recording parsed:null (BENCH_r04–r06).
+    // The per-query map uses 3 decimals (1 ms) — at 64 registered queries
+    // the 4-decimal line had crept back to ~1.9 KB
+    def fx(v: Double, scale: Int): String =
+      java.math.BigDecimal.valueOf(v).setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+    def f4(v: Double): String = fx(v, 4)
+    def f3(v: Double): String = fx(v, 3)
     // queries/total carry error-free timings only: an errored query lives
     // in `errors` alone (its wall time is an artifact of where it failed)
-    val qs = results.collect { case (k, v, None) => esc(k) + ":" + f4(v) }
+    val qs = results.collect { case (k, v, None) => esc(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => esc(k) + ":" + esc(e) }
       .mkString("{", ",", "}")
