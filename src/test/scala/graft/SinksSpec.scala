@@ -61,6 +61,48 @@ class SinksSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("exchange"))
   }
 
+  test("partitioned sink: DYNAMIC partition pruning — a filtered dim join prunes fact partitions at runtime") {
+    val path = Files.createTempDirectory("graft_dpp").toString + "/fact"
+    // fact partitioned on a low-cardinality key; dim carries the
+    // selective predicate. At plan time the fact filter is unknown — DPP
+    // injects the dim's broadcast result into the fact scan's
+    // PartitionFilters, so only the matching directories are read: the
+    // star-schema scan pattern at 100 TB (filter the date dim, scan only
+    // those date partitions of the fact)
+    val fact = (0 until 20000).map(i => (i.toLong, s"p${i % 5}", i * 2.0))
+      .toDF("id", "pk", "v")
+    Sinks.writePartitioned(fact, path, partitionCol = "pk", sortCol = "id")
+    // the dim predicate must be a real comparison over a FILE source:
+    // DPP only fires for "likely selective" filters (a bare boolean
+    // attribute doesn't qualify), and a filter over an in-memory
+    // LocalRelation is constant-folded away before the rule ever sees it
+    val dimPath = path + "_dim"
+    Seq(("p1", "hot"), ("p3", "hot"), ("p0", "cold"), ("p2", "cold"), ("p4", "cold"))
+      .toDF("pk", "grp").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    // a LocalRelation dim carries no column stats, so the stats-based
+    // benefit estimate can refuse to prune a toy-sized fact; the
+    // heuristic fallback ratio is the documented escape (production
+    // tables have stats). Scoped to this query build + restored.
+    val useStats = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = spark.conf.get(useStats)
+    val (plan, rows) = try {
+      spark.conf.set(useStats, "false")
+      // aggregate a DATA column: a partition-column-only projection reads
+      // zero data bytes and the benefit estimate refuses to prune
+      val q = spark.read.parquet(path)
+        .join(dim.filter($"grp" === "hot"), "pk")
+        .groupBy("pk").agg(org.apache.spark.sql.functions.sum($"v").as("sv"))
+      // force plan + execution inside the conf window (both are lazy)
+      (q.queryExecution.executedPlan.toString, q.as[(String, Double)].collect().toMap)
+    } finally spark.conf.set(useStats, prev)
+    val expected = fact.filter($"pk".isin("p1", "p3"))
+      .groupBy("pk").agg(org.apache.spark.sql.functions.sum($"v").as("sv"))
+      .as[(String, Double)].collect().toMap
+    assert(rows === expected && expected.size === 2)
+    assert(plan.contains("dynamicpruning"), s"no dynamic partition pruning in the fact scan:\n$plan")
+  }
+
   test("K1 raw mapper envelope round-trips and carries reference metadata") {
     val out = Files.createTempDirectory("graft_k1").toString + "/mapper_3_part0.json"
     val postings = InvertedIndex.postings(docs)
