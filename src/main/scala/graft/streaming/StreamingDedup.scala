@@ -105,6 +105,15 @@ object StreamingDedup {
       .start()
   }
 
+  /** Largest micro-batch (in documents) whose signatures are
+    * BROADCAST to the candidate join. Steady-state micro-batches are far
+    * below this (10k docs × 24 bands ≈ 36 MB of sig rows); a
+    * backfill-sized batch above the cap would OOM the driver if forced,
+    * so it takes the plain equi-join path once (the store shuffles for
+    * that one batch — AQE sizes it) instead of failing.
+    */
+  private[graft] val MaxBroadcastDocs = 10000L
+
   /** One idempotent incremental micro-batch (factored out of
     * `sinkNearDup` so replay behavior is directly testable — the
     * `appendBatch` pattern). @return whether the batch was processed
@@ -131,7 +140,10 @@ object StreamingDedup {
     val oldSigs = readOrEmpty(spark, sigsPath(storePath), sigSchema)
     val allSigs = oldSigs.select("doc_id", "band", "sig")
       .unionByName(newSigs.select("doc_id", "band", "sig"))
-    val cands = candidatePairs(newSigs, allSigs)
+    // newHash is checkpointed, so the count is a cached-metadata read,
+    // not a recompute
+    val cands = candidatePairs(newSigs, allSigs,
+      broadcastNew = newHash.count() <= MaxBroadcastDocs)
 
     // verify against the shingle sets of BOTH sides (old docs' sets come
     // from the hash store; candidate pairs are few → the verify joins
@@ -161,15 +173,21 @@ object StreamingDedup {
     * (PlanSpec pins the broadcast shape). Self-rows drop on doc_id
     * inequality; least/greatest canonicalizes; distinct collapses a
     * pair re-found via several bands (and the new-new double discovery).
+    * `broadcastNew = false` is the backfill escape (see
+    * `MaxBroadcastDocs`): the one over-cap batch joins by shuffle
+    * instead of OOMing the driver.
     */
-  private[graft] def candidatePairs(newSigs: DataFrame, allSigs: DataFrame): DataFrame =
+  private[graft] def candidatePairs(newSigs: DataFrame, allSigs: DataFrame,
+                                    broadcastNew: Boolean = true): DataFrame = {
+    val newSide = newSigs.select(col("band"), col("sig"), col("doc_id").as("_nid"))
     allSigs.alias("al")
-      .join(broadcast(newSigs.select(col("band"), col("sig"), col("doc_id").as("_nid")))
+      .join((if (broadcastNew) broadcast(newSide) else newSide)
         .alias("nw"), Seq("band", "sig"))
       .filter(col("al.doc_id") =!= col("_nid"))
       .select(least(col("al.doc_id"), col("_nid")).as("doc_a"),
         greatest(col("al.doc_id"), col("_nid")).as("doc_b"))
       .distinct()
+  }
 
   /** The accumulated verified near-dup pair relation. Exact across the
     * replay residual window: duplicates from a re-appended batch carry

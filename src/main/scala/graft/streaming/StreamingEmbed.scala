@@ -88,9 +88,15 @@ object StreamingEmbed {
     // pass (the candidate join IS the verify join here — vectors ride
     // along both sides, no second lookup needed). A new-new pair is
     // discovered twice with the identical rounded sim → dropDuplicates.
+    // The broadcast cap is tighter than StreamingDedup's: each
+    // broadcast row carries the full vector (dims × 8 bytes), so an
+    // over-cap backfill batch joins by shuffle once instead of OOMing.
+    val newSide = newP.select(col("bucket"), col("vec_id").as("_nid"),
+      col("v").as("_nv"), col("norm").as("_nn"))
+    val probe = if (newP.count() <= StreamingDedup.MaxBroadcastDocs) broadcast(newSide)
+                else newSide
     val newPairs = allVecs.alias("al")
-      .join(broadcast(newP.select(col("bucket"), col("vec_id").as("_nid"),
-        col("v").as("_nv"), col("norm").as("_nn"))), Seq("bucket"))
+      .join(probe, Seq("bucket"))
       .filter(col("al.vec_id") =!= col("_nid"))
       .select(least(col("al.vec_id"), col("_nid")).as("vec_a"),
         greatest(col("al.vec_id"), col("_nid")).as("vec_b"),
