@@ -130,9 +130,7 @@ object RelationalQueries {
       val (li, ord) = graft.sources.ColocatedStore.orderJoinTables(s, dir)
       li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_items"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+        .agg(count(lit(1)).as("n_items"), revenue.as("revenue"))
     }),
 
     // Selective two-dim box over the session's Z-ORDERED lineitem copy

@@ -110,22 +110,11 @@ object Layout {
   */
 object LayoutStore {
 
-  private val building = new Object
-  private val processScope: String = java.util.UUID.randomUUID().toString.take(8)
-  private var built = Set.empty[String]
-
   def lineitemZ(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val path =
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_zorder/$processScope/li_$tag"
-    building.synchronized {
-      if (!built.contains(path)) {
-        Layout.writeZOrdered(Tables.tbl(spark, dir, "lineitem"), path,
-          "l_orderkey", "l_partkey")
-        built += path
-      }
+    val path = SessionStores.scopedPath("graft_zorder", "li_" + SessionStores.tagOf(dir))
+    SessionStores.servedPath(spark, path) {
+      Layout.writeZOrdered(Tables.tbl(spark, dir, "lineitem"), path,
+        "l_orderkey", "l_partkey")
     }
-    spark.read.parquet(path)
   }
 }

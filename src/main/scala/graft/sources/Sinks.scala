@@ -165,62 +165,21 @@ object Sinks {
   */
 object IndexStore {
 
-  private val building = new Object
-
-  /** One random scope id per JVM: table files live under a per-process
-    * directory so two concurrent sessions (each overwriting on build)
-    * can never race each other's files.
-    */
-  private val processScope: String = java.util.UUID.randomUUID().toString.take(8)
-
-  /** Sanitized dir + an md5 tag of the RAW dir string: two distinct
-    * corpus dirs that sanitize identically (`/a/b` vs `/a_b`) must not
-    * collide on one table name and serve postings from the wrong corpus.
-    */
-  private def tableNameFor(dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    "graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + tag
-  }
+  private def tableNameFor(dir: String): String =
+    "graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + SessionStores.tagOf(dir)
 
   /** The posting relation for `dir`, served from the persisted bucketed
-    * table (building it on first use in this session).
-    *
-    * STALENESS GUARD: with a PERSISTENT metastore, a new JVM can see
-    * `tableExists = true` for a table whose files live under a PREVIOUS
-    * process's scope directory (possibly already deleted) — serving it
-    * would fail or read another process's files. A table whose location
-    * is not under THIS process's scope is therefore dropped and rebuilt,
-    * which restores the overwrite-rebuild self-healing of a stable path
-    * while keeping per-process isolation.
+    * table (building it on first use in this session; process scoping,
+    * staleness guard and end-of-process cleanup are `SessionStores`).
     */
-  /** Tables this process has already built or location-validated — a
-    * table we wrote (or checked) under our own scope can never go stale
-    * within the process, so the per-call DESCRIBE round-trip is paid at
-    * most once per table.
-    */
-  private var verified = Set.empty[String]
-
   def postings(spark: SparkSession, dir: String): DataFrame = {
     val tbl = tableNameFor(dir)
-    val path =
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/$processScope/$tbl"
-    building.synchronized {
-      if (!verified.contains(tbl)) {
-        val stale = spark.catalog.tableExists(tbl) &&
-          !spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
-            .filter(col("col_name") === "Location")
-            .collect().headOption.exists(_.getString(1).contains(s"/$processScope/"))
-        if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        if (stale || !spark.catalog.tableExists(tbl)) {
-          Sinks.writeIndex(
-            graft.operators.InvertedIndex.postings(Corpus.documents(spark, dir)),
-            tbl, path)
-        }
-        verified += tbl
-      }
+    val path = SessionStores.scopedPath("graft_index", tbl)
+    SessionStores.servedTable(spark, tbl, path) {
+      Sinks.writeIndex(
+        graft.operators.InvertedIndex.postings(Corpus.documents(spark, dir)),
+        tbl, path)
     }
-    spark.table(tbl)
   }
 }
 
@@ -235,40 +194,21 @@ object IndexStore {
   */
 object ColocatedStore {
 
-  private val building = new Object
-  private val processScope: String = java.util.UUID.randomUUID().toString.take(8)
-  private var verified = Set.empty[String]
-
-  private def tableNameFor(base: String, dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"graft_${base}_bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + tag
-  }
+  private def tableNameFor(base: String, dir: String): String =
+    s"graft_${base}_bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + SessionStores.tagOf(dir)
 
   private def served(spark: SparkSession, dir: String, base: String,
                      bucketCol: String, buckets: Int): DataFrame = {
     val tbl = tableNameFor(base, dir)
-    val path =
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_coloc/$processScope/$tbl"
-    building.synchronized {
-      if (!verified.contains(tbl)) {
-        val stale = spark.catalog.tableExists(tbl) &&
-          !spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
-            .filter(col("col_name") === "Location")
-            .collect().headOption.exists(_.getString(1).contains(s"/$processScope/"))
-        if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        if (stale || !spark.catalog.tableExists(tbl)) {
-          Tables.tbl(spark, dir, base).write
-            .mode(SaveMode.Overwrite)
-            .option("path", path)
-            .bucketBy(buckets, bucketCol)
-            .sortBy(bucketCol)
-            .saveAsTable(tbl)
-        }
-        verified += tbl
-      }
+    val path = SessionStores.scopedPath("graft_coloc", tbl)
+    SessionStores.servedTable(spark, tbl, path) {
+      Tables.tbl(spark, dir, base).write
+        .mode(SaveMode.Overwrite)
+        .option("path", path)
+        .bucketBy(buckets, bucketCol)
+        .sortBy(bucketCol)
+        .saveAsTable(tbl)
     }
-    spark.table(tbl)
   }
 
   /** (lineitem bucketed on l_orderkey, orders bucketed on o_orderkey) —

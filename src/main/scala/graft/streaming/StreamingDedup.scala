@@ -61,6 +61,10 @@ import graft.operators.Dedup
   * ingest stopped (same pause-compact-resume discipline).
   *
   * Input schema: `doc_id LONG, text STRING` (extra columns ignored).
+  * doc_ids are assumed UNIQUE across the stream's lifetime (the same
+  * assumption the batch pipeline makes of a corpus); re-sending an id
+  * with different text leaves both versions in the hash store and the
+  * accessors serve an arbitrary one.
   */
 object StreamingDedup {
 

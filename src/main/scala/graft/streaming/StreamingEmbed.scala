@@ -35,6 +35,14 @@ object StreamingEmbed {
   private[graft] def vecsPath(store: String) = s"$store/vecs"
   private[graft] def pairsPath(store: String) = s"$store/pairs"
 
+  /** Largest estimated batch payload (vectors + row overhead) that is
+    * force-broadcast to the candidate join — ~32 MB keeps the broadcast
+    * comfortably inside a default driver even at 1024-dim embeddings
+    * (where it admits ~4k vectors; a 10k-vector backfill at those dims
+    * would be ~80 MB and takes the shuffle path once instead).
+    */
+  private[graft] val MaxBroadcastBytes: Long = 32L << 20
+
   private val vecSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("v", ArrayType(DoubleType)),
@@ -88,13 +96,18 @@ object StreamingEmbed {
     // pass (the candidate join IS the verify join here — vectors ride
     // along both sides, no second lookup needed). A new-new pair is
     // discovered twice with the identical rounded sim → dropDuplicates.
-    // The broadcast cap is tighter than StreamingDedup's: each
-    // broadcast row carries the full vector (dims × 8 bytes), so an
-    // over-cap backfill batch joins by shuffle once instead of OOMing.
+    // The broadcast cap is BYTE-based, not row-based: each broadcast row
+    // carries the full vector (dims × 8 bytes), so a row-count cap that
+    // is fine for StreamingDedup's ~60-byte sig rows would still ship
+    // hundreds of MB at high dims. An over-cap backfill batch joins by
+    // shuffle once instead of OOMing the driver. dims comes from one
+    // driver-side head() on the checkpointed batch (metadata-sized).
     val newSide = newP.select(col("bucket"), col("vec_id").as("_nid"),
       col("v").as("_nv"), col("norm").as("_nn"))
-    val probe = if (newP.count() <= StreamingDedup.MaxBroadcastDocs) broadcast(newSide)
-                else newSide
+    val nNew = newP.count()
+    val dims = if (nNew == 0) 0 else newP.select(size(col("v"))).head().getInt(0)
+    val estBytes = nNew * (dims * 8L + 48L)
+    val probe = if (estBytes <= MaxBroadcastBytes) broadcast(newSide) else newSide
     val newPairs = allVecs.alias("al")
       .join(probe, Seq("bucket"))
       .filter(col("al.vec_id") =!= col("_nid"))

@@ -253,12 +253,17 @@ object StreamingIndex {
     *     re-runs later;
     *   - crash BETWEEN the renames: the live path is absent and the
     *     compacted files sit complete in `__compacting` — they are
-    *     installed at the live path and the pre-compact copy dropped;
+    *     installed at the live path and the pre-compact copy dropped
+    *     (falling back to the `__pre_compact` originals if the rewrite
+    *     is gone, e.g. manually cleared);
     *   - crash AFTER the swap but before/inside the DDL: the files are
     *     already final — the table is just re-registered.
     * In every case the catalog entry is re-created over the surviving
     * live path with the identical bucket spec, and both side directories
-    * are cleared, so a subsequent compact() starts clean.
+    * are cleared, so a subsequent compact() starts clean. When NO state
+    * exists at all (fresh deployment, or a crash before the first batch
+    * ever appended) there is nothing to recover and the call is a no-op
+    * — "run unconditionally" must hold for a restart script's first run.
     */
   def recoverCompact(spark: org.apache.spark.sql.SparkSession, tableName: String,
                      path: String, buckets: Int = 32): Unit = {
@@ -268,11 +273,13 @@ object StreamingIndex {
     val old = new Path(path + "__pre_compact")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dst)) {
-      if (!fs.exists(tmp))
-        throw new java.io.IOException(
-          s"recoverCompact: neither $path nor $tmp exists — nothing to recover")
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"recoverCompact: cannot install $tmp at $path")
+      if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"recoverCompact: cannot install $tmp at $path")
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, dst))
+          throw new java.io.IOException(s"recoverCompact: cannot restore $old at $path")
+      } else return // fresh deployment: nothing to recover, nothing to register
     }
     fs.delete(old, true)
     fs.delete(tmp, true)

@@ -418,6 +418,13 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     graft.streaming.StreamingIndex.recoverCompact(spark, tbl, path, buckets = 4)
     assert(spark.table(tbl).as[(String, Long, String)].collect().toSet === distinctRows)
+
+    // FRESH DEPLOYMENT — no live path, no side dirs: "safe to run
+    // unconditionally" means a restart script's very first run must
+    // no-op, not throw
+    graft.streaming.StreamingIndex.recoverCompact(spark, "t_never_existed",
+      s"$dir/never_existed", buckets = 4)
+    assert(!spark.catalog.tableExists("t_never_existed"))
     // bucket pruning survives recovery (the re-registered spec matches the files)
     val plan = spark.table(tbl).filter($"term" === "cat")
       .queryExecution.executedPlan.toString
