@@ -425,6 +425,16 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.StreamingIndex.recoverCompact(spark, "t_never_existed",
       s"$dir/never_existed", buckets = 4)
     assert(!spark.catalog.tableExists("t_never_existed"))
+
+    // PRE-COMPACT FALLBACK — live path and rewrite both gone (rewrite
+    // manually cleared after a crash between the renames): the
+    // originals in __pre_compact are restored rather than data-lost
+    fs.delete(new Path(oldPath), true)
+    assert(fs.rename(new Path(path), new Path(oldPath)))
+    fs.delete(new Path(tmpPath), true)
+    graft.streaming.StreamingIndex.recoverCompact(spark, tbl, path, buckets = 4)
+    assert(spark.table(tbl).as[(String, Long, String)].collect().toSet === distinctRows)
+    assert(!fs.exists(new Path(oldPath)))
     // bucket pruning survives recovery (the re-registered spec matches the files)
     val plan = spark.table(tbl).filter($"term" === "cat")
       .queryExecution.executedPlan.toString
@@ -611,5 +621,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$store/hashes__compacting")))
     assert(graft.streaming.StreamingDedup.pairs(spark, store)
       .as[(Long, Long, Double)].collect().toSet === expected)
+
+    // pre-compact fallback: live dir and rewrite both gone (rewrite
+    // manually cleared post-crash) — the originals are restored
+    val nHashes = graft.streaming.StreamingDedup.hashes(spark, store).count()
+    assert(fs.rename(new Path(s"$store/hashes"), new Path(s"$store/hashes__pre_compact")))
+    graft.streaming.StreamingDedup.recoverStore(spark, store)
+    assert(graft.streaming.StreamingDedup.hashes(spark, store).count() === nHashes)
+    assert(!fs.exists(new Path(s"$store/hashes__pre_compact")))
   }
 }
