@@ -194,12 +194,17 @@ object IndexStore {
   */
 object ColocatedStore {
 
-  private def tableNameFor(base: String, dir: String): String =
-    s"graft_${base}_bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + SessionStores.tagOf(dir)
+  /** The bucket count is part of the table name: a second call with a
+    * different `buckets` in the same process must build its own store,
+    * not silently serve the first call's shape from the verified cache.
+    */
+  private def tableNameFor(base: String, dir: String, buckets: Int): String =
+    s"graft_${base}_bkt${buckets}_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + SessionStores.tagOf(dir)
 
   private def served(spark: SparkSession, dir: String, base: String,
                      bucketCol: String, buckets: Int): DataFrame = {
-    val tbl = tableNameFor(base, dir)
+    val tbl = tableNameFor(base, dir, buckets)
     val path = SessionStores.scopedPath("graft_coloc", tbl)
     SessionStores.servedTable(spark, tbl, path) {
       Tables.tbl(spark, dir, base).write

@@ -101,22 +101,23 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val appended =
           processBatch(batch, batchId, storePath, scope, n, numBands, bandSize, threshold)
-        // a SKIPPED replay still executes the batch plan through the noop
-        // sink so any stateful upstream operator commits its state store
-        // (see StreamingIndex.sinkToIndex)
-        if (!appended) batch.write.format("noop").mode("overwrite").save()
+        // a SKIPPED replay still executes the batch plan so any stateful
+        // upstream operator commits its state store
+        if (!appended) StoreMaintenance.noopExecute(batch)
       }
       .start()
   }
 
-  /** Largest micro-batch (in documents) whose signatures are
-    * BROADCAST to the candidate join. Steady-state micro-batches are far
-    * below this (10k docs × 24 bands ≈ 36 MB of sig rows); a
-    * backfill-sized batch above the cap would OOM the driver if forced,
-    * so it takes the plain equi-join path once (the store shuffles for
-    * that one batch — AQE sizes it) instead of failing.
+  /** Largest batch signature-row count (documents × numBands — the
+    * actual broadcast payload, so a recall-tuned numBands cannot defeat
+    * the guard) that is force-BROADCAST to the candidate join.
+    * Steady-state micro-batches are far below this (240k sig rows ≈
+    * 10k docs at the default 24 bands ≈ 36 MB); a backfill-sized batch
+    * above the cap would OOM the driver if forced, so it takes the
+    * plain equi-join path once (the store shuffles for that one batch —
+    * AQE sizes it) instead of failing.
     */
-  private[graft] val MaxBroadcastDocs = 10000L
+  private[graft] val MaxBroadcastSigRows = 240000L
 
   /** One idempotent incremental micro-batch (factored out of
     * `sinkNearDup` so replay behavior is directly testable — the
@@ -128,44 +129,41 @@ object StreamingDedup {
                                   numBands: Int = 24, bandSize: Int = 3,
                                   threshold: Double = 0.5): Boolean = {
     val spark = batch.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits/$scope/$batchId")
-    val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return false
+    StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
+      storePath, scope, batchId) {
+      // new docs' shingle sets + base hashes: the only per-doc CPU work of
+      // the batch, materialized once — it feeds the signature projection
+      // and both sides of the verify joins
+      val newHash = Dedup.materializeOnce(
+        Dedup.shingleHashFrame(batch.select("doc_id", "text"), n)
+          .filter(size(col("sh")) > 0))
+      val newSigs = Dedup.minhashBands(newHash, numBands, bandSize)
 
-    // new docs' shingle sets + base hashes: the only per-doc CPU work of
-    // the batch, materialized once — it feeds the signature projection
-    // and both sides of the verify joins
-    val newHash = Dedup.materializeOnce(
-      Dedup.shingleHashFrame(batch.select("doc_id", "text"), n)
-        .filter(size(col("sh")) > 0))
-    val newSigs = Dedup.minhashBands(newHash, numBands, bandSize)
+      val oldSigs = StoreMaintenance.readOrEmpty(spark, sigsPath(storePath), sigSchema)
+      val allSigs = oldSigs.select("doc_id", "band", "sig")
+        .unionByName(newSigs.select("doc_id", "band", "sig"))
+      // newHash is checkpointed, so the count is a cached-metadata read,
+      // not a recompute; the cap is on the broadcast PAYLOAD (sig rows)
+      val cands = candidatePairs(newSigs, allSigs,
+        broadcastNew = newHash.count() * numBands <= MaxBroadcastSigRows)
 
-    val oldSigs = readOrEmpty(spark, sigsPath(storePath), sigSchema)
-    val allSigs = oldSigs.select("doc_id", "band", "sig")
-      .unionByName(newSigs.select("doc_id", "band", "sig"))
-    // newHash is checkpointed, so the count is a cached-metadata read,
-    // not a recompute
-    val cands = candidatePairs(newSigs, allSigs,
-      broadcastNew = newHash.count() <= MaxBroadcastDocs)
+      // verify against the shingle sets of BOTH sides (old docs' sets come
+      // from the hash store; candidate pairs are few → the verify joins
+      // broadcast them against the store scan)
+      val allHash = StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
+        .select("doc_id", "sh", "hv")
+        .unionByName(newHash.select("doc_id", "sh", "hv"))
+      val newPairs = Dedup.verifyJaccard(cands, allHash, threshold).distinct()
 
-    // verify against the shingle sets of BOTH sides (old docs' sets come
-    // from the hash store; candidate pairs are few → the verify joins
-    // broadcast them against the store scan)
-    val allHash = readOrEmpty(spark, hashesPath(storePath), hashSchema)
-      .select("doc_id", "sh", "hv")
-      .unionByName(newHash.select("doc_id", "sh", "hv"))
-    val newPairs = Dedup.verifyJaccard(cands, allHash, threshold).distinct()
-
-    // three appends, then the marker: at-least-once — a crash mid-window
-    // re-appends on replay, collapsed by compactStore / the accessors
-    newHash.select("doc_id", "sh", "hv").write.mode(SaveMode.Append)
-      .parquet(hashesPath(storePath))
-    newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
-      .parquet(sigsPath(storePath))
-    newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
-    fs.create(marker, true).close()
-    true
+      // three appends inside the marker window: at-least-once — a crash
+      // mid-window re-appends on replay, collapsed by compactStore / the
+      // accessors
+      newHash.select("doc_id", "sh", "hv").write.mode(SaveMode.Append)
+        .parquet(hashesPath(storePath))
+      newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
+        .parquet(sigsPath(storePath))
+      newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+    }
   }
 
   /** Candidate pairs of one incremental step: new docs against the WHOLE
@@ -198,17 +196,20 @@ object StreamingDedup {
     * identical values, so dropping duplicate keys loses nothing.
     */
   def pairs(spark: SparkSession, storePath: String): DataFrame =
-    readOrEmpty(spark, pairsPath(storePath), pairSchema).dropDuplicates("doc_a", "doc_b")
+    StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema)
+      .dropDuplicates("doc_a", "doc_b")
 
   /** The accumulated shingle+hash frame — feed it to
     * `Dedup.jaccardPairsFromShingles` / `clusters` for the non-LSH dedup
     * flavors over a streamed corpus.
     */
   def hashes(spark: SparkSession, storePath: String): DataFrame =
-    readOrEmpty(spark, hashesPath(storePath), hashSchema).dropDuplicates("doc_id")
+    StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
+      .dropDuplicates("doc_id")
 
   private[graft] def sigs(spark: SparkSession, storePath: String): DataFrame =
-    readOrEmpty(spark, sigsPath(storePath), sigSchema).dropDuplicates("doc_id", "band")
+    StoreMaintenance.readOrEmpty(spark, sigsPath(storePath), sigSchema)
+      .dropDuplicates("doc_id", "band")
 
   /** Collapse replay-residual duplicates and per-batch small files in all
     * three sub-stores: dedup by key, rewrite to a side directory, then
@@ -219,9 +220,9 @@ object StreamingDedup {
     * MUST run with ingest into this store stopped.
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
-    compactSub(spark, hashesPath(storePath), hashSchema, Seq("doc_id"))
-    compactSub(spark, sigsPath(storePath), sigSchema, Seq("doc_id", "band"))
-    compactSub(spark, pairsPath(storePath), pairSchema, Seq("doc_a", "doc_b"))
+    StoreMaintenance.compactSub(spark, hashesPath(storePath), hashSchema, Seq("doc_id"))
+    StoreMaintenance.compactSub(spark, sigsPath(storePath), sigSchema, Seq("doc_id", "band"))
+    StoreMaintenance.compactSub(spark, pairsPath(storePath), pairSchema, Seq("doc_a", "doc_b"))
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
   }
@@ -233,50 +234,6 @@ object StreamingDedup {
     */
   def recoverStore(spark: SparkSession, storePath: String): Unit =
     Seq(hashesPath(storePath), sigsPath(storePath), pairsPath(storePath)).foreach { p =>
-      recoverSub(spark, p)
+      StoreMaintenance.recoverSub(spark, p)
     }
-
-  private[streaming] def compactSub(spark: SparkSession, path: String, schema: StructType,
-                                    keys: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(path))) return
-    val (tmp, old) = (new Path(path + "__compacting"), new Path(path + "__pre_compact"))
-    fs.delete(tmp, true); fs.delete(old, true)
-    readOrEmpty(spark, path, schema).dropDuplicates(keys)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!fs.rename(new Path(path), old))
-      throw new java.io.IOException(s"compactStore: cannot move $path aside")
-    if (!fs.rename(tmp, new Path(path)))
-      throw new java.io.IOException(s"compactStore: cannot install $tmp at $path")
-    fs.delete(old, true): Unit
-  }
-
-  private[streaming] def recoverSub(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(path)
-    val (tmp, old) = (new Path(path + "__compacting"), new Path(path + "__pre_compact"))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) {
-      // crashed between the renames: the compacted rewrite is complete
-      // (it was written before the first rename), install it; fall back
-      // to the pre-compact originals if the rewrite is missing
-      if (fs.exists(tmp)) {
-        if (!fs.rename(tmp, live))
-          throw new java.io.IOException(s"recoverStore: cannot install $tmp at $path")
-      } else if (fs.exists(old)) {
-        if (!fs.rename(old, live))
-          throw new java.io.IOException(s"recoverStore: cannot restore $old at $path")
-      }
-    }
-    fs.delete(tmp, true); fs.delete(old, true): Unit
-  }
-
-  private[streaming] def readOrEmpty(spark: SparkSession, path: String,
-                                     schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
 }

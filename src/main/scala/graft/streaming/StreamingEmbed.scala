@@ -66,7 +66,7 @@ object StreamingEmbed {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val appended = processBatch(batch, batchId, storePath, scope, bits, threshold)
-        if (!appended) batch.write.format("noop").mode("overwrite").save()
+        if (!appended) StoreMaintenance.noopExecute(batch)
       }
       .start()
   }
@@ -79,63 +79,64 @@ object StreamingEmbed {
                                   scope: String = "default", bits: Int = 8,
                                   threshold: Double = 0.3): Boolean = {
     val spark = batch.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits/$scope/$batchId")
-    val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return false
+    StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
+      storePath, scope, batchId) {
+      // null embeddings are dropped up front: they carry no signal (the
+      // batch path drops them too — a null bucket never joins), and
+      // leaving them in would NPE the dims probe below on a batch whose
+      // head row is null — a poison-pill that would crash every replay
+      val newP = Dedup.materializeOnce(
+        Similarity.prepared(batch.select("vec_id", "embedding")
+            .filter(col("embedding").isNotNull))
+          .withColumn("bucket", Similarity.signBucket(col("v"), bits)))
+      val allVecs = StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema)
+        .select("vec_id", "v", "norm", "bucket")
+        .unionByName(newP.select("vec_id", "v", "norm", "bucket"))
+      // candidates: new vectors against the whole corpus so far on the
+      // bucket key. The new side is micro-batch-sized — broadcast it, so
+      // the accumulated store never shuffles; cosine verifies in the same
+      // pass (the candidate join IS the verify join here — vectors ride
+      // along both sides, no second lookup needed). A new-new pair is
+      // discovered twice with the identical rounded sim → dropDuplicates.
+      // The broadcast cap is BYTE-based, not row-based: each broadcast row
+      // carries the full vector (dims × 8 bytes), so a row-count cap that
+      // is fine for StreamingDedup's ~60-byte sig rows would still ship
+      // hundreds of MB at high dims. An over-cap backfill batch joins by
+      // shuffle once instead of OOMing the driver. dims comes from one
+      // driver-side head() on the checkpointed batch (metadata-sized).
+      val newSide = newP.select(col("bucket"), col("vec_id").as("_nid"),
+        col("v").as("_nv"), col("norm").as("_nn"))
+      val nNew = newP.count()
+      val dims = if (nNew == 0) 0 else newP.select(size(col("v"))).head().getInt(0)
+      val estBytes = nNew * (dims * 8L + 48L)
+      val probe = if (estBytes <= MaxBroadcastBytes) broadcast(newSide) else newSide
+      val newPairs = allVecs.alias("al")
+        .join(probe, Seq("bucket"))
+        .filter(col("al.vec_id") =!= col("_nid"))
+        .select(least(col("al.vec_id"), col("_nid")).as("vec_a"),
+          greatest(col("al.vec_id"), col("_nid")).as("vec_b"),
+          Similarity.cosine(col("al.v"), col("al.norm"), col("_nv"), col("_nn")).as("sim"))
+        .filter(col("sim") >= threshold)
+        .dropDuplicates("vec_a", "vec_b")
 
-    val newP = Dedup.materializeOnce(
-      Similarity.prepared(batch.select("vec_id", "embedding"))
-        .withColumn("bucket", Similarity.signBucket(col("v"), bits)))
-    val allVecs = StreamingDedup.readOrEmpty(spark, vecsPath(storePath), vecSchema)
-      .select("vec_id", "v", "norm", "bucket")
-      .unionByName(newP.select("vec_id", "v", "norm", "bucket"))
-    // candidates: new vectors against the whole corpus so far on the
-    // bucket key. The new side is micro-batch-sized — broadcast it, so
-    // the accumulated store never shuffles; cosine verifies in the same
-    // pass (the candidate join IS the verify join here — vectors ride
-    // along both sides, no second lookup needed). A new-new pair is
-    // discovered twice with the identical rounded sim → dropDuplicates.
-    // The broadcast cap is BYTE-based, not row-based: each broadcast row
-    // carries the full vector (dims × 8 bytes), so a row-count cap that
-    // is fine for StreamingDedup's ~60-byte sig rows would still ship
-    // hundreds of MB at high dims. An over-cap backfill batch joins by
-    // shuffle once instead of OOMing the driver. dims comes from one
-    // driver-side head() on the checkpointed batch (metadata-sized).
-    val newSide = newP.select(col("bucket"), col("vec_id").as("_nid"),
-      col("v").as("_nv"), col("norm").as("_nn"))
-    val nNew = newP.count()
-    val dims = if (nNew == 0) 0 else newP.select(size(col("v"))).head().getInt(0)
-    val estBytes = nNew * (dims * 8L + 48L)
-    val probe = if (estBytes <= MaxBroadcastBytes) broadcast(newSide) else newSide
-    val newPairs = allVecs.alias("al")
-      .join(probe, Seq("bucket"))
-      .filter(col("al.vec_id") =!= col("_nid"))
-      .select(least(col("al.vec_id"), col("_nid")).as("vec_a"),
-        greatest(col("al.vec_id"), col("_nid")).as("vec_b"),
-        Similarity.cosine(col("al.v"), col("al.norm"), col("_nv"), col("_nn")).as("sim"))
-      .filter(col("sim") >= threshold)
-      .dropDuplicates("vec_a", "vec_b")
-
-    newP.select("vec_id", "v", "norm", "bucket").write.mode(SaveMode.Append)
-      .parquet(vecsPath(storePath))
-    newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
-    fs.create(marker, true).close()
-    true
+      newP.select("vec_id", "v", "norm", "bucket").write.mode(SaveMode.Append)
+        .parquet(vecsPath(storePath))
+      newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+    }
   }
 
   /** The accumulated verified pair relation — exact across the replay
     * residual window (duplicate keys carry identical sims).
     */
   def pairs(spark: SparkSession, storePath: String): DataFrame =
-    StreamingDedup.readOrEmpty(spark, pairsPath(storePath), pairSchema)
+    StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema)
       .dropDuplicates("vec_a", "vec_b")
 
   /** The accumulated (vec_id, v, norm, bucket) store — feed it to batch
     * similarity consumers over a streamed corpus.
     */
   def vectors(spark: SparkSession, storePath: String): DataFrame =
-    StreamingDedup.readOrEmpty(spark, vecsPath(storePath), vecSchema)
+    StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema)
       .dropDuplicates("vec_id")
 
   /** Collapse replay-residual duplicates and per-batch small files —
@@ -143,14 +144,14 @@ object StreamingEmbed {
     * (run with ingest stopped; `recoverStore` finishes or unwinds).
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
-    StreamingDedup.compactSub(spark, vecsPath(storePath), vecSchema, Seq("vec_id"))
-    StreamingDedup.compactSub(spark, pairsPath(storePath), pairSchema, Seq("vec_a", "vec_b"))
+    StoreMaintenance.compactSub(spark, vecsPath(storePath), vecSchema, Seq("vec_id"))
+    StoreMaintenance.compactSub(spark, pairsPath(storePath), pairSchema, Seq("vec_a", "vec_b"))
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
   }
 
   def recoverStore(spark: SparkSession, storePath: String): Unit =
     Seq(vecsPath(storePath), pairsPath(storePath)).foreach { p =>
-      StreamingDedup.recoverSub(spark, p)
+      StoreMaintenance.recoverSub(spark, p)
     }
 }

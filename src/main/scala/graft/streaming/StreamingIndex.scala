@@ -139,9 +139,15 @@ object StreamingIndex {
       if (!fs.rename(legacyDir, dst))
         throw new java.io.IOException(s"migrateLegacyScope: cannot rename $legacyDir to $dst")
     } else {
+      // every unclaimed marker must MOVE before the legacy tree goes: a
+      // swallowed rename failure followed by the delete would erase a
+      // commit marker, and the engine would re-append that batch on
+      // replay — the exact duplication the markers prevent
       fs.listStatus(legacyDir).foreach { st =>
         val t = new Path(dst, st.getPath.getName)
-        if (!fs.exists(t)) fs.rename(st.getPath, t): Unit
+        if (!fs.exists(t) && !fs.rename(st.getPath, t))
+          throw new java.io.IOException(
+            s"migrateLegacyScope: cannot move marker ${st.getPath} to $t")
       }
       fs.delete(legacyDir, true): Unit
     }
@@ -155,11 +161,9 @@ object StreamingIndex {
   private[graft] def appendBatch(batch: DataFrame, batchId: Long, tableName: String,
                                  path: String, buckets: Int,
                                  scope: String = "default"): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$scope/$batchId")
-    val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
-    else {
-      val spark = batch.sparkSession
+    val spark = batch.sparkSession
+    StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
+      path, scope, batchId) {
       // Register the external table BEFORE the first append of this
       // session: a table-CREATING `saveAsTable(Append)` is a CTAS, and
       // Spark's CTAS job CLEARS the target location — in a fresh session
@@ -174,8 +178,6 @@ object StreamingIndex {
         .option("path", path)
         .bucketBy(buckets, "term").sortBy("term")
         .saveAsTable(tableName)
-      fs.create(marker, true).close()
-      true
     }
   }
 
@@ -267,22 +269,13 @@ object StreamingIndex {
     */
   def recoverCompact(spark: org.apache.spark.sql.SparkSession, tableName: String,
                      path: String, buckets: Int = 32): Unit = {
-    import org.apache.hadoop.fs.Path
-    val dst = new Path(path)
-    val tmp = new Path(path + "__compacting")
-    val old = new Path(path + "__pre_compact")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dst)) {
-      if (fs.exists(tmp)) {
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"recoverCompact: cannot install $tmp at $path")
-      } else if (fs.exists(old)) {
-        if (!fs.rename(old, dst))
-          throw new java.io.IOException(s"recoverCompact: cannot restore $old at $path")
-      } else return // fresh deployment: nothing to recover, nothing to register
-    }
-    fs.delete(old, true)
-    fs.delete(tmp, true)
+    // the path-level rename-swap recovery is the shared store machinery
+    // (install __compacting, else restore __pre_compact, clear side
+    // dirs); only the catalog re-registration is index-specific
+    StoreMaintenance.recoverSub(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (!dst.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dst))
+      return // fresh deployment: nothing to recover, nothing to register
     val schemaDdl = spark.read.parquet(path).schema.toDDL
     registerBucketedTable(spark, tableName, path, buckets, schemaDdl)
   }

@@ -589,6 +589,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$store/_graft_commits").exists())
   }
 
+  test("streaming embedding ingest tolerates null embeddings (no poison-pill batch)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed_null").toString
+    val store = s"$dir/store"
+    // a NULL-embedding record as the batch's first row used to NPE the
+    // dims probe, crashing the stream before the marker write — every
+    // restart then replayed the same batch and crashed again
+    val withNull = Seq(
+      (2L, None: Option[Seq[Double]]),
+      (1L, Some(Seq(1.0, -2.0, 3.0, -4.0, 5.0, -6.0)))
+    ).toDF("vec_id", "embedding")
+    assert(graft.streaming.StreamingEmbed.processBatch(withNull, 0L, store, bits = 4))
+    assert(graft.streaming.StreamingEmbed.vectors(spark, store).count() === 1) // null dropped
+  }
+
   test("streaming near-dup compact crash windows: recoverStore restores every sub-store state") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
