@@ -65,6 +65,44 @@ object InvertedIndex {
   /** Top-k terms by document frequency, deterministic tie-break on term. */
   def topKByDocFreq(postingsDf: DataFrame, k: Int): DataFrame =
     docFreq(postingsDf).orderBy(col("df").desc, col("term")).limit(k)
+
+  /** RANKED retrieval — the query an inverted index exists to serve
+    * beyond boolean matching: documents scored by tf-idf over the query
+    * terms, top-k with a deterministic (score desc, doc_id) tie-break.
+    * score(doc) = Σ_{t ∈ query ∩ doc} round(tf(t,doc) · ln(N/df(t)), 6),
+    * the classic sum-of-term-weights ranking.
+    *
+    * Scale shape: the `isin` filter lands immediately after the explode,
+    * so only rows of the query's terms survive the first aggregation —
+    * the corpus is tokenized ONCE and everything downstream (the df
+    * window over ≤|query| term partitions, the per-doc sum, TakeOrdered
+    * k) runs on the matching docs only. df is still EXACT (the filtered
+    * relation keeps every doc containing a query term). The scalar N is
+    * one row, broadcast at any scale.
+    *
+    * Query terms must be non-stopwords (the tokenizer drops stopwords,
+    * so a stopword query term would silently score zero) — enforced
+    * rather than silently returning nothing for it.
+    */
+  def rankedSearch(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "ranked search needs at least one query term")
+    val stop = queryTerms.filter(Text.EffectiveStopwords.contains)
+    require(stop.isEmpty, s"query terms are stopwords (never indexed): ${stop.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("w"))
+      .groupBy("doc_id")
+      .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
 
 /** Boolean multi-term queries over the posting relation (SURVEY §2.2 —

@@ -75,6 +75,12 @@ object TextQueries {
 
     "q_bool_and" -> ((s, dir) => BooleanQuery.and(storedPostings(s, dir), Seq("spark", "hash"))),
 
+    // ranked retrieval: tf-idf-scored top-10 for a two-term query — the
+    // scoring counterpart of the boolean family (see
+    // InvertedIndex.rankedSearch for the one-scan scale shape)
+    "q_ranked_search" -> ((s, dir) =>
+      InvertedIndex.rankedSearch(docs(s, dir), Seq("spark", "hash"), 10)),
+
     "q_bool_or" -> ((s, dir) => BooleanQuery.or(storedPostings(s, dir), Seq("spark", "hash"))),
 
     "q_bool_not" -> ((s, dir) => BooleanQuery.andNot(storedPostings(s, dir), "spark", Seq("hash"))),
@@ -180,6 +186,25 @@ object TextQueries {
          |SELECT doc_id, term, count(*) AS tf FROM toks
          |WHERE term <> '' AND term NOT IN ($stopList)
          |GROUP BY doc_id, term""".stripMargin,
+
+    "q_ranked_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'hash') GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |w AS (
+         |  SELECT tf.doc_id, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS w
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |)
+         |SELECT doc_id, round(sum(w), 6) AS score, count(*) AS n_matched
+         |FROM w GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_tfidf" ->
       s"""$termsCte, toks2 AS (

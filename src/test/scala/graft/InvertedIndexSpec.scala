@@ -59,4 +59,28 @@ class InvertedIndexSpec extends AnyFunSuite {
     val top = InvertedIndex.topKByDocFreq(p, 2).as[(String, Long)].collect()
     assert(top.map(_._1).toSeq === Seq("cat", "dog")) // df=2 each, term tie-break
   }
+
+  test("ranked search: tf-idf scoring, hand-computed on a 4-doc corpus") {
+    // doc 4 repeats "cat": tf weighting must rank it above the single-
+    // mention docs; "dog" appears in 2 of 4 docs (idf ln(2)), "cat" in 3
+    // (idf ln(4/3))
+    val corpus = docs.union(Seq((4L, "u4", "cat cat cat")).toDF("doc_id", "url", "text"))
+    val got = InvertedIndex.rankedSearch(corpus, Seq("cat", "dog"), 10)
+      .as[(Long, Double, Long)].collect()
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wCat = r6(math.log(4.0 / 3)) // tf=1
+    val wDog = r6(math.log(4.0 / 2))
+    val expected = Seq(
+      (4L, r6(3 * math.log(4.0 / 3)), 1L), // cat×3: 0.863046
+      (3L, r6(r6(wCat) + r6(wDog)), 2L),   // both terms: 0.980829... ranks FIRST
+      (1L, wCat, 1L),
+      (2L, wDog, 1L))
+      .sortBy { case (id, s, _) => (-s, id) }
+    assert(got.toSeq === expected)
+    // stopword query terms are rejected loudly, not silently zero-scored
+    val err = intercept[IllegalArgumentException] {
+      InvertedIndex.rankedSearch(corpus, Seq("the", "cat"), 5)
+    }
+    assert(err.getMessage.contains("stopword"))
+  }
 }
