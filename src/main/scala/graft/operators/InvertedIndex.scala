@@ -86,6 +86,13 @@ object InvertedIndex {
     */
   def rankedSearch(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "ranked search needs at least one query term")
+    // a query term must be able to survive the tokenizer at all — the
+    // normalizer lowercases and strips non-[a-z], so "Spark", "c++" or
+    // "42" can never match a token and would silently zero-score (the
+    // same silent-miss the stopword check guards against)
+    val unindexable = queryTerms.filterNot(_.matches("[a-z]+"))
+    require(unindexable.isEmpty,
+      s"query terms can never match a normalized token (lowercase a-z only): ${unindexable.mkString(", ")}")
     val stop = queryTerms.filter(Text.EffectiveStopwords.contains)
     require(stop.isEmpty, s"query terms are stopwords (never indexed): ${stop.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window

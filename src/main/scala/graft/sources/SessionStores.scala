@@ -31,8 +31,14 @@ private[sources] object SessionStores {
 
   val processScope: String = java.util.UUID.randomUUID().toString.take(8)
 
-  private val building = new Object
-  private var verified = Set.empty[String]
+  // PER-TARGET build locks: two threads building the SAME store
+  // serialize (second one finds it verified), but a multi-minute index
+  // build must not block an already-built layout store's fast-path
+  // serve — one global monitor would
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
+  private val verified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val scopeDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   locally {
@@ -75,7 +81,7 @@ private[sources] object SessionStores {
     * guard above.
     */
   def servedTable(spark: SparkSession, tbl: String, path: String)(build: => Unit): DataFrame = {
-    building.synchronized {
+    lockFor(tbl).synchronized {
       if (!verified.contains(tbl)) {
         val stale = spark.catalog.tableExists(tbl) &&
           !spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
@@ -83,7 +89,7 @@ private[sources] object SessionStores {
             .collect().headOption.exists(_.getString(1).contains(s"/$processScope/"))
         if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
         if (stale || !spark.catalog.tableExists(tbl)) build
-        verified += tbl
+        verified.add(tbl): Unit
       }
     }
     spark.table(tbl)
@@ -94,10 +100,10 @@ private[sources] object SessionStores {
     * staleness guard is needed: the path embeds the process scope.
     */
   def servedPath(spark: SparkSession, path: String)(build: => Unit): DataFrame = {
-    building.synchronized {
+    lockFor(path).synchronized {
       if (!verified.contains(path)) {
         build
-        verified += path
+        verified.add(path): Unit
       }
     }
     spark.read.parquet(path)

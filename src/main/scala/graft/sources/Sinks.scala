@@ -205,6 +205,13 @@ object ColocatedStore {
   private def served(spark: SparkSession, dir: String, base: String,
                      bucketCol: String, buckets: Int): DataFrame = {
     val tbl = tableNameFor(base, dir, buckets)
+    // drop the pre-bucket-count-rename table name if a persistent
+    // metastore still carries it: the staleness guard only ever consults
+    // the NEW name, so without this the orphaned entry would sit
+    // registered over a scope directory the cleanup hook has deleted
+    val legacy = s"graft_${base}_bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + SessionStores.tagOf(dir)
+    spark.sql(s"DROP TABLE IF EXISTS `$legacy`")
     val path = SessionStores.scopedPath("graft_coloc", tbl)
     SessionStores.servedTable(spark, tbl, path) {
       Tables.tbl(spark, dir, base).write

@@ -56,14 +56,30 @@ private[streaming] object StoreMaintenance {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
-    val (tmp, old) = (new Path(path + "__compacting"), new Path(path + "__pre_compact"))
-    fs.delete(tmp, true); fs.delete(old, true)
+    fs.delete(new Path(path + "__compacting"), true) // clear rewrite residue
     readOrEmpty(spark, path, schema).dropDuplicates(keys)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!fs.rename(new Path(path), old))
-      throw new java.io.IOException(s"compactSub: cannot move $path aside")
-    if (!fs.rename(tmp, new Path(path)))
-      throw new java.io.IOException(s"compactSub: cannot install $tmp at $path")
+      .write.mode(SaveMode.Overwrite).parquet(path + "__compacting")
+    swapInto(spark, path)
+  }
+
+  /** The two-rename directory swap every compaction ends with: install
+    * the completed `<path>__compacting` rewrite at `path`, moving the
+    * previous live directory aside as `<path>__pre_compact` and dropping
+    * it once the install lands. A crash at any point leaves either the
+    * originals or the rewrite complete on disk (`recoverSub`'s crash
+    * windows) — shared so the index compact and the sub-store compacts
+    * cannot drift.
+    */
+  def swapInto(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (live, tmp, old) =
+      (new Path(path), new Path(path + "__compacting"), new Path(path + "__pre_compact"))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true) // residue of a previous crashed compact
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"swapInto: cannot move $path aside")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"swapInto: cannot install $tmp at $path")
     fs.delete(old, true): Unit
   }
 

@@ -176,7 +176,7 @@ object StreamingDedup {
     * inequality; least/greatest canonicalizes; distinct collapses a
     * pair re-found via several bands (and the new-new double discovery).
     * `broadcastNew = false` is the backfill escape (see
-    * `MaxBroadcastDocs`): the one over-cap batch joins by shuffle
+    * `MaxBroadcastSigRows`): the one over-cap batch joins by shuffle
     * instead of OOMing the driver.
     */
   private[graft] def candidatePairs(newSigs: DataFrame, allSigs: DataFrame,

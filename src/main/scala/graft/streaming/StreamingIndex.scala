@@ -217,27 +217,19 @@ object StreamingIndex {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, tableName: String,
               path: String, buckets: Int = 32): Unit = {
-    import org.apache.hadoop.fs.Path
     val tmpTable = tableName + "__compacting"
-    val tmpPath = path + "__compacting"
-    val oldPath = path + "__pre_compact"
     val compacted = spark.table(tableName).dropDuplicates("term", "doc_id")
     val schemaDdl = compacted.schema.toDDL
-    graft.sources.Sinks.writeIndex(compacted, tmpTable, tmpPath, buckets)
+    graft.sources.Sinks.writeIndex(compacted, tmpTable, path + "__compacting", buckets)
     spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(tmpTable)}") // files stay (external path)
     // Renames FIRST, catalog swap LAST: a crash mid-rename leaves the old
     // catalog entry pointing at whichever complete directory survives
     // (`path` or `__pre_compact`), and a crash before the swap leaves the
     // table registered over the already-compacted files — at no point is
-    // the table unregistered while a reader could arrive.
-    val dst = new Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(oldPath), true) // clear any residue of a crashed compact
-    if (!fs.rename(dst, new Path(oldPath)))
-      throw new java.io.IOException(s"compact: cannot move $path aside")
-    if (!fs.rename(new Path(tmpPath), dst))
-      throw new java.io.IOException(s"compact: cannot install $tmpPath at $path")
-    fs.delete(new Path(oldPath), true)
+    // the table unregistered while a reader could arrive. The swap itself
+    // is the shared StoreMaintenance machinery (same crash windows as the
+    // dedup/embed store compacts, recovered by the same recoverSub).
+    StoreMaintenance.swapInto(spark, path)
     // re-register the table over the compacted files with the identical
     // bucket spec (bucket ids live in the file names, so the new catalog
     // entry keeps bucket pruning over the renamed files). DROP + CREATE is
