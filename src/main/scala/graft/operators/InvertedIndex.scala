@@ -110,6 +110,50 @@ object InvertedIndex {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BM25-ranked retrieval — the industry-standard upgrade of the tf-idf
+    * ranking (`rankedSearch`): term saturation (k1) and document-length
+    * normalization (b) so long documents can't dominate on raw counts.
+    * score(doc) = Σ_t round(idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), 6)
+    * with the Robertson +1-smoothed idf ln((N−df+0.5)/(df+0.5)+1) — never
+    * negative, Lucene's form.
+    *
+    * Scale shape adds ONE relation to `rankedSearch`: per-doc token
+    * length (a map-side `size` projection, no explode), whose single
+    * aggregate yields BOTH N and avgdl (one broadcast scalar row). The
+    * query-term tf relation is post-filter small, so its join against
+    * the narrow length relation broadcasts the tf side; everything
+    * downstream runs on matching docs only. All arithmetic is plain
+    * double ops in a fixed order (integer length sums are exact), so the
+    * DuckDB oracle reproduces scores bit-for-bit at 6 dp.
+    */
+  def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 search needs at least one query term")
+    val unindexable = queryTerms.filterNot(_.matches("[a-z]+"))
+    require(unindexable.isEmpty,
+      s"query terms can never match a normalized token (lowercase a-z only): ${unindexable.mkString(", ")}")
+    val stop = queryTerms.filter(Text.EffectiveStopwords.contains)
+    require(stop.isEmpty, s"query terms are stopwords (never indexed): ${stop.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val len = docs.select(col("doc_id"), size(Text.tokensNoStop(col("text"))).as("dl"))
+    val stats = len.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val norm = col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(len, "doc_id") // tf side is post-filter small → broadcast
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * (col("tf") * (k1 + 1)) / norm, 6).as("w"))
+      .groupBy("doc_id")
+      .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
 
 /** Boolean multi-term queries over the posting relation (SURVEY §2.2 —

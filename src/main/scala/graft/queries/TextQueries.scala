@@ -81,6 +81,10 @@ object TextQueries {
     "q_ranked_search" -> ((s, dir) =>
       InvertedIndex.rankedSearch(docs(s, dir), Seq("spark", "hash"), 10)),
 
+    // BM25 for the same query: saturated tf + length normalization
+    "q_bm25" -> ((s, dir) =>
+      InvertedIndex.bm25Search(docs(s, dir), Seq("spark", "hash"), 10)),
+
     "q_bool_or" -> ((s, dir) => BooleanQuery.or(storedPostings(s, dir), Seq("spark", "hash"))),
 
     "q_bool_not" -> ((s, dir) => BooleanQuery.andNot(storedPostings(s, dir), "spark", Seq("hash"))),
@@ -201,6 +205,38 @@ object TextQueries {
          |w AS (
          |  SELECT tf.doc_id, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS w
          |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |)
+         |SELECT doc_id, round(sum(w), 6) AS score, count(*) AS n_matched
+         |FROM w GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // float-op ordering mirrors the engine expression exactly (idf ×
+    // saturated-tf ÷ length norm, per-term round 6, rounded sum) — the
+    // only non-exact inputs are double divisions, identical both sides;
+    // dl comes from a per-document LIST length so zero-token docs count
+    // in N/avgdl exactly as the engine's size() projection does
+    "q_bm25" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |             t -> t <> '' AND t NOT IN ($stopList))) AS dl
+         |  FROM documents
+         |), stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'hash') GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), w AS (
+         |  SELECT tf.doc_id,
+         |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+         |               * (tf * (1.2 + 1))
+         |               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)), 6) AS w
+         |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
          |)
          |SELECT doc_id, round(sum(w), 6) AS score, count(*) AS n_matched
          |FROM w GROUP BY doc_id

@@ -82,5 +82,33 @@ class InvertedIndexSpec extends AnyFunSuite {
       InvertedIndex.rankedSearch(corpus, Seq("the", "cat"), 5)
     }
     assert(err.getMessage.contains("stopword"))
+    // …and so are terms the tokenizer could never produce
+    val err2 = intercept[IllegalArgumentException] {
+      InvertedIndex.rankedSearch(corpus, Seq("Cat"), 5)
+    }
+    assert(err2.getMessage.contains("normalized token"))
+  }
+
+  test("BM25 search: independent formula cross-check on the 4-doc corpus") {
+    // dl (stopwords removed): d1 "cat sat"=2, d2 "dog ran"=2,
+    // d3 "cat dog played"=3, d4 "cat cat cat"=3 → N=4, avgdl=2.5
+    val corpus = docs.union(Seq((4L, "u4", "cat cat cat")).toDF("doc_id", "url", "text"))
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(tf: Long, df: Long, dl: Long): Double =
+      r6(math.log((4L - df + 0.5) / (df + 0.5) + 1)
+        * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.5)))
+    val expected = Seq(
+      (1L, r6(w(1, 3, 2)), 1L),
+      (2L, r6(w(1, 2, 2)), 1L),
+      (3L, r6(w(1, 3, 3) + w(1, 2, 3)), 2L),
+      (4L, r6(w(3, 3, 3)), 1L))
+      .sortBy { case (id, s, _) => (-s, id) }
+    val got = InvertedIndex.bm25Search(corpus, Seq("cat", "dog"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got === expected)
+    // saturation: doc 4's triple "cat" must score BELOW tf-idf's linear
+    // credit relative to the two-term doc 3 (both rankings put 3 first,
+    // but BM25 compresses the gap doc 4 owed purely to repetition)
+    assert(got.head._1 === 3L)
   }
 }
