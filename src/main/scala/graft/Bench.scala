@@ -109,6 +109,10 @@ object Bench {
         // warm with a term that exists ("the" is a stopword and never
         // reaches the index) so the warm read touches real bucket data
         materialize(p.filter(col("term") === "spark"))
+        // the positional index q_phrase serves from — same build-once
+        // attribution (and the same bucket-pruned warm read)
+        val pp = graft.sources.IndexStore.positionalPostings(spark, sfDir)
+        materialize(pp.filter(col("term") === "spark"))
         (System.nanoTime() - tIdx) / 1e9
       } catch { case _: Throwable => -1.0 }
     // one-time LSH + connected-components build shared by the dedup
@@ -133,6 +137,12 @@ object Bench {
         graft.sources.LayoutStore.lineitemZ(spark, sfDir).count()
         val (li, ord) = graft.sources.ColocatedStore.orderJoinTables(spark, sfDir)
         li.count(); ord.count()
+        // ANN/IVF structures (prepared+bucketed vectors, cell-partitioned
+        // IVF, Lloyd-trained IVF) — the trained build is ~2 s of k-means
+        // that used to run INSIDE every q_ann_ivf_trained execution
+        graft.sources.VectorStore.vectors(spark, sfDir).count()
+        graft.sources.VectorStore.ivf(spark, sfDir)._1.count()
+        graft.sources.VectorStore.ivf(spark, sfDir, iters = 2)._1.count()
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 
@@ -151,7 +161,13 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.take(300)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // q_jaccard_mindiverge deliberately re-runs the REJECTED minSharedRare=1
+    // candidate formulation (the verify-mass explosion q_jaccard_pairs'
+    // =2 opt-in exists to avoid) to pin the recall divergence in the
+    // correctness artifact — a diagnostic comparison, not a serving query;
+    // timing it would charge the suite for a plan the engine refuses to run
+    val named = SparkEntry.queries.toSeq
+      .filterNot(_._1 == "q_jaccard_mindiverge").sortBy(_._1)
     def fullPass(): Seq[(String, (Double, Option[String]))] =
       named.map { case (name, fn) => (name, timeOnce(fn)) }
     val passA = fullPass().toMap

@@ -43,6 +43,52 @@ object InvertedIndex {
   def lookup(postingsDf: DataFrame, term: String): DataFrame =
     postingsDf.filter(col("term") === term).select("doc_id", "url")
 
+  /** POSITIONAL postings (term, doc_id, pos) — the phrase-query
+    * extension of `postings`. The reference's posting record is
+    * presence-only by design (`mapper/src/processor.py:190-192` drops
+    * tf/positions), which leaves phrase queries unanswerable; this
+    * variant keeps the position of each term in the NORMALIZED,
+    * STOPWORD-FILTERED token stream (the same stream every other
+    * operator sees), so a phrase matches when its terms sit at
+    * consecutive filtered positions. (term, doc_id, pos) is unique by
+    * construction — `posexplode` emits each position exactly once — so
+    * downstream joins need no dedup pass. Scale shape is `postings`'
+    * (one codegen span over the scan; the only shuffle is whatever the
+    * consumer adds), with ~tokens rows instead of ~distinct terms.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(Text.tokensNoStop(col("text"))).as(Seq("pos", "term")))
+      .select("term", "doc_id", "pos")
+
+  /** PHRASE query over the positional relation: documents where the
+    * phrase's terms occupy consecutive (filtered-stream) positions,
+    * with the occurrence count. Stopwords and unindexable terms are
+    * rejected loudly (same contract as `rankedSearch` — they can never
+    * match and would silently return nothing).
+    *
+    * Scale shape: one term-filtered slice per phrase term — each a
+    * pushed predicate (bucket-pruned to the term's buckets on the
+    * persisted positional index, `IndexStore.positionalPostings`) —
+    * aligned on (doc_id, pos − i) equi-joins. Every branch is
+    * posting-set-sized, so AQE broadcasts the small sides; the corpus
+    * is never re-tokenized at query time and nothing is all-pairs.
+    */
+  def phraseQuery(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase query needs at least two terms")
+    val unindexable = phrase.filterNot(_.matches("[a-z]+"))
+    require(unindexable.isEmpty,
+      s"phrase terms can never match a normalized token (lowercase a-z only): ${unindexable.mkString(", ")}")
+    val stop = phrase.filter(Text.EffectiveStopwords.contains)
+    require(stop.isEmpty, s"phrase terms are stopwords (never indexed): ${stop.mkString(", ")}")
+    phrase.zipWithIndex.map { case (t, i) =>
+      positional.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Typed surface (SURVEY §1.3): the same pipeline over case-class
     * Datasets for compile-time-safe composition in Scala.
     */

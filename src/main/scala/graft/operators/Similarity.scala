@@ -61,8 +61,13 @@ object Similarity {
   /** Brute-force cosine top-k against the embedding of `queryId`.
     * Deterministic tie-break on vec_id.
     */
-  def topK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val p = prepared(embeddings)
+  def topK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame =
+    topKPrepared(prepared(embeddings), queryId, k)
+
+  /** `topK` over an already-prepared (vec_id, v, norm) relation — the
+    * serve half when the preparation is persisted (`VectorStore`).
+    */
+  private[graft] def topKPrepared(p: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = p.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("norm").as("qn"))
     p.filter(col("vec_id") =!= queryId)
@@ -159,21 +164,34 @@ object Similarity {
     * no stage shuffles the corpus.
     */
   private def ivfRank(p: DataFrame, cents: Seq[Centroid], queryId: Long,
-                      k: Int, nProbe: Int): DataFrame = {
-    val spark = p.sparkSession
+                      k: Int, nProbe: Int): DataFrame =
+    ivfRankAssigned(p.withColumn("cell", bestCell(cents).cast("int")), cents,
+      queryId, k, nProbe)
+
+  /** The serve half of IVF over an ALREADY-ASSIGNED (vec_id, v, norm,
+    * cell) relation — when the assignment is persisted cell-PARTITIONED
+    * (`VectorStore.ivf`), the literal `cell IN (...)` probe filter
+    * prunes whole partition directories at planning time: a probe reads
+    * ~nProbe/nCells of the corpus from disk, the true inverted-file
+    * shape. `cell` is INT on both sides (column and probe literals) so
+    * the partition-pruning comparison never wraps the column in a cast.
+    */
+  private[graft] def ivfRankAssigned(assigned: DataFrame, cents: Seq[Centroid],
+                                     queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
     // ascending array_sort by (csim, -cent_id); the LAST nProbe entries
     // are exactly row_number(csim DESC, cent_id ASC) <= nProbe
     val probeCells: Seq[Long] =
       if (cents.length <= nProbe) cents.map(_.id)
-      else p.filter(col("vec_id") === queryId)
+      else assigned.filter(col("vec_id") === queryId)
         .select(explode(slice(array_sort(centroidScores(cents)), -nProbe, nProbe)).as("e"))
         .select((-col("e.negid")).as("cell"))
         .as[Long].collect().toSeq
-    val q = p.filter(col("vec_id") === queryId)
+    val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("norm").as("qn"))
-    p.withColumn("cell", bestCell(cents))
-      .filter(col("cell").isin(probeCells: _*))
+    assigned
+      .filter(col("cell").isin(probeCells.map(_.toInt): _*))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), cosine(col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
@@ -263,8 +281,15 @@ object Similarity {
     * `Dedup.bucketPairs` routes its over-cap buckets through.
     */
   def embeddingDuplicates(embeddings: DataFrame, bits: Int = 8,
-                          threshold: Double = 0.3): DataFrame = {
-    val p = prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+                          threshold: Double = 0.3): DataFrame =
+    embeddingDuplicatesBucketed(
+      prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits)), threshold)
+
+  /** `embeddingDuplicates` over an already-bucketed (vec_id, v, norm,
+    * bucket) relation (`VectorStore.vectors` serves the persisted one).
+    */
+  private[graft] def embeddingDuplicatesBucketed(p: DataFrame,
+                                                 threshold: Double = 0.3): DataFrame = {
     val a = p.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = p.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("bucket"))
@@ -278,8 +303,12 @@ object Similarity {
     * the approximation's recall/latency trade, documented not hidden).
     * One bucket-keyed self-join + one window; never all-pairs.
     */
-  def annNearestNeighbor(embeddings: DataFrame, bits: Int = 8): DataFrame = {
-    val p = prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+  def annNearestNeighbor(embeddings: DataFrame, bits: Int = 8): DataFrame =
+    annNearestNeighborBucketed(
+      prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits)))
+
+  /** `annNearestNeighbor` over an already-bucketed relation. */
+  private[graft] def annNearestNeighborBucketed(p: DataFrame): DataFrame = {
     val a = p.select(col("bucket"), col("vec_id"), col("v"), col("norm"))
     val b = p.select(col("bucket"), col("vec_id").as("nn_id"),
       col("v").as("vb"), col("norm").as("nb"))
@@ -318,8 +347,15 @@ object Similarity {
     * is a single string and the probe array is duplicate-free), so no
     * dedup pass is needed before the per-vector top-1 window.
     */
-  def annNearestNeighborMultiProbe(embeddings: DataFrame, bits: Int = 8): DataFrame = {
-    val p = prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+  def annNearestNeighborMultiProbe(embeddings: DataFrame, bits: Int = 8): DataFrame =
+    annNearestNeighborMultiProbeBucketed(
+      prepared(embeddings).withColumn("bucket", signBucket(col("v"), bits)), bits)
+
+  /** `annNearestNeighborMultiProbe` over an already-bucketed relation
+    * (`bits` must match the width the buckets were built with).
+    */
+  private[graft] def annNearestNeighborMultiProbeBucketed(p: DataFrame,
+                                                          bits: Int): DataFrame = {
     val a = p.select(col("vec_id"), col("v"), col("norm"),
       explode(probeBuckets(col("bucket"), bits)).as("bucket"))
     val b = p.select(col("bucket"), col("vec_id").as("nn_id"),

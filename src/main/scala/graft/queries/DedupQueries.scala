@@ -25,13 +25,24 @@ object DedupQueries {
     // LSH-dedup and clustering operators; the cluster relation comes from
     // the shared store, so the LSH + clustering work is NOT re-run when
     // the other dedup queries already materialized it.
-    "q_curate" -> ((s, dir) => {
-      val scored = docs(s, dir).select(col("doc_id"),
-        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
-      scored.join(DedupStore.clusters(s, dir), Seq("doc_id"), "left")
-        .filter(col("quality") >= 0.75 &&
-          (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
-        .select("doc_id", "quality")
+    "q_curate" -> ((s, dir) => curate(docs(s, dir), DedupStore.clusters(s, dir))),
+
+    // Pins the minSharedRare=1 vs =2 recall divergence IN the correctness
+    // artifact (not only in DedupSpec): pair counts under both settings
+    // plus the pairs the =2 opt-in drops, oracle-checked — a corpus or
+    // operator change that widens the divergence shows up as a CORRECTNESS
+    // mismatch, not a silent recall loss. Deliberately re-runs the
+    // rejected =1 candidate formulation; excluded from the timed bench
+    // (a diagnostic, not a serving query — see Bench).
+    "q_jaccard_mindiverge" -> ((s, dir) => {
+      val h = DedupStore.hashes(s, dir)
+      val p1 = Dedup.jaccardPairsFromShingles(h, minSharedRare = 1)
+        .select("doc_a", "doc_b")
+      val p2 = Dedup.jaccardPairsFromShingles(h, minSharedRare = 2)
+        .select("doc_a", "doc_b")
+      p1.agg(count(lit(1)).as("pairs_m1"))
+        .crossJoin(broadcast(p2.agg(count(lit(1)).as("pairs_m2"))))
+        .crossJoin(broadcast(p1.except(p2).agg(count(lit(1)).as("dropped_by_m2"))))
     }),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -46,6 +57,35 @@ object DedupQueries {
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir), minSharedRare = 2)),
   )
+
+  /** The curation filter proper, shared by the batch (`q_curate`) and
+    * streamed paths: quality-score the docs, keep high-quality cluster
+    * representatives (or unduplicated docs).
+    */
+  private[graft] def curate(docsDf: DataFrame, clusters: DataFrame): DataFrame = {
+    val scored = docsDf.select(col("doc_id"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+    scored.join(clusters, Seq("doc_id"), "left")
+      .filter(col("quality") >= 0.75 &&
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
+      .select("doc_id", "quality")
+  }
+
+  /** `q_curate` over a STREAMED corpus: the cluster relation comes from
+    * the ACCUMULATED `StreamingDedup` pair store (built incrementally,
+    * per-batch cost ∝ batch) instead of a batch LSH run — the shape a
+    * training-data stack runs continuously: ingest streams all day,
+    * curation reads the accumulated store whenever a snapshot is cut.
+    * `docsDf` is the landed document relation of the same stream
+    * (doc_id, text). Clustering runs over the pair relation only
+    * (near-dup-pairs-sized, tiny relative to the corpus), so calling
+    * this per snapshot re-clusters pairs, never re-shingles documents.
+    * StreamingSpec pins streamed ≡ batch `q_curate` on a micro-batched
+    * corpus.
+    */
+  def curateStreamed(docsDf: DataFrame, storePath: String): DataFrame =
+    curate(docsDf,
+      Dedup.clusters(graft.streaming.StreamingDedup.pairs(docsDf.sparkSession, storePath)))
 
   /** Session-scoped shared dedup relations (the `IndexStore` pattern,
     * `sources/Sinks.scala`): the MinHash-LSH near-dup PAIR relation and the
@@ -288,6 +328,21 @@ object DedupQueries {
          |)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
 
+    // both settings' full pipelines, unrolled with suffixed CTE names; the
+    // scalar-subquery SELECT makes the three counts one hash-checked row
+    "q_jaccard_mindiverge" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.shingle FROM shs, unnest(sh) AS t(shingle)
+         |), rare AS (
+         |  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
+         |), sz AS (
+         |  SELECT doc_id, len(sh) AS ns FROM shs
+         |), ${jaccardFilteredCte(1)}, ${jaccardFilteredCte(2)}
+         |SELECT (SELECT count(*) FROM f1) AS pairs_m1,
+         |       (SELECT count(*) FROM f2) AS pairs_m2,
+         |       (SELECT count(*) FROM (SELECT * FROM f1 EXCEPT SELECT * FROM f2) tx)
+         |         AS dropped_by_m2""".stripMargin,
+
     "q_simhash_pairs" ->
       s"""WITH fp AS (
          |${simhashSql.linesIterator.map("  " + _).mkString("\n")}
@@ -312,6 +367,30 @@ object DedupQueries {
          |)
          |SELECT da AS doc_a, db AS doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
   )
+
+  /** The rare-shingle candidate + verify + threshold pipeline at
+    * `minSharedRare = m`, as suffixed CTEs over the shared `ex`/`rare`/
+    * `sz` relations — ends in `f$m (doc_a, doc_b)`. Mirror of the
+    * `q_jaccard_pairs` oracle with the HAVING floor parameterized.
+    */
+  private def jaccardFilteredCte(m: Int): String =
+    s"""cand$m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN rare r ON a.shingle = r.shingle
+       |  JOIN sz sa ON sa.doc_id = a.doc_id
+       |  JOIN sz sb ON sb.doc_id = b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= least($m, min(sa.ns), min(sb.ns))
+       |), j$m AS (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |               / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+       |  FROM cand$m
+       |  JOIN shs sa ON cand$m.doc_a = sa.doc_id
+       |  JOIN shs sb ON cand$m.doc_b = sb.doc_id
+       |), f$m AS (
+       |  SELECT doc_a, doc_b FROM j$m WHERE jaccard >= 0.5
+       |)""".stripMargin
 
   private lazy val nearDupSql: String =
     s"""$shingleCte, hv AS (

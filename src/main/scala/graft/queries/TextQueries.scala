@@ -87,6 +87,11 @@ object TextQueries {
 
     "q_bool_or" -> ((s, dir) => BooleanQuery.or(storedPostings(s, dir), Seq("spark", "hash"))),
 
+    // phrase query over the persisted POSITIONAL index: docs where
+    // "value table" appear at consecutive (stopword-filtered) positions
+    "q_phrase" -> ((s, dir) => InvertedIndex.phraseQuery(
+      graft.sources.IndexStore.positionalPostings(s, dir), Seq("value", "table"))),
+
     "q_bool_not" -> ((s, dir) => BooleanQuery.andNot(storedPostings(s, dir), "spark", Seq("hash"))),
 
     "q_token_count" -> ((s, dir) =>
@@ -168,6 +173,25 @@ object TextQueries {
 
     "q_bool_or" ->
       s"""$termsCte SELECT DISTINCT doc_id FROM terms WHERE term IN ('spark', 'hash')""",
+
+    // independent formulation: instead of the positional self-join the
+    // engine plans, slide a window over the stopword-filtered token list
+    // and count positions where the phrase starts
+    "q_phrase" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |                     t -> t <> '') AS ts
+         |  FROM documents
+         |), filt AS (
+         |  SELECT doc_id, list_filter(ts, t -> t NOT IN ($stopList)) AS fs FROM toks
+         |), m AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(range(1, len(fs)),
+         |                  i -> fs[i] = 'value' AND fs[i+1] = 'table')) AS BIGINT) AS n_matches
+         |  FROM filt
+         |)
+         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0""".stripMargin,
 
     "q_bool_not" ->
       s"""$termsCte SELECT doc_id FROM terms WHERE term = 'spark'

@@ -181,6 +181,21 @@ object IndexStore {
         tbl, path)
     }
   }
+
+  /** The POSITIONAL posting relation (term, doc_id, pos) for `dir`,
+    * persisted in the same term-bucketed layout — phrase queries prune
+    * to their terms' buckets instead of re-tokenizing the corpus.
+    */
+  def positionalPostings(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_positional_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + SessionStores.tagOf(dir)
+    val path = SessionStores.scopedPath("graft_index", tbl)
+    SessionStores.servedTable(spark, tbl, path) {
+      Sinks.writeIndex(
+        graft.operators.InvertedIndex.positionalPostings(Corpus.documents(spark, dir)),
+        tbl, path)
+    }
+  }
 }
 
 /** Session-scoped CO-LOCATED bucketed copies of lineitem and orders —
@@ -205,15 +220,18 @@ object ColocatedStore {
   private def served(spark: SparkSession, dir: String, base: String,
                      bucketCol: String, buckets: Int): DataFrame = {
     val tbl = tableNameFor(base, dir, buckets)
-    // drop the pre-bucket-count-rename table name if a persistent
-    // metastore still carries it: the staleness guard only ever consults
-    // the NEW name, so without this the orphaned entry would sit
-    // registered over a scope directory the cleanup hook has deleted
-    val legacy = s"graft_${base}_bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + SessionStores.tagOf(dir)
-    spark.sql(s"DROP TABLE IF EXISTS `$legacy`")
     val path = SessionStores.scopedPath("graft_coloc", tbl)
     SessionStores.servedTable(spark, tbl, path) {
+      // drop the pre-bucket-count-rename table name if a persistent
+      // metastore still carries it: the staleness guard only ever
+      // consults the NEW name, so without this the orphaned entry would
+      // sit registered over a scope directory the cleanup hook has
+      // deleted. Inside the build block = at most once per process per
+      // target, under the per-target lock — NEVER in the per-query
+      // serving path (a metastore DDL round-trip per timed execution).
+      val legacy = s"graft_${base}_bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + SessionStores.tagOf(dir)
+      spark.sql(s"DROP TABLE IF EXISTS `$legacy`")
       Tables.tbl(spark, dir, base).write
         .mode(SaveMode.Overwrite)
         .option("path", path)

@@ -5,11 +5,80 @@ import org.apache.spark.sql.types.StructType
 
 /** Shared machinery of the streaming stores (`StreamingIndex`,
   * `StreamingDedup`, `StreamingEmbed`): the per-batch commit-marker
-  * replay gate, and the compact/recover rename-swap discipline for
-  * plain-parquet sub-stores. One implementation so the three stores'
-  * replay and crash contracts cannot silently drift apart.
+  * replay gate, the compact/recover rename-swap discipline for
+  * plain-parquet sub-stores, and the pause-compact-resume entry point
+  * (`compactAll`) with its ingest-stopped enforcement. One
+  * implementation so the three stores' replay and crash contracts
+  * cannot silently drift apart.
   */
-private[streaming] object StoreMaintenance {
+object StoreMaintenance {
+
+  /** In-process registry of active ingest queries per (qualified) store
+    * path — every `sink*` start registers here, and every compact
+    * REFUSES while the registered query is still active: compacting
+    * under a live appender would race the directory swap, silently
+    * corrupting the store it claims to maintain. In-process scope is
+    * the honest contract: a store fed by a query in ANOTHER JVM cannot
+    * be detected from here, and the pause-compact-resume discipline for
+    * multi-process deployments remains an operational rule.
+    */
+  private val activeIngest =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.streaming.StreamingQuery]()
+
+  /** One spelling per store: equivalent relative/absolute/scheme-
+    * qualified paths must collide in the registry, or a compact aimed at
+    * `/tmp/store` would miss the query registered over `file:/tmp/store`.
+    */
+  private def qualified(path: String,
+                        conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).makeQualified(p).toString
+  }
+
+  private[graft] def registerIngest(conf: org.apache.hadoop.conf.Configuration,
+                                    storePath: String,
+                                    query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    activeIngest.put(qualified(storePath, conf), query): Unit
+
+  /** Throw unless every registered ingest query over `storePath` has
+    * stopped (stopped entries are swept from the registry).
+    */
+  private[graft] def assertIngestStopped(conf: org.apache.hadoop.conf.Configuration,
+                                         storePath: String): Unit = {
+    val key = qualified(storePath, conf)
+    val q = activeIngest.get(key)
+    if (q != null) {
+      if (q.isActive)
+        throw new IllegalStateException(
+          s"compact refused: streaming ingest query ${q.id} is still active over " +
+            s"$storePath — stop it first (pause-compact-resume), then compact, " +
+            "then restart from the same checkpoint")
+      activeIngest.remove(key, q): Unit
+    }
+  }
+
+  /** Pause-compact-resume over a whole deployment in one call: verify
+    * that NO target still has an active ingest query (all checks run
+    * before any compaction starts — a refused store must not leave the
+    * others half-maintained), then compact every streaming index table
+    * (`(tableName, path)` pairs) and every dedup/embed store. Each
+    * store's own crash contract applies unchanged (`recover*` finishes
+    * or unwinds an interruption).
+    */
+  def compactAll(spark: SparkSession,
+                 indexTables: Seq[(String, String)] = Nil,
+                 dedupStores: Seq[String] = Nil,
+                 embedStores: Seq[String] = Nil,
+                 buckets: Int = 32): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    (indexTables.map(_._2) ++ dedupStores ++ embedStores)
+      .foreach(assertIngestStopped(conf, _))
+    indexTables.foreach { case (tbl, path) =>
+      StreamingIndex.compact(spark, tbl, path, buckets)
+    }
+    dedupStores.foreach(StreamingDedup.compactStore(spark, _))
+    embedStores.foreach(StreamingEmbed.compactStore(spark, _))
+  }
 
   /** Run `body` exactly once per (store, scope, batchId): if the commit
     * marker exists the body is SKIPPED (a replayed batch) and false is
@@ -18,7 +87,7 @@ private[streaming] object StoreMaintenance {
     * replay, the stores' documented residual window), and true is
     * returned.
     */
-  def runOnce(hadoopConf: org.apache.hadoop.conf.Configuration, store: String,
+  private[graft] def runOnce(hadoopConf: org.apache.hadoop.conf.Configuration, store: String,
               scope: String, batchId: Long)(body: => Unit): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$store/_graft_commits/$scope/$batchId")
     val fs = marker.getFileSystem(hadoopConf)
@@ -36,10 +105,10 @@ private[streaming] object StoreMaintenance {
     * STATE_STORE_COMMIT_VALIDATION_FAILED. The noop sink drives the
     * plan — state advances, nothing is written.
     */
-  def noopExecute(batch: DataFrame): Unit =
+  private[graft] def noopExecute(batch: DataFrame): Unit =
     batch.write.format("noop").mode("overwrite").save()
 
-  def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  private[graft] def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
@@ -50,13 +119,21 @@ private[streaming] object StoreMaintenance {
     * to a side directory, swap via two renames — a crash at any point
     * leaves every row recoverable on disk (`recoverSub` finishes or
     * unwinds), never a half-compacted live store.
+    *
+    * Recovers FIRST: a previous compact may have crashed between the
+    * renames, leaving the rows only in a side directory. A silent no-op
+    * on the missing live dir, followed by the caller's commit-marker
+    * clear, would report success while this sub-store serves empty reads
+    * — so the crashed state is restored (idempotent) before compacting.
+    * Only a store with NO live dir and NO side dirs — genuinely never
+    * written — is a true no-op.
     */
-  def compactSub(spark: SparkSession, path: String, schema: StructType,
+  private[graft] def compactSub(spark: SparkSession, path: String, schema: StructType,
                  keys: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverSub(spark, path) // restores a crashed swap; clears side-dir residue
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
-    fs.delete(new Path(path + "__compacting"), true) // clear rewrite residue
     readOrEmpty(spark, path, schema).dropDuplicates(keys)
       .write.mode(SaveMode.Overwrite).parquet(path + "__compacting")
     swapInto(spark, path)
@@ -70,7 +147,7 @@ private[streaming] object StoreMaintenance {
     * windows) — shared so the index compact and the sub-store compacts
     * cannot drift.
     */
-  def swapInto(spark: SparkSession, path: String): Unit = {
+  private[graft] def swapInto(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val (live, tmp, old) =
       (new Path(path), new Path(path + "__compacting"), new Path(path + "__pre_compact"))
@@ -90,7 +167,7 @@ private[streaming] object StoreMaintenance {
     * complete before the first rename — falling back to the
     * `__pre_compact` originals); nothing at all is a no-op.
     */
-  def recoverSub(spark: SparkSession, path: String): Unit = {
+  private[graft] def recoverSub(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(path)
     val (tmp, old) = (new Path(path + "__compacting"), new Path(path + "__pre_compact"))

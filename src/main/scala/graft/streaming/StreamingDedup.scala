@@ -62,9 +62,14 @@ import graft.operators.Dedup
   *
   * Input schema: `doc_id LONG, text STRING` (extra columns ignored).
   * doc_ids are assumed UNIQUE across the stream's lifetime (the same
-  * assumption the batch pipeline makes of a corpus); re-sending an id
-  * with different text leaves both versions in the hash store and the
-  * accessors serve an arbitrary one.
+  * assumption the batch pipeline makes of a corpus). If an id IS
+  * re-sent with different text, both versions land in the hash store,
+  * but every read — the verify join and the `hashes` accessor —
+  * collapses to ONE deterministic version per doc_id (`canonicalByDoc`:
+  * largest shingle set, lexicographic tie-break), so pair emission and
+  * downstream curation never see conflicting versions. Pairs verified
+  * in earlier batches against the superseded version are not revisited
+  * (append-only pair store).
   */
 object StreamingDedup {
 
@@ -95,7 +100,7 @@ object StreamingDedup {
                   threshold: Double = 0.5): StreamingQuery = {
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     val scope = StreamingIndex.commitScope(checkpointDir, conf)
-    docs.writeStream
+    val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -106,6 +111,8 @@ object StreamingDedup {
         if (!appended) StoreMaintenance.noopExecute(batch)
       }
       .start()
+    StoreMaintenance.registerIngest(conf, storePath, query)
+    query
   }
 
   /** Largest batch signature-row count (documents × numBands — the
@@ -143,16 +150,33 @@ object StreamingDedup {
       val allSigs = oldSigs.select("doc_id", "band", "sig")
         .unionByName(newSigs.select("doc_id", "band", "sig"))
       // newHash is checkpointed, so the count is a cached-metadata read,
-      // not a recompute; the cap is on the broadcast PAYLOAD (sig rows)
-      val cands = candidatePairs(newSigs, allSigs,
-        broadcastNew = newHash.count() * numBands <= MaxBroadcastSigRows)
+      // not a recompute; the cap is on the broadcast PAYLOAD (sig rows).
+      // cands is materialized because it feeds BOTH the candidate-id
+      // filter and the verify joins below — without a plan boundary each
+      // consumer would re-run the store-scanning candidate join.
+      val cands = Dedup.materializeOnce(candidatePairs(newSigs, allSigs,
+        broadcastNew = newHash.count() * numBands <= MaxBroadcastSigRows))
 
       // verify against the shingle sets of BOTH sides (old docs' sets come
       // from the hash store; candidate pairs are few → the verify joins
-      // broadcast them against the store scan)
-      val allHash = StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
-        .select("doc_id", "sh", "hv")
-        .unionByName(newHash.select("doc_id", "sh", "hv"))
+      // broadcast them against the store scan). The store side is first
+      // narrowed to the candidate doc_ids (broadcast semi-join — the store
+      // is scanned, never shuffled) and then collapsed to ONE row per
+      // doc_id: the store can carry replay-residual duplicate rows
+      // (value-identical, any survivor is exact) or — if a doc_id is ever
+      // re-sent with different text — conflicting versions; without the
+      // collapse the verify join would emit one jaccard row PER version of
+      // each endpoint. max over the (size, sh, hv) struct makes the
+      // surviving version DETERMINISTIC (largest shingle set, ties broken
+      // lexicographically — arrival order never matters), and the collapse
+      // aggregate is candidate-sized, not corpus-sized.
+      val candIds = cands.select(col("doc_a").as("doc_id"))
+        .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val allHash = canonicalByDoc(
+        StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
+          .select("doc_id", "sh", "hv")
+          .unionByName(newHash.select("doc_id", "sh", "hv"))
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
       val newPairs = Dedup.verifyJaccard(cands, allHash, threshold).distinct()
 
       // three appends inside the marker window: at-least-once — a crash
@@ -201,11 +225,27 @@ object StreamingDedup {
 
   /** The accumulated shingle+hash frame — feed it to
     * `Dedup.jaccardPairsFromShingles` / `clusters` for the non-LSH dedup
-    * flavors over a streamed corpus.
+    * flavors over a streamed corpus. One row per doc_id, chosen by the
+    * same deterministic rule as the verify join (`canonicalByDoc`).
     */
   def hashes(spark: SparkSession, storePath: String): DataFrame =
-    StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
-      .dropDuplicates("doc_id")
+    canonicalByDoc(
+      StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
+        .select("doc_id", "sh", "hv"))
+
+  /** Collapse a (doc_id, sh, hv) relation to ONE row per doc_id,
+    * deterministically: max over the (size(sh), sh, hv) struct, so the
+    * largest shingle set wins with lexicographic tie-break — independent
+    * of arrival order, partitioning, or replay. Replay-residual
+    * duplicates are value-identical (any survivor exact); a doc_id
+    * re-sent with different text collapses to the same version on every
+    * read instead of serving an arbitrary one.
+    */
+  private[graft] def canonicalByDoc(hashFrame: DataFrame): DataFrame =
+    hashFrame
+      .groupBy("doc_id")
+      .agg(max(struct(size(col("sh")).as("_n"), col("sh"), col("hv"))).as("_m"))
+      .select(col("doc_id"), col("_m.sh").as("sh"), col("_m.hv").as("hv"))
 
   private[graft] def sigs(spark: SparkSession, storePath: String): DataFrame =
     StoreMaintenance.readOrEmpty(spark, sigsPath(storePath), sigSchema)
@@ -217,9 +257,12 @@ object StreamingDedup {
     * recoverable on disk (`recoverStore` finishes or unwinds), never a
     * half-compacted live store. Marker trees are cleared with the swap
     * (fresh dedup baseline, same contract as `StreamingIndex.compact`).
-    * MUST run with ingest into this store stopped.
+    * MUST run with ingest into this store stopped — enforced in-process:
+    * the call REFUSES (throws) while a `sinkNearDup` query registered
+    * over this store is still active.
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
+    StoreMaintenance.assertIngestStopped(spark.sparkContext.hadoopConfiguration, storePath)
     StoreMaintenance.compactSub(spark, hashesPath(storePath), hashSchema, Seq("doc_id"))
     StoreMaintenance.compactSub(spark, sigsPath(storePath), sigSchema, Seq("doc_id", "band"))
     StoreMaintenance.compactSub(spark, pairsPath(storePath), pairSchema, Seq("doc_a", "doc_b"))

@@ -61,7 +61,7 @@ object StreamingEmbed {
                    bits: Int = 8, threshold: Double = 0.3): StreamingQuery = {
     val conf = embeddings.sparkSession.sparkContext.hadoopConfiguration
     val scope = StreamingIndex.commitScope(checkpointDir, conf)
-    embeddings.writeStream
+    val query = embeddings.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -69,6 +69,8 @@ object StreamingEmbed {
         if (!appended) StoreMaintenance.noopExecute(batch)
       }
       .start()
+    StoreMaintenance.registerIngest(conf, storePath, query)
+    query
   }
 
   /** One idempotent incremental micro-batch (testable replay unit — the
@@ -141,9 +143,11 @@ object StreamingEmbed {
 
   /** Collapse replay-residual duplicates and per-batch small files —
     * same contract and crash discipline as `StreamingDedup.compactStore`
-    * (run with ingest stopped; `recoverStore` finishes or unwinds).
+    * (ingest-stopped enforced in-process; `recoverStore` finishes or
+    * unwinds).
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
+    StoreMaintenance.assertIngestStopped(spark.sparkContext.hadoopConfiguration, storePath)
     StoreMaintenance.compactSub(spark, vecsPath(storePath), vecSchema, Seq("vec_id"))
     StoreMaintenance.compactSub(spark, pairsPath(storePath), pairSchema, Seq("vec_a", "vec_b"))
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")

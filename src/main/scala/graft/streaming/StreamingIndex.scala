@@ -77,7 +77,7 @@ object StreamingIndex {
     // construction: after one migrated start the legacy tree is gone.
     if (migrateLegacyMarkers)
       migrateLegacyScope(path, legacyCommitScope(checkpointDir), scope, conf)
-    postings.writeStream
+    val query = postings.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -91,6 +91,8 @@ object StreamingIndex {
         if (!appended) batch.write.format("noop").mode("overwrite").save()
       }
       .start()
+    StoreMaintenance.registerIngest(conf, path, query)
+    query
   }
 
   /** Marker namespace for one checkpoint lineage (see `sinkToIndex`).
@@ -192,7 +194,11 @@ object StreamingIndex {
     * MUST run while ingest into `tableName` is stopped (stop the
     * `sinkToIndex` query, compact, restart from the same checkpoint) —
     * the standard pause-compact-resume discipline; compacting under a
-    * live appender would race the directory swap.
+    * live appender would race the directory swap. Enforced in-process:
+    * the call REFUSES (throws) while a `sinkToIndex` query registered
+    * over `path` is still active (`StoreMaintenance.assertIngestStopped`;
+    * `StoreMaintenance.compactAll` runs the whole deployment's
+    * compactions behind one such check).
     *
     * The rewrite goes to a side directory, then swaps in via two
     * renames, so the data rewrite and the committed-marker clearing are
@@ -217,6 +223,7 @@ object StreamingIndex {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, tableName: String,
               path: String, buckets: Int = 32): Unit = {
+    StoreMaintenance.assertIngestStopped(spark.sparkContext.hadoopConfiguration, path)
     val tmpTable = tableName + "__compacting"
     val compacted = spark.table(tableName).dropDuplicates("term", "doc_id")
     val schemaDdl = compacted.schema.toDDL

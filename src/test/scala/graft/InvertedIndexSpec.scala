@@ -111,4 +111,30 @@ class InvertedIndexSpec extends AnyFunSuite {
     // but BM25 compresses the gap doc 4 owed purely to repetition)
     assert(got.head._1 === 3L)
   }
+
+  test("phrase query: consecutive filtered positions, occurrence counts, loud guards") {
+    // stopwords ('the', 'on', 'and') drop BEFORE positions are assigned:
+    // doc 1's filtered stream is [cat, sat, mat] — "cat sat" adjacent;
+    // doc 2 separates them with a real token; doc 3 repeats the phrase;
+    // doc 4 has the terms adjacent ONLY ACROSS a dropped stopword
+    val corpus = Seq(
+      (1L, "u1", "the cat sat on the mat"),
+      (2L, "u2", "cat dog sat"),
+      (3L, "u3", "cat sat cat sat"),
+      (4L, "u4", "the cat and sat")
+    ).toDF("doc_id", "url", "text")
+    val pos = InvertedIndex.positionalPostings(corpus)
+    // (term, doc_id, pos) is unique and positions index the filtered stream
+    assert(pos.filter($"doc_id" === 1L).as[(String, Long, Int)].collect().toSet
+      === Set(("cat", 1L, 0), ("sat", 1L, 1), ("mat", 1L, 2)))
+    val got = InvertedIndex.phraseQuery(pos, Seq("cat", "sat"))
+      .as[(Long, Long)].collect().toMap
+    // doc 4 matches BECAUSE the stopword vanished from the stream — the
+    // documented filtered-position semantics, pinned here
+    assert(got === Map(1L -> 1L, 3L -> 2L, 4L -> 1L))
+    // guards: stopwords, unindexable casings and 1-term phrases all throw
+    intercept[IllegalArgumentException](InvertedIndex.phraseQuery(pos, Seq("the", "cat")))
+    intercept[IllegalArgumentException](InvertedIndex.phraseQuery(pos, Seq("Cat", "sat")))
+    intercept[IllegalArgumentException](InvertedIndex.phraseQuery(pos, Seq("cat")))
+  }
 }

@@ -81,6 +81,61 @@ class LayoutSpec extends AnyFunSuite {
     assert(boxed === expected && boxed.nonEmpty)
   }
 
+  test("z-order skipping manifests in Spark's REAL reader: scan row metrics match the bounds prediction") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_scan").toString
+    Layout.writeZOrdered(uniform2d, s"$dir/zorder", "x", "y", numFiles = 32)
+
+    // rows-in-overlapping-files per the file bounds — the prediction
+    // `skippableFiles` makes — for a given box
+    def predictedRows(x1: Long, x2: Long, y1: Long, y2: Long): Long =
+      spark.read.parquet(s"$dir/zorder")
+        .groupBy(input_file_name().as("_f"))
+        .agg(count(lit(1)).as("_n"),
+          min(col("x")).as("_xlo"), max(col("x")).as("_xhi"),
+          min(col("y")).as("_ylo"), max(col("y")).as("_yhi"))
+        .filter(col("_xhi") >= x1 && col("_xlo") <= x2 &&
+          col("_yhi") >= y1 && col("_ylo") <= y2)
+        .agg(coalesce(sum(col("_n")), lit(0L))).head().getLong(0)
+
+    // rows Spark's parquet scan actually PRODUCES after row-group pruning
+    // (each written file is a single row group here), read from the scan
+    // node's own metrics — this ties the statistics claim to the reader.
+    // Filter literals are LONGs like the columns: a double literal wraps
+    // the column in a cast and the bounds never reach PushedFilters.
+    def scannedRows(x1: Long, x2: Long, y1: Long, y2: Long): Long = {
+      val df = spark.read.parquet(s"$dir/zorder")
+        .filter(col("x").between(x1, x2) && col("y").between(y1, y2))
+      df.collect()
+      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec => scansOf(q.plan)
+      }.flatten
+      val scans = scansOf(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty, s"no file scan in:\n${df.queryExecution.executedPlan}")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    // x-slice (6% of the x range, y unconstrained) and a small both-dim box
+    for ((x1, x2, y1, y2) <- Seq(
+      (10000L, 16000L, 0L, 99999L),      // x-slice
+      (20000L, 26000L, 50000L, 56000L))) // small box
+    {
+      val predicted = predictedRows(x1, x2, y1, y2)
+      val scanned = scannedRows(x1, x2, y1, y2)
+      // the reader can never read fewer rows than the surviving files
+      // hold minus what page-level stats could further trim — and must
+      // not read MORE than the bounds prediction: if parquet row-group
+      // pruning didn't fire, scanned would be the full 100k
+      assert(scanned <= predicted,
+        s"box($x1,$x2,$y1,$y2): scan produced $scanned rows > bounds-predicted $predicted")
+      assert(scanned < 100000L / 2,
+        s"box($x1,$x2,$y1,$y2): scan produced $scanned rows — no real skipping")
+    }
+  }
+
   test("writeZOrdered plan: map-side key, one range exchange, no extra shuffle") {
     val df = uniform2d
     val r = df.agg(min(col("x").cast("double")), max(col("x").cast("double")),

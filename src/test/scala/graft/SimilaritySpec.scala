@@ -107,4 +107,52 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq
     assert(run() === run())
   }
+
+  test("VectorStore-served queries equal the direct operators bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.tbl(spark, dir, "embeddings")
+    val V = graft.sources.VectorStore
+    // ordered results compare as sequences, set-valued ones as sets
+    assert(V.topK(spark, dir, 0L, 10).as[(Long, Double)].collect().toSeq
+      === Similarity.topK(corpus, 0L, 10).as[(Long, Double)].collect().toSeq)
+    assert(V.annNearestNeighbor(spark, dir).as[(Long, Long, Double)].collect().toSet
+      === Similarity.annNearestNeighbor(corpus).as[(Long, Long, Double)].collect().toSet)
+    assert(V.annNearestNeighborMultiProbe(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+      === Similarity.annNearestNeighborMultiProbe(corpus)
+        .as[(Long, Long, Double)].collect().toSet)
+    assert(V.embeddingDuplicates(spark, dir).as[(Long, Long, Double)].collect().toSet
+      === Similarity.embeddingDuplicates(corpus).as[(Long, Long, Double)].collect().toSet)
+    assert(V.ivfTopK(spark, dir, 0L, 10).as[(Long, Double)].collect().toSeq
+      === Similarity.ivfTopK(corpus, 0L, 10).as[(Long, Double)].collect().toSeq)
+    assert(V.ivfTopKTrained(spark, dir, 0L, 10).as[(Long, Double)].collect().toSeq
+      === Similarity.ivfTopKTrained(corpus, 0L, 10).as[(Long, Double)].collect().toSeq)
+  }
+
+  test("IVF probe over the persisted store prunes cell partitions at planning time") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = "/root/testdata/sf0.001"
+    val probe = graft.sources.VectorStore.ivfTopK(spark, dir, queryId = 0L, k = 10)
+    probe.collect()
+    // AQE wraps executed subtrees in QueryStageExec LEAVES — a plain
+    // collect never reaches the file scans inside them
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+    }.flatten
+    val plan = probe.queryExecution.executedPlan
+    val scans = scansOf(plan)
+    val (pruned, unpruned) = scans.partition(_.partitionFilters.nonEmpty)
+    // the probe scan carries the literal cell IN (...) as a PARTITION
+    // filter; the query-row scan (vec_id filter) reads every cell — the
+    // file-count gap is the pruning, measured from the real reader
+    assert(pruned.nonEmpty, s"no partition-filtered scan in:\n$plan")
+    assert(unpruned.nonEmpty)
+    val prunedFiles = pruned.map(_.metrics("numFiles").value).min
+    val allFiles = unpruned.map(_.metrics("numFiles").value).max
+    assert(prunedFiles < allFiles,
+      s"probe read $prunedFiles files vs $allFiles — no partition pruning")
+  }
 }

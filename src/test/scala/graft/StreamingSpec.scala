@@ -645,4 +645,143 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.StreamingDedup.hashes(spark, store).count() === nHashes)
     assert(!fs.exists(new Path(s"$store/hashes__pre_compact")))
   }
+
+  test("compacting a CRASHED store restores the swapped-out sub-store instead of serving empty") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_compact").toString
+    val store = s"$dir/store"
+    assert(graft.streaming.StreamingDedup.processBatch(
+      nearDupFixture.toDF("doc_id", "text"), 0L, store))
+    val expected = graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty)
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between the renames on pairs/: live dir gone, rewrite complete
+    // in __compacting. The old compactSub silently no-opped here while
+    // compactStore still cleared the commit markers — success reported,
+    // empty store served until a separate recoverStore run.
+    val pairsDir = s"$store/pairs"
+    spark.read.parquet(pairsDir).dropDuplicates("doc_a", "doc_b")
+      .write.mode("overwrite").parquet(pairsDir + "__compacting")
+    assert(fs.rename(new Path(pairsDir), new Path(pairsDir + "__pre_compact")))
+    graft.streaming.StreamingDedup.compactStore(spark, store) // NOT recoverStore
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet === expected)
+    assert(!fs.exists(new Path(pairsDir + "__compacting")))
+    assert(!fs.exists(new Path(pairsDir + "__pre_compact")))
+  }
+
+  test("compactAll refuses while any ingest is active; after stop it compacts all three stores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_all").toString
+    val (idxTbl, idxPath) = ("t_compact_all_idx", s"$dir/idx")
+    val (dedupStore, embedStore) = (s"$dir/dedup", s"$dir/embed")
+    val docsIn = MemoryStream[(Long, String, String, Timestamp)]
+    val dedupIn = MemoryStream[(Long, String)]
+    val embedIn = MemoryStream[(Long, Seq[Double])]
+    val qIdx = graft.streaming.StreamingIndex.sinkToIndex(
+      graft.streaming.StreamingIndex
+        .postingsStream(docsIn.toDF().toDF("doc_id", "url", "text", "ingest_t")),
+      idxTbl, idxPath, s"$dir/ckpt_idx", buckets = 4)
+    val qDedup = graft.streaming.StreamingDedup.sinkNearDup(
+      dedupIn.toDF().toDF("doc_id", "text"), dedupStore, s"$dir/ckpt_dedup")
+    val qEmbed = graft.streaming.StreamingEmbed.sinkEmbedDup(
+      embedIn.toDF().toDF("vec_id", "embedding"), embedStore, s"$dir/ckpt_embed", bits = 4)
+    try {
+      docsIn.addData((1L, "u1", "the cat sat", ts("10:00")))
+      dedupIn.addData(nearDupFixture)
+      embedIn.addData(embedFixture)
+      qIdx.processAllAvailable(); qDedup.processAllAvailable(); qEmbed.processAllAvailable()
+      // all three queries still active → the deployment-wide compact refuses
+      // BEFORE touching anything (the single-store compacts refuse too)
+      intercept[IllegalStateException](graft.streaming.StoreMaintenance.compactAll(spark,
+        indexTables = Seq(idxTbl -> idxPath), dedupStores = Seq(dedupStore),
+        embedStores = Seq(embedStore), buckets = 4))
+      intercept[IllegalStateException](
+        graft.streaming.StreamingDedup.compactStore(spark, dedupStore))
+      intercept[IllegalStateException](
+        graft.streaming.StreamingIndex.compact(spark, idxTbl, idxPath, buckets = 4))
+      intercept[IllegalStateException](
+        graft.streaming.StreamingEmbed.compactStore(spark, embedStore))
+      // stopping ONE store's ingest doesn't unlock the others
+      qDedup.stop()
+      intercept[IllegalStateException](graft.streaming.StoreMaintenance.compactAll(spark,
+        indexTables = Seq(idxTbl -> idxPath), dedupStores = Seq(dedupStore),
+        embedStores = Seq(embedStore), buckets = 4))
+    } finally { qIdx.stop(); qDedup.stop(); qEmbed.stop() }
+    val expIdx = spark.table(idxTbl).as[(String, Long, String)].collect().toSet
+    val expPairs = graft.streaming.StreamingDedup.pairs(spark, dedupStore)
+      .as[(Long, Long, Double)].collect().toSet
+    val expEmb = graft.streaming.StreamingEmbed.pairs(spark, embedStore)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expIdx.nonEmpty && expPairs.nonEmpty && expEmb.nonEmpty)
+    // everything stopped → one call compacts all three, contents unchanged
+    graft.streaming.StoreMaintenance.compactAll(spark,
+      indexTables = Seq(idxTbl -> idxPath), dedupStores = Seq(dedupStore),
+      embedStores = Seq(embedStore), buckets = 4)
+    assert(spark.table(idxTbl).as[(String, Long, String)].collect().toSet === expIdx)
+    assert(graft.streaming.StreamingDedup.pairs(spark, dedupStore)
+      .as[(Long, Long, Double)].collect().toSet === expPairs)
+    assert(graft.streaming.StreamingEmbed.pairs(spark, embedStore)
+      .as[(Long, Long, Double)].collect().toSet === expEmb)
+    assert(!new java.io.File(s"$dedupStore/_graft_commits").exists())
+    assert(!new java.io.File(s"$embedStore/_graft_commits").exists())
+  }
+
+  test("re-sent doc_id with different text: every read collapses to ONE deterministic version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_resend").toString
+    val store = s"$dir/store"
+    // all-LETTER tokens: the tokenizer strips digits, so the "wNword"
+    // pool would collapse every token to one string and both "versions"
+    // would share a single shingle — 30 distinct two-letter-suffix tokens
+    // keep the long text's 28 trigrams genuinely distinct
+    val toks = (0 until 30).map(j => s"tok${('a' + j / 6).toChar}${('a' + j % 6).toChar}")
+    val longText = toks.mkString(" ")
+    // batch 0: doc 1 under a SHORT text; batch 1 RE-SENDS doc 1 with a
+    // longer text and introduces doc 2 = exact copy of the new version
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, toks.take(4).mkString(" "))).toDF("doc_id", "text"), 0L, store))
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, longText), (2L, longText)).toDF("doc_id", "text"), 1L, store))
+    // the verify join must score (1,2) against ONE version of doc 1 —
+    // exactly one pair row, at the deterministic winner (the larger
+    // shingle set = the long text, identical to doc 2 → jaccard 1.0)
+    val pairs = graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.count { case (a, b, _) => (a, b) == (1L, 2L) } === 1)
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 === 1.0)
+    // the hashes accessor serves the same winner (one row, long version)
+    val served = graft.streaming.StreamingDedup.hashes(spark, store)
+      .filter($"doc_id" === 1L).select("sh").as[Seq[String]].collect()
+    assert(served.length === 1)
+    assert(served.head.length === 28) // 30 tokens → 28 trigrams (all distinct)
+  }
+
+  test("streamed curation over the accumulated store equals batch q_curate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_curate").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val fixture = nearDupFixture.sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.sinkNearDup(
+      input.toDF().toDF("doc_id", "text"), store, ckpt)
+    try {
+      fixture.grouped(fixture.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val docsDf = fixture.toDF("doc_id", "text")
+    val streamed = graft.queries.DedupQueries.curateStreamed(docsDf, store)
+      .as[(Long, Double)].collect().toSet
+    val batch = graft.queries.DedupQueries.curate(docsDf,
+      graft.operators.Dedup.clusters(graft.operators.Dedup.nearDuplicates(docsDf)))
+      .as[(Long, Double)].collect().toSet
+    assert(batch.nonEmpty) // the fixture passes the quality gate
+    assert(streamed === batch)
+  }
 }
