@@ -36,10 +36,13 @@ object DedupQueries {
     // (a diagnostic, not a serving query — see Bench).
     "q_jaccard_mindiverge" -> ((s, dir) => {
       val h = DedupStore.hashes(s, dir)
-      val p1 = Dedup.jaccardPairsFromShingles(h, minSharedRare = 1)
-        .select("doc_a", "doc_b")
-      val p2 = Dedup.jaccardPairsFromShingles(h, minSharedRare = 2)
-        .select("doc_a", "doc_b")
+      // each pipeline is materialized ONCE: p1 and p2 both feed a count
+      // AND the except — without the boundary each full candidate+verify
+      // pass (the =1 one is the expensive rejected formulation) runs twice
+      val p1 = Dedup.materializeOnce(
+        Dedup.jaccardPairsFromShingles(h, minSharedRare = 1).select("doc_a", "doc_b"))
+      val p2 = Dedup.materializeOnce(
+        Dedup.jaccardPairsFromShingles(h, minSharedRare = 2).select("doc_a", "doc_b"))
       p1.agg(count(lit(1)).as("pairs_m1"))
         .crossJoin(broadcast(p2.agg(count(lit(1)).as("pairs_m2"))))
         .crossJoin(broadcast(p1.except(p2).agg(count(lit(1)).as("dropped_by_m2"))))

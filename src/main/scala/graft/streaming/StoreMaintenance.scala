@@ -15,15 +15,22 @@ object StoreMaintenance {
 
   /** In-process registry of active ingest queries per (qualified) store
     * path — every `sink*` start registers here, and every compact
-    * REFUSES while the registered query is still active: compacting
-    * under a live appender would race the directory swap, silently
-    * corrupting the store it claims to maintain. In-process scope is
-    * the honest contract: a store fed by a query in ANOTHER JVM cannot
-    * be detected from here, and the pause-compact-resume discipline for
-    * multi-process deployments remains an operational rule.
+    * REFUSES while ANY registered query over the path is still active:
+    * compacting under a live appender would race the directory swap,
+    * silently corrupting the store it claims to maintain. SET-valued:
+    * two sinks mistakenly started over one store (exactly the operator
+    * error this guard exists to catch) must both stay visible — a
+    * last-write-wins slot would let stopping the second unlock a
+    * compact while the first still appends. In-process scope is the
+    * honest contract: a store fed by a query in ANOTHER JVM cannot be
+    * detected from here (nor can one registered between this JVM's
+    * `.start()` and its registration — a micro-window only a compact
+    * racing the stream's own startup could hit), and the
+    * pause-compact-resume discipline for multi-process deployments
+    * remains an operational rule.
     */
-  private val activeIngest =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.streaming.StreamingQuery]()
+  private val activeIngest = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[org.apache.spark.sql.streaming.StreamingQuery]]()
 
   /** One spelling per store: equivalent relative/absolute/scheme-
     * qualified paths must collide in the registry, or a compact aimed at
@@ -38,22 +45,26 @@ object StoreMaintenance {
   private[graft] def registerIngest(conf: org.apache.hadoop.conf.Configuration,
                                     storePath: String,
                                     query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    activeIngest.put(qualified(storePath, conf), query): Unit
+    activeIngest.computeIfAbsent(qualified(storePath, conf),
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet()).add(query): Unit
 
-  /** Throw unless every registered ingest query over `storePath` has
+  /** Throw unless EVERY registered ingest query over `storePath` has
     * stopped (stopped entries are swept from the registry).
     */
   private[graft] def assertIngestStopped(conf: org.apache.hadoop.conf.Configuration,
                                          storePath: String): Unit = {
     val key = qualified(storePath, conf)
-    val q = activeIngest.get(key)
-    if (q != null) {
-      if (q.isActive)
-        throw new IllegalStateException(
-          s"compact refused: streaming ingest query ${q.id} is still active over " +
-            s"$storePath — stop it first (pause-compact-resume), then compact, " +
-            "then restart from the same checkpoint")
-      activeIngest.remove(key, q): Unit
+    val qs = activeIngest.get(key)
+    if (qs != null) {
+      qs.forEach { q =>
+        if (q.isActive)
+          throw new IllegalStateException(
+            s"compact refused: streaming ingest query ${q.id} is still active over " +
+              s"$storePath — stop it first (pause-compact-resume), then compact, " +
+              "then restart from the same checkpoint")
+      }
+      qs.removeIf(q => !q.isActive)
+      if (qs.isEmpty) activeIngest.remove(key, qs): Unit
     }
   }
 
@@ -129,12 +140,21 @@ object StoreMaintenance {
     * written — is a true no-op.
     */
   private[graft] def compactSub(spark: SparkSession, path: String, schema: StructType,
-                 keys: Seq[String]): Unit = {
+                 keys: Seq[String]): Unit =
+    compactSubWith(spark, path, schema, _.dropDuplicates(keys))
+
+  /** `compactSub` with a caller-supplied collapse (for sub-stores whose
+    * read accessors collapse rows by a DETERMINISTIC rule rather than an
+    * arbitrary-survivor key dedup — compaction must apply the SAME rule,
+    * or the version the accessors serve silently flips across a compact).
+    */
+  private[graft] def compactSubWith(spark: SparkSession, path: String, schema: StructType,
+                                    collapse: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     recoverSub(spark, path) // restores a crashed swap; clears side-dir residue
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
-    readOrEmpty(spark, path, schema).dropDuplicates(keys)
+    collapse(readOrEmpty(spark, path, schema))
       .write.mode(SaveMode.Overwrite).parquet(path + "__compacting")
     swapInto(spark, path)
   }

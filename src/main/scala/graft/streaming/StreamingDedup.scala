@@ -151,42 +151,53 @@ object StreamingDedup {
         .unionByName(newSigs.select("doc_id", "band", "sig"))
       // newHash is checkpointed, so the count is a cached-metadata read,
       // not a recompute; the cap is on the broadcast PAYLOAD (sig rows).
-      // cands is materialized because it feeds BOTH the candidate-id
-      // filter and the verify joins below — without a plan boundary each
-      // consumer would re-run the store-scanning candidate join.
-      val cands = Dedup.materializeOnce(candidatePairs(newSigs, allSigs,
-        broadcastNew = newHash.count() * numBands <= MaxBroadcastSigRows))
+      // cands feeds BOTH the candidate-id filter and the verify joins
+      // below — persist (spillable) so each consumer reads the computed
+      // relation instead of re-running the store-scanning candidate join.
+      // persist, NOT materializeOnce: on a cluster the latter writes a
+      // RELIABLE checkpoint per micro-batch whose files only an explicit
+      // release sweeps — an all-day stream would leak storage per batch;
+      // the persist is dropped in the finally below.
+      val cands = candidatePairs(newSigs, allSigs,
+        broadcastNew = newHash.count() * numBands <= MaxBroadcastSigRows).persist()
+      try {
+        val nCands = cands.count() // materialize before fan-out
+        // verify against the shingle sets of BOTH sides (old docs' sets come
+        // from the hash store; candidate pairs are few → the verify joins
+        // broadcast them against the store scan). The store side is first
+        // narrowed to the candidate doc_ids (semi-join — the store is
+        // scanned, never shuffled) and then collapsed to ONE row per
+        // doc_id: the store can carry replay-residual duplicate rows
+        // (value-identical, any survivor is exact) or — if a doc_id is ever
+        // re-sent with different text — conflicting versions; without the
+        // collapse the verify join would emit one jaccard row PER version of
+        // each endpoint. max over the (size, sh, hv) struct makes the
+        // surviving version DETERMINISTIC (largest shingle set, ties broken
+        // lexicographically — arrival order never matters), and the collapse
+        // aggregate is candidate-sized, not corpus-sized. The id relation is
+        // force-broadcast only under the same payload cap as the sig side —
+        // a backfill-sized candidate set falls back to AQE-planned joins
+        // instead of OOMing the driver.
+        val candIds = cands.select(col("doc_a").as("doc_id"))
+          .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+        val candIdsB =
+          if (2 * nCands <= MaxBroadcastSigRows) broadcast(candIds) else candIds
+        val allHash = canonicalByDoc(
+          StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
+            .select("doc_id", "sh", "hv")
+            .unionByName(newHash.select("doc_id", "sh", "hv"))
+            .join(candIdsB, Seq("doc_id"), "left_semi"))
+        val newPairs = Dedup.verifyJaccard(cands, allHash, threshold).distinct()
 
-      // verify against the shingle sets of BOTH sides (old docs' sets come
-      // from the hash store; candidate pairs are few → the verify joins
-      // broadcast them against the store scan). The store side is first
-      // narrowed to the candidate doc_ids (broadcast semi-join — the store
-      // is scanned, never shuffled) and then collapsed to ONE row per
-      // doc_id: the store can carry replay-residual duplicate rows
-      // (value-identical, any survivor is exact) or — if a doc_id is ever
-      // re-sent with different text — conflicting versions; without the
-      // collapse the verify join would emit one jaccard row PER version of
-      // each endpoint. max over the (size, sh, hv) struct makes the
-      // surviving version DETERMINISTIC (largest shingle set, ties broken
-      // lexicographically — arrival order never matters), and the collapse
-      // aggregate is candidate-sized, not corpus-sized.
-      val candIds = cands.select(col("doc_a").as("doc_id"))
-        .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-      val allHash = canonicalByDoc(
-        StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
-          .select("doc_id", "sh", "hv")
-          .unionByName(newHash.select("doc_id", "sh", "hv"))
-          .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-      val newPairs = Dedup.verifyJaccard(cands, allHash, threshold).distinct()
-
-      // three appends inside the marker window: at-least-once — a crash
-      // mid-window re-appends on replay, collapsed by compactStore / the
-      // accessors
-      newHash.select("doc_id", "sh", "hv").write.mode(SaveMode.Append)
-        .parquet(hashesPath(storePath))
-      newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
-        .parquet(sigsPath(storePath))
-      newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+        // three appends inside the marker window: at-least-once — a crash
+        // mid-window re-appends on replay, collapsed by compactStore / the
+        // accessors
+        newHash.select("doc_id", "sh", "hv").write.mode(SaveMode.Append)
+          .parquet(hashesPath(storePath))
+        newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
+          .parquet(sigsPath(storePath))
+        newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+      } finally cands.unpersist(): Unit
     }
   }
 
@@ -216,12 +227,17 @@ object StreamingDedup {
   }
 
   /** The accumulated verified near-dup pair relation. Exact across the
-    * replay residual window: duplicates from a re-appended batch carry
-    * identical values, so dropping duplicate keys loses nothing.
+    * replay residual window (re-appended rows are value-identical), and
+    * DETERMINISTIC when a pair was re-verified against a re-sent doc's
+    * new version: the max jaccard over observed versions wins, the same
+    * on every read and across compactions (an arbitrary-survivor key
+    * dedup would flip the served value run to run).
     */
   def pairs(spark: SparkSession, storePath: String): DataFrame =
-    StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema)
-      .dropDuplicates("doc_a", "doc_b")
+    canonicalPairs(StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema))
+
+  private def canonicalPairs(p: DataFrame): DataFrame =
+    p.groupBy("doc_a", "doc_b").agg(max(col("jaccard")).as("jaccard"))
 
   /** The accumulated shingle+hash frame — feed it to
     * `Dedup.jaccardPairsFromShingles` / `clusters` for the non-LSH dedup
@@ -247,9 +263,14 @@ object StreamingDedup {
       .agg(max(struct(size(col("sh")).as("_n"), col("sh"), col("hv"))).as("_m"))
       .select(col("doc_id"), col("_m.sh").as("sh"), col("_m.hv").as("hv"))
 
+  /** Full-ROW distinct, not (doc_id, band)-keyed: a re-sent doc's two
+    * versions legitimately carry different sigs per band, and BOTH must
+    * survive so either version's future near-dups still band-collide
+    * (verification always scores against the canonical version).
+    */
   private[graft] def sigs(spark: SparkSession, storePath: String): DataFrame =
     StoreMaintenance.readOrEmpty(spark, sigsPath(storePath), sigSchema)
-      .dropDuplicates("doc_id", "band")
+      .dropDuplicates("doc_id", "band", "sig")
 
   /** Collapse replay-residual duplicates and per-batch small files in all
     * three sub-stores: dedup by key, rewrite to a side directory, then
@@ -263,9 +284,16 @@ object StreamingDedup {
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
     StoreMaintenance.assertIngestStopped(spark.sparkContext.hadoopConfiguration, storePath)
-    StoreMaintenance.compactSub(spark, hashesPath(storePath), hashSchema, Seq("doc_id"))
-    StoreMaintenance.compactSub(spark, sigsPath(storePath), sigSchema, Seq("doc_id", "band"))
-    StoreMaintenance.compactSub(spark, pairsPath(storePath), pairSchema, Seq("doc_a", "doc_b"))
+    // each sub-store compacts through ITS accessor's collapse rule —
+    // hashes to the canonical version, pairs to the max jaccard, sigs to
+    // full-row distinct — so what the accessors serve is IDENTICAL before
+    // and after a compact (a keyed dropDuplicates would keep an arbitrary
+    // version and silently flip the served rows)
+    StoreMaintenance.compactSubWith(spark, hashesPath(storePath), hashSchema,
+      df => canonicalByDoc(df.select("doc_id", "sh", "hv")))
+    StoreMaintenance.compactSub(spark, sigsPath(storePath), sigSchema,
+      Seq("doc_id", "band", "sig"))
+    StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, canonicalPairs)
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
   }

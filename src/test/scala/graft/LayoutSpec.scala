@@ -82,8 +82,6 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("z-order skipping manifests in Spark's REAL reader: scan row metrics match the bounds prediction") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val dir = java.nio.file.Files.createTempDirectory("graft_layout_scan").toString
     Layout.writeZOrdered(uniform2d, s"$dir/zorder", "x", "y", numFiles = 32)
 
@@ -108,12 +106,7 @@ class LayoutSpec extends AnyFunSuite {
       val df = spark.read.parquet(s"$dir/zorder")
         .filter(col("x").between(x1, x2) && col("y").between(y1, y2))
       df.collect()
-      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-        case s: FileSourceScanExec => Seq(s)
-        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-        case q: QueryStageExec => scansOf(q.plan)
-      }.flatten
-      val scans = scansOf(df.queryExecution.executedPlan)
+      val scans = PlanScans.fileScans(df.queryExecution.executedPlan)
       assert(scans.nonEmpty, s"no file scan in:\n${df.queryExecution.executedPlan}")
       scans.map(_.metrics("numOutputRows").value).sum
     }

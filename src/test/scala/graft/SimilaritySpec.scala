@@ -130,20 +130,11 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("IVF probe over the persisted store prunes cell partitions at planning time") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val dir = "/root/testdata/sf0.001"
     val probe = graft.sources.VectorStore.ivfTopK(spark, dir, queryId = 0L, k = 10)
     probe.collect()
-    // AQE wraps executed subtrees in QueryStageExec LEAVES — a plain
-    // collect never reaches the file scans inside them
-    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-      case s: FileSourceScanExec => Seq(s)
-      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-      case q: QueryStageExec => scansOf(q.plan)
-    }.flatten
     val plan = probe.queryExecution.executedPlan
-    val scans = scansOf(plan)
+    val scans = PlanScans.fileScans(plan)
     val (pruned, unpruned) = scans.partition(_.partitionFilters.nonEmpty)
     // the probe scan carries the literal cell IN (...) as a PARTITION
     // filter; the query-row scan (vec_id filter) reads every cell — the

@@ -758,6 +758,19 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"doc_id" === 1L).select("sh").as[Seq[String]].collect()
     assert(served.length === 1)
     assert(served.head.length === 28) // 30 tokens → 28 trigrams (all distinct)
+    // compaction applies the SAME collapse rules the accessors use — the
+    // served version must not flip across a compact (a keyed
+    // dropDuplicates would keep an arbitrary version of doc 1)
+    graft.streaming.StreamingDedup.compactStore(spark, store)
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet === pairs.toSet)
+    val afterCompact = graft.streaming.StreamingDedup.hashes(spark, store)
+      .filter($"doc_id" === 1L).select("sh").as[Seq[String]].collect()
+    assert(afterCompact.length === 1 && afterCompact.head.length === 28)
+    // both versions' sigs survive compaction (full-row distinct), so
+    // either version's future near-dups still band-collide
+    assert(spark.read.parquet(s"$store/sigs").filter($"doc_id" === 1L)
+      .select("band", "sig").distinct().count() > 24)
   }
 
   test("streamed curation over the accumulated store equals batch q_curate") {
