@@ -44,12 +44,21 @@ object StoreMaintenance {
 
   private[graft] def registerIngest(conf: org.apache.hadoop.conf.Configuration,
                                     storePath: String,
-                                    query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+                                    query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    // global sweep of stopped queries on every registration: without it a
+    // long-lived JVM starting and stopping many streams over paths it
+    // never compacts would pin every StreamingQuery ever started
+    activeIngest.values.forEach(_.removeIf(q => !q.isActive))
     activeIngest.computeIfAbsent(qualified(storePath, conf),
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet()).add(query): Unit
+  }
 
   /** Throw unless EVERY registered ingest query over `storePath` has
-    * stopped (stopped entries are swept from the registry).
+    * stopped. Stopped entries are swept; EMPTY sets are deliberately
+    * left in the map — removing one by identity races a concurrent
+    * `registerIngest` that just added an active query to the same set
+    * instance, silently unregistering it. An empty key-set per
+    * store-path-ever-compacted is a bounded, harmless residue.
     */
   private[graft] def assertIngestStopped(conf: org.apache.hadoop.conf.Configuration,
                                          storePath: String): Unit = {
@@ -63,32 +72,39 @@ object StoreMaintenance {
               s"$storePath — stop it first (pause-compact-resume), then compact, " +
               "then restart from the same checkpoint")
       }
-      qs.removeIf(q => !q.isActive)
-      if (qs.isEmpty) activeIngest.remove(key, qs): Unit
+      qs.removeIf(q => !q.isActive): Unit
     }
   }
 
   /** Pause-compact-resume over a whole deployment in one call: verify
     * that NO target still has an active ingest query (all checks run
     * before any compaction starts — a refused store must not leave the
-    * others half-maintained), then compact every streaming index table
-    * (`(tableName, path)` pairs) and every dedup/embed store. Each
-    * store's own crash contract applies unchanged (`recover*` finishes
-    * or unwinds an interruption).
+    * others half-maintained), RECOVER any store left mid-swap by a
+    * crashed previous maintenance run (idempotent), then compact every
+    * streaming index table (`(tableName, path, buckets)` triples — the
+    * bucket count is PER TABLE: one global value would silently rewrite
+    * a 64-bucket table 32-bucketed and crash its resumed ingest on the
+    * bucketing mismatch) and every dedup/embed store.
     */
   def compactAll(spark: SparkSession,
-                 indexTables: Seq[(String, String)] = Nil,
+                 indexTables: Seq[(String, String, Int)] = Nil,
                  dedupStores: Seq[String] = Nil,
-                 embedStores: Seq[String] = Nil,
-                 buckets: Int = 32): Unit = {
+                 embedStores: Seq[String] = Nil): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     (indexTables.map(_._2) ++ dedupStores ++ embedStores)
       .foreach(assertIngestStopped(conf, _))
-    indexTables.foreach { case (tbl, path) =>
+    indexTables.foreach { case (tbl, path, buckets) =>
+      StreamingIndex.recoverCompact(spark, tbl, path, buckets)
       StreamingIndex.compact(spark, tbl, path, buckets)
     }
-    dedupStores.foreach(StreamingDedup.compactStore(spark, _))
-    embedStores.foreach(StreamingEmbed.compactStore(spark, _))
+    dedupStores.foreach { s =>
+      StreamingDedup.recoverStore(spark, s) // compactSub also self-heals; explicit for symmetry
+      StreamingDedup.compactStore(spark, s)
+    }
+    embedStores.foreach { s =>
+      StreamingEmbed.recoverStore(spark, s)
+      StreamingEmbed.compactStore(spark, s)
+    }
   }
 
   /** Run `body` exactly once per (store, scope, batchId): if the commit

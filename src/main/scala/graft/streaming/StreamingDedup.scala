@@ -41,9 +41,10 @@ import graft.operators.Dedup
   *
   * STORE LAYOUT under `storePath` (all plain parquet — no catalog
   * dependency, readable by any engine):
-  *   - `hashes/`  (doc_id, sh, hv): distinct shingle sets + base hash
-  *     values of every ingested doc (empty-shingle docs excluded, as in
-  *     batch);
+  *   - `hashes/`  (doc_id, sh, hv, ingest_ms): distinct shingle sets +
+  *     base hash values of every ingested doc (empty-shingle docs
+  *     excluded, as in batch), stamped with the append wall-clock for
+  *     latest-wins version collapse;
   *   - `sigs/`    (doc_id, band, sig): banded MinHash signatures;
   *   - `pairs/`   (doc_a, doc_b, jaccard): verified near-dup pairs;
   *   - `_graft_commits/<scope>/<batchId>`: per-batch commit markers,
@@ -64,12 +65,14 @@ import graft.operators.Dedup
   * doc_ids are assumed UNIQUE across the stream's lifetime (the same
   * assumption the batch pipeline makes of a corpus). If an id IS
   * re-sent with different text, both versions land in the hash store,
-  * but every read — the verify join and the `hashes` accessor —
-  * collapses to ONE deterministic version per doc_id (`canonicalByDoc`:
-  * largest shingle set, lexicographic tie-break), so pair emission and
-  * downstream curation never see conflicting versions. Pairs verified
-  * in earlier batches against the superseded version are not revisited
-  * (append-only pair store).
+  * but every read — the verify join, the `hashes` accessor, and the
+  * compaction rewrite — collapses to ONE deterministic version per
+  * doc_id (`canonicalByDoc`: LATEST ingest stamp wins, so corrective
+  * re-sends take effect), and a pair re-verified against a newer
+  * version serves the max jaccard over observed versions (`pairs`) —
+  * downstream curation never sees conflicting versions. Pairs verified
+  * in earlier batches against a superseded version are not re-examined
+  * unless re-discovered (append-only pair store).
   */
 object StreamingDedup {
 
@@ -77,10 +80,17 @@ object StreamingDedup {
   private[graft] def sigsPath(store: String) = s"$store/sigs"
   private[graft] def pairsPath(store: String) = s"$store/pairs"
 
+  /** `ingest_ms` is the version stamp of each hash row (wall clock at
+    * append): latest-wins collapse needs an order that survives a
+    * checkpoint-lineage change — batchIds restart at 0 with a fresh
+    * checkpoint, so stamping with the batchId would serve a STALE
+    * version over a corrective re-send from the new lineage forever.
+    */
   private val hashSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sh", ArrayType(StringType)),
-    StructField("hv", ArrayType(LongType))))
+    StructField("hv", ArrayType(LongType)),
+    StructField("ingest_ms", LongType)))
   private val sigSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("band", IntegerType),
@@ -138,6 +148,10 @@ object StreamingDedup {
     val spark = batch.sparkSession
     StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
       storePath, scope, batchId) {
+      // version stamp for this batch's hash rows (see hashSchema). A
+      // replayed batch re-appends with a LATER stamp — content-identical
+      // rows, so whichever copy the latest-wins collapse keeps is exact.
+      val ingestMs = System.currentTimeMillis()
       // new docs' shingle sets + base hashes: the only per-doc CPU work of
       // the batch, materialized once — it feeds the signature projection
       // and both sides of the verify joins
@@ -184,15 +198,17 @@ object StreamingDedup {
           if (2 * nCands <= MaxBroadcastSigRows) broadcast(candIds) else candIds
         val allHash = canonicalByDoc(
           StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
-            .select("doc_id", "sh", "hv")
-            .unionByName(newHash.select("doc_id", "sh", "hv"))
+            .select("doc_id", "sh", "hv", "ingest_ms")
+            .unionByName(newHash.select("doc_id", "sh", "hv")
+              .withColumn("ingest_ms", lit(ingestMs)))
             .join(candIdsB, Seq("doc_id"), "left_semi"))
         val newPairs = Dedup.verifyJaccard(cands, allHash, threshold).distinct()
 
         // three appends inside the marker window: at-least-once — a crash
         // mid-window re-appends on replay, collapsed by compactStore / the
         // accessors
-        newHash.select("doc_id", "sh", "hv").write.mode(SaveMode.Append)
+        newHash.select("doc_id", "sh", "hv").withColumn("ingest_ms", lit(ingestMs))
+          .write.mode(SaveMode.Append)
           .parquet(hashesPath(storePath))
         newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
           .parquet(sigsPath(storePath))
@@ -247,21 +263,31 @@ object StreamingDedup {
   def hashes(spark: SparkSession, storePath: String): DataFrame =
     canonicalByDoc(
       StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
-        .select("doc_id", "sh", "hv"))
+        .select("doc_id", "sh", "hv", "ingest_ms"))
 
-  /** Collapse a (doc_id, sh, hv) relation to ONE row per doc_id,
-    * deterministically: max over the (size(sh), sh, hv) struct, so the
-    * largest shingle set wins with lexicographic tie-break — independent
-    * of arrival order, partitioning, or replay. Replay-residual
-    * duplicates are value-identical (any survivor exact); a doc_id
-    * re-sent with different text collapses to the same version on every
-    * read instead of serving an arbitrary one.
+  /** Collapse a (doc_id, sh, hv, ingest_ms) relation to ONE row per
+    * doc_id: LATEST version wins (max ingest_ms — a corrective re-send
+    * takes effect immediately, including one that SHRINKS the document),
+    * with the (size(sh), sh, hv) struct as the deterministic tie-break
+    * within one stamp. The data on disk is fixed once written, so every
+    * read of the same store serves the same version regardless of
+    * partitioning; replay-residual duplicates are content-identical, so
+    * whichever copy survives is exact. Pre-stamp rows (ingest_ms null)
+    * rank oldest.
     */
   private[graft] def canonicalByDoc(hashFrame: DataFrame): DataFrame =
+    canonicalHashRows(hashFrame).select("doc_id", "sh", "hv")
+
+  /** `canonicalByDoc` keeping the version stamp — the compaction rewrite
+    * must preserve it or every compacted row would tie as "oldest".
+    */
+  private def canonicalHashRows(hashFrame: DataFrame): DataFrame =
     hashFrame
       .groupBy("doc_id")
-      .agg(max(struct(size(col("sh")).as("_n"), col("sh"), col("hv"))).as("_m"))
-      .select(col("doc_id"), col("_m.sh").as("sh"), col("_m.hv").as("hv"))
+      .agg(max(struct(coalesce(col("ingest_ms"), lit(Long.MinValue)).as("_t"),
+        size(col("sh")).as("_n"), col("sh"), col("hv"))).as("_m"))
+      .select(col("doc_id"), col("_m.sh").as("sh"), col("_m.hv").as("hv"),
+        col("_m._t").as("ingest_ms"))
 
   /** Full-ROW distinct, not (doc_id, band)-keyed: a re-sent doc's two
     * versions legitimately carry different sigs per band, and BOTH must
@@ -290,7 +316,7 @@ object StreamingDedup {
     // and after a compact (a keyed dropDuplicates would keep an arbitrary
     // version and silently flip the served rows)
     StoreMaintenance.compactSubWith(spark, hashesPath(storePath), hashSchema,
-      df => canonicalByDoc(df.select("doc_id", "sh", "hv")))
+      df => canonicalHashRows(df.select("doc_id", "sh", "hv", "ingest_ms")))
     StoreMaintenance.compactSub(spark, sigsPath(storePath), sigSchema,
       Seq("doc_id", "band", "sig"))
     StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, canonicalPairs)

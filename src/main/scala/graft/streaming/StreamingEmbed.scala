@@ -22,8 +22,9 @@ import graft.operators.{Dedup, Similarity}
   * union of all batches (StreamingSpec proves set equality).
   *
   * STORE LAYOUT under `storePath`:
-  *   - `vecs/`  (vec_id, v, norm, bucket): double-cast vectors with
-  *     their norm and sign bucket (computed once, at ingest);
+  *   - `vecs/`  (vec_id, v, norm, bucket, ingest_ms): double-cast
+  *     vectors with their norm and sign bucket (computed once, at
+  *     ingest) and the latest-wins version stamp;
   *   - `pairs/` (vec_a, vec_b, sim): verified near-dup pairs;
   *   - `_graft_commits/<scope>/<batchId>`: commit markers.
   *
@@ -43,11 +44,16 @@ object StreamingEmbed {
     */
   private[graft] val MaxBroadcastBytes: Long = 32L << 20
 
+  /** `ingest_ms` mirrors `StreamingDedup`'s hash-row version stamp:
+    * latest-wins collapse for re-sent vec_ids, robust to checkpoint-
+    * lineage changes (batchIds restart; wall clock doesn't).
+    */
   private val vecSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("v", ArrayType(DoubleType)),
     StructField("norm", DoubleType),
-    StructField("bucket", StringType)))
+    StructField("bucket", StringType),
+    StructField("ingest_ms", LongType)))
   private val pairSchema = StructType(Seq(
     StructField("vec_a", LongType),
     StructField("vec_b", LongType),
@@ -119,37 +125,53 @@ object StreamingEmbed {
           greatest(col("al.vec_id"), col("_nid")).as("vec_b"),
           Similarity.cosine(col("al.v"), col("al.norm"), col("_nv"), col("_nn")).as("sim"))
         .filter(col("sim") >= threshold)
-        .dropDuplicates("vec_a", "vec_b")
+        // max, not an arbitrary-survivor key dedup: a pair discovered via
+        // two versions of a re-sent endpoint emits ONE deterministic sim
+        .groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
 
-      newP.select("vec_id", "v", "norm", "bucket").write.mode(SaveMode.Append)
+      newP.select("vec_id", "v", "norm", "bucket")
+        .withColumn("ingest_ms", lit(System.currentTimeMillis()))
+        .write.mode(SaveMode.Append)
         .parquet(vecsPath(storePath))
       newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
     }
   }
 
   /** The accumulated verified pair relation — exact across the replay
-    * residual window (duplicate keys carry identical sims).
+    * residual window, and deterministic under re-sent vec_ids: the max
+    * sim over observed versions wins on every read and across compacts.
     */
   def pairs(spark: SparkSession, storePath: String): DataFrame =
-    StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema)
-      .dropDuplicates("vec_a", "vec_b")
+    canonicalPairs(StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema))
+
+  private def canonicalPairs(p: DataFrame): DataFrame =
+    p.groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
 
   /** The accumulated (vec_id, v, norm, bucket) store — feed it to batch
-    * similarity consumers over a streamed corpus.
+    * similarity consumers over a streamed corpus. One row per vec_id:
+    * latest ingest stamp wins (`StreamingDedup.canonicalByDoc`'s rule).
     */
   def vectors(spark: SparkSession, storePath: String): DataFrame =
-    StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema)
-      .dropDuplicates("vec_id")
+    canonicalVecRows(StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema))
+      .select("vec_id", "v", "norm", "bucket")
+
+  private def canonicalVecRows(vecs: DataFrame): DataFrame =
+    vecs.groupBy("vec_id")
+      .agg(max(struct(coalesce(col("ingest_ms"), lit(Long.MinValue)).as("_t"),
+        col("v"), col("norm"), col("bucket"))).as("_m"))
+      .select(col("vec_id"), col("_m.v").as("v"), col("_m.norm").as("norm"),
+        col("_m.bucket").as("bucket"), col("_m._t").as("ingest_ms"))
 
   /** Collapse replay-residual duplicates and per-batch small files —
     * same contract and crash discipline as `StreamingDedup.compactStore`
     * (ingest-stopped enforced in-process; `recoverStore` finishes or
-    * unwinds).
+    * unwinds; each sub-store compacts through its accessor's own
+    * deterministic collapse so served rows never flip across a compact).
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
     StoreMaintenance.assertIngestStopped(spark.sparkContext.hadoopConfiguration, storePath)
-    StoreMaintenance.compactSub(spark, vecsPath(storePath), vecSchema, Seq("vec_id"))
-    StoreMaintenance.compactSub(spark, pairsPath(storePath), pairSchema, Seq("vec_a", "vec_b"))
+    StoreMaintenance.compactSubWith(spark, vecsPath(storePath), vecSchema, canonicalVecRows)
+    StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, canonicalPairs)
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
   }

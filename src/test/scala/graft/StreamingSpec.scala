@@ -697,8 +697,8 @@ class StreamingSpec extends AnyFunSuite {
       // all three queries still active → the deployment-wide compact refuses
       // BEFORE touching anything (the single-store compacts refuse too)
       intercept[IllegalStateException](graft.streaming.StoreMaintenance.compactAll(spark,
-        indexTables = Seq(idxTbl -> idxPath), dedupStores = Seq(dedupStore),
-        embedStores = Seq(embedStore), buckets = 4))
+        indexTables = Seq((idxTbl, idxPath, 4)), dedupStores = Seq(dedupStore),
+        embedStores = Seq(embedStore)))
       intercept[IllegalStateException](
         graft.streaming.StreamingDedup.compactStore(spark, dedupStore))
       intercept[IllegalStateException](
@@ -708,8 +708,8 @@ class StreamingSpec extends AnyFunSuite {
       // stopping ONE store's ingest doesn't unlock the others
       qDedup.stop()
       intercept[IllegalStateException](graft.streaming.StoreMaintenance.compactAll(spark,
-        indexTables = Seq(idxTbl -> idxPath), dedupStores = Seq(dedupStore),
-        embedStores = Seq(embedStore), buckets = 4))
+        indexTables = Seq((idxTbl, idxPath, 4)), dedupStores = Seq(dedupStore),
+        embedStores = Seq(embedStore)))
     } finally { qIdx.stop(); qDedup.stop(); qEmbed.stop() }
     val expIdx = spark.table(idxTbl).as[(String, Long, String)].collect().toSet
     val expPairs = graft.streaming.StreamingDedup.pairs(spark, dedupStore)
@@ -719,8 +719,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(expIdx.nonEmpty && expPairs.nonEmpty && expEmb.nonEmpty)
     // everything stopped → one call compacts all three, contents unchanged
     graft.streaming.StoreMaintenance.compactAll(spark,
-      indexTables = Seq(idxTbl -> idxPath), dedupStores = Seq(dedupStore),
-      embedStores = Seq(embedStore), buckets = 4)
+      indexTables = Seq((idxTbl, idxPath, 4)), dedupStores = Seq(dedupStore),
+      embedStores = Seq(embedStore))
     assert(spark.table(idxTbl).as[(String, Long, String)].collect().toSet === expIdx)
     assert(graft.streaming.StreamingDedup.pairs(spark, dedupStore)
       .as[(Long, Long, Double)].collect().toSet === expPairs)
