@@ -95,7 +95,12 @@ object StoreMaintenance {
       .foreach(assertIngestStopped(conf, _))
     indexTables.foreach { case (tbl, path, buckets) =>
       StreamingIndex.recoverCompact(spark, tbl, path, buckets)
-      StreamingIndex.compact(spark, tbl, path, buckets)
+      // a provisioned-but-never-ingested table (no first batch = never
+      // registered, no files) has nothing to compact — compacting it
+      // anyway would throw and leave every LATER store unmaintained
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      if (spark.catalog.tableExists(tbl) && fs.exists(new org.apache.hadoop.fs.Path(path)))
+        StreamingIndex.compact(spark, tbl, path, buckets)
     }
     dedupStores.foreach { s =>
       StreamingDedup.recoverStore(spark, s) // compactSub also self-heals; explicit for symmetry
@@ -106,6 +111,18 @@ object StoreMaintenance {
       StreamingEmbed.compactStore(spark, s)
     }
   }
+
+  /** Strictly-increasing version stamp for store rows (latest-wins
+    * collapse): wall-clock ms, bumped past the previous stamp when two
+    * calls land in the same millisecond or the clock steps backwards —
+    * within one JVM a later batch ALWAYS stamps strictly newer, so a
+    * corrective re-send can never tie (and lose) against the version it
+    * replaces. Across JVM restarts plain wall clock applies; a restart
+    * takes far longer than a millisecond.
+    */
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def nextStamp(): Long =
+    lastStamp.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
 
   /** Run `body` exactly once per (store, scope, batchId): if the commit
     * marker exists the body is SKIPPED (a replayed batch) and false is

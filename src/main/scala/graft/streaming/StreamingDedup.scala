@@ -148,10 +148,12 @@ object StreamingDedup {
     val spark = batch.sparkSession
     StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
       storePath, scope, batchId) {
-      // version stamp for this batch's hash rows (see hashSchema). A
+      // version stamp for this batch's hash rows (see hashSchema;
+      // strictly increasing within the JVM — StoreMaintenance.nextStamp —
+      // so a same-millisecond corrective re-send can't tie and lose). A
       // replayed batch re-appends with a LATER stamp — content-identical
       // rows, so whichever copy the latest-wins collapse keeps is exact.
-      val ingestMs = System.currentTimeMillis()
+      val ingestMs = StoreMaintenance.nextStamp()
       // new docs' shingle sets + base hashes: the only per-doc CPU work of
       // the batch, materialized once — it feeds the signature projection
       // and both sides of the verify joins

@@ -15,11 +15,13 @@ import graft.operators.{Dedup, Similarity}
   *
   * Per micro-batch, only the NEW vectors are normalized and
   * sign-bucketed; candidates come from broadcast-joining the batch's
-  * (bucket, vector) rows against the accumulated vector store on the
-  * bucket key — the store is scanned, never shuffled — and the cosine
-  * verify is the same `dot_f64` + round(…, 6) arithmetic as batch, so
-  * the accumulated pair store equals `embeddingDuplicates` over the
-  * union of all batches (StreamingSpec proves set equality).
+  * (bucket, vec_id) KEYS against the accumulated store's keys — the
+  * store is scanned (two key columns), never shuffled — and the cosine
+  * verify scores the CANONICAL (latest) version of each candidate
+  * endpoint with the same `dot_f64` + round(…, 6) arithmetic as batch,
+  * so the accumulated pair store equals `embeddingDuplicates` over the
+  * union of all batches (StreamingSpec proves set equality), and a
+  * superseded version of a re-sent vec_id can never justify a pair.
   *
   * STORE LAYOUT under `storePath`:
   *   - `vecs/`  (vec_id, v, norm, bucket, ingest_ms): double-cast
@@ -36,13 +38,16 @@ object StreamingEmbed {
   private[graft] def vecsPath(store: String) = s"$store/vecs"
   private[graft] def pairsPath(store: String) = s"$store/pairs"
 
-  /** Largest estimated batch payload (vectors + row overhead) that is
-    * force-broadcast to the candidate join — ~32 MB keeps the broadcast
-    * comfortably inside a default driver even at 1024-dim embeddings
-    * (where it admits ~4k vectors; a 10k-vector backfill at those dims
-    * would be ~80 MB and takes the shuffle path once instead).
+  /** Largest row count force-broadcast into the candidate/verify joins.
+    * Both broadcast relations are KEY-sized — (bucket, vec_id) probe rows
+    * and candidate-id rows; the vectors themselves no longer ride the
+    * candidate join (verification reads them from the canonical-collapsed
+    * store), so the cap no longer needs to account for dims. Same scale
+    * as `StreamingDedup.MaxBroadcastSigRows` (~15 MB of key rows); an
+    * over-cap backfill batch joins by shuffle once instead of OOMing the
+    * driver.
     */
-  private[graft] val MaxBroadcastBytes: Long = 32L << 20
+  private[graft] val MaxBroadcastKeyRows: Long = 240000L
 
   /** `ingest_ms` mirrors `StreamingDedup`'s hash-row version stamp:
     * latest-wins collapse for re-sent vec_ids, robust to checkpoint-
@@ -89,51 +94,65 @@ object StreamingEmbed {
     val spark = batch.sparkSession
     StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
       storePath, scope, batchId) {
+      val ingestMs = StoreMaintenance.nextStamp()
       // null embeddings are dropped up front: they carry no signal (the
-      // batch path drops them too — a null bucket never joins), and
-      // leaving them in would NPE the dims probe below on a batch whose
-      // head row is null — a poison-pill that would crash every replay
+      // batch path drops them too — a null bucket never joins), and a
+      // null-poisoned batch must not crash every replay
       val newP = Dedup.materializeOnce(
         Similarity.prepared(batch.select("vec_id", "embedding")
             .filter(col("embedding").isNotNull))
           .withColumn("bucket", Similarity.signBucket(col("v"), bits)))
-      val allVecs = StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema)
-        .select("vec_id", "v", "norm", "bucket")
-        .unionByName(newP.select("vec_id", "v", "norm", "bucket"))
-      // candidates: new vectors against the whole corpus so far on the
-      // bucket key. The new side is micro-batch-sized — broadcast it, so
-      // the accumulated store never shuffles; cosine verifies in the same
-      // pass (the candidate join IS the verify join here — vectors ride
-      // along both sides, no second lookup needed). A new-new pair is
-      // discovered twice with the identical rounded sim → dropDuplicates.
-      // The broadcast cap is BYTE-based, not row-based: each broadcast row
-      // carries the full vector (dims × 8 bytes), so a row-count cap that
-      // is fine for StreamingDedup's ~60-byte sig rows would still ship
-      // hundreds of MB at high dims. An over-cap backfill batch joins by
-      // shuffle once instead of OOMing the driver. dims comes from one
-      // driver-side head() on the checkpointed batch (metadata-sized).
-      val newSide = newP.select(col("bucket"), col("vec_id").as("_nid"),
-        col("v").as("_nv"), col("norm").as("_nn"))
-      val nNew = newP.count()
-      val dims = if (nNew == 0) 0 else newP.select(size(col("v"))).head().getInt(0)
-      val estBytes = nNew * (dims * 8L + 48L)
-      val probe = if (estBytes <= MaxBroadcastBytes) broadcast(newSide) else newSide
-      val newPairs = allVecs.alias("al")
+      val storeVecs = StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema)
+      // CANDIDATES: the new batch's (bucket, vec_id) keys against all
+      // accumulated keys — only the two key columns are read from the
+      // store, which is scanned, never shuffled; the micro-batch-sized
+      // new side broadcasts under the row cap. A superseded version's
+      // bucket still generates candidates (recall), but verification
+      // below scores ONLY canonical vectors.
+      val allKeys = storeVecs.select("vec_id", "bucket")
+        .unionByName(newP.select("vec_id", "bucket"))
+      val newSide = newP.select(col("bucket"), col("vec_id").as("_nid"))
+      val probe =
+        if (newP.count() <= MaxBroadcastKeyRows) broadcast(newSide) else newSide
+      val cands = allKeys.alias("al")
         .join(probe, Seq("bucket"))
         .filter(col("al.vec_id") =!= col("_nid"))
         .select(least(col("al.vec_id"), col("_nid")).as("vec_a"),
-          greatest(col("al.vec_id"), col("_nid")).as("vec_b"),
-          Similarity.cosine(col("al.v"), col("al.norm"), col("_nv"), col("_nn")).as("sim"))
-        .filter(col("sim") >= threshold)
-        // max, not an arbitrary-survivor key dedup: a pair discovered via
-        // two versions of a re-sent endpoint emits ONE deterministic sim
-        .groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
+          greatest(col("al.vec_id"), col("_nid")).as("vec_b"))
+        .distinct()
+        .persist()
+      try {
+        val nCands = cands.count() // materialize before fan-out
+        // VERIFY against the CANONICAL version of every candidate endpoint
+        // (same shape as StreamingDedup): narrow the store to candidate
+        // ids first (semi-join — store scanned, never shuffled), collapse
+        // candidate-sized. Without the collapse a stale version still
+        // sitting in vecs/ would justify a pair the canonical corpus no
+        // longer contains.
+        val candIds = cands.select(col("vec_a").as("vec_id"))
+          .unionByName(cands.select(col("vec_b").as("vec_id"))).distinct()
+        val candIdsB =
+          if (2 * nCands <= MaxBroadcastKeyRows) broadcast(candIds) else candIds
+        val canon = canonicalVecRows(
+          storeVecs.select("vec_id", "v", "norm", "bucket", "ingest_ms")
+            .unionByName(newP.select("vec_id", "v", "norm", "bucket")
+              .withColumn("ingest_ms", lit(ingestMs)))
+            .join(candIdsB, Seq("vec_id"), "left_semi"))
+        val newPairs = cands
+          .join(canon.select(col("vec_id").as("vec_a"), col("v").as("_va"),
+            col("norm").as("_na")), "vec_a")
+          .join(canon.select(col("vec_id").as("vec_b"), col("v").as("_vb"),
+            col("norm").as("_nb")), "vec_b")
+          .select(col("vec_a"), col("vec_b"),
+            Similarity.cosine(col("_va"), col("_na"), col("_vb"), col("_nb")).as("sim"))
+          .filter(col("sim") >= threshold)
 
-      newP.select("vec_id", "v", "norm", "bucket")
-        .withColumn("ingest_ms", lit(System.currentTimeMillis()))
-        .write.mode(SaveMode.Append)
-        .parquet(vecsPath(storePath))
-      newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+        newP.select("vec_id", "v", "norm", "bucket")
+          .withColumn("ingest_ms", lit(ingestMs))
+          .write.mode(SaveMode.Append)
+          .parquet(vecsPath(storePath))
+        newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+      } finally cands.unpersist(): Unit
     }
   }
 

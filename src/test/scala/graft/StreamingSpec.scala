@@ -717,10 +717,13 @@ class StreamingSpec extends AnyFunSuite {
     val expEmb = graft.streaming.StreamingEmbed.pairs(spark, embedStore)
       .as[(Long, Long, Double)].collect().toSet
     assert(expIdx.nonEmpty && expPairs.nonEmpty && expEmb.nonEmpty)
-    // everything stopped → one call compacts all three, contents unchanged
+    // everything stopped → one call compacts all three, contents unchanged;
+    // a provisioned-but-never-ingested index table in the SAME call is
+    // skipped (nothing to compact), not a deployment-aborting throw
     graft.streaming.StoreMaintenance.compactAll(spark,
-      indexTables = Seq((idxTbl, idxPath, 4)), dedupStores = Seq(dedupStore),
-      embedStores = Seq(embedStore))
+      indexTables = Seq(("t_compact_all_never_ingested", s"$dir/idx_empty", 4),
+        (idxTbl, idxPath, 4)),
+      dedupStores = Seq(dedupStore), embedStores = Seq(embedStore))
     assert(spark.table(idxTbl).as[(String, Long, String)].collect().toSet === expIdx)
     assert(graft.streaming.StreamingDedup.pairs(spark, dedupStore)
       .as[(Long, Long, Double)].collect().toSet === expPairs)

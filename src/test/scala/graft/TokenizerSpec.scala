@@ -5,20 +5,6 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Text
 
-/** AQE-aware physical-plan probe shared by the plan-pinning specs: AQE
-  * wraps executed subtrees in `QueryStageExec` LEAVES, so a plain
-  * `collect` over the executed plan never reaches the file scans inside.
-  */
-object PlanScans {
-  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-  def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-    case s: FileSourceScanExec => Seq(s)
-    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-    case q: QueryStageExec => fileScans(q.plan)
-  }.flatten
-}
-
 object SparkTestSession {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
