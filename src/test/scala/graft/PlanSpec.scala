@@ -53,6 +53,15 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) === 0 && broadcasts(p) === 0)
   }
 
+  test("q_phrase: every phrase-term slice bucket-prunes the persisted positional index") {
+    val p = plan("q_phrase")
+    // two phrase terms → two term-filtered scans of the positional table,
+    // each pruned to its term's single bucket — the corpus is never
+    // re-tokenized to answer a phrase query
+    assert("SelectedBucketsCount: 1 out of 32".r.findAllIn(p).length === 2,
+      s"phrase-term scans not bucket-pruned:\n$p")
+  }
+
   test("semi/anti joins: filter pushed to the build-side scan, no output widening") {
     val semi = plan("q_semijoin")
     assert(semi.contains("LeftSemi"), s"expected a semi join:\n$semi")
