@@ -95,11 +95,13 @@ object StoreMaintenance {
       .foreach(assertIngestStopped(conf, _))
     indexTables.foreach { case (tbl, path, buckets) =>
       StreamingIndex.recoverCompact(spark, tbl, path, buckets)
-      // a provisioned-but-never-ingested table (no first batch = never
-      // registered, no files) has nothing to compact — compacting it
-      // anyway would throw and leave every LATER store unmaintained
+      // a provisioned-but-never-ingested table (no first batch = no
+      // files) has nothing to compact — compacting it anyway would throw
+      // and leave every LATER store unmaintained. Path presence alone is
+      // the invariant: recoverCompact above (re-)registered the catalog
+      // entry for any existing path.
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      if (spark.catalog.tableExists(tbl) && fs.exists(new org.apache.hadoop.fs.Path(path)))
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         StreamingIndex.compact(spark, tbl, path, buckets)
     }
     dedupStores.foreach { s =>
@@ -117,8 +119,13 @@ object StoreMaintenance {
     * calls land in the same millisecond or the clock steps backwards —
     * within one JVM a later batch ALWAYS stamps strictly newer, so a
     * corrective re-send can never tie (and lose) against the version it
-    * replaces. Across JVM restarts plain wall clock applies; a restart
-    * takes far longer than a millisecond.
+    * replaces. ACROSS JVM restarts plain wall clock applies: same-ms
+    * ties are impossible (a restart takes far longer), but a clock
+    * stepped BACKWARDS across the restart boundary can stamp a newer
+    * write older than rows from the previous process — host clock
+    * discipline (slewing, not stepping) is an operational requirement
+    * of the latest-wins contract, as it is for any wall-clock-versioned
+    * store.
     */
   private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] def nextStamp(): Long =

@@ -776,6 +776,39 @@ class StreamingSpec extends AnyFunSuite {
       .select("band", "sig").distinct().count() > 24)
   }
 
+  test("re-sent vec_id: a superseded embedding version can never justify a pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed_resend").toString
+    val store = s"$dir/store"
+    // batch 0: vec 1 under a WRONG embedding (bucket "1011" at bits=4)
+    assert(graft.streaming.StreamingEmbed.processBatch(
+      Seq((1L, Seq(1.0, -1.0, 0.0, 0.0))).toDF("vec_id", "embedding"), 0L, store, bits = 4))
+    // batch 1: corrective re-send of vec 1 (orthogonal — bucket "0111")
+    // plus vec 2 parallel to the CORRECTED version
+    assert(graft.streaming.StreamingEmbed.processBatch(
+      Seq((1L, Seq(-1.0, 1.0, 0.0, 0.0)), (2L, Seq(-2.0, 2.0, 0.0, 0.0)))
+        .toDF("vec_id", "embedding"), 1L, store, bits = 4))
+    // batch 2: vec 3 parallel to the SUPERSEDED version — it bucket-
+    // collides with the stale row still in vecs/ (candidate recall), but
+    // verification scores the CANONICAL vec 1 (cosine −1.0 → no pair)
+    assert(graft.streaming.StreamingEmbed.processBatch(
+      Seq((3L, Seq(2.0, -2.0, 0.0, 0.0))).toDF("vec_id", "embedding"), 2L, store, bits = 4))
+    val pairs = graft.streaming.StreamingEmbed.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1.0))) // corrected pair only, one row, sim 1.0
+    // the vectors accessor serves ONE row for vec 1 — the corrected version
+    val served = graft.streaming.StreamingEmbed.vectors(spark, store)
+      .filter($"vec_id" === 1L).select("v").as[Seq[Double]].collect()
+    assert(served.toSeq === Seq(Seq(-1.0, 1.0, 0.0, 0.0)))
+    // …and the served state survives compaction unchanged
+    graft.streaming.StreamingEmbed.compactStore(spark, store)
+    assert(graft.streaming.StreamingEmbed.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet === pairs)
+    assert(graft.streaming.StreamingEmbed.vectors(spark, store)
+      .filter($"vec_id" === 1L).select("v").as[Seq[Double]].collect().toSeq
+      === Seq(Seq(-1.0, 1.0, 0.0, 0.0)))
+  }
+
   test("streamed curation over the accumulated store equals batch q_curate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
