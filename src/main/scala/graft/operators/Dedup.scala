@@ -60,6 +60,29 @@ object Dedup {
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
     rawShingleSets(docs, n).filter(size(col("sh")) > 0)
 
+  /** Benchmark DECONTAMINATION (⊕ LLM-pipeline): training documents that
+    * share any word-n-gram with an evaluation/benchmark corpus, with the
+    * count of distinct overlapping shingles — the standard pre-training
+    * hygiene pass that keeps eval answers out of the training set (drop
+    * or down-weight the returned doc_ids downstream).
+    *
+    * Scale shape: the benchmark side is eval-set-sized BY CONTRACT (eval
+    * suites are thousands of documents, not billions) — its distinct
+    * shingle relation is force-broadcast, so the training corpus is
+    * tokenized map-side and joined without a shuffle; only the HIT rows
+    * (contaminated-doc-sized, not corpus-sized) reach the per-doc
+    * aggregate. Nothing is ever all-pairs. Both sides' shingle sets are
+    * per-doc distinct, so the join has multiplicity 1 per (doc, shingle)
+    * and a plain count IS the distinct overlap count.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val corpus = shingleSets(docs, n).select(col("doc_id"), explode(col("sh")).as("s"))
+    val bench = shingleSets(benchmark, n).select(explode(col("sh")).as("s")).distinct()
+    corpus.join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Modulus and per-hash (multiplier, offset) for the universal-hash
     * family h_k(v) = (a_k·v + b_k) mod P. a_k < 2^20 keeps a·v+b < 2^52
     * for the 32-bit base values — no overflow in any engine's BIGINT.

@@ -59,6 +59,17 @@ object DedupQueries {
     // a corpus or operator change can't silently widen it
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir), minSharedRare = 2)),
+
+    // benchmark decontamination: a deterministic slice of the corpus
+    // (doc_id % 97 == 0) stands in for the eval set; training docs that
+    // share any trigram shingle with it are flagged with their distinct
+    // overlap count
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+    }),
   )
 
   /** The curation filter proper, shared by the batch (`q_curate`) and
@@ -330,6 +341,17 @@ object DedupQueries {
          |  JOIN shs sb ON cand.doc_b = sb.doc_id
          |)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.s AS shingle FROM shs, unnest(sh) AS t(s)
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0
+         |)
+         |SELECT e.doc_id, count(*) AS n_overlap
+         |FROM ex e JOIN bench b ON e.shingle = b.shingle
+         |WHERE e.doc_id % 97 <> 0
+         |GROUP BY e.doc_id""".stripMargin,
 
     // both settings' full pipelines, unrolled with suffixed CTE names; the
     // scalar-subquery SELECT makes the three counts one hash-checked row

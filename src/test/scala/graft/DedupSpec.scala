@@ -199,4 +199,18 @@ class DedupSpec extends AnyFunSuite {
     // 9-of-10 shared terms → small hamming distance vs an unrelated doc
     assert(hamming(fp(2L), fp(4L)) < hamming(fp(2L), fp(5L)))
   }
+
+  test("decontaminate: flags docs sharing any n-gram with the benchmark, counts distinct overlaps") {
+    import spark.implicits._
+    // bench trigrams: {alpha beta gamma, beta gamma delta}
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zz alpha beta gamma yy"),        // shares 1 bench trigram
+      (2L, "alpha beta gamma delta qq"),     // shares both
+      (3L, "foo bar baz qux")                // clean
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.decontaminate(train, bench)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L)) // doc 3 absent: not contaminated
+  }
 }
