@@ -173,6 +173,20 @@ class PlanSpec extends AnyFunSuite {
       s"partkey not in the pushdown list:\n$p")
   }
 
+  test("q_decontaminate: eval shingles broadcast, corpus never hash-partitioned before the join") {
+    val p = plan("q_decontaminate")
+    // the eval side is small by contract — it must broadcast so the
+    // (100 TB) training corpus is shingled map-side and joined in place
+    assert(broadcasts(p) === 1, s"eval shingle relation must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"corpus must join map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"must never sort-merge the corpus:\n$p")
+    // exactly two hash exchanges, both small: the eval-side distinct
+    // (eval-set-sized) and the per-doc overlap aggregate (hit-sized);
+    // the full training corpus is never hash-partitioned
+    assert(shuffles(p) === 2, s"corpus side gained a shuffle:\n$p")
+    assert(p.contains("partial_count"), "overlap count must pre-aggregate map-side")
+  }
+
   test("streaming dedup candidate join: batch side broadcast, signature store never shuffled") {
     import spark.implicits._
     // the store side must stay shuffle-free whatever its size: per-batch
