@@ -75,9 +75,21 @@ object Dedup {
     * per-doc distinct, so the join has multiplicity 1 per (doc, shingle)
     * and a plain count IS the distinct overlap count.
     */
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
-    val corpus = shingleSets(docs, n).select(col("doc_id"), explode(col("sh")).as("s"))
-    val bench = shingleSets(benchmark, n).select(explode(col("sh")).as("s")).distinct()
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame =
+    decontaminateFromShingles(shingleSets(docs, n), shingleSets(benchmark, n))
+
+  /** `decontaminate` over pre-built (doc_id, sh) shingle frames — the form
+    * a pipeline that already materialized its per-corpus shingle store
+    * (e.g. `DedupStore.hashes`) should call, so the corpus is not
+    * re-tokenized per decontamination pass. Each `sh` array must be
+    * per-doc distinct (as `rawShingleSets` guarantees): that makes the
+    * join multiplicity 1 per (doc, shingle), so the plain count IS the
+    * distinct overlap count.
+    */
+  def decontaminateFromShingles(corpusShingles: DataFrame,
+                                benchShingles: DataFrame): DataFrame = {
+    val corpus = corpusShingles.select(col("doc_id"), explode(col("sh")).as("s"))
+    val bench = benchShingles.select(explode(col("sh")).as("s")).distinct()
     corpus.join(broadcast(bench), Seq("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))

@@ -61,14 +61,17 @@ object DedupQueries {
       Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir), minSharedRare = 2)),
 
     // benchmark decontamination: a deterministic slice of the corpus
-    // (doc_id % 97 == 0) stands in for the eval set; training docs that
-    // share any trigram shingle with it are flagged with their distinct
-    // overlap count
+    // stands in for the eval set; training docs that share any trigram
+    // shingle with it are flagged with their distinct overlap count.
+    // The doc_id cap keeps the slice at most 64 docs at ANY corpus
+    // scale — the eval side must stay eval-set-sized (it is
+    // force-broadcast), not a fixed fraction that grows with the corpus.
+    // Served from the session shingle store: the tokenize→shingle pass
+    // runs once per corpus, not per decontamination pass.
     "q_decontaminate" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.decontaminate(
-        d.filter(col("doc_id") % 97 =!= 0),
-        d.filter(col("doc_id") % 97 === 0))
+      val sh = DedupStore.hashes(s, dir).select(col("doc_id"), col("sh"))
+      val evalDoc = col("doc_id") % 97 === 0 && col("doc_id") < 97 * 64
+      Dedup.decontaminateFromShingles(sh.filter(!evalDoc), sh.filter(evalDoc))
     }),
   )
 
@@ -346,11 +349,11 @@ object DedupQueries {
       s"""$shingleCte, ex AS (
          |  SELECT doc_id, t.s AS shingle FROM shs, unnest(sh) AS t(s)
          |), bench AS (
-         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0
+         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0 AND doc_id < 6208
          |)
          |SELECT e.doc_id, count(*) AS n_overlap
          |FROM ex e JOIN bench b ON e.shingle = b.shingle
-         |WHERE e.doc_id % 97 <> 0
+         |WHERE NOT (e.doc_id % 97 = 0 AND e.doc_id < 6208)
          |GROUP BY e.doc_id""".stripMargin,
 
     // both settings' full pipelines, unrolled with suffixed CTE names; the

@@ -207,10 +207,13 @@ class DedupSpec extends AnyFunSuite {
     val train = Seq(
       (1L, "zz alpha beta gamma yy"),        // shares 1 bench trigram
       (2L, "alpha beta gamma delta qq"),     // shares both
-      (3L, "foo bar baz qux")                // clean
+      (3L, "foo bar baz qux"),               // clean
+      // the shared trigram occurs TWICE in the doc: the per-doc distinct
+      // shingle invariant must keep the overlap count at 1, not 2
+      (4L, "alpha beta gamma alpha beta gamma")
     ).toDF("doc_id", "text")
     val got = graft.operators.Dedup.decontaminate(train, bench)
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 2L)) // doc 3 absent: not contaminated
+    assert(got === Map(1L -> 1L, 2L -> 2L, 4L -> 1L)) // doc 3 absent: not contaminated
   }
 }

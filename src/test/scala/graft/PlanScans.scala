@@ -9,9 +9,17 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   * never reaches the file scans inside them.
   */
 object PlanScans {
-  def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-    case s: FileSourceScanExec => Seq(s)
-    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-    case q: QueryStageExec => fileScans(q.plan)
+  def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    nodes(p) { case s: FileSourceScanExec => s }
+
+  /** AQE-aware generic collector: like `p.collect(pf)` but descends into
+    * adaptive plans and query-stage leaves. Unlike string matching on
+    * `p.toString`, this sees only LIVE operators — an `InMemoryRelation`'s
+    * rendered build plan (already paid at cache time) is not in the tree.
+    */
+  def nodes[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = p.collect {
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)(pf)
+    case q: QueryStageExec => nodes(q.plan)(pf)
+    case n if pf.isDefinedAt(n) => Seq(pf(n))
   }.flatten
 }

@@ -173,18 +173,32 @@ class PlanSpec extends AnyFunSuite {
       s"partkey not in the pushdown list:\n$p")
   }
 
-  test("q_decontaminate: eval shingles broadcast, corpus never hash-partitioned before the join") {
-    val p = plan("q_decontaminate")
-    // the eval side is small by contract — it must broadcast so the
-    // (100 TB) training corpus is shingled map-side and joined in place
-    assert(broadcasts(p) === 1, s"eval shingle relation must broadcast:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"corpus must join map-side:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"must never sort-merge the corpus:\n$p")
-    // exactly two hash exchanges, both small: the eval-side distinct
-    // (eval-set-sized) and the per-doc overlap aggregate (hit-sized);
-    // the full training corpus is never hash-partitioned
-    assert(shuffles(p) === 2, s"corpus side gained a shuffle:\n$p")
-    assert(p.contains("partial_count"), "overlap count must pre-aggregate map-side")
+  test("q_decontaminate: eval shingles broadcast, corpus served from the store, never re-shuffled") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val p = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .queryExecution.executedPlan
+    // tree-based counts: the session store's one-time build plan renders
+    // inside the InMemoryRelation string but is NOT live — only the
+    // tree's own exchanges execute per query
+    assert(PlanScans.nodes(p) { case b: BroadcastExchangeExec => b }.size === 1,
+      s"eval shingle relation must broadcast:\n$p")
+    assert(PlanScans.nodes(p) { case j: BroadcastHashJoinExec => j }.size === 1,
+      s"corpus must join map-side:\n$p")
+    assert(PlanScans.nodes(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      s"must never sort-merge the corpus:\n$p")
+    // exactly ONE live hash exchange — the eval-side distinct (eval-set-
+    // sized by the doc_id cap); the per-doc overlap aggregate reuses the
+    // store's doc_id partitioning, so the corpus is never re-shuffled
+    assert(PlanScans.nodes(p) { case s: ShuffleExchangeExec => s }.size === 1,
+      s"corpus side gained a live shuffle:\n$p")
+    // both sides read the persisted shingle store — no parquet re-read,
+    // no per-query re-tokenize
+    assert(PlanScans.nodes(p) { case s: InMemoryTableScanExec => s }.size === 2,
+      s"both sides must serve from the session shingle store:\n$p")
+    assert(PlanScans.fileScans(p).isEmpty, s"corpus must not be re-read from parquet:\n$p")
+    assert(p.toString.contains("partial_count"), "overlap count must pre-aggregate map-side")
   }
 
   test("streaming dedup candidate join: batch side broadcast, signature store never shuffled") {
