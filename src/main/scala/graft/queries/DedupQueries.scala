@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.sources.Corpus
@@ -70,10 +70,19 @@ object DedupQueries {
     // runs once per corpus, not per decontamination pass.
     "q_decontaminate" -> ((s, dir) => {
       val sh = DedupStore.hashes(s, dir).select(col("doc_id"), col("sh"))
-      val evalDoc = col("doc_id") % 97 === 0 && col("doc_id") < 97 * 64
-      Dedup.decontaminateFromShingles(sh.filter(!evalDoc), sh.filter(evalDoc))
+      Dedup.decontaminateFromShingles(sh.filter(!evalDocPred), sh.filter(evalDocPred))
     }),
   )
+
+  /** Cap on the stand-in eval slice's doc_id range: at most 64 eval docs
+    * at ANY corpus scale. ONE constant, interpolated into the oracle SQL
+    * too — the Spark query and the oracle must never disagree on it.
+    */
+  private[graft] val EvalDocCap: Int = 97 * 64
+
+  /** The stand-in eval-set membership predicate for `q_decontaminate`. */
+  private[graft] def evalDocPred: Column =
+    col("doc_id") % 97 === 0 && col("doc_id") < EvalDocCap
 
   /** The curation filter proper, shared by the batch (`q_curate`) and
     * streamed paths: quality-score the docs, keep high-quality cluster
@@ -349,11 +358,11 @@ object DedupQueries {
       s"""$shingleCte, ex AS (
          |  SELECT doc_id, t.s AS shingle FROM shs, unnest(sh) AS t(s)
          |), bench AS (
-         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0 AND doc_id < 6208
+         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0 AND doc_id < $EvalDocCap
          |)
          |SELECT e.doc_id, count(*) AS n_overlap
          |FROM ex e JOIN bench b ON e.shingle = b.shingle
-         |WHERE NOT (e.doc_id % 97 = 0 AND e.doc_id < 6208)
+         |WHERE NOT (e.doc_id % 97 = 0 AND e.doc_id < $EvalDocCap)
          |GROUP BY e.doc_id""".stripMargin,
 
     // both settings' full pipelines, unrolled with suffixed CTE names; the

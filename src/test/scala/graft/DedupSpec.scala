@@ -216,4 +216,16 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 2L, 4L -> 1L)) // doc 3 absent: not contaminated
   }
+
+  test("q_decontaminate eval slice: capped at 64 docs, ids past the cap are training data") {
+    import spark.implicits._
+    val cap = graft.queries.DedupQueries.EvalDocCap.toLong
+    // no test corpus reaches the cap (max doc_id 4999 at every sf), so the
+    // cap's behavior change is pinned HERE with synthetic ids: multiples
+    // of 97 beyond the cap must land on the TRAINING side
+    val ids = Seq(0L, 97L, 5L, cap, cap + 97L * 6).toDF("doc_id")
+    val eval = ids.filter(graft.queries.DedupQueries.evalDocPred)
+      .as[Long].collect().toSet
+    assert(eval === Set(0L, 97L), "only sub-cap multiples of 97 are eval docs")
+  }
 }

@@ -198,7 +198,15 @@ class PlanSpec extends AnyFunSuite {
     assert(PlanScans.nodes(p) { case s: InMemoryTableScanExec => s }.size === 2,
       s"both sides must serve from the session shingle store:\n$p")
     assert(PlanScans.fileScans(p).isEmpty, s"corpus must not be re-read from parquet:\n$p")
-    assert(p.toString.contains("partial_count"), "overlap count must pre-aggregate map-side")
+    // live tree check (a string match would also see the store's rendered
+    // build plan): the overlap count must have a map-side Partial phase
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Partial}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val partialCounts = PlanScans.nodes(p) {
+      case a: HashAggregateExec if a.aggregateExpressions.exists(e =>
+        e.mode == Partial && e.aggregateFunction.isInstanceOf[Count]) => a
+    }
+    assert(partialCounts.nonEmpty, s"overlap count must pre-aggregate map-side:\n$p")
   }
 
   test("streaming dedup candidate join: batch side broadcast, signature store never shuffled") {
