@@ -103,4 +103,57 @@ object TextAnalysis {
         when(punctRatio(text) <= 0.2, 1).otherwise(0)
     round(bands.cast("double") / 4, 2)
   }
+
+  /** Gopher-style word-n-gram repetition metrics over a token array
+    * (`Text.tokenize` output), the standard pre-training repetition
+    * filters: `top2_frac` = character mass of the most frequent 2-gram /
+    * doc character total (drop above ~0.2); `dup5_frac` = character mass
+    * inside duplicated 5-grams / total (drop above ~0.15). Character
+    * masses count every occurrence, so a pathologically repetitive doc
+    * can exceed 1.0 — by definition, both engines alike.
+    *
+    * Scale shape: `word_shingles` → `array_sort` → `run_stats` is a pure
+    * per-row projection (the sorted-run pass replaces the per-doc
+    * histogram a groupBy(doc, gram) would SHUFFLE the whole corpus for);
+    * zero exchanges, whole-stage codegen end to end.
+    */
+  def repetitionFracs(ts: Column): (Column, Column) = {
+    import graft.plans.{RunStats, WordShingles}
+    val total = length(concat_ws(" ", ts)).cast("long")
+    def frac(chars: Column): Column =
+      when(total > 0, round(chars / total, 6)).otherwise(lit(0.0))
+    val top2 = RunStats.runStats(array_sort(WordShingles.wordShingles(ts, 2)))
+      .getField("top_chars")
+    val dup5 = RunStats.runStats(array_sort(WordShingles.wordShingles(ts, 5)))
+      .getField("dup_chars")
+    (frac(top2), frac(dup5))
+  }
+
+  /** Column-only formulation of `RunStats` over a sorted gram array —
+    * an `aggregate()` fold carrying (prev, run, top, dup). CodegenFallback
+    * lambda chain allocating a struct per gram: retained ONLY as the
+    * independent bit-identity cross-check for the native expression
+    * (TextAnalysisSpec property test), never in a query path.
+    */
+  private[graft] def runStatsViaColumns(sorted: Column): Column = {
+    val zero = struct(
+      lit("").as("prev"), lit(0L).as("run"), lit(0L).as("top"), lit(0L).as("dup"))
+    def closed(acc: Column): Column = acc.getField("run") * length(acc.getField("prev"))
+    def closedDup(acc: Column): Column =
+      when(acc.getField("run") >= 2, acc.getField("dup") + closed(acc))
+        .otherwise(acc.getField("dup"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val same = acc.getField("run") > 0 && acc.getField("prev") === x
+        struct(
+          x.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("top"))
+            .otherwise(greatest(acc.getField("top"), closed(acc))).as("top"),
+          when(same, acc.getField("dup")).otherwise(closedDup(acc)).as("dup"))
+      },
+      acc => struct(
+        greatest(acc.getField("top"), closed(acc)).as("top_chars"),
+        closedDup(acc).as("dup_chars")))
+  }
 }

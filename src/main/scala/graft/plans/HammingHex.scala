@@ -115,6 +115,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
     ext.injectFunction(GraftExtensions.simhashHexDescriptor)
     ext.injectFunction(GraftExtensions.dotF64Descriptor)
+    ext.injectFunction(GraftExtensions.runStatsDescriptor)
   }
 }
 
@@ -181,5 +182,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "dot_f64(a, b) takes exactly two arguments")
       DotF64(children.head, children(1))
+    })
+
+  private[plans] val runStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("run_stats"),
+    new ExpressionInfo(classOf[RunStats].getName, "run_stats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "run_stats(sortedGrams) takes exactly one argument")
+      RunStats(children.head)
     })
 }

@@ -54,6 +54,19 @@ object AnalysisQueries {
         .select(col("doc_id"), md5(col("sh")).as("fp"))
         .filter(substring(col("fp"), 32, 1) === "0")),
 
+    // Gopher-style repetition quality metrics (⊕ LLM-pipeline): character
+    // mass of the most frequent word-2-gram and inside duplicated
+    // 5-grams, as fractions of the doc's character total — the standard
+    // repetition drop-filters. word_shingles → array_sort → run_stats is
+    // a pure codegen'd projection: the sorted-run pass replaces the
+    // per-doc gram histogram a groupBy would shuffle the corpus for.
+    "q_repetition" -> ((s, dir) => {
+      val (top2, dup5) = TextAnalysis.repetitionFracs(col("ts"))
+      docs(s, dir)
+        .select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
+        .select(col("doc_id"), top2.as("top2_frac"), dup5.as("dup5_frac"))
+    }),
+
     // Rolling-hash (Rabin-Karp) fingerprints via the native
     // `rolling_hashes` Catalyst expression: every 16-byte window of the
     // normalized text hashed in one codegen'd O(n) pass, winnowing-style
@@ -226,6 +239,34 @@ object AnalysisQueries {
          |  FROM toks
          |)
          |SELECT *, $langPredSql AS predicted FROM scored""".stripMargin,
+
+    // independent formulation: per-doc gram HISTOGRAM (group-by) instead
+    // of the engine's sorted-run pass; char masses are cnt·len(gram),
+    // totals the space-joined token list — identical arithmetic
+    "q_repetition" ->
+      s"""$toksCte, g2 AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(ts)-1, 0)+1),
+         |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
+         |  FROM toks
+         |), c2 AS (
+         |  SELECT doc_id, g, count(*) AS cnt FROM g2, unnest(gs) AS t(g) GROUP BY 1, 2
+         |), s2 AS (
+         |  SELECT doc_id, max(cnt * len(g)) AS top_chars FROM c2 GROUP BY 1
+         |), g5 AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(ts)-4, 0)+1),
+         |                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) AS gs
+         |  FROM toks
+         |), c5 AS (
+         |  SELECT doc_id, g, count(*) AS cnt FROM g5, unnest(gs) AS t(g) GROUP BY 1, 2
+         |), s5 AS (
+         |  SELECT doc_id, sum(cnt * len(g)) AS dup_chars FROM c5 WHERE cnt >= 2 GROUP BY 1
+         |), tot AS (
+         |  SELECT doc_id, len(array_to_string(ts, ' ')) AS total FROM toks
+         |)
+         |SELECT t.doc_id,
+         |  round(CASE WHEN t.total > 0 THEN CAST(coalesce(s2.top_chars, 0) AS DOUBLE) / t.total ELSE 0.0 END, 6) AS top2_frac,
+         |  round(CASE WHEN t.total > 0 THEN CAST(coalesce(s5.dup_chars, 0) AS DOUBLE) / t.total ELSE 0.0 END, 6) AS dup5_frac
+         |FROM tot t LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)""".stripMargin,
 
     "q_quality" ->
       s"""$toksCte, m AS (

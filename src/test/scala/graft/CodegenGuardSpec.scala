@@ -42,7 +42,9 @@ class CodegenGuardSpec extends AnyFunSuite {
       BoundReference(0, ArrayType(StringType), nullable = true)),
     "dot_f64" -> graft.plans.DotF64(
       BoundReference(0, ArrayType(DoubleType), nullable = true),
-      BoundReference(1, ArrayType(DoubleType), nullable = true)))
+      BoundReference(1, ArrayType(DoubleType), nullable = true)),
+    "run_stats" -> graft.plans.RunStats(
+      BoundReference(0, ArrayType(StringType), nullable = true)))
 
   test("no generated snippet line begins with '|' (stripMargin splice hazard)") {
     spark // force session init (codegen touches SQLConf.get)
@@ -112,6 +114,17 @@ class CodegenGuardSpec extends AnyFunSuite {
       // the q_sim_topk inner loop at real embedding widths
       val top = graft.operators.Similarity.topK(emb, queryId = 0L, k = 5)
       assert(top.count() === 5)
+    }
+  }
+
+  test("run_stats compiles and runs CODEGEN_ONLY") {
+    withCodegenOnly {
+      val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+      // the q_repetition projection at real corpus widths
+      val (top2, dup5) = graft.functions.TextAnalysis.repetitionFracs(
+        graft.functions.Text.tokenize(col("text")))
+      val r = docs.select(top2.as("t"), dup5.as("d"))
+      assert(r.agg(sum(col("t") + col("d"))).head().getDouble(0) > 0)
     }
   }
 }

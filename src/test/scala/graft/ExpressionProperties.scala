@@ -56,4 +56,39 @@ object ExpressionProperties extends Properties("Expressions") {
         .as[Int].head()
       got == refHamming(a, b)
     }
+
+  // small alphabet ⇒ dense collisions ⇒ real runs in the sorted array
+  private val gramArray = Gen.choose(0, 30)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb b", "c", "dd", "e e e")))
+
+  private def refRunStats(grams: Seq[String]): (Long, Long) = {
+    val counts = grams.groupBy(identity).map { case (g, occ) =>
+      occ.size.toLong * g.length }
+    val dups = grams.groupBy(identity).collect {
+      case (g, occ) if occ.size >= 2 => occ.size.toLong * g.length }
+    (if (counts.isEmpty) 0L else counts.max, dups.sum)
+  }
+
+  property("run_stats ≡ histogram reference on random gram arrays") =
+    forAll(gramArray) { grams =>
+      import spark.implicits._
+      val got = Seq(Tuple1(grams)).toDF("gs")
+        .select(graft.plans.RunStats.runStats(org.apache.spark.sql.functions.array_sort($"gs")).as("r"))
+        .select($"r.top_chars", $"r.dup_chars")
+        .as[(Long, Long)].head()
+      got == refRunStats(grams)
+    }
+
+  property("run_stats ≡ retained aggregate() fold (bit identity)") =
+    forAll(gramArray) { grams =>
+      import spark.implicits._
+      val sorted = org.apache.spark.sql.functions.array_sort($"gs")
+      val df = Seq(Tuple1(grams)).toDF("gs").select(
+        graft.plans.RunStats.runStats(sorted).as("n"),
+        graft.functions.TextAnalysis.runStatsViaColumns(sorted).as("c"))
+      df.select($"n.top_chars", $"n.dup_chars", $"c.top_chars", $"c.dup_chars")
+        .as[(Long, Long, Long, Long)].head() match {
+          case (nt, nd, ct, cd) => nt == ct && nd == cd
+        }
+    }
 }

@@ -56,4 +56,23 @@ class TokenizerSpec extends AnyFunSuite {
     val short = Seq("a b").toDF("text").select(Text.shingles($"text", 3)).as[Seq[String]].head()
     assert(short === Seq.empty)
   }
+
+  test("repetition fracs: planted repetitive docs, hand-computed char masses") {
+    def fracsOf(text: String): (Double, Double) = {
+      val (top2, dup5) = graft.functions.TextAnalysis.repetitionFracs(Text.tokenize($"text"))
+      Seq(text).toDF("text").select(top2, dup5).as[(Double, Double)].head()
+    }
+    // "spark spark" ×3 occurrences × 11 chars = 33; total chars 23;
+    // no 5-grams (4 tokens) → dup5 0
+    assert(fracsOf("spark spark spark spark") === (math.rint(33.0 / 23 * 1e6) / 1e6, 0.0))
+    // non-repetitive: top 2-gram "a b" (or "b c") once × 3 chars; total 5
+    assert(fracsOf("a b c") === (0.6, 0.0))
+    // 3×"a b c d e": every 5-gram window duplicated — "a b c d e" ×3 (27
+    // chars) + 4 distinct rotations ×2 (72) = 99 dup chars; total 29;
+    // top 2-gram: 5 distinct 2-grams, max count 3 ("a b" etc.) × 3 chars
+    assert(fracsOf("a b c d e a b c d e a b c d e") ===
+      (math.rint(9.0 / 29 * 1e6) / 1e6, math.rint(99.0 / 29 * 1e6) / 1e6))
+    // empty doc: guarded division
+    assert(fracsOf("") === (0.0, 0.0))
+  }
 }
