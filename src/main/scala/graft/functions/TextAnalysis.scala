@@ -106,39 +106,52 @@ object TextAnalysis {
 
   /** Gopher-style word-n-gram repetition metrics over a token array
     * (`Text.tokenize` output), the standard pre-training repetition
-    * filters: `top2_frac` = character mass of the most frequent 2-gram /
-    * doc character total (drop above ~0.2); `dup5_frac` = character mass
-    * inside duplicated 5-grams / total (drop above ~0.15). Character
-    * masses count every occurrence, so a pathologically repetitive doc
-    * can exceed 1.0 — by definition, both engines alike.
+    * filters: `top2_frac` = character mass (count × chars) of the MOST
+    * FREQUENT 2-gram / doc character total; `dup5_frac` = character mass
+    * inside duplicated 5-grams / total. Masses count every OCCURRENCE —
+    * a character covered by several duplicated windows is counted per
+    * window, so `dup5_frac` is occurrence-inflated relative to Gopher's
+    * bounded covered-character fraction and can exceed 1.0 (both engines
+    * alike, by definition). Drop thresholds must be calibrated to THIS
+    * definition, not copied from the Gopher paper's.
     *
-    * Scale shape: `word_shingles` → `array_sort` → `run_stats` is a pure
-    * per-row projection (the sorted-run pass replaces the per-doc
-    * histogram a groupBy(doc, gram) would SHUFFLE the whole corpus for);
-    * zero exchanges, whole-stage codegen end to end.
+    * Scale shape: `shinglesFromTokens` → `run_stats` is a pure per-row
+    * projection (the expression sorts internally and counts runs,
+    * replacing the per-doc histogram a groupBy(doc, gram) would SHUFFLE
+    * the whole corpus for); zero exchanges, whole-stage codegen end to
+    * end — `array_sort` would be a CodegenFallback lambda per comparison.
     */
   def repetitionFracs(ts: Column): (Column, Column) = {
-    import graft.plans.{RunStats, WordShingles}
     val total = length(concat_ws(" ", ts)).cast("long")
     def frac(chars: Column): Column =
       when(total > 0, round(chars / total, 6)).otherwise(lit(0.0))
-    val top2 = RunStats.runStats(array_sort(WordShingles.wordShingles(ts, 2)))
+    val top2 = graft.plans.RunStats.runStats(Text.shinglesFromTokens(ts, 2))
       .getField("top_chars")
-    val dup5 = RunStats.runStats(array_sort(WordShingles.wordShingles(ts, 5)))
+    val dup5 = graft.plans.RunStats.runStats(Text.shinglesFromTokens(ts, 5))
       .getField("dup_chars")
     (frac(top2), frac(dup5))
   }
 
-  /** Column-only formulation of `RunStats` over a sorted gram array —
-    * an `aggregate()` fold carrying (prev, run, top, dup). CodegenFallback
-    * lambda chain allocating a struct per gram: retained ONLY as the
-    * independent bit-identity cross-check for the native expression
-    * (TextAnalysisSpec property test), never in a query path.
+  /** Column-only formulation of `RunStats` over a PRE-SORTED gram array
+    * (caller applies `array_sort`) — an `aggregate()` fold carrying
+    * (prev, run, bestRun, top, dup). CodegenFallback lambda chain
+    * allocating a struct per gram: retained ONLY as the independent
+    * bit-identity cross-check for the native expression
+    * (ExpressionProperties), never in a query path.
     */
   private[graft] def runStatsViaColumns(sorted: Column): Column = {
     val zero = struct(
-      lit("").as("prev"), lit(0L).as("run"), lit(0L).as("top"), lit(0L).as("dup"))
+      lit("").as("prev"), lit(0L).as("run"), lit(0L).as("bestRun"),
+      lit(0L).as("top"), lit(0L).as("dup"))
     def closed(acc: Column): Column = acc.getField("run") * length(acc.getField("prev"))
+    // close the open run: does it displace the current most-frequent gram?
+    def better(acc: Column): Column =
+      acc.getField("run") > acc.getField("bestRun") ||
+        (acc.getField("run") === acc.getField("bestRun") && closed(acc) > acc.getField("top"))
+    def closedBestRun(acc: Column): Column =
+      when(better(acc), acc.getField("run")).otherwise(acc.getField("bestRun"))
+    def closedTop(acc: Column): Column =
+      when(better(acc), closed(acc)).otherwise(acc.getField("top"))
     def closedDup(acc: Column): Column =
       when(acc.getField("run") >= 2, acc.getField("dup") + closed(acc))
         .otherwise(acc.getField("dup"))
@@ -148,12 +161,12 @@ object TextAnalysis {
         struct(
           x.as("prev"),
           when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
-          when(same, acc.getField("top"))
-            .otherwise(greatest(acc.getField("top"), closed(acc))).as("top"),
+          when(same, acc.getField("bestRun")).otherwise(closedBestRun(acc)).as("bestRun"),
+          when(same, acc.getField("top")).otherwise(closedTop(acc)).as("top"),
           when(same, acc.getField("dup")).otherwise(closedDup(acc)).as("dup"))
       },
       acc => struct(
-        greatest(acc.getField("top"), closed(acc)).as("top_chars"),
+        closedTop(acc).as("top_chars"),
         closedDup(acc).as("dup_chars")))
   }
 }

@@ -241,8 +241,9 @@ object AnalysisQueries {
          |SELECT *, $langPredSql AS predicted FROM scored""".stripMargin,
 
     // independent formulation: per-doc gram HISTOGRAM (group-by) instead
-    // of the engine's sorted-run pass; char masses are cnt·len(gram),
-    // totals the space-joined token list — identical arithmetic
+    // of the engine's sorted-run pass; top = cnt·len of the max-count
+    // gram (char-mass tie-break via the m2 join + max), dup = sum of
+    // cnt·len over cnt ≥ 2, totals the space-joined token list
     "q_repetition" ->
       s"""$toksCte, g2 AS (
          |  SELECT doc_id, list_transform(range(1, greatest(len(ts)-1, 0)+1),
@@ -250,8 +251,12 @@ object AnalysisQueries {
          |  FROM toks
          |), c2 AS (
          |  SELECT doc_id, g, count(*) AS cnt FROM g2, unnest(gs) AS t(g) GROUP BY 1, 2
+         |), m2 AS (
+         |  SELECT doc_id, max(cnt) AS mc FROM c2 GROUP BY 1
          |), s2 AS (
-         |  SELECT doc_id, max(cnt * len(g)) AS top_chars FROM c2 GROUP BY 1
+         |  SELECT c2.doc_id, max(cnt * len(g)) AS top_chars
+         |  FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id AND c2.cnt = m2.mc
+         |  GROUP BY 1
          |), g5 AS (
          |  SELECT doc_id, list_transform(range(1, greatest(len(ts)-4, 0)+1),
          |                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) AS gs

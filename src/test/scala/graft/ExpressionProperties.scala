@@ -57,23 +57,30 @@ object ExpressionProperties extends Properties("Expressions") {
       got == refHamming(a, b)
     }
 
-  // small alphabet ⇒ dense collisions ⇒ real runs in the sorted array
+  // small alphabet ⇒ dense collisions ⇒ real runs after the internal
+  // sort; "🙂🙂" (length 4 UTF-16 units, 2 codepoints) pins the
+  // codepoint-counting contract the ASCII grams can't distinguish
   private val gramArray = Gen.choose(0, 30)
-    .flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb b", "c", "dd", "e e e")))
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb b", "c", "dd", "e e e", "🙂🙂")))
 
   private def refRunStats(grams: Seq[String]): (Long, Long) = {
-    val counts = grams.groupBy(identity).map { case (g, occ) =>
-      occ.size.toLong * g.length }
-    val dups = grams.groupBy(identity).collect {
-      case (g, occ) if occ.size >= 2 => occ.size.toLong * g.length }
-    (if (counts.isEmpty) 0L else counts.max, dups.sum)
+    def cpLen(g: String): Long = g.codePointCount(0, g.length).toLong
+    val hist = grams.groupBy(identity).map { case (g, occ) => (g, occ.size) }
+    val top =
+      if (hist.isEmpty) 0L
+      else {
+        val mc = hist.values.max
+        hist.collect { case (g, c) if c == mc => c * cpLen(g) }.max
+      }
+    val dup = hist.collect { case (g, c) if c >= 2 => c * cpLen(g) }.sum
+    (top, dup)
   }
 
   property("run_stats ≡ histogram reference on random gram arrays") =
     forAll(gramArray) { grams =>
       import spark.implicits._
       val got = Seq(Tuple1(grams)).toDF("gs")
-        .select(graft.plans.RunStats.runStats(org.apache.spark.sql.functions.array_sort($"gs")).as("r"))
+        .select(graft.plans.RunStats.runStats($"gs").as("r"))
         .select($"r.top_chars", $"r.dup_chars")
         .as[(Long, Long)].head()
       got == refRunStats(grams)
@@ -82,10 +89,10 @@ object ExpressionProperties extends Properties("Expressions") {
   property("run_stats ≡ retained aggregate() fold (bit identity)") =
     forAll(gramArray) { grams =>
       import spark.implicits._
-      val sorted = org.apache.spark.sql.functions.array_sort($"gs")
       val df = Seq(Tuple1(grams)).toDF("gs").select(
-        graft.plans.RunStats.runStats(sorted).as("n"),
-        graft.functions.TextAnalysis.runStatsViaColumns(sorted).as("c"))
+        graft.plans.RunStats.runStats($"gs").as("n"),
+        graft.functions.TextAnalysis.runStatsViaColumns(
+          org.apache.spark.sql.functions.array_sort($"gs")).as("c"))
       df.select($"n.top_chars", $"n.dup_chars", $"c.top_chars", $"c.dup_chars")
         .as[(Long, Long, Long, Long)].head() match {
           case (nt, nd, ct, cd) => nt == ct && nd == cd

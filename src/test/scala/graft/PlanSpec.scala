@@ -34,9 +34,9 @@ class PlanSpec extends AnyFunSuite {
   test("q_postings and projection queries are shuffle-free") {
     // q_simhash joined this list in r4: the native simhash_hex expression
     // fingerprints map-side, replacing the 16×-amplified explode+groupBy
-    // q_repetition joined in r9: word_shingles → array_sort → run_stats
-    // is a pure projection (the sorted-run pass replaces the per-doc gram
-    // histogram a groupBy(doc, gram) would shuffle the corpus for)
+    // q_repetition joined in r9: word_shingles → run_stats (internal
+    // sort) is a pure projection — the run pass replaces the per-doc gram
+    // histogram a groupBy(doc, gram) would shuffle the corpus for
     Seq("q_postings", "q_token_count", "q_quality", "q_lang_id", "q_binary_stats",
         "q_simhash", "q_repetition").foreach { q =>
       assert(shuffles(plan(q)) === 0, s"$q gained a shuffle")

@@ -74,5 +74,8 @@ class TokenizerSpec extends AnyFunSuite {
       (math.rint(9.0 / 29 * 1e6) / 1e6, math.rint(99.0 / 29 * 1e6) / 1e6))
     // empty doc: guarded division
     assert(fracsOf("") === (0.0, 0.0))
+    // MOST FREQUENT wins, not max char mass: "b c" ×3 (mass 9) must beat
+    // the longer single-occurrence "aaaaaa aaaaaa" (mass 13); total 25
+    assert(fracsOf("aaaaaa aaaaaa b c b c b c")._1 === 0.36)
   }
 }
