@@ -189,7 +189,7 @@ object GraftExtensions {
     FunctionIdentifier("run_stats"),
     new ExpressionInfo(classOf[RunStats].getName, "run_stats"),
     (children: Seq[Expression]) => {
-      require(children.size == 1, "run_stats(sortedGrams) takes exactly one argument")
+      require(children.size == 1, "run_stats(grams) takes exactly one argument")
       RunStats(children.head)
     })
 }

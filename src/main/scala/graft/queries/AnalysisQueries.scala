@@ -57,9 +57,10 @@ object AnalysisQueries {
     // Gopher-style repetition quality metrics (⊕ LLM-pipeline): character
     // mass of the most frequent word-2-gram and inside duplicated
     // 5-grams, as fractions of the doc's character total — the standard
-    // repetition drop-filters. word_shingles → array_sort → run_stats is
-    // a pure codegen'd projection: the sorted-run pass replaces the
-    // per-doc gram histogram a groupBy would shuffle the corpus for.
+    // repetition drop-filters. word_shingles → run_stats (which sorts
+    // internally — no array_sort, that's a CodegenFallback comparator) is
+    // a pure codegen'd projection: the run pass replaces the per-doc
+    // gram histogram a groupBy would shuffle the corpus for.
     "q_repetition" -> ((s, dir) => {
       val (top2, dup5) = TextAnalysis.repetitionFracs(col("ts"))
       docs(s, dir)
