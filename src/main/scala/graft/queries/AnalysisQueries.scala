@@ -68,6 +68,18 @@ object AnalysisQueries {
         .select(col("doc_id"), top2.as("top2_frac"), dup5.as("dup5_frac"))
     }),
 
+    // Corpus-wide top word-2-grams by occurrence count (⊕ LLM-pipeline):
+    // the pair-statistics pass BPE/WordPiece tokenizer training runs over
+    // the corpus. Map-side shingle + partial count absorb the corpus mass
+    // before the single term-keyed exchange; TakeOrdered keeps the top-k
+    // without a global sort. Deterministic (count desc, gram) tie-break.
+    "q_gram_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
+        .select(explode(Text.shinglesFromTokens(col("ts"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(20)),
+
     // Rolling-hash (Rabin-Karp) fingerprints via the native
     // `rolling_hashes` Catalyst expression: every 16-byte window of the
     // normalized text hashed in one codegen'd O(n) pass, winnowing-style
@@ -240,6 +252,15 @@ object AnalysisQueries {
          |  FROM toks
          |)
          |SELECT *, $langPredSql AS predicted FROM scored""".stripMargin,
+
+    "q_gram_topk" ->
+      s"""$toksCte, g2 AS (
+         |  SELECT list_transform(range(1, greatest(len(ts)-1, 0)+1),
+         |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
+         |  FROM toks
+         |)
+         |SELECT g AS gram, count(*) AS n FROM g2, unnest(gs) AS t(g)
+         |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin,
 
     // independent formulation: per-doc gram HISTOGRAM (group-by) instead
     // of the engine's sorted-run pass; top = cnt·len of the max-count

@@ -43,6 +43,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gram_topk: map-side partial count, one exchange, TakeOrdered top-k") {
+    val p = plan("q_gram_topk")
+    assert(p.contains("partial_count"), "pair counts must pre-aggregate map-side")
+    assert(shuffles(p) === 1, s"expected exactly the gram-keyed exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered, not a global sort")
+  }
+
   test("q_sim_topk: broadcast query vector, no hash-partition shuffle") {
     val p = plan("q_sim_topk")
     assert(broadcasts(p) === 1)

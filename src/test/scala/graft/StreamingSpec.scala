@@ -41,6 +41,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless quality projections (repetition fracs) run unchanged on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the repetition metrics are a pure projection — the SAME column
+    // pipeline that backs q_repetition must run per micro-batch with no
+    // state, watermark, or output-mode caveats, and agree with batch
+    val docsData = Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "a b c d e a b c d e a b c d e"),
+      (3L, "plain unrepetitive text here"))
+    def project(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val (top2, dup5) = graft.functions.TextAnalysis.repetitionFracs(col("ts"))
+      df.select(col("doc_id"), graft.functions.Text.tokenize(col("text")).as("ts"))
+        .select(col("doc_id"), top2.as("top2_frac"), dup5.as("dup5_frac"))
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = project(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rep_stream").outputMode("append").start()
+    try {
+      input.addData(docsData.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docsData.drop(2): _*) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("rep_stream")
+        .as[(Long, Double, Double)].collect().toSet
+      val batch = project(docsData.toDF("doc_id", "text"))
+        .as[(Long, Double, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size === 3)
+    } finally q.stop()
+  }
+
   test("sessionize: event-time gap timeout closes and emits sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
