@@ -68,6 +68,34 @@ object AnalysisQueries {
         .select(col("doc_id"), top2.as("top2_frac"), dup5.as("dup5_frac"))
     }),
 
+    // Unigram language-model quality score (⊕ LLM-pipeline): per-doc
+    // average log-probability under the corpus's own unigram
+    // distribution — the CCNet-style LM filter shape (a real deployment
+    // swaps in a pretrained KenLM; the OPERATOR — corpus stats joined
+    // back per token, exact order-independent summation — is what
+    // matters at scale). Per-term ln(c/N) is rounded to 6dp then summed
+    // as DECIMAL so the per-doc sum is EXACT and engine-portable (a
+    // double sum would diverge on association order at corpus width).
+    // Scale: one (doc,term) aggregate, one term-keyed window for c(term)
+    // (reuses the q_tfidf 2-scan shape), scalar N broadcast, one doc
+    // aggregate.
+    "q_lm_score" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val n = tf.agg(sum("tf").as("n_corpus"))
+      tf.withColumn("c", sum(col("tf")).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(n))
+        .withColumn("w",
+          round(log(col("c").cast("double") / col("n_corpus")), 6)
+            .cast("decimal(20,6)") * col("tf"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("dl"), sum(col("w")).as("sw"))
+        .select(col("doc_id"), col("dl"),
+          round(col("sw").cast("double") / col("dl"), 6).as("avg_logp"))
+    }),
+
     // Corpus-wide top word-2-grams by occurrence count (⊕ LLM-pipeline):
     // the pair-statistics pass BPE/WordPiece tokenizer training runs over
     // the corpus. Map-side shingle + partial count absorb the corpus mass
@@ -252,6 +280,26 @@ object AnalysisQueries {
          |  FROM toks
          |)
          |SELECT *, $langPredSql AS predicted FROM scored""".stripMargin,
+
+    // mirrors the engine float-op order exactly: ln(CAST(c AS DOUBLE)/n)
+    // rounded 6dp → DECIMAL(20,6) → ×tf (exact) → exact decimal sum →
+    // CAST DOUBLE → /dl → round 6
+    "q_lm_score" ->
+      s"""$toksCte, ex AS (
+         |  SELECT doc_id, t.term FROM toks, unnest(ts) AS t(term)
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+         |), c AS (
+         |  SELECT term, sum(tf) AS c FROM tf GROUP BY 1
+         |), n AS (SELECT sum(tf) AS n FROM tf),
+         |w AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |         CAST(round(ln(CAST(c.c AS DOUBLE) / n.n), 6) AS DECIMAL(20,6)) * tf.tf AS w
+         |  FROM tf JOIN c USING (term) CROSS JOIN n
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+         |       round(CAST(sum(w) AS DOUBLE) / sum(tf), 6) AS avg_logp
+         |FROM w GROUP BY doc_id""".stripMargin,
 
     "q_gram_topk" ->
       s"""$toksCte, g2 AS (
