@@ -283,7 +283,10 @@ object AnalysisQueries {
 
     // mirrors the engine float-op order exactly: ln(CAST(c AS DOUBLE)/n)
     // rounded 6dp → DECIMAL(20,6) → ×tf (exact) → exact decimal sum →
-    // CAST DOUBLE → /dl → round 6
+    // CAST DOUBLE → /dl → round 6. Exactness claim covers SUMMATION
+    // order only; like q_tfidf/q_bm25 this still assumes JVM Math.log
+    // and DuckDB's libm ln agree after round(·,6) — the established
+    // cross-engine recipe here (zero divergence observed at any sf)
     "q_lm_score" ->
       s"""$toksCte, ex AS (
          |  SELECT doc_id, t.term FROM toks, unnest(ts) AS t(term)
