@@ -54,6 +54,52 @@ class EndToEndSpec extends AnyFunSuite {
     assert(back.count() === InvertedIndex.index(docs).count())
   }
 
+  test("training-data pipeline: curate → decontaminate → repetition-filter → split compose") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = Corpus.documents(spark, dir)
+
+    // 1) curation: near-dup-collapsed cluster representatives above the
+    //    quality band, text re-attached for the downstream stages
+    val curated = graft.queries.DedupQueries.queries("q_curate")(spark, dir)
+      .join(docs, Seq("doc_id"))
+    assert(curated.count() > 0)
+
+    // 2) decontamination: drop the stand-in eval slice and every doc
+    //    sharing a trigram with it
+    val evalPred = graft.queries.DedupQueries.evalDocPred
+    val hits = graft.queries.DedupQueries.queries("q_decontaminate")(spark, dir)
+      .select("doc_id")
+    val clean = curated.filter(!evalPred).join(hits, Seq("doc_id"), "left_anti")
+    // closure: re-running the operator on the cleaned set finds nothing
+    val recheck = graft.operators.Dedup.decontaminate(
+      clean.select("doc_id", "text"), docs.filter(evalPred))
+    assert(recheck.count() === 0)
+
+    // 3) repetition filter: the Gopher-style drop bands (wide thresholds —
+    //    the synthetic corpus is word-soup; the SHAPE is what composes)
+    val (top2, dup5) = graft.functions.TextAnalysis.repetitionFracs(col("ts"))
+    val kept = clean
+      .select(col("doc_id"), graft.functions.Text.tokenize(col("text")).as("ts"))
+      .select(col("doc_id"), top2.as("t2"), dup5.as("d5"))
+      .filter(col("t2") <= 1.0 && col("d5") <= 2.0)
+    val nKept = kept.count()
+    assert(nKept > 0)
+
+    // 4) deterministic split: labels PARTITION the kept set, and a second
+    //    run reproduces the identical assignment (pure hash arithmetic)
+    def label() = kept.select(col("doc_id"),
+      graft.functions.TextAnalysis.splitLabel(col("doc_id")).as("split"))
+    val labeled = label()
+    val byLabel = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum === nKept)
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byLabel.getOrElse("train", 0L) >= byLabel.getOrElse("val", 0L))
+    val again = label()
+    assert(labeled.except(again).count() === 0 && again.except(labeled).count() === 0)
+  }
+
   test("streaming postings compact into the bucketed index") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
