@@ -152,6 +152,14 @@ object AnalysisQueries {
         .select("source", "doc_id", "rk")
     }),
 
+    // Target-mix resampling (⊕ LLM-pipeline): hit a prescribed 50/30/20
+    // domain mix over three sources, dropping the rest — quotas derived
+    // from observed counts, scarcest source caps the total, md5-rank
+    // selection. See operators/Mixing.scala for the scale shape.
+    "q_mix" -> ((s, dir) =>
+      graft.operators.Mixing.targetMix(docs(s, dir),
+        Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+
     // Deterministic 80/10/10 split assignment — stable across runs,
     // engines and cluster sizes (md5-bucketed, not RNG-sampled).
     "q_split" -> ((s, dir) =>
@@ -427,6 +435,31 @@ object AnalysisQueries {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |       count(*) AS n_events
         |FROM w GROUP BY window_start, event_type""".stripMargin,
+
+    // mirrors the operator arithmetic: K = min_s floor(CAST(n AS
+    // DOUBLE)/t) including zero-count targeted sources, quota_s =
+    // floor(t·K), md5-rank selection
+    "q_mix" ->
+      """WITH t(source, ts) AS (
+        |  VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |         ('src2', CAST(0.2 AS DOUBLE))
+        |), tg AS (
+        |  SELECT d.source, d.doc_id, t.ts FROM documents d JOIN t USING (source)
+        |), c AS (
+        |  SELECT t.source, t.ts, count(tg.doc_id) AS n
+        |  FROM t LEFT JOIN tg USING (source) GROUP BY 1, 2
+        |), k AS (
+        |  SELECT min(floor(CAST(n AS DOUBLE) / ts)) AS k FROM c
+        |), q AS (
+        |  SELECT source, CAST(floor(ts * k.k) AS BIGINT) AS quota FROM c CROSS JOIN k
+        |), r AS (
+        |  SELECT source, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM tg
+        |)
+        |SELECT r.source, r.doc_id, r.rk FROM r JOIN q USING (source)
+        |WHERE r.rk <= q.quota""".stripMargin,
 
     "q_sample_per_source" ->
       """SELECT source, doc_id, rk FROM (
