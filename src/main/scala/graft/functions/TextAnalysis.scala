@@ -90,6 +90,13 @@ object TextAnalysis {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** The ONE deterministic sampling order shared by every rank-based
+    * sampler (`q_sample_per_source`, `Mixing.targetMix`): md5 of the id's
+    * string form, id as the total-order tie-break. Engine-portable — the
+    * DuckDB oracles mirror `md5(CAST(id AS VARCHAR)), id` verbatim.
+    */
+  def md5RankOrder(id: Column): Seq[Column] = Seq(md5(id.cast("string")), id)
+
   /** Heuristic quality score in [0,1]: one point per satisfied band,
     * equally weighted — length band, mean-token-length band, stopword
     * band, punctuation band. Deterministic integer arithmetic.

@@ -6,56 +6,69 @@ import org.apache.spark.sql.functions._
 
 /** Target-mix resampling (⊕ LLM-pipeline): downsample a multi-source
   * corpus to EXACT target proportions, maximizing retained data subject
-  * to availability — the "data mixture" pass a pre-training stack runs
-  * to hit a prescribed domain mix (web/books/code/...).
+  * to exactness and availability — the "data mixture" pass a
+  * pre-training stack runs to hit a prescribed domain mix
+  * (web/books/code/...).
   *
-  * Given targets t_s (relative weights over the sources to keep) and
-  * observed counts n_s, the largest total the scarcest source supports
-  * is K = min_s floor(n_s / t_s); each source contributes its quota
-  * k_s = floor(t_s · K) ≤ n_s, selected DETERMINISTICALLY by md5-rank
-  * (stable across runs, engines and cluster sizes — same discipline as
-  * the split/sampling operators, no RNG).
+  * Targets are INTEGER ratio weights p_s (e.g. 5:3:2), not fractions:
+  * the mix is taken in whole "batches" of Σp docs, so proportions are
+  * exact by construction at every K — a fractional-target floor(t_s·K)
+  * formulation drifts from the target whenever t_s·K is non-integral.
+  * K = min_s floor(n_s / p_s) batches is the most the scarcest source
+  * supports; each source contributes quota p_s·K ≤ n_s, selected
+  * DETERMINISTICALLY by md5-rank (`TextAnalysis.md5RankOrder` — stable
+  * across runs, engines and cluster sizes, no RNG).
   *
-  * Scale shape: non-targeted sources are dropped BEFORE any shuffle (the
-  * broadcast inner join with the tiny target relation doubles as the
-  * filter); counts/K/quotas are three tiny aggregates over
-  * source-cardinality relations, broadcast back; the one data-sized
-  * operation is the per-source md5-rank window over the TARGETED subset
-  * only. A deployment that tolerates approximate proportions can swap
-  * the rank for a map-side hash-bucket threshold (`hashBucket100 <
-  * 100·k_s/n_s`) and skip the window shuffle entirely — exact quotas
-  * need the rank.
+  * A targeted source with fewer docs than its weight (n_s < p_s, which
+  * includes sources absent from the corpus entirely — the typo case)
+  * cannot support one batch: the quota relation carries a `raise_error`
+  * for it, so the job FAILS with the offending source named instead of
+  * silently emitting an empty or skewed mix.
+  *
+  * Scale shape: non-targeted sources are dropped map-side by the
+  * broadcast inner join with the tiny target relation BEFORE the one
+  * data-sized operation — the per-source md5-rank window over the
+  * targeted subset. Per-source counts come from a count-over-partition
+  * on the SAME window exchange, so the quota branch re-uses it
+  * (ReusedExchange) instead of re-scanning the corpus; K/quotas are
+  * source-cardinality aggregates broadcast back. A deployment that
+  * tolerates approximate proportions can swap the rank for a map-side
+  * hash-bucket threshold and skip the window shuffle entirely — exact
+  * quotas need the rank.
   */
 object Mixing {
 
-  /** (source, doc_id, rk) of the docs selected to hit the target mix.
-    * `targets` must be non-empty with positive weights; sources absent
-    * from it are dropped, sources in it but absent from the corpus make
-    * the result empty (their n_s = 0 caps K at 0) — loud, not silent.
-    */
-  def targetMix(docsDf: DataFrame, targets: Seq[(String, Double)]): DataFrame = {
+  /** (source, doc_id, rk) of the docs selected to hit the target mix. */
+  def targetMix(docsDf: DataFrame, targets: Seq[(String, Int)]): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
-      "targets must be non-empty with positive weights")
+      "targets must be non-empty with positive integer weights")
     require(targets.map(_._1).distinct.size == targets.size, "duplicate target source")
     val spark = docsDf.sparkSession
     import spark.implicits._
-    val tRel = targets.toDF("source", "t")
+    val tRel = targets.toDF("source", "p")
     val targeted = docsDf.join(broadcast(tRel), Seq("source"))
-    val counts = targeted.groupBy("source")
-      .agg(count(lit(1)).as("n"), max(col("t")).as("t"))
-    // missing-source guard: a target with no corpus rows never reaches
-    // `counts`, so its implicit n=0 must cap K to 0 via a left join
+    val wRank = Window.partitionBy("source")
+      .orderBy(graft.functions.TextAnalysis.md5RankOrder(col("doc_id")): _*)
+    val wAll = Window.partitionBy("source")
+    val ranked = targeted
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+    // tiny relations derived from the SAME exchange as `ranked` (reused,
+    // not re-scanned): per-source counts → K → quotas
+    val counts = ranked.select(col("source"), col("n")).distinct()
     val withMissing = tRel
-      .join(counts.select(col("source"), col("n")), Seq("source"), "left")
-      .select(col("source"), col("t"), coalesce(col("n"), lit(0L)).as("n"))
+      .join(counts, Seq("source"), "left")
+      .select(col("source"), col("p"), coalesce(col("n"), lit(0L)).as("n"))
     val k = withMissing.agg(
-      min(floor(col("n").cast("double") / col("t"))).as("k"))
-    val quota = counts.crossJoin(broadcast(k))
-      .select(col("source"), floor(col("t") * col("k")).cast("long").as("quota"))
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    targeted.withColumn("rk", row_number().over(w).cast("long"))
-      .join(broadcast(quota), Seq("source"))
+      min(floor(col("n").cast("double") / col("p"))).as("k"))
+    val quota = withMissing.crossJoin(broadcast(k)).select(
+      col("source"),
+      when(col("n") >= col("p"), (col("p") * col("k")).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("targetMix: source '"), col("source"),
+          lit("' cannot support one batch (fewer docs than its weight)"))))
+        .as("quota"))
+    ranked.join(broadcast(quota), Seq("source"))
       .filter(col("rk") <= col("quota"))
       .select("source", "doc_id", "rk")
   }

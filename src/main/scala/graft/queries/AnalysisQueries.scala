@@ -145,20 +145,20 @@ object AnalysisQueries {
     "q_sample_per_source" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .orderBy(TextAnalysis.md5RankOrder(col("doc_id")): _*)
       docs(s, dir)
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("source", "doc_id", "rk")
     }),
 
-    // Target-mix resampling (⊕ LLM-pipeline): hit a prescribed 50/30/20
-    // domain mix over three sources, dropping the rest — quotas derived
-    // from observed counts, scarcest source caps the total, md5-rank
-    // selection. See operators/Mixing.scala for the scale shape.
+    // Target-mix resampling (⊕ LLM-pipeline): hit a prescribed 5:3:2
+    // domain mix over three sources, dropping the rest — integer batch
+    // quotas (exact proportions by construction), scarcest source caps
+    // the total, md5-rank selection. See operators/Mixing.scala.
     "q_mix" -> ((s, dir) =>
       graft.operators.Mixing.targetMix(docs(s, dir),
-        Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+        Seq("src0" -> 5, "src1" -> 3, "src2" -> 2))),
 
     // Deterministic 80/10/10 split assignment — stable across runs,
     // engines and cluster sizes (md5-bucketed, not RNG-sampled).
@@ -436,22 +436,21 @@ object AnalysisQueries {
         |       count(*) AS n_events
         |FROM w GROUP BY window_start, event_type""".stripMargin,
 
-    // mirrors the operator arithmetic: K = min_s floor(CAST(n AS
-    // DOUBLE)/t) including zero-count targeted sources, quota_s =
-    // floor(t·K), md5-rank selection
+    // mirrors the operator arithmetic: integer batch weights, K = min_s
+    // floor(CAST(n AS DOUBLE)/p) including zero-count targeted sources,
+    // quota_s = p·K (exact), md5-rank selection
     "q_mix" ->
-      """WITH t(source, ts) AS (
-        |  VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
-        |         ('src2', CAST(0.2 AS DOUBLE))
+      """WITH t(source, p) AS (
+        |  VALUES ('src0', 5), ('src1', 3), ('src2', 2)
         |), tg AS (
-        |  SELECT d.source, d.doc_id, t.ts FROM documents d JOIN t USING (source)
+        |  SELECT d.source, d.doc_id, t.p FROM documents d JOIN t USING (source)
         |), c AS (
-        |  SELECT t.source, t.ts, count(tg.doc_id) AS n
+        |  SELECT t.source, t.p, count(tg.doc_id) AS n
         |  FROM t LEFT JOIN tg USING (source) GROUP BY 1, 2
         |), k AS (
-        |  SELECT min(floor(CAST(n AS DOUBLE) / ts)) AS k FROM c
+        |  SELECT min(floor(CAST(n AS DOUBLE) / p)) AS k FROM c
         |), q AS (
-        |  SELECT source, CAST(floor(ts * k.k) AS BIGINT) AS quota FROM c CROSS JOIN k
+        |  SELECT source, CAST(p * k.k AS BIGINT) AS quota FROM c CROSS JOIN k
         |), r AS (
         |  SELECT source, doc_id,
         |         CAST(row_number() OVER (PARTITION BY source

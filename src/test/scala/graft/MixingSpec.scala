@@ -13,9 +13,9 @@ class MixingSpec extends AnyFunSuite {
       (1 to 10).map(i => ("c", 200L + i, s"doc c$i"))
   ).toDF("source", "doc_id", "text")
 
-  test("targetMix: scarcest source caps the total, quotas hit the exact mix") {
-    // K = min(floor(6/0.5), floor(4/0.5)) = 8 → quotas 4 and 4
-    val got = Mixing.targetMix(corpus, Seq("a" -> 0.5, "b" -> 0.5))
+  test("targetMix: scarcest source caps the batches, proportions exact at every K") {
+    // K = min(floor(6/1), floor(4/1)) = 4 batches → quotas 4 and 4
+    val got = Mixing.targetMix(corpus, Seq("a" -> 1, "b" -> 1))
       .as[(String, Long, Long)].collect()
     assert(got.length === 8)
     assert(got.count(_._1 == "a") === 4 && got.count(_._1 == "b") === 4)
@@ -23,29 +23,43 @@ class MixingSpec extends AnyFunSuite {
     assert(got.forall(_._3 <= 4), "rank never exceeds the quota")
   }
 
-  test("targetMix: skewed weights derive proportional quotas") {
-    // K = min(floor(6/0.75), floor(4/0.25)) = 8 → quotas floor(6)=6, floor(2)=2
-    val got = Mixing.targetMix(corpus, Seq("a" -> 0.75, "b" -> 0.25))
+  test("targetMix: skewed integer weights give exact-ratio quotas") {
+    // 3:1 over counts (6, 4): K = min(floor(6/3), floor(4/1)) = 2 → 6 and 2
+    val got = Mixing.targetMix(corpus, Seq("a" -> 3, "b" -> 1))
       .as[(String, Long, Long)].collect()
     assert(got.count(_._1 == "a") === 6 && got.count(_._1 == "b") === 2)
+    // exactness under a non-divisible count: 5:2 over (6, 4) → K=1 → 5 and 2
+    val got2 = Mixing.targetMix(corpus, Seq("a" -> 5, "b" -> 2))
+      .as[(String, Long, Long)].collect()
+    assert(got2.count(_._1 == "a") === 5 && got2.count(_._1 == "b") === 2)
   }
 
-  test("targetMix: a targeted source with no corpus rows empties the result, loudly not silently") {
-    val got = Mixing.targetMix(corpus, Seq("a" -> 0.5, "zz" -> 0.5))
-    assert(got.count() === 0)
+  test("targetMix: a targeted source that cannot fill one batch FAILS the job, naming it") {
+    val e = intercept[Exception] {
+      Mixing.targetMix(corpus, Seq("a" -> 1, "zz" -> 1)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("targetMix") && m.contains("zz")),
+      s"error must name the offending source: $e")
+    // same for a present-but-too-small source: weight 5 > 4 docs of b
+    val e2 = intercept[Exception] {
+      Mixing.targetMix(corpus, Seq("a" -> 1, "b" -> 5)).collect()
+    }
+    assert(messages(e2).exists(m => m.contains("targetMix") && m.contains("'b'")))
   }
 
   test("targetMix: deterministic — identical selection across runs") {
-    val a = Mixing.targetMix(corpus, Seq("a" -> 0.6, "c" -> 0.4))
+    val a = Mixing.targetMix(corpus, Seq("a" -> 3, "c" -> 2))
       .as[(String, Long, Long)].collect().toSet
-    val b = Mixing.targetMix(corpus, Seq("a" -> 0.6, "c" -> 0.4))
+    val b = Mixing.targetMix(corpus, Seq("a" -> 3, "c" -> 2))
       .as[(String, Long, Long)].collect().toSet
     assert(a === b && a.nonEmpty)
   }
 
   test("targetMix: rejects empty, non-positive, and duplicate targets") {
     intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq.empty))
-    intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq("a" -> 0.0)))
-    intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq("a" -> 0)))
+    intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq("a" -> 1, "a" -> 2)))
   }
 }
