@@ -27,14 +27,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: non-targeted sources are dropped map-side by the
   * broadcast inner join with the tiny target relation BEFORE the one
-  * data-sized operation — the per-source md5-rank window over the
-  * targeted subset. Per-source counts come from a count-over-partition
-  * on the SAME window exchange, so the quota branch re-uses it
-  * (ReusedExchange) instead of re-scanning the corpus; K/quotas are
-  * source-cardinality aggregates broadcast back. A deployment that
-  * tolerates approximate proportions can swap the rank for a map-side
-  * hash-bucket threshold and skip the window shuffle entirely — exact
-  * quotas need the rank.
+  * data-sized exchange — the per-source md5-rank window over the
+  * targeted subset. The counts branch is a separate pass but a cheap
+  * one: its scan prunes to the `source` column alone and map-side
+  * partial aggregation keeps its exchange source-cardinality-sized.
+  * (A count-over-partition on the rank window's exchange would avoid
+  * the second scan but shuffles the corpus full-width a second time —
+  * the branches column-prune differently, so Catalyst never
+  * canonicalizes their exchanges equal for reuse; measured, not
+  * assumed.) K/quotas are source-cardinality relations broadcast back.
+  * A deployment that tolerates approximate proportions can swap the
+  * rank for a map-side hash-bucket threshold and skip the window
+  * shuffle entirely — exact quotas need the rank.
   */
 object Mixing {
 
@@ -49,13 +53,8 @@ object Mixing {
     val targeted = docsDf.join(broadcast(tRel), Seq("source"))
     val wRank = Window.partitionBy("source")
       .orderBy(graft.functions.TextAnalysis.md5RankOrder(col("doc_id")): _*)
-    val wAll = Window.partitionBy("source")
-    val ranked = targeted
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
-    // tiny relations derived from the SAME exchange as `ranked` (reused,
-    // not re-scanned): per-source counts → K → quotas
-    val counts = ranked.select(col("source"), col("n")).distinct()
+    val ranked = targeted.withColumn("rk", row_number().over(wRank).cast("long"))
+    val counts = targeted.groupBy("source").agg(count(lit(1)).as("n"))
     val withMissing = tRel
       .join(counts, Seq("source"), "left")
       .select(col("source"), col("p"), coalesce(col("n"), lit(0L)).as("n"))

@@ -50,6 +50,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered, not a global sort")
   }
 
+  test("q_mix: one data-sized rank exchange; counts branch pruned to the source column") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q_mix")(spark, dir)
+    df.collect() // AQE: inspect the FINAL plan the run actually used
+    val p = df.queryExecution.executedPlan
+    val scans = PlanScans.fileScans(p)
+    // two pruned scans: (doc_id, source) under the rank window and a
+    // source-ONLY scan feeding the partial-aggregated counts branch —
+    // never a full-schema read of documents
+    assert(scans.size === 2, s"expected the rank + counts scans:\n$p")
+    assert(scans.exists(_.schema.fieldNames.toSeq == Seq("source")),
+      s"counts scan must prune to the source column:\n$p")
+    assert(scans.forall(!_.schema.fieldNames.contains("text")),
+      s"no branch may read the text column:\n$p")
+    // live shuffles: the data-sized rank window exchange, the counts
+    // exchange (source-cardinality after partial_count), and the
+    // SinglePartition scalar-min for K (≤ |sources| rows) — exactly one
+    // of the three carries corpus rows
+    val xch = PlanScans.nodes(p) { case s: ShuffleExchangeExec => s }
+    assert(xch.count(_.outputPartitioning.toString.startsWith("hashpartitioning")) === 2
+      && xch.count(_.outputPartitioning.toString == "SinglePartition") === 1,
+      s"expected rank + partial-agg + scalar-K exchanges only:\n$p")
+    assert(p.toString.contains("partial_count"),
+      "counts must partial-aggregate map-side before their exchange")
+  }
+
   test("q_sim_topk: broadcast query vector, no hash-partition shuffle") {
     val p = plan("q_sim_topk")
     assert(broadcasts(p) === 1)
