@@ -74,6 +74,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stream-static join flags contaminated docs per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the eval corpus is STATIC (broadcast side); training docs stream in.
+    // The per-doc overlap aggregate needs update mode — each doc_id
+    // arrives once, so its group finalizes within its own micro-batch
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.decontaminate(
+      input.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decon_stream").outputMode("update").start()
+    try {
+      input.addData((1L, "zz alpha beta gamma yy"), (3L, "foo bar baz qux"))
+      q.processAllAvailable()
+      input.addData((2L, "alpha beta gamma delta qq")) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("decon_stream")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Dedup.decontaminate(
+        Seq((1L, "zz alpha beta gamma yy"), (3L, "foo bar baz qux"),
+          (2L, "alpha beta gamma delta qq")).toDF("doc_id", "text"), bench)
+        .as[(Long, Long)].collect().toMap
+      assert(streamed === batch)
+      assert(streamed === Map(1L -> 1L, 2L -> 2L)) // doc 3 clean, never emitted
+    } finally q.stop()
+  }
+
   test("sessionize: event-time gap timeout closes and emits sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
