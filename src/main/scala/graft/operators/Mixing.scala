@@ -50,7 +50,12 @@ object Mixing {
     val spark = docsDf.sparkSession
     import spark.implicits._
     val tRel = targets.toDF("source", "p")
-    val targeted = docsDf.join(broadcast(tRel), Seq("source"))
+    // project to the two columns the operator owns BEFORE deriving
+    // anything: caller columns named rk/n/quota must not collide with
+    // (or silently replace) the working columns, and the window must
+    // never shuffle caller payload it does not need
+    val targeted = docsDf.select(col("source"), col("doc_id"))
+      .join(broadcast(tRel), Seq("source"))
     val wRank = Window.partitionBy("source")
       .orderBy(graft.functions.TextAnalysis.md5RankOrder(col("doc_id")): _*)
     val ranked = targeted.withColumn("rk", row_number().over(wRank).cast("long"))

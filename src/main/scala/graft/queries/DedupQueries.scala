@@ -74,15 +74,17 @@ object DedupQueries {
     }),
   )
 
-  /** Cap on the stand-in eval slice's doc_id range: at most 64 eval docs
-    * at ANY corpus scale. ONE constant, interpolated into the oracle SQL
-    * too — the Spark query and the oracle must never disagree on it.
+  /** Stand-in eval-slice parameters: doc_id multiples of `EvalDocMod`
+    * below `EvalDocCap` — at most 64 eval docs at ANY corpus scale. ONE
+    * definition each, interpolated into the oracle SQL too — the Spark
+    * query and the oracle must never disagree on either.
     */
-  private[graft] val EvalDocCap: Int = 97 * 64
+  private[graft] val EvalDocMod: Int = 97
+  private[graft] val EvalDocCap: Int = EvalDocMod * 64
 
   /** The stand-in eval-set membership predicate for `q_decontaminate`. */
   private[graft] def evalDocPred: Column =
-    col("doc_id") % 97 === 0 && col("doc_id") < EvalDocCap
+    col("doc_id") % EvalDocMod === 0 && col("doc_id") < EvalDocCap
 
   /** The curation filter proper, shared by the batch (`q_curate`) and
     * streamed paths: quality-score the docs, keep high-quality cluster
@@ -358,11 +360,11 @@ object DedupQueries {
       s"""$shingleCte, ex AS (
          |  SELECT doc_id, t.s AS shingle FROM shs, unnest(sh) AS t(s)
          |), bench AS (
-         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0 AND doc_id < $EvalDocCap
+         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalDocMod = 0 AND doc_id < $EvalDocCap
          |)
          |SELECT e.doc_id, count(*) AS n_overlap
          |FROM ex e JOIN bench b ON e.shingle = b.shingle
-         |WHERE NOT (e.doc_id % 97 = 0 AND e.doc_id < $EvalDocCap)
+         |WHERE NOT (e.doc_id % $EvalDocMod = 0 AND e.doc_id < $EvalDocCap)
          |GROUP BY e.doc_id""".stripMargin,
 
     // both settings' full pipelines, unrolled with suffixed CTE names; the

@@ -57,6 +57,16 @@ class MixingSpec extends AnyFunSuite {
     assert(a === b && a.nonEmpty)
   }
 
+  test("targetMix: caller columns named like the working columns cannot collide") {
+    import org.apache.spark.sql.functions.lit
+    val noisy = corpus
+      .withColumn("rk", lit(999L)).withColumn("quota", lit(-1L)).withColumn("n", lit(0L))
+    val got = Mixing.targetMix(noisy, Seq("a" -> 1, "b" -> 1))
+      .as[(String, Long, Long)].collect()
+    assert(got.length === 8 && got.forall(_._3 <= 4),
+      "operator-owned rk/quota must win over caller payload")
+  }
+
   test("targetMix: rejects empty, non-positive, and duplicate targets") {
     intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq.empty))
     intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq("a" -> 0)))
