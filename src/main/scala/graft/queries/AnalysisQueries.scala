@@ -84,7 +84,12 @@ object AnalysisQueries {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val n = tf.agg(sum("tf").as("n_corpus"))
+      // N = total token count — a MAP-SIDE size(tokenize) projection to a
+      // scalar, NOT tf.agg(sum): that formulation re-derives the whole
+      // (doc,term) aggregate, re-tokenizing and re-shuffling the corpus
+      // for one number (measured: a full extra corpus exchange)
+      val n = docs(s, dir)
+        .agg(sum(size(Text.tokenize(col("text")))).cast("long").as("n_corpus"))
       tf.withColumn("c", sum(col("tf")).over(Window.partitionBy("term")))
         .crossJoin(broadcast(n))
         .withColumn("w",
@@ -302,7 +307,7 @@ object AnalysisQueries {
          |  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
          |), c AS (
          |  SELECT term, sum(tf) AS c FROM tf GROUP BY 1
-         |), n AS (SELECT sum(tf) AS n FROM tf),
+         |), n AS (SELECT sum(len(ts)) AS n FROM toks),
          |w AS (
          |  SELECT tf.doc_id, tf.tf,
          |         CAST(round(ln(CAST(c.c AS DOUBLE) / n.n), 6) AS DECIMAL(20,6)) * tf.tf AS w

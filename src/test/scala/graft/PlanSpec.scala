@@ -50,6 +50,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered, not a global sort")
   }
 
+  test("q_lm_score: three corpus exchanges, scalar N from a map-side projection") {
+    val p = plan("q_lm_score")
+    // tf aggregate + term-keyed window + per-doc aggregate — and NOT a
+    // fourth from the scalar N re-deriving the tf subtree (its branch
+    // must be a map-side size(tokenize) projection into SinglePartition)
+    assert(shuffles(p) === 3, s"N branch must not re-shuffle the corpus:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p.toString).length === 1,
+      s"scalar N should be one single-partition aggregate:\n$p")
+    assert(p.contains("partial_count"), "tf must pre-aggregate map-side")
+  }
+
   test("q_mix: one data-sized rank exchange; counts branch pruned to the source column") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = SparkEntry.queries("q_mix")(spark, dir)
