@@ -145,6 +145,14 @@ object Bench {
         graft.sources.VectorStore.vectors(spark, sfDir).count()
         graft.sources.VectorStore.ivf(spark, sfDir)._1.count()
         graft.sources.VectorStore.ivf(spark, sfDir, iters = 2)._1.count()
+        // term-statistics store serving the tf-idf/LM/BM25 scoring
+        // family: stats() builds the bucketed tf table first, scalars()
+        // builds doclen; the filtered read warms the bucket-pruned path
+        // the ranked/BM25 point queries measure
+        graft.sources.TermStatsStore.stats(spark, sfDir).count()
+        graft.sources.TermStatsStore.scalars(spark, sfDir).count()
+        materialize(graft.sources.TermStatsStore.tf(spark, sfDir)
+          .filter(col("term") === "spark"))
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 

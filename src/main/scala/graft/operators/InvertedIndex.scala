@@ -112,6 +112,23 @@ object InvertedIndex {
   def topKByDocFreq(postingsDf: DataFrame, k: Int): DataFrame =
     docFreq(postingsDf).orderBy(col("df").desc, col("term")).limit(k)
 
+  /** Shared query-term validation for the scoring family: a query term
+    * must be able to survive the tokenizer at all — the normalizer
+    * lowercases and strips non-[a-z], so "Spark", "c++" or "42" can
+    * never match a token and would silently zero-score — and must be a
+    * non-stopword (the tokenizer drops stopwords, so a stopword query
+    * term would silently score zero). Enforced loudly rather than
+    * silently returning nothing.
+    */
+  private[graft] def requireIndexableQuery(queryTerms: Seq[String], what: String): Unit = {
+    require(queryTerms.nonEmpty, s"$what needs at least one query term")
+    val unindexable = queryTerms.filterNot(_.matches("[a-z]+"))
+    require(unindexable.isEmpty,
+      s"query terms can never match a normalized token (lowercase a-z only): ${unindexable.mkString(", ")}")
+    val stop = queryTerms.filter(Text.EffectiveStopwords.contains)
+    require(stop.isEmpty, s"query terms are stopwords (never indexed): ${stop.mkString(", ")}")
+  }
+
   /** RANKED retrieval — the query an inverted index exists to serve
     * beyond boolean matching: documents scored by tf-idf over the query
     * terms, top-k with a deterministic (score desc, doc_id) tie-break.
@@ -120,41 +137,24 @@ object InvertedIndex {
     *
     * Scale shape: the `isin` filter lands immediately after the explode,
     * so only rows of the query's terms survive the first aggregation —
-    * the corpus is tokenized ONCE and everything downstream (the df
-    * window over ≤|query| term partitions, the per-doc sum, TakeOrdered
-    * k) runs on the matching docs only. df is still EXACT (the filtered
-    * relation keeps every doc containing a query term). The scalar N is
-    * one row, broadcast at any scale.
-    *
-    * Query terms must be non-stopwords (the tokenizer drops stopwords,
-    * so a stopword query term would silently score zero) — enforced
-    * rather than silently returning nothing for it.
+    * the corpus is tokenized ONCE and everything downstream runs on the
+    * matching docs only. df is a ≤|query|-row partial aggregate joined
+    * back (EXACT — the filtered relation keeps every doc containing a
+    * query term); the former `count over Window.partitionBy(term)`
+    * serialized each query term's whole posting set onto one task, a
+    * straggler AQE cannot split, where the join can be. The scalar N is
+    * one row, broadcast at any scale. (`TermStatsStore.rankedSearch`
+    * serves the same plan from the persisted bucket-pruned tf relation.)
     */
   def rankedSearch(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
-    require(queryTerms.nonEmpty, "ranked search needs at least one query term")
-    // a query term must be able to survive the tokenizer at all — the
-    // normalizer lowercases and strips non-[a-z], so "Spark", "c++" or
-    // "42" can never match a token and would silently zero-score (the
-    // same silent-miss the stopword check guards against)
-    val unindexable = queryTerms.filterNot(_.matches("[a-z]+"))
-    require(unindexable.isEmpty,
-      s"query terms can never match a normalized token (lowercase a-z only): ${unindexable.mkString(", ")}")
-    val stop = queryTerms.filter(Text.EffectiveStopwords.contains)
-    require(stop.isEmpty, s"query terms are stopwords (never indexed): ${stop.mkString(", ")}")
-    import org.apache.spark.sql.expressions.Window
+    requireIndexableQuery(queryTerms, "ranked search")
     val tf = docs
       .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      .crossJoin(broadcast(n))
-      .select(col("doc_id"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("w"))
-      .groupBy("doc_id")
-      .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("n_matched"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    TermScoring.ranked(tf, dfRel, n, k)
   }
 
   /** BM25-ranked retrieval — the industry-standard upgrade of the tf-idf
@@ -169,36 +169,24 @@ object InvertedIndex {
     * aggregate yields BOTH N and avgdl (one broadcast scalar row). The
     * query-term tf relation is post-filter small, so its join against
     * the narrow length relation broadcasts the tf side; everything
-    * downstream runs on matching docs only. All arithmetic is plain
-    * double ops in a fixed order (integer length sums are exact), so the
-    * DuckDB oracle reproduces scores bit-for-bit at 6 dp.
+    * downstream runs on matching docs only. df is the same
+    * partial-agg-join as `rankedSearch` (no term-keyed window). All
+    * arithmetic is plain double ops in a fixed order (integer length
+    * sums are exact), so the DuckDB oracle reproduces scores
+    * bit-for-bit at 6 dp. (`TermStatsStore.bm25` serves the same plan
+    * from the persisted relations.)
     */
   def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "BM25 search needs at least one query term")
-    val unindexable = queryTerms.filterNot(_.matches("[a-z]+"))
-    require(unindexable.isEmpty,
-      s"query terms can never match a normalized token (lowercase a-z only): ${unindexable.mkString(", ")}")
-    val stop = queryTerms.filter(Text.EffectiveStopwords.contains)
-    require(stop.isEmpty, s"query terms are stopwords (never indexed): ${stop.mkString(", ")}")
-    import org.apache.spark.sql.expressions.Window
+    requireIndexableQuery(queryTerms, "BM25 search")
     val len = docs.select(col("doc_id"), size(Text.tokensNoStop(col("text"))).as("dl"))
     val stats = len.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = docs
       .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-    val norm = col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      .join(len, "doc_id") // tf side is post-filter small → broadcast
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        round(idf * (col("tf") * (k1 + 1)) / norm, 6).as("w"))
-      .groupBy("doc_id")
-      .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("n_matched"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    TermScoring.bm25(tf, dfRel, len, stats, k, k1, b)
   }
 }
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Target-mix resampling (⊕ LLM-pipeline): downsample a multi-source
@@ -27,18 +26,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: non-targeted sources are dropped map-side by the
   * broadcast inner join with the tiny target relation BEFORE the one
-  * data-sized exchange — the per-source md5-rank window over the
-  * targeted subset. The counts branch is a separate pass but a cheap
-  * one: its scan prunes to the `source` column alone and map-side
-  * partial aggregation keeps its exchange source-cardinality-sized.
-  * (A count-over-partition on the rank window's exchange would avoid
-  * the second scan but shuffles the corpus full-width a second time —
-  * the branches column-prune differently, so Catalyst never
-  * canonicalizes their exchanges equal for reuse; measured, not
-  * assumed.) K/quotas are source-cardinality relations broadcast back.
-  * A deployment that tolerates approximate proportions can swap the
-  * rank for a map-side hash-bucket threshold and skip the window
-  * shuffle entirely — exact quotas need the rank.
+  * data-sized exchange — the per-source md5 rank, computed by the
+  * distributed `RangeRank` operator (range repartition + tiny offset
+  * relation), NOT a per-source row_number window: with 3 targeted
+  * sources a window means 3 tasks regardless of corpus size, each
+  * external-sorting a full source on one core. The counts branch is a
+  * separate pass but a cheap one: its scan prunes to the `source`
+  * column alone and map-side partial aggregation keeps its exchange
+  * source-cardinality-sized. K/quotas are source-cardinality relations
+  * broadcast back. A deployment that tolerates approximate proportions
+  * can swap the rank for a map-side hash-bucket threshold and skip the
+  * rank shuffle entirely — exact quotas need the rank.
   */
 object Mixing {
 
@@ -56,9 +54,24 @@ object Mixing {
     // never shuffle caller payload it does not need
     val targeted = docsDf.select(col("source"), col("doc_id"))
       .join(broadcast(tRel), Seq("source"))
-    val wRank = Window.partitionBy("source")
-      .orderBy(graft.functions.TextAnalysis.md5RankOrder(col("doc_id")): _*)
-    val ranked = targeted.withColumn("rk", row_number().over(wRank).cast("long"))
+    // per-source md5 rank via the distributed RangeRank operator, NOT a
+    // row_number window: Window.partitionBy(source) with 3 targeted
+    // sources means 3 window partitions regardless of corpus size —
+    // each source's full doc mass external-sorts on ONE task, the
+    // straggler wall AQE cannot split. RangeRank's range repartition
+    // spreads every source across data-sized partitions; md5RankOrder's
+    // doc_id tie-break is a total order, so the rank stays fully
+    // deterministic (same values as the window formulation). The rank
+    // input is projected to exactly (source, doc_id, _h): the weight
+    // column would ride the range exchange as prunable payload
+    // (RangeRank's reuse invariant), and nothing downstream of the rank
+    // needs it — the quota relation carries p's consequence.
+    val ranked = RangeRank.ranked(
+        targeted.select(col("source"), col("doc_id")).withColumn("_h",
+          graft.functions.TextAnalysis.md5RankOrder(col("doc_id")).head),
+        "source", Seq("_h", "doc_id"))
+      .withColumn("rk", col("_rn"))
+      .select("source", "doc_id", "rk")
     val counts = targeted.groupBy("source").agg(count(lit(1)).as("n"))
     val withMissing = tRel
       .join(counts, Seq("source"), "left")

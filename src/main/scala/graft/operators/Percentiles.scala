@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact percentiles by RANGE SORT, not by buffering and not by
@@ -55,56 +54,17 @@ object Percentiles {
   /** Globally-ranked values: one row per non-null value with `_rn`
     * (1-based rank of `_v` within `key`), `_n` (group size) and `_pid`
     * (the physical partition that ranked it — exposed for the
-    * parallelism assertion in PercentilesSpec).
+    * parallelism assertion in PercentilesSpec). The mechanism — range
+    * repartition, partition-local ids, tiny offset relation — is the
+    * shared `RangeRank` operator; equal values are interchangeable
+    * under interpolation, so the positional tie order within a value
+    * run never changes a quantile.
     */
-  private[graft] def rankedByRange(df: DataFrame, key: String, value: String): DataFrame = {
-    // HARD REQUIREMENT: the stats branch and the rank branch below both
-    // reference the same range exchange, and correctness depends on it
-    // materializing ONCE (exchange reuse). Without reuse each branch
-    // would sample its OWN range boundaries (RangePartitioner seeds from
-    // the RDD id), the layouts would diverge, and the offsets joined
-    // back by (_pid, key) would describe the wrong partitions — silently
-    // wrong quantiles. Fail loudly instead.
-    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
-      "Percentiles.exactQuantiles requires spark.sql.exchange.reuse=true " +
-        "(rank offsets are only valid against a single materialization of the range exchange)")
-    val vals = df
-      .select(col(key), col(value).cast("double").as("_v"))
-      .filter(col("_v").isNotNull)
-    // EXPLICIT partition count: both consuming branches below re-evaluate
-    // spark_partition_id/monotonically_increasing_id over their own read
-    // of the (reused) exchange, so the partition layout MUST be identical
-    // across reads. A numbered repartition is exempt from AQE's shuffle-
-    // read rewrites (coalescing/skew-split), which pins the layout; the
-    // count is the session's shuffle width — the cluster-sizing dial.
-    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = vals
-      .repartitionByRange(numParts, col(key), col("_v"))
-      .sortWithinPartitions(key, "_v")
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", spark_partition_id())
-    // per-(partition, key) stats: ≤ #partitions × #keys rows
-    val stats = sorted.groupBy(col("_pid"), col(key))
-      .agg(min(col("_mid")).as("_m0"), count(lit(1)).as("_c"))
-    val wKey = Window.partitionBy(key)
-    val offsets = stats
-      .withColumn("_off", coalesce(
-        sum(col("_c")).over(wKey.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("_n", sum(col("_c")).over(wKey))
-      .select(col("_pid"), col(key), col("_m0"), col("_off"), col("_n"))
-    // No broadcast hint on offsets: it is bounded by #partitions × #keys,
-    // but #keys is data-dependent — a high-cardinality group key makes
-    // this ~one row per distinct key, and a forced broadcast bypasses the
-    // size threshold straight into a driver OOM at exactly the scale this
-    // operator targets. AQE broadcasts it whenever it is actually small
-    // (always, for sane key cardinalities). Correctness is join-strategy-
-    // independent: _mid/_pid are computed BELOW any join exchange, against
-    // the pinned range layout, so even a shuffle join only costs time.
-    sorted.join(offsets, Seq("_pid", key))
-      .withColumn("_rn", col("_mid") - col("_m0") + col("_off") + 1)
-      .select(col(key), col("_v"), col("_rn"), col("_n"), col("_pid"))
-  }
+  private[graft] def rankedByRange(df: DataFrame, key: String, value: String): DataFrame =
+    RangeRank.ranked(
+      df.select(col(key), col(value).cast("double").as("_v"))
+        .filter(col("_v").isNotNull),
+      key, Seq("_v"))
 
   /** @param quantiles (output column name, p) pairs, each 0 ≤ p ≤ 1
     * @return one row per key: key, each quantile column (rounded to 6

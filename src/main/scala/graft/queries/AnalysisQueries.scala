@@ -76,30 +76,12 @@ object AnalysisQueries {
     // matters at scale). Per-term ln(c/N) is rounded to 6dp then summed
     // as DECIMAL so the per-doc sum is EXACT and engine-portable (a
     // double sum would diverge on association order at corpus width).
-    // Scale: one (doc,term) aggregate, one term-keyed window for c(term)
-    // (reuses the q_tfidf 2-scan shape), scalar N broadcast, one doc
-    // aggregate.
-    "q_lm_score" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // N = total token count — a MAP-SIDE size(tokenize) projection to a
-      // scalar, NOT tf.agg(sum): that formulation re-derives the whole
-      // (doc,term) aggregate, re-tokenizing and re-shuffling the corpus
-      // for one number (measured: a full extra corpus exchange)
-      val n = docs(s, dir)
-        .agg(sum(size(Text.tokenize(col("text")))).cast("long").as("n_corpus"))
-      tf.withColumn("c", sum(col("tf")).over(Window.partitionBy("term")))
-        .crossJoin(broadcast(n))
-        .withColumn("w",
-          round(log(col("c").cast("double") / col("n_corpus")), 6)
-            .cast("decimal(20,6)") * col("tf"))
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).as("dl"), sum(col("w")).as("sw"))
-        .select(col("doc_id"), col("dl"),
-          round(col("sw").cast("double") / col("dl"), 6).as("avg_logp"))
-    }),
+    // Served from the persisted term-statistics store: stored tf joined
+    // with the vocab-sized c(term) relation (the former sum-over-window
+    // serialized each hot term onto one AQE-unsplittable task), scalar
+    // N broadcast, one doc aggregate. (TermScoring.lmScoreOver is the
+    // direct twin; TermStatsSpec pins stored ≡ direct bit-for-bit.)
+    "q_lm_score" -> ((s, dir) => graft.sources.TermStatsStore.lmScore(s, dir)),
 
     // Corpus-wide top word-2-grams by occurrence count (⊕ LLM-pipeline):
     // the pair-statistics pass BPE/WordPiece tokenizer training runs over

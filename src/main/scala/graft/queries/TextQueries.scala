@@ -76,14 +76,19 @@ object TextQueries {
     "q_bool_and" -> ((s, dir) => BooleanQuery.and(storedPostings(s, dir), Seq("spark", "hash"))),
 
     // ranked retrieval: tf-idf-scored top-10 for a two-term query — the
-    // scoring counterpart of the boolean family (see
-    // InvertedIndex.rankedSearch for the one-scan scale shape)
+    // scoring counterpart of the boolean family, served from the
+    // persisted term-statistics store: the query-term filter prunes the
+    // bucketed tf relation to its terms' buckets, df/N come from the
+    // vocab-sized stats/scalars relations, and the corpus is never
+    // re-tokenized at query time (InvertedIndex.rankedSearch is the
+    // direct twin; TermStatsSpec pins them bit-for-bit equal)
     "q_ranked_search" -> ((s, dir) =>
-      InvertedIndex.rankedSearch(docs(s, dir), Seq("spark", "hash"), 10)),
+      graft.sources.TermStatsStore.rankedSearch(s, dir, Seq("spark", "hash"), 10)),
 
-    // BM25 for the same query: saturated tf + length normalization
+    // BM25 for the same query: saturated tf + length normalization,
+    // served from the same store (doc lengths + corpus scalars persisted)
     "q_bm25" -> ((s, dir) =>
-      InvertedIndex.bm25Search(docs(s, dir), Seq("spark", "hash"), 10)),
+      graft.sources.TermStatsStore.bm25(s, dir, Seq("spark", "hash"), 10)),
 
     "q_bool_or" -> ((s, dir) => BooleanQuery.or(storedPostings(s, dir), Seq("spark", "hash"))),
 
@@ -105,30 +110,18 @@ object TextQueries {
         .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))),
 
-    // tf-idf: tf × ln(N/df). df comes from a count-over-window ON the tf
-    // relation (one row per distinct (doc, term), so rows-per-term IS
-    // document frequency): the corpus is scanned and (doc_id, term)-shuffled
-    // ONCE, then one term-keyed exchange feeds the window — 2 scans total
-    // (tf + the scalar N) instead of the 3 a separate postings→docFreq
-    // branch costs. A tf.groupBy(term) self-join can't get there: Catalyst
-    // rewrites the df branch's copy of the tf aggregate into a distinct-only
-    // aggregate (count elimination + column pruning), so the two exchanges
-    // never canonicalize equal and the corpus is scanned/shuffled twice.
-    // The count-only window buffers each term partition (hot terms spill);
-    // that replaces a full second pass over the corpus, the right trade at
-    // any SF. The scalar N is a single row, safe to broadcast at any scale.
-    // Rounded to 6dp on both sides — ln() libm rounding is engine-specific.
-    "q_tfidf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(Text.tokensNoStop(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val n = docs(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("term"), col("tf"),
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
-    }),
+    // tf-idf: tf × ln(N/df), served from the persisted term-statistics
+    // store — the stored tf relation joined with the vocab-sized df
+    // relation (map-side partial agg collapsed hot terms at build; the
+    // join is AQE-skew-splittable). The former count-over-window
+    // formulation put every row of a hot term on ONE task — a straggler
+    // AQE cannot split, since it splits join/agg skew but never window
+    // partitions — and re-derived df inside every call. The scalar N is
+    // a single broadcast row at any scale. Rounded to 6dp on both
+    // sides — ln() libm rounding is engine-specific.
+    // (TermScoring.tfidfOver is the direct twin; TermStatsSpec pins
+    // stored ≡ direct bit-for-bit.)
+    "q_tfidf" -> ((s, dir) => graft.sources.TermStatsStore.tfidf(s, dir)),
 
     // Window function (SURVEY §2.2): top-3 terms by document frequency per
     // source, rank via row_number with a deterministic term tie-break.

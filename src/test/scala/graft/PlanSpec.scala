@@ -50,24 +50,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered, not a global sort")
   }
 
-  test("q_lm_score: three corpus exchanges, scalar N from a map-side projection") {
-    val p = plan("q_lm_score")
-    // tf aggregate + term-keyed window + per-doc aggregate — and NOT a
-    // fourth from the scalar N re-deriving the tf subtree (its branch
-    // must be a map-side size(tokenize) projection into SinglePartition)
-    assert(shuffles(p) === 3, s"N branch must not re-shuffle the corpus:\n$p")
-    assert("Exchange SinglePartition".r.findAllIn(p.toString).length === 1,
-      s"scalar N should be one single-partition aggregate:\n$p")
-    assert(p.contains("partial_count"), "tf must pre-aggregate map-side")
+  test("q_lm_score: store-served — no corpus re-tokenization, one doc-agg exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q_lm_score")(spark, dir)
+    df.collect() // AQE: inspect the final plan the run actually used
+    val p = df.queryExecution.executedPlan
+    // every scan reads a persisted store relation (tf/stats/scalars) —
+    // the corpus itself is never re-read, let alone re-tokenized
+    val scans = PlanScans.fileScans(p)
+    assert(scans.nonEmpty)
+    assert(scans.forall(s => !s.toString.contains("documents.parquet")),
+      s"q_lm_score must serve from the term-stats store:\n$p")
+    // exactly ONE data-sized exchange: the per-doc aggregate. c(term)
+    // joins in from the vocab-sized stats relation (broadcast here;
+    // skew-splittable shuffle join at scale — never a term window), and
+    // the scalar N is a broadcast row
+    val ex = PlanScans.nodes(p) { case e: ShuffleExchangeExec => e }
+    assert(ex.size === 1, s"expected only the doc-aggregate exchange:\n$p")
   }
 
-  test("q_mix: one data-sized rank exchange; counts branch pruned to the source column") {
+  test("q_mix: data-sized RANGE rank exchange, no per-source sort wall; counts pruned") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q_mix")(spark, dir)
     df.collect() // AQE: inspect the FINAL plan the run actually used
     val p = df.queryExecution.executedPlan
     val scans = PlanScans.fileScans(p)
-    // two pruned scans: (doc_id, source) under the rank window and a
+    // two pruned scans: (doc_id, source) under the rank and a
     // source-ONLY scan feeding the partial-aggregated counts branch —
     // never a full-schema read of documents
     assert(scans.size === 2, s"expected the rank + counts scans:\n$p")
@@ -75,14 +84,21 @@ class PlanSpec extends AnyFunSuite {
       s"counts scan must prune to the source column:\n$p")
     assert(scans.forall(!_.schema.fieldNames.contains("text")),
       s"no branch may read the text column:\n$p")
-    // live shuffles: the data-sized rank window exchange, the counts
-    // exchange (source-cardinality after partial_count), and the
-    // SinglePartition scalar-min for K (≤ |sources| rows) — exactly one
-    // of the three carries corpus rows
+    // the ONLY corpus-row exchange is RangeRank's range repartition — a
+    // hot source spans many partitions. The former
+    // row_number-over-partitionBy(source) hash exchange put each
+    // source's full doc mass on one task; no corpus rows may hash on
+    // source anymore, and the only windows left are over RangeRank's
+    // tiny (≤ partitions × sources) offsets relation
     val xch = PlanScans.nodes(p) { case s: ShuffleExchangeExec => s }
-    assert(xch.count(_.outputPartitioning.toString.startsWith("hashpartitioning")) === 2
-      && xch.count(_.outputPartitioning.toString == "SinglePartition") === 1,
-      s"expected rank + partial-agg + scalar-K exchanges only:\n$p")
+    assert(xch.count(_.outputPartitioning.toString.startsWith("rangepartitioning")) === 1,
+      s"expected exactly the RangeRank range exchange:\n$p")
+    val wins = PlanScans.nodes(p) { case w: WindowExec => w }
+    assert(wins.forall(w => PlanScans.nodes(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty),
+      s"every window must run over the AGGREGATED offsets relation " +
+        s"(the straggler shape windows raw corpus rows):\n$p")
     assert(p.toString.contains("partial_count"),
       "counts must partial-aggregate map-side before their exchange")
   }
