@@ -126,6 +126,11 @@ object Bench {
     val dedupBuildSec =
       try {
         graft.queries.DedupQueries.DedupStore.clusters(spark, sfDir).count()
+        // the streamed-ingest store q_curate_streamed serves from: three
+        // incremental processBatch passes — the same build-once
+        // attribution (timing the ingest inside the query would charge
+        // every snapshot cut for the whole corpus's accumulation)
+        graft.queries.DedupQueries.DedupStore.streamedStorePath(spark, sfDir): Unit
         (System.nanoTime() - tDedup) / 1e9
       } catch { case _: Throwable => -1.0 }
     // one-time derived-store builds for the layout/co-location queries —
@@ -225,19 +230,19 @@ object Bench {
         case _ => -1.0
       }
 
-    // timings serialize at few decimal places (≥0.1 ms — far below
+    // timings serialize at few decimal places (≥10 ms — far below
     // run-to-run noise): at full double precision the 61-entry queries map
     // pushed the JSON line past the ~2 KB stdout tail the driver retains,
     // decapitating the line and recording parsed:null (BENCH_r04–r06).
-    // The per-query map uses 3 decimals (1 ms) — at 64 registered queries
-    // the 4-decimal line had crept back to ~1.9 KB
+    // The per-query map uses 2 decimals since r10 — the 3-decimal line
+    // was at 1 841 B of the cap at 72 queries and r10 adds more
     def fx(v: Double, scale: Int): String =
       java.math.BigDecimal.valueOf(v).setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
     def f4(v: Double): String = fx(v, 4)
-    def f3(v: Double): String = fx(v, 3)
+    def f2(v: Double): String = fx(v, 2)
     // queries/total carry error-free timings only: an errored query lives
     // in `errors` alone (its wall time is an artifact of where it failed)
-    val qs = results.collect { case (k, v, None) => esc(k) + ":" + f3(v) }
+    val qs = results.collect { case (k, v, None) => esc(k) + ":" + f2(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => esc(k) + ":" + esc(e) }
       .mkString("{", ",", "}")

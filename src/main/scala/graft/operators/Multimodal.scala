@@ -12,12 +12,19 @@ import org.apache.spark.sql.functions._
   * codegen'd built-ins), and the `mapPartitions` decode plumbing with its
   * per-partition initialization and fixed feature shape.
   *
-  * What is a STUB: `decodeFeaturesStub`'s math. No image/audio codec
-  * ships in this container, so the "decode" is a deterministic byte
-  * histogram standing in for a real `decoder.decode(bytes)` call; a
-  * deployment swaps exactly that one line (the partition-local `codec`
-  * value) for a JNI/ffi codec handle, keeping the batching, schema, and
-  * lifecycle unchanged.
+  * Decode has TWO codecs behind one batched interface (`BatchCodec`),
+  * selected by `spark.graft.multimodal.codec` (the same conf-gate
+  * pattern as `spark.graft.fetch.live` in `sources/Corpus`):
+  *
+  *   - `stub` (default, the CI path): a deterministic normalized byte
+  *     histogram — correct shape/lifecycle, no codec dependency;
+  *   - `imageio`: a REAL image decode via the JDK's `javax.imageio`
+  *     (PNG/JPEG/BMP/GIF, headless-safe, no external library) —
+  *     features are the luminance histogram of the decoded pixels;
+  *     payloads ImageIO cannot decode yield the all-zero vector (the
+  *     quarantine convention). Audio/video codecs don't ship in the
+  *     JDK; a deployment adds a third `BatchCodec` for them, keeping
+  *     the batching, schema, and lifecycle unchanged.
   */
 object Multimodal {
 
@@ -45,34 +52,99 @@ object Multimodal {
       substring(payload, (i * step + 1).cast("int"), lit(frameBytes))
     })
 
-  /** Batched per-partition decode: `(id, payload)` → fixed-dim feature
-    * vector. The codec is initialized once per partition (the expensive
-    * part with a real decoder); rows stream through it.
-    *
-    * STUB: features are a normalized 16-bin byte histogram — a
-    * deterministic fake with the correct shape/lifecycle, NOT a real
-    * decoder (none exists in this environment).
+  /** The batched decode interface `decodeFeatures` initializes once per
+    * partition. The BATCH signature is the real contract: hardware
+    * decoders and vectorized runtimes amortize per-call overhead across
+    * a batch (the same shape a Pandas UDF sees its Arrow batches in),
+    * never one call per row.
     */
-  def decodeFeaturesStub(df: DataFrame, dims: Int = 16,
-                         batchSize: Int = 64): DataFrame = {
+  sealed trait BatchCodec extends Serializable {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** CI-path stub: deterministic normalized byte histogram — correct
+    * feature shape and normalization, no codec dependency.
+    */
+  final class StubCodec(dims: Int) extends BatchCodec {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = payloads.map { bytes =>
+      val hist = new Array[Float](dims)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) % dims) += 1f; i += 1 }
+      val n = math.max(1, bytes.length).toFloat
+      hist.map(_ / n)
+    }
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (no external
+    * library; headless-safe): features = normalized luminance histogram
+    * (ITU-R 601 integer weights) of the decoded pixels. A payload
+    * ImageIO cannot decode (or an empty image) yields the ALL-ZERO
+    * vector — distinguishable from any decoded image, whose histogram
+    * sums to 1 — so corrupt payloads are quarantinable downstream.
+    */
+  final class ImageIoCodec(dims: Int) extends BatchCodec {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = payloads.map { bytes =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      val hist = new Array[Float](dims)
+      if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum * dims / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (img.getWidth.toLong * img.getHeight).toFloat
+        var i = 0
+        while (i < dims) { hist(i) /= n; i += 1 }
+      }
+      hist
+    }
+  }
+
+  /** Conf key selecting the decode codec (gate pattern of
+    * `spark.graft.fetch.live`): `stub` (default) | `imageio`.
+    */
+  val CodecConfKey = "spark.graft.multimodal.codec"
+
+  private def makeCodec(name: String, dims: Int): BatchCodec = name match {
+    case "stub" => new StubCodec(dims)
+    case "imageio" => new ImageIoCodec(dims)
+    case other => throw new IllegalArgumentException(
+      s"unknown multimodal codec '$other' ($CodecConfKey): stub | imageio")
+  }
+
+  /** Batched per-partition decode: `(doc_id, payload)` → fixed-dim
+    * feature vector, with the codec chosen by `CodecConfKey` and
+    * initialized ONCE per partition (the expensive part with a real
+    * decoder); rows stream through it in `batchSize` groups.
+    */
+  def decodeFeatures(df: DataFrame, dims: Int = 16, batchSize: Int = 64): DataFrame = {
+    val codecName = df.sparkSession.conf.get(CodecConfKey, "stub")
+    makeCodec(codecName, dims): Unit // unknown name fails fast, on the driver
+    decodeWith(df, codecName, dims, batchSize)
+  }
+
+  /** The stub path explicitly (CI determinism regardless of session conf). */
+  def decodeFeaturesStub(df: DataFrame, dims: Int = 16, batchSize: Int = 64): DataFrame =
+    decodeWith(df, "stub", dims, batchSize)
+
+  private def decodeWith(df: DataFrame, codecName: String, dims: Int,
+                         batchSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // partition-local "codec" — swap this for a real decoder handle.
-        // The BATCH signature is the real contract: hardware decoders and
-        // vectorized runtimes amortize per-call overhead across a batch,
-        // so rows flow through in `batchSize` groups (same shape a Pandas
-        // UDF sees its Arrow batches in), never one call per row.
-        val codecBatch: Seq[Array[Byte]] => Seq[Array[Float]] = _.map { bytes =>
-          val hist = new Array[Float](dims)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) % dims) += 1f; i += 1 }
-          val n = math.max(1, bytes.length).toFloat
-          hist.map(_ / n)
-        }
+        val codec = makeCodec(codecName, dims) // once per partition
         it.grouped(batchSize).flatMap { batch =>
-          val feats = codecBatch(batch.map(b => Option(b._2).getOrElse(Array.empty[Byte])))
+          val feats = codec.decodeBatch(batch.map(b => Option(b._2).getOrElse(Array.empty[Byte])))
           batch.map(_._1).zip(feats)
         }
       }

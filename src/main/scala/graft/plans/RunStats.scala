@@ -44,6 +44,17 @@ case class RunStats(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "run_stats"
 
+  // registered as a user-callable SQL function (GraftExtensions): misuse
+  // must fail at ANALYSIS with a readable message, not as a runtime
+  // ClassCastException inside the generated code
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(arrAny: Any): Any = {
     val arr = arrAny.asInstanceOf[ArrayData]
     val len = arr.numElements()

@@ -27,6 +27,19 @@ object DedupQueries {
     // the other dedup queries already materialized it.
     "q_curate" -> ((s, dir) => curate(docs(s, dir), DedupStore.clusters(s, dir))),
 
+    // The SAME curation but served from the ACCUMULATED streaming-ingest
+    // store (`curateStreamed`): the corpus is fed through
+    // `StreamingDedup.processBatch` in deterministic micro-batches into a
+    // session-scoped store (built once, untimed in Bench), and curation
+    // reads the accumulated pair relation — the snapshot-cut shape a
+    // continuously-ingesting stack runs. Oracled with the identical SQL
+    // as `q_curate`: the streamed store is contract-equal to the batch
+    // LSH run, so a store-layout or collapse-rule change that breaks the
+    // equivalence fails CORRECTNESS here instead of only a unit spec.
+    "q_curate_streamed" -> ((s, dir) =>
+      curateStreamed(docs(s, dir).select("doc_id", "text"),
+        DedupStore.streamedStorePath(s, dir))),
+
     // Pins the minSharedRare=1 vs =2 recall divergence IN the correctness
     // artifact (not only in DedupSpec): pair counts under both settings
     // plus the pairs the =2 opt-in drops, oracle-checked — a corpus or
@@ -218,6 +231,32 @@ object DedupQueries {
         c
       })
     }
+
+    private var streamedStoreCache = Map.empty[(SparkSession, String), String]
+
+    /** Path of a session-scoped `StreamingDedup` store holding `dir`'s
+      * corpus INGESTED INCREMENTALLY — the corpus split into three
+      * deterministic micro-batches (doc_id mod 3, ids 0/1/2) and fed
+      * through `processBatch`, so the store exercises the real
+      * accumulate path (new×old candidates against the growing
+      * signature store) rather than one batch-sized pass. Built once
+      * per (session, dir); files live under the `SessionStores` process
+      * scope and are deleted by its end-of-process hook.
+      */
+    def streamedStorePath(s: SparkSession, dir: String): String = lock.synchronized {
+      pruneStopped()
+      streamedStoreCache = streamedStoreCache.filter(!_._1._1.sparkContext.isStopped)
+      streamedStoreCache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_streamcur",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val d = Corpus.documents(s, dir).select("doc_id", "text")
+        for (b <- 0 until 3)
+          graft.streaming.StreamingDedup.processBatch(
+            d.filter(col("doc_id") % 3 === b), b, path)
+        streamedStoreCache += (s, dir) -> path
+        path
+      })
+    }
   }
 
   /** Tokens (stopwords kept) per doc — mirror of `Text.tokenize`. */
@@ -259,37 +298,13 @@ object DedupQueries {
       s"($k, $a, $b)"
     }.mkString(", ")
 
-  val oracles: Map[String, String] = Map(
-    "q_dedup_exact" ->
-      """WITH fp AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z\s]', '', 'g')) AS fp
-        |  FROM documents
-        |)
-        |SELECT doc_id, fp,
-        |       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
-        |       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
-        |FROM fp""".stripMargin,
-
-    "q_dedup_near" -> nearDupSql,
-
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
-         |), sym AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-         |), nodes AS (
-         |  SELECT DISTINCT src AS node FROM sym
-         |), reach(node, lab) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
-         |)
-         |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
-
-    "q_curate" ->
-      s"""WITH RECURSIVE pairs AS (
+  /** Shared oracle of the batch (`q_curate`) and streamed
+    * (`q_curate_streamed`) curation paths: the streamed store is
+    * contract-equal to the batch LSH run (StreamingSpec proves pair-set
+    * equality), so one SQL covers both registrations.
+    */
+  private lazy val curateOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (
          |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
          |), sym AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -328,7 +343,41 @@ object DedupQueries {
          |)
          |SELECT qscore.doc_id, quality
          |FROM qscore LEFT JOIN comp ON qscore.doc_id = comp.doc_id
-         |WHERE quality >= 0.75 AND (cluster_id IS NULL OR cluster_id = qscore.doc_id)""".stripMargin,
+         |WHERE quality >= 0.75 AND (cluster_id IS NULL OR cluster_id = qscore.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z\s]', '', 'g')) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp,
+        |       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+        |FROM fp""".stripMargin,
+
+    "q_dedup_near" -> nearDupSql,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
+         |), sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM sym
+         |), reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
+         |)
+         |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+    "q_curate" -> curateOracleSql,
+
+    "q_curate_streamed" -> curateOracleSql,
+
 
     "q_simhash" -> simhashSql,
 

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions.col
   * leaves table-sized garbage (a full z-ordered lineitem copy, bucketed
   * lineitem+orders) accumulating in the temp dir.
   */
-private[sources] object SessionStores {
+private[graft] object SessionStores {
 
   val processScope: String = java.util.UUID.randomUUID().toString.take(8)
 

@@ -21,16 +21,29 @@ object StoreMaintenance {
     * two sinks mistakenly started over one store (exactly the operator
     * error this guard exists to catch) must both stay visible — a
     * last-write-wins slot would let stopping the second unlock a
-    * compact while the first still appends. In-process scope is the
-    * honest contract: a store fed by a query in ANOTHER JVM cannot be
-    * detected from here (nor can one registered between this JVM's
-    * `.start()` and its registration — a micro-window only a compact
-    * racing the stream's own startup could hit), and the
+    * compact while the first still appends. Entries are either live
+    * `StreamingQuery`s or PENDING tokens: a sink registers the path
+    * BEFORE calling `.start()` (`beginIngest`) and swaps the token for
+    * the query afterwards (`completeIngest`), so there is no window in
+    * which a compact racing the stream's own startup could pass the
+    * guard. In-process scope is the honest contract: a store fed by a
+    * query in ANOTHER JVM cannot be detected from here, and the
     * pause-compact-resume discipline for multi-process deployments
     * remains an operational rule.
     */
-  private val activeIngest = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.Set[org.apache.spark.sql.streaming.StreamingQuery]]()
+  private val activeIngest =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[AnyRef]]()
+
+  /** Pending-startup token: counts as ACTIVE for the compact guard until
+    * the sink swaps it for the started query (or aborts a failed start).
+    */
+  private[streaming] final class PendingIngest
+
+  private def entryActive(e: AnyRef): Boolean = e match {
+    case q: org.apache.spark.sql.streaming.StreamingQuery => q.isActive
+    case _: PendingIngest => true
+    case _ => false
+  }
 
   /** One spelling per store: equivalent relative/absolute/scheme-
     * qualified paths must collide in the registry, or a compact aimed at
@@ -42,37 +55,81 @@ object StoreMaintenance {
     p.getFileSystem(conf).makeQualified(p).toString
   }
 
-  private[graft] def registerIngest(conf: org.apache.hadoop.conf.Configuration,
-                                    storePath: String,
-                                    query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+  /** Register a PENDING ingest over `storePath` — call BEFORE
+    * `.start()`, then `completeIngest` with the started query (or
+    * `abortIngest` if the start threw). The token holds the compact
+    * guard closed across the startup window.
+    */
+  private[graft] def beginIngest(conf: org.apache.hadoop.conf.Configuration,
+                                 storePath: String): PendingIngest = {
     // global sweep of stopped queries on every registration: without it a
     // long-lived JVM starting and stopping many streams over paths it
     // never compacts would pin every StreamingQuery ever started
-    activeIngest.values.forEach(_.removeIf(q => !q.isActive))
+    activeIngest.values.forEach(_.removeIf(e => !entryActive(e)))
+    val token = new PendingIngest
     activeIngest.computeIfAbsent(qualified(storePath, conf),
-      _ => java.util.concurrent.ConcurrentHashMap.newKeySet()).add(query): Unit
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet()).add(token)
+    token
+  }
+
+  /** Swap a pending token for its started query: the query is added
+    * BEFORE the token is removed, so the guard never sees a gap.
+    */
+  private[graft] def completeIngest(conf: org.apache.hadoop.conf.Configuration,
+                                    storePath: String, token: PendingIngest,
+                                    query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val qs = activeIngest.get(qualified(storePath, conf))
+    if (qs != null) { qs.add(query); qs.remove(token): Unit }
+  }
+
+  /** Drop a pending token whose `.start()` threw — nothing is appending. */
+  private[graft] def abortIngest(conf: org.apache.hadoop.conf.Configuration,
+                                 storePath: String, token: PendingIngest): Unit = {
+    val qs = activeIngest.get(qualified(storePath, conf))
+    if (qs != null) qs.remove(token): Unit
+  }
+
+  /** Start a streaming sink with the begin/complete/abort registration
+    * bracket — the one spelling all three stores share.
+    */
+  private[graft] def registeredStart(conf: org.apache.hadoop.conf.Configuration,
+                                     storePath: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = beginIngest(conf, storePath)
+    val query =
+      try start
+      catch { case t: Throwable => abortIngest(conf, storePath, token); throw t }
+    completeIngest(conf, storePath, token, query)
+    query
   }
 
   /** Throw unless EVERY registered ingest query over `storePath` has
-    * stopped. Stopped entries are swept; EMPTY sets are deliberately
-    * left in the map — removing one by identity races a concurrent
-    * `registerIngest` that just added an active query to the same set
-    * instance, silently unregistering it. An empty key-set per
-    * store-path-ever-compacted is a bounded, harmless residue.
+    * stopped (a PENDING startup token counts as active). Stopped entries
+    * are swept; EMPTY sets are deliberately left in the map — removing
+    * one by identity races a concurrent `beginIngest` that just added an
+    * active entry to the same set instance, silently unregistering it.
+    * An empty key-set per store-path-ever-compacted is a bounded,
+    * harmless residue.
     */
   private[graft] def assertIngestStopped(conf: org.apache.hadoop.conf.Configuration,
                                          storePath: String): Unit = {
     val key = qualified(storePath, conf)
     val qs = activeIngest.get(key)
     if (qs != null) {
-      qs.forEach { q =>
-        if (q.isActive)
+      qs.forEach {
+        case q: org.apache.spark.sql.streaming.StreamingQuery if q.isActive =>
           throw new IllegalStateException(
             s"compact refused: streaming ingest query ${q.id} is still active over " +
               s"$storePath — stop it first (pause-compact-resume), then compact, " +
               "then restart from the same checkpoint")
+        case _: PendingIngest =>
+          throw new IllegalStateException(
+            s"compact refused: a streaming ingest query is STARTING over $storePath " +
+              "— wait for its startup to complete, stop it, then compact")
+        case _ => ()
       }
-      qs.removeIf(q => !q.isActive): Unit
+      qs.removeIf(e => !entryActive(e)): Unit
     }
   }
 

@@ -46,7 +46,8 @@ import graft.operators.Dedup
   *     excluded, as in batch), stamped with the append wall-clock for
   *     latest-wins version collapse;
   *   - `sigs/`    (doc_id, band, sig): banded MinHash signatures;
-  *   - `pairs/`   (doc_a, doc_b, jaccard): verified near-dup pairs;
+  *   - `pairs/`   (doc_a, doc_b, jaccard, ingest_ms): verified near-dup
+  *     pairs, stamped like the hashes so re-verifications supersede;
   *   - `_graft_commits/<scope>/<batchId>`: per-batch commit markers,
   *     scoped by checkpoint lineage exactly like `StreamingIndex`.
   *
@@ -68,11 +69,13 @@ import graft.operators.Dedup
   * but every read — the verify join, the `hashes` accessor, and the
   * compaction rewrite — collapses to ONE deterministic version per
   * doc_id (`canonicalByDoc`: LATEST ingest stamp wins, so corrective
-  * re-sends take effect), and a pair re-verified against a newer
-  * version serves the max jaccard over observed versions (`pairs`) —
-  * downstream curation never sees conflicting versions. Pairs verified
-  * in earlier batches against a superseded version are not re-examined
-  * unless re-discovered (append-only pair store).
+  * re-sends take effect). Pairs follow the same discipline: the batch
+  * that re-sends a doc RE-VERIFIES every stored pair touching it
+  * against the new canonical versions and appends the result with the
+  * batch's stamp — latest verification wins at read, and a re-verified
+  * jaccard below the sink threshold DISSOLVES the pair (`pairs` filters
+  * it out), so downstream curation never serves a pairing the current
+  * document versions no longer support.
   */
 object StreamingDedup {
 
@@ -98,7 +101,8 @@ object StreamingDedup {
   private val pairSchema = StructType(Seq(
     StructField("doc_a", LongType),
     StructField("doc_b", LongType),
-    StructField("jaccard", DoubleType)))
+    StructField("jaccard", DoubleType),
+    StructField("ingest_ms", LongType)))
 
   /** Start the incremental near-dup sink over a document stream. The
     * LSH parameters MUST stay fixed for the lifetime of a store —
@@ -110,19 +114,19 @@ object StreamingDedup {
                   threshold: Double = 0.5): StreamingQuery = {
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     val scope = StreamingIndex.commitScope(checkpointDir, conf)
-    val query = docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val appended =
-          processBatch(batch, batchId, storePath, scope, n, numBands, bandSize, threshold)
-        // a SKIPPED replay still executes the batch plan so any stateful
-        // upstream operator commits its state store
-        if (!appended) StoreMaintenance.noopExecute(batch)
-      }
-      .start()
-    StoreMaintenance.registerIngest(conf, storePath, query)
-    query
+    StoreMaintenance.registeredStart(conf, storePath) {
+      docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val appended =
+            processBatch(batch, batchId, storePath, scope, n, numBands, bandSize, threshold)
+          // a SKIPPED replay still executes the batch plan so any stateful
+          // upstream operator commits its state store
+          if (!appended) StoreMaintenance.noopExecute(batch)
+        }
+        .start()
+    }
   }
 
   /** Largest batch signature-row count (documents × numBands — the
@@ -160,13 +164,13 @@ object StreamingDedup {
       val newHash = Dedup.materializeOnce(
         Dedup.shingleHashFrame(batch.select("doc_id", "text"), n)
           .filter(size(col("sh")) > 0))
+      val nNewDocs = newHash.count() // cached-metadata read (checkpointed)
       val newSigs = Dedup.minhashBands(newHash, numBands, bandSize)
 
       val oldSigs = StoreMaintenance.readOrEmpty(spark, sigsPath(storePath), sigSchema)
       val allSigs = oldSigs.select("doc_id", "band", "sig")
         .unionByName(newSigs.select("doc_id", "band", "sig"))
-      // newHash is checkpointed, so the count is a cached-metadata read,
-      // not a recompute; the cap is on the broadcast PAYLOAD (sig rows).
+      // the cap is on the broadcast PAYLOAD (sig rows).
       // cands feeds BOTH the candidate-id filter and the verify joins
       // below — persist (spillable) so each consumer reads the computed
       // relation instead of re-running the store-scanning candidate join.
@@ -175,46 +179,91 @@ object StreamingDedup {
       // release sweeps — an all-day stream would leak storage per batch;
       // the persist is dropped in the finally below.
       val cands = candidatePairs(newSigs, allSigs,
-        broadcastNew = newHash.count() * numBands <= MaxBroadcastSigRows).persist()
+        broadcastNew = nNewDocs * numBands <= MaxBroadcastSigRows).persist()
       try {
         val nCands = cands.count() // materialize before fan-out
+        // CORRECTIVE RE-SENDS must be able to LOWER or DISSOLVE a served
+        // pair, not only raise it: a pair verified against a superseded
+        // version would otherwise serve forever (append-only store).
+        // Every existing pair touching a re-sent doc_id is RE-VERIFIED
+        // in the batch that re-sends it, against the new canonical
+        // versions, and the result appends WITH this batch's stamp —
+        // including below-threshold jaccards, which act as dissolution
+        // markers at read time (`pairs` collapses latest-stamp-wins and
+        // filters on the threshold). Cost on the common no-re-send path:
+        // one column-pruned id scan of the hash store (the batch side is
+        // broadcast, the store never shuffled — same discipline as the
+        // candidate join); the pair store is only scanned when re-sent
+        // ids actually exist, and the touched relation is pair-store-
+        // sized (near-dup pairs, tiny relative to the corpus).
+        val newIds = newHash.select("doc_id")
+        val resent = StoreMaintenance
+          .readOrEmpty(spark, hashesPath(storePath), hashSchema)
+          .select("doc_id").distinct()
+          .join(if (2 * nNewDocs <= MaxBroadcastSigRows) broadcast(newIds) else newIds,
+            Seq("doc_id"), "left_semi")
+        val touched: DataFrame =
+          if (resent.isEmpty) cands.limit(0)
+          else {
+            val oldPairs = StoreMaintenance
+              .readOrEmpty(spark, pairsPath(storePath), pairSchema)
+            // re-sent ids ≤ batch size, so the broadcast cap that admitted
+            // the batch's sigs admits them; over-cap backfills fall back to
+            // AQE-planned joins like every other guarded broadcast here
+            val resentB =
+              if (2 * nNewDocs <= MaxBroadcastSigRows) broadcast(resent) else resent
+            oldPairs.join(resentB.withColumnRenamed("doc_id", "doc_a"),
+                Seq("doc_a"), "left_semi").select("doc_a", "doc_b")
+              .unionByName(oldPairs.join(resentB.withColumnRenamed("doc_id", "doc_b"),
+                Seq("doc_b"), "left_semi").select("doc_a", "doc_b"))
+              .distinct()
+          }
         // verify against the shingle sets of BOTH sides (old docs' sets come
-        // from the hash store; candidate pairs are few → the verify joins
-        // broadcast them against the store scan). The store side is first
-        // narrowed to the candidate doc_ids (semi-join — the store is
-        // scanned, never shuffled) and then collapsed to ONE row per
-        // doc_id: the store can carry replay-residual duplicate rows
+        // from the hash store; candidate + touched pairs are few → the
+        // verify joins broadcast them against the store scan). The store
+        // side is first narrowed to the pairs' doc_ids (semi-join — the
+        // store is scanned, never shuffled) and then collapsed to ONE row
+        // per doc_id: the store can carry replay-residual duplicate rows
         // (value-identical, any survivor is exact) or — if a doc_id is ever
         // re-sent with different text — conflicting versions; without the
         // collapse the verify join would emit one jaccard row PER version of
-        // each endpoint. max over the (size, sh, hv) struct makes the
-        // surviving version DETERMINISTIC (largest shingle set, ties broken
-        // lexicographically — arrival order never matters), and the collapse
-        // aggregate is candidate-sized, not corpus-sized. The id relation is
-        // force-broadcast only under the same payload cap as the sig side —
-        // a backfill-sized candidate set falls back to AQE-planned joins
-        // instead of OOMing the driver.
-        val candIds = cands.select(col("doc_a").as("doc_id"))
-          .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-        val candIdsB =
-          if (2 * nCands <= MaxBroadcastSigRows) broadcast(candIds) else candIds
+        // each endpoint. `canonicalByDoc` picks the LATEST ingest stamp
+        // (corrective re-sends take effect immediately), with the
+        // (size, sh, hv) struct only as the same-stamp tie-break; the
+        // collapse aggregate is candidate-sized, not corpus-sized. The id
+        // relation is force-broadcast only under the same payload cap as
+        // the sig side — a backfill-sized candidate set falls back to
+        // AQE-planned joins instead of OOMing the driver.
+        val verifyIds = cands.select(col("doc_a").as("doc_id"))
+          .unionByName(cands.select(col("doc_b").as("doc_id")))
+          .unionByName(touched.select(col("doc_a").as("doc_id")))
+          .unionByName(touched.select(col("doc_b").as("doc_id"))).distinct()
+        val verifyIdsB =
+          if (4 * nCands <= MaxBroadcastSigRows) broadcast(verifyIds) else verifyIds
         val allHash = canonicalByDoc(
           StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
             .select("doc_id", "sh", "hv", "ingest_ms")
             .unionByName(newHash.select("doc_id", "sh", "hv")
               .withColumn("ingest_ms", lit(ingestMs)))
-            .join(candIdsB, Seq("doc_id"), "left_semi"))
-        val newPairs = Dedup.verifyJaccard(cands, allHash, threshold).distinct()
+            .join(verifyIdsB, Seq("doc_id"), "left_semi"))
+        val newPairs = Dedup.verifyJaccard(cands, allHash, threshold)
+        // threshold 0.0 keeps every re-verified jaccard — a value that
+        // FELL below the sink threshold is exactly the dissolution the
+        // store must record
+        val reVerified = Dedup.verifyJaccard(touched, allHash, 0.0)
+        val pairRows = newPairs.unionByName(reVerified).distinct()
+          .withColumn("ingest_ms", lit(ingestMs))
 
         // three appends inside the marker window: at-least-once — a crash
         // mid-window re-appends on replay, collapsed by compactStore / the
-        // accessors
+        // accessors (the replayed re-verification scores against the same
+        // canonical versions, so re-appended rows stay value-identical)
         newHash.select("doc_id", "sh", "hv").withColumn("ingest_ms", lit(ingestMs))
           .write.mode(SaveMode.Append)
           .parquet(hashesPath(storePath))
         newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
           .parquet(sigsPath(storePath))
-        newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
+        pairRows.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
       } finally cands.unpersist(): Unit
     }
   }
@@ -244,18 +293,35 @@ object StreamingDedup {
       .distinct()
   }
 
-  /** The accumulated verified near-dup pair relation. Exact across the
-    * replay residual window (re-appended rows are value-identical), and
-    * DETERMINISTIC when a pair was re-verified against a re-sent doc's
-    * new version: the max jaccard over observed versions wins, the same
-    * on every read and across compactions (an arbitrary-survivor key
-    * dedup would flip the served value run to run).
+  /** The accumulated verified near-dup pair relation: ONE row per pair,
+    * LATEST verification wins (ingest_ms stamp — a pair re-verified
+    * against a corrective re-send serves the NEW jaccard, and one whose
+    * re-verified jaccard fell below the threshold is DROPPED, so
+    * downstream curation stops clustering docs that are no longer
+    * duplicates). `threshold` must be the threshold the sink ran with:
+    * re-verification appends below-threshold rows as dissolution
+    * markers, and this read is where they take effect. Exact across the
+    * replay residual window (re-appended rows are value-identical, any
+    * stamp order serves the same value); same-stamp ties break on the
+    * jaccard value (deterministic — both rows scored the same canonical
+    * versions). Pre-stamp rows (ingest_ms null, pre-existing stores)
+    * rank oldest, so the first stamped re-verification supersedes them.
     */
-  def pairs(spark: SparkSession, storePath: String): DataFrame =
-    canonicalPairs(StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema))
+  def pairs(spark: SparkSession, storePath: String, threshold: Double = 0.5): DataFrame =
+    canonicalPairRows(StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
 
-  private def canonicalPairs(p: DataFrame): DataFrame =
-    p.groupBy("doc_a", "doc_b").agg(max(col("jaccard")).as("jaccard"))
+  /** Latest-stamp-wins collapse KEEPING the stamp (compaction must
+    * preserve it — and must keep below-threshold dissolution rows, or a
+    * compact would resurrect the superseded pair on the next read).
+    */
+  private def canonicalPairRows(p: DataFrame): DataFrame =
+    p.groupBy("doc_a", "doc_b")
+      .agg(max(struct(coalesce(col("ingest_ms"), lit(Long.MinValue)).as("_t"),
+        col("jaccard"))).as("_m"))
+      .select(col("doc_a"), col("doc_b"), col("_m.jaccard").as("jaccard"),
+        col("_m._t").as("ingest_ms"))
 
   /** The accumulated shingle+hash frame — feed it to
     * `Dedup.jaccardPairsFromShingles` / `clusters` for the non-LSH dedup
@@ -321,7 +387,7 @@ object StreamingDedup {
       df => canonicalHashRows(df.select("doc_id", "sh", "hv", "ingest_ms")))
     StoreMaintenance.compactSub(spark, sigsPath(storePath), sigSchema,
       Seq("doc_id", "band", "sig"))
-    StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, canonicalPairs)
+    StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, canonicalPairRows)
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
   }

@@ -72,16 +72,16 @@ object StreamingEmbed {
                    bits: Int = 8, threshold: Double = 0.3): StreamingQuery = {
     val conf = embeddings.sparkSession.sparkContext.hadoopConfiguration
     val scope = StreamingIndex.commitScope(checkpointDir, conf)
-    val query = embeddings.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val appended = processBatch(batch, batchId, storePath, scope, bits, threshold)
-        if (!appended) StoreMaintenance.noopExecute(batch)
-      }
-      .start()
-    StoreMaintenance.registerIngest(conf, storePath, query)
-    query
+    StoreMaintenance.registeredStart(conf, storePath) {
+      embeddings.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val appended = processBatch(batch, batchId, storePath, scope, bits, threshold)
+          if (!appended) StoreMaintenance.noopExecute(batch)
+        }
+        .start()
+    }
   }
 
   /** One idempotent incremental micro-batch (testable replay unit — the

@@ -77,22 +77,22 @@ object StreamingIndex {
     // construction: after one migrated start the legacy tree is gone.
     if (migrateLegacyMarkers)
       migrateLegacyScope(path, legacyCommitScope(checkpointDir), scope, conf)
-    val query = postings.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val appended = appendBatch(batch, batchId, tableName, path, buckets, scope)
-        // a SKIPPED replay must still EXECUTE the batch plan: the engine
-        // validates that every stateful operator in the micro-batch
-        // (dropDuplicatesWithinWatermark here) committed its state store,
-        // and an unexecuted batch fails with
-        // STATE_STORE_COMMIT_VALIDATION_FAILED. The noop sink drives the
-        // plan — state advances, nothing is written.
-        if (!appended) batch.write.format("noop").mode("overwrite").save()
-      }
-      .start()
-    StoreMaintenance.registerIngest(conf, path, query)
-    query
+    StoreMaintenance.registeredStart(conf, path) {
+      postings.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val appended = appendBatch(batch, batchId, tableName, path, buckets, scope)
+          // a SKIPPED replay must still EXECUTE the batch plan: the engine
+          // validates that every stateful operator in the micro-batch
+          // (dropDuplicatesWithinWatermark here) committed its state store,
+          // and an unexecuted batch fails with
+          // STATE_STORE_COMMIT_VALIDATION_FAILED. The noop sink drives the
+          // plan — state advances, nothing is written.
+          if (!appended) batch.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+    }
   }
 
   /** Marker namespace for one checkpoint lineage (see `sinkToIndex`).

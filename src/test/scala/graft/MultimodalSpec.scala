@@ -42,4 +42,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.forall(_._2.length === 16))
     assert(math.abs(f1.head._2.sum - 1.0f) < 1e-6) // histogram normalized
   }
+
+  /** A real in-memory PNG: 4×4, left half black, right half white. */
+  private def pngBytes: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("imageio codec: REAL decode behind the conf gate; stub stays the default") {
+    val png = pngBytes
+    val data = Seq((10L, png), (11L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    // default (no conf): decodeFeatures IS the stub path
+    assert(Multimodal.decodeFeatures(data).orderBy("doc_id")
+      .as[(Long, Seq[Float])].collect().toSeq ===
+      Multimodal.decodeFeaturesStub(data).orderBy("doc_id")
+        .as[(Long, Seq[Float])].collect().toSeq)
+    spark.conf.set(Multimodal.CodecConfKey, "imageio")
+    try {
+      val real = Multimodal.decodeFeatures(data).orderBy("doc_id")
+        .as[(Long, Seq[Float])].collect().toMap
+      // 8 black pixels → luminance bin 0 at 0.5; 8 white → top bin at 0.5
+      assert(real(10L).head === 0.5f)
+      assert(real(10L).last === 0.5f)
+      assert(math.abs(real(10L).sum - 1.0f) < 1e-6)
+      // a payload ImageIO cannot decode quarantines as the zero vector
+      assert(real(11L).forall(_ === 0f) && real(11L).length === 16)
+      // PARITY on the metadata columns: metadata is payload-derived, so
+      // it must be IDENTICAL whichever codec the session runs
+      val metaReal = Multimodal.withMeta(data, $"payload")
+        .select($"doc_id", $"meta.n_bytes", $"meta.digest", $"meta.format")
+        .as[(Long, Long, String, String)].collect().toSet
+      spark.conf.set(Multimodal.CodecConfKey, "stub")
+      val metaStub = Multimodal.withMeta(data, $"payload")
+        .select($"doc_id", $"meta.n_bytes", $"meta.digest", $"meta.format")
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(metaReal === metaStub)
+      assert(metaReal.find(_._1 == 10L).get._4 === "png") // real PNG sniffs as png
+    } finally spark.conf.unset(Multimodal.CodecConfKey)
+    // unknown codec name fails fast on the driver
+    spark.conf.set(Multimodal.CodecConfKey, "ffmpeg")
+    try intercept[IllegalArgumentException](Multimodal.decodeFeatures(data))
+    finally spark.conf.unset(Multimodal.CodecConfKey)
+  }
 }

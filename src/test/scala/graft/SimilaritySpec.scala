@@ -54,6 +54,11 @@ class SimilaritySpec extends AnyFunSuite {
       spark.sql("SELECT dot_f64(vf, vf) FROM t_typed_args").collect())
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT simhash_hex(vf) FROM t_typed_args").collect())
+    // run_stats: array<string> required — a float array must fail at
+    // analysis, not ClassCastException inside the generated code
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT run_stats(vf) FROM t_typed_args").collect())
+    assert(spark.sql("SELECT run_stats(vs) FROM t_typed_args").count() === 1)
     // the declared types still pass
     assert(spark.sql(
       "SELECT dot_f64(transform(vf, x -> CAST(x AS DOUBLE)), " +

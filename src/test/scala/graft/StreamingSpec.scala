@@ -582,6 +582,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/hashes").count()
       === graft.streaming.StreamingDedup.hashes(spark, store).count())
     assert(spark.read.parquet(s"$store/pairs")
+      .select("doc_a", "doc_b", "jaccard") // + ingest_ms (version stamp) on disk
       .as[(Long, Long, Double)].collect().toSet === expected)
     assert(!new java.io.File(s"$store/_graft_commits").exists())
     // the accumulated hash frame also feeds the OTHER dedup flavors: the
@@ -834,6 +835,59 @@ class StreamingSpec extends AnyFunSuite {
     // either version's future near-dups still band-collide
     assert(spark.read.parquet(s"$store/sigs").filter($"doc_id" === 1L)
       .select("band", "sig").distinct().count() > 24)
+  }
+
+  test("corrective re-send DISSOLVES a pair the new version no longer supports") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dissolve").toString
+    val store = s"$dir/store"
+    val toksA = (0 until 30).map(j => s"tok${('a' + j / 6).toChar}${('a' + j % 6).toChar}")
+    // completely disjoint token pool for the corrective version: the
+    // re-verified jaccard of (1,2) is exactly 0
+    val toksB = (0 until 12).map(j => s"zz${('a' + j).toChar}")
+    // batch 0: docs 1 and 2 identical → pair (1,2) at jaccard 1.0
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, toksA.mkString(" ")), (2L, toksA.mkString(" ")))
+        .toDF("doc_id", "text"), 0L, store))
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSeq === Seq((1L, 2L, 1.0)))
+    // batch 1: CORRECTIVE re-send of doc 1 with unrelated text — the
+    // stored (1,2) pair is re-verified against the new canonical version
+    // and its below-threshold jaccard dissolves it at read
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, toksB.mkString(" "))).toDF("doc_id", "text"), 1L, store))
+    assert(graft.streaming.StreamingDedup.pairs(spark, store).isEmpty,
+      "a pair verified against a superseded version must not be served forever")
+    // downstream curation consequence: doc 2 is no longer clustered away
+    val clusters = graft.operators.Dedup.clusters(
+      graft.streaming.StreamingDedup.pairs(spark, store))
+    assert(clusters.isEmpty)
+    // the dissolution survives compaction (the below-threshold marker row
+    // must be KEPT — a compact that dropped it would resurrect the pair)
+    graft.streaming.StreamingDedup.compactStore(spark, store)
+    assert(graft.streaming.StreamingDedup.pairs(spark, store).isEmpty)
+    // and a SECOND corrective re-send restoring the original text
+    // re-verifies the touched pair back into existence
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, toksA.mkString(" "))).toDF("doc_id", "text"), 2L, store))
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("compact guard: a PENDING sink startup already refuses compaction") {
+    // the registration bracket closes the former start()-to-register
+    // window: the token is registered BEFORE .start() runs, so a compact
+    // racing stream startup is refused rather than racing the appends
+    val dir = java.nio.file.Files.createTempDirectory("graft_pending").toString
+    val store = s"$dir/store"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val token = graft.streaming.StoreMaintenance.beginIngest(conf, store)
+    val e = intercept[IllegalStateException](
+      graft.streaming.StreamingDedup.compactStore(spark, store))
+    assert(e.getMessage.contains("STARTING"))
+    // a failed .start() aborts the token and releases the guard
+    graft.streaming.StoreMaintenance.abortIngest(conf, store, token)
+    graft.streaming.StreamingDedup.compactStore(spark, store) // no throw (empty no-op)
   }
 
   test("re-sent vec_id: a superseded embedding version can never justify a pair") {
