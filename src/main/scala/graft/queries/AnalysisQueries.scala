@@ -226,6 +226,15 @@ object AnalysisQueries {
       graft.operators.Sketches.vocabularyBySource(docs(s, dir))),
     "q_quantiles_gk" -> ((s, dir) =>
       graft.operators.Sketches.tokenCountQuantiles(docs(s, dir))),
+    // Misra-Gries heavy hitters + Count-Min watchlist frequencies: the
+    // fixed-state complements of the exact vocabulary-sized passes
+    // (`q_gram_topk` / `q_term_lookup`) — rows-only like the two above.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHitters(docs(s, dir))),
+    "q_cms_watchlist" -> ((s, dir) =>
+      graft.operators.Sketches.cmsWatchlist(docs(s, dir),
+        // the boolean-query fixture terms plus one absent from any corpus
+        Seq("spark", "hash", "join", "graftabsent"))),
 
     // Multimodal: binary payload + typed metadata (Multimodal.withMeta)
     // over utf-8 document bytes standing in for an opaque media column.

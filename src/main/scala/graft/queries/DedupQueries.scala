@@ -125,8 +125,7 @@ object DedupQueries {
     * corpus.
     */
   def curateStreamed(docsDf: DataFrame, storePath: String): DataFrame =
-    curate(docsDf,
-      Dedup.clusters(graft.streaming.StreamingDedup.pairs(docsDf.sparkSession, storePath)))
+    curate(docsDf, DedupStore.streamedClusters(docsDf.sparkSession, storePath))
 
   /** Session-scoped shared dedup relations (the `IndexStore` pattern,
     * `sources/Sinks.scala`): the MinHash-LSH near-dup PAIR relation and the
@@ -233,6 +232,33 @@ object DedupQueries {
     }
 
     private var streamedStoreCache = Map.empty[(SparkSession, String), String]
+    private var streamedClusterCache =
+      Map.empty[(SparkSession, String), ((Long, Long), DataFrame)]
+
+    /** Connected components over the streamed store's CURRENT pair
+      * relation, memoized per (session, store) and keyed by the store's
+      * change witness (`StreamingDedup.pairsVersion`) — an unchanged
+      * store serves the persisted cluster frame (the snapshot-cut read a
+      * continuously-ingesting stack runs between batches), a new ingest
+      * batch or compaction recomputes. The per-call cost on the common
+      * unchanged path is one scan of the pair store (near-dup-pair-
+      * sized), not the O(log d) pointer-jumping rounds.
+      */
+    def streamedClusters(s: SparkSession, storePath: String): DataFrame = lock.synchronized {
+      streamedClusterCache =
+        streamedClusterCache.filter(!_._1._1.sparkContext.isStopped)
+      val v = graft.streaming.StreamingDedup.pairsVersion(s, storePath)
+      streamedClusterCache.get((s, storePath)) match {
+        case Some((`v`, c)) => c
+        case stale =>
+          stale.foreach(_._2.unpersist())
+          val c = Dedup.clusters(
+            graft.streaming.StreamingDedup.pairs(s, storePath)).persist()
+          c.count()
+          streamedClusterCache += (s, storePath) -> (v, c)
+          c
+      }
+    }
 
     /** Path of a session-scoped `StreamingDedup` store holding `dir`'s
       * corpus INGESTED INCREMENTALLY — the corpus split into three

@@ -340,6 +340,31 @@ object RelationalQueries {
         lag("value", 1).over(w).as("prev_value"),
         row_number().over(w).cast("long").as("event_no"))
     }),
+
+    // RANGE window frame (value-based, vs the ROWS frames above): per
+    // customer, trailing-30-day order revenue. Ordered on epoch MICROS
+    // (`unix_micros`) so the frame bound is the same µs arithmetic
+    // DuckDB's `INTERVAL 30 DAY PRECEDING` performs on timestamps — the
+    // time-key discipline of the asof/stream-stream oracles. The parquet
+    // column is TIMESTAMP_NTZ; the cast to session-tz TIMESTAMP is
+    // offset-exact under the UTC session every engine entry point pins
+    // (Verify/tests — only a DST-transition zone could shift a bound).
+    // Partitions are per-customer (bounded fan — data-sized parallelism
+    // across customers, never a global sort); money sums through DECIMAL
+    // per the file-header parity rules.
+    "q_trailing_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val micros = 30L * 86400 * 1000000
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-micros, 0)
+      tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("trailing_revenue"),
+        count(lit(1)).over(w).as("n_trailing"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -465,6 +490,18 @@ object RelationalQueries {
         |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_no
         |FROM events""".stripMargin,
+
+    // epoch-µs RANGE bound ≡ INTERVAL 30 DAY on the µs-resolution
+    // timestamps (both are exact 30·86400·10^6 µs arithmetic — no tz/DST
+    // in play on TIMESTAMP WITHOUT TIME ZONE)
+    "q_trailing_revenue" ->
+      """SELECT o_orderkey, o_custkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_revenue,
+        |       COUNT(*) OVER w AS n_trailing
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -312,6 +312,22 @@ object StreamingDedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Cheap change witness for the pair store: (raw row count, latest
+    * stamp). Any ingest batch grows the count; a compaction rewrite that
+    * collapses rows cannot keep the count AND the max stamp of the tree
+    * it replaced (it only removes rows) — callers memoizing relations
+    * DERIVED from `pairs` (e.g. the connected-component clustering)
+    * recompute when this pair changes and serve cached otherwise. One
+    * column-pruned scan of the pair store, which is near-dup-pair-sized,
+    * tiny relative to the corpus.
+    */
+  def pairsVersion(spark: SparkSession, storePath: String): (Long, Long) = {
+    val v = StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema)
+      .agg(count(lit(1)), max(coalesce(col("ingest_ms"), lit(Long.MinValue))))
+      .head()
+    (v.getLong(0), if (v.isNullAt(1)) Long.MinValue else v.getLong(1))
+  }
+
   /** Latest-stamp-wins collapse KEEPING the stamp (compaction must
     * preserve it — and must keep below-threshold dissolution rows, or a
     * compact would resurrect the superseded pair on the next read).

@@ -29,6 +29,71 @@ class SketchesSpec extends AnyFunSuite {
     assert(p50 > 0 && p99 < 1000)
   }
 
+  test("Misra-Gries: every guaranteed heavy hitter present, weights bounded") {
+    val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
+    val capacity = 48
+    val hh = Sketches.heavyHitters(docs, capacity)
+      .as[(String, Long, Long)].collect()
+    assert(hh.nonEmpty)
+    // exact counts + total from the corpus itself
+    val exact = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.terms($"text")).as("term"))
+      .groupBy("term").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val floor = n / (capacity + 1L)
+    val reported = hh.map(_._1).toSet
+    // completeness: every term with true count > N/(capacity+1) survives
+    exact.foreach { case (t, c) =>
+      if (c > floor) assert(reported.contains(t),
+        s"guaranteed heavy hitter '$t' (count $c > floor $floor) missing")
+    }
+    // soundness: weight never overcounts, undercount bounded by the floor
+    hh.foreach { case (t, w, e) =>
+      assert(e === exact(t))
+      assert(w <= e, s"'$t' MG weight $w overcounts exact $e")
+      assert(e - w <= floor, s"'$t' undercount ${e - w} exceeds N/(cap+1)=$floor")
+    }
+  }
+
+  test("Misra-Gries: merge is order-insensitive within the bound and exact-n") {
+    val agg = new Sketches.MisraGriesAgg(4)
+    val items = Seq.fill(60)("a") ++ Seq.fill(30)("b") ++
+      (1 to 20).map(i => s"t$i") // tail of singletons
+    val half = items.length / 2
+    val (l, r) = items.splitAt(half)
+    def summarize(xs: Seq[String]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val m1 = agg.merge(summarize(l), summarize(r))
+    val m2 = agg.merge(summarize(r), summarize(l))
+    assert(m1.n === items.length && m2.n === items.length)
+    val floor = items.length / 5 // N/(capacity+1)
+    for (m <- Seq(m1, m2)) {
+      assert(m.counters.contains("a") && m.counters.contains("b"))
+      assert(m.counters("a") <= 60 && 60 - m.counters("a") <= floor)
+      assert(m.counters.size <= 4)
+    }
+  }
+
+  test("CMS watchlist: estimates never undercount; absent term stays near zero") {
+    val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
+    val watch = Seq("spark", "hash", "join", "graftabsent")
+    val rows = Sketches.cmsWatchlist(docs, watch, depth = 4, width = 1024)
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).toSet === watch.toSet)
+    val n = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.terms($"text")).as("term")).count()
+    rows.foreach { case (t, est, exact) =>
+      assert(est >= exact, s"'$t' CMS estimate $est undercounts exact $exact")
+      // 2N/width overcount bound holds with prob 1 - 2^-4 per term; on a
+      // fixed corpus + fixed seeds this is deterministic — assert it
+      assert(est - exact <= 2 * n / 1024,
+        s"'$t' overcount ${est - exact} exceeds 2N/width=${2 * n / 1024}")
+    }
+    val absent = rows.find(_._1 == "graftabsent").get
+    assert(absent._3 === 0L)
+  }
+
   test("CSV and JSONL corpus loaders feed the same index pipeline") {
     val dir = Files.createTempDirectory("graft_src")
     val csv = dir.resolve("docs.csv")

@@ -874,6 +874,26 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("streamedClusters memo: serves cached on an unchanged store, recomputes on change") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmemo").toString
+    val store = s"$dir/store"
+    val toks = (0 until 30).map(j => s"tok${('a' + j / 6).toChar}${('a' + j % 6).toChar}")
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, toks.mkString(" ")), (2L, toks.mkString(" ")))
+        .toDF("doc_id", "text"), 0L, store))
+    val c1 = graft.queries.DedupQueries.DedupStore.streamedClusters(spark, store)
+    assert(c1.as[(Long, Long)].collect().toSet === Set((1L, 1L), (2L, 1L)))
+    // unchanged store → the SAME persisted frame instance (cache hit)
+    assert(graft.queries.DedupQueries.DedupStore.streamedClusters(spark, store) eq c1)
+    // a corrective re-send dissolving the pair changes the version
+    // witness → the memo recomputes and the snapshot cut sees it
+    val other = (0 until 12).map(j => s"zz${('a' + j).toChar}")
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, other.mkString(" "))).toDF("doc_id", "text"), 1L, store))
+    assert(graft.queries.DedupQueries.DedupStore.streamedClusters(spark, store).isEmpty)
+  }
+
   test("compact guard: a PENDING sink startup already refuses compaction") {
     // the registration bracket closes the former start()-to-register
     // window: the token is registered BEFORE .start() runs, so a compact
