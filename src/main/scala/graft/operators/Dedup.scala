@@ -393,8 +393,17 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .withColumn("_inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      // try_divide + coalesce(·, 0): when BOTH endpoints shingle empty
+      // the quotient is 0/0 (an ANSI divide-by-zero error as a plain
+      // `/`) — reachable only from the streaming re-verify path (batch
+      // candidates are pre-filtered to size > 0), where a doc below the
+      // shingle width is BY DEFINITION not a duplicate of anything, so
+      // its re-verified jaccard must be a recorded 0 (a dissolution
+      // marker), not a silently dropped row or a failed task
       .select(col("doc_a"), col("doc_b"),
-        round(col("_inter") / (col("_na") + col("_nb") - col("_inter")), 6).as("jaccard"))
+        coalesce(
+          round(try_divide(col("_inter"), col("_na") + col("_nb") - col("_inter")), 6),
+          lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

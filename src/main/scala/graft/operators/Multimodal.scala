@@ -84,9 +84,14 @@ object Multimodal {
     */
   final class ImageIoCodec(dims: Int) extends BatchCodec {
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = payloads.map { bytes =>
+      // NonFatal, not just IOException: the JDK image plugins throw
+      // RuntimeExceptions (NegativeArraySize, IndexOutOfBounds, …) on
+      // payloads with a valid magic header but corrupted structure — in
+      // a large media corpus those must quarantine as the zero vector,
+      // not fail the task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       val hist = new Array[Float](dims)
       if (img != null && img.getWidth > 0 && img.getHeight > 0) {
         var y = 0

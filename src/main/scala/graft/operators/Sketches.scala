@@ -108,9 +108,14 @@ object Sketches {
   /** Heavy-hitter terms via one map-side Misra-Gries pass, reported with
     * their exact counts alongside (the exact side is the vocabulary-sized
     * aggregate the sketch avoids — kept here so the summary's undercount
-    * is visible in the artifact). Emits terms whose MG weight clears the
-    * guarantee threshold `N/(capacity+1)` — exactly the set the bound
-    * proves complete (every term more frequent than that is present).
+    * is visible in the artifact). Emits EVERY summary counter — that is
+    * the set the bound proves complete: any term with true count above
+    * `N/(capacity+1)` is guaranteed present, but its WEIGHT may be
+    * undercounted all the way to 1, so a `weight > floor` cut would
+    * silently drop guaranteed heavy hitters (a term with true count in
+    * `(floor, 2·floor]` can surface with weight ≤ floor). Low-weight
+    * rows are the possible false positives the summary admits (true
+    * count at least the weight, at most weight + floor).
     */
   def heavyHitters(docs: DataFrame, capacity: Int = 48): DataFrame = {
     val spark = docs.sparkSession
@@ -119,9 +124,7 @@ object Sketches {
     val state = terms.as[String]
       .select(new MisraGriesAgg(capacity).toColumn.name("summary"))
       .head()
-    val floor = state.n / (capacity + 1L)
-    val hh = state.counters.toSeq.collect { case (t, w) if w > floor => (t, w) }
-      .toDF("term", "mg_weight")
+    val hh = state.counters.toSeq.toDF("term", "mg_weight")
     hh.join(terms.groupBy("term").agg(count(lit(1)).as("exact_count")), Seq("term"))
       .orderBy(col("exact_count").desc, col("term"))
   }

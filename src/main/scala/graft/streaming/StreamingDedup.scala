@@ -160,11 +160,17 @@ object StreamingDedup {
       val ingestMs = StoreMaintenance.nextStamp()
       // new docs' shingle sets + base hashes: the only per-doc CPU work of
       // the batch, materialized once — it feeds the signature projection
-      // and both sides of the verify joins
-      val newHash = Dedup.materializeOnce(
-        Dedup.shingleHashFrame(batch.select("doc_id", "text"), n)
-          .filter(size(col("sh")) > 0))
-      val nNewDocs = newHash.count() // cached-metadata read (checkpointed)
+      // and both sides of the verify joins. EMPTY shingle sets are KEPT
+      // in the store (batch `shingleHashFrame` semantics — a doc below
+      // the shingle width has sh=[]): a corrective re-send that SHORTENS
+      // a doc below the width must still supersede the stored version,
+      // or its stale pairs could never dissolve. Only the signature /
+      // candidate path filters them (an empty set has no bands and can
+      // never pair).
+      val newHashAll = Dedup.materializeOnce(
+        Dedup.shingleHashFrame(batch.select("doc_id", "text"), n))
+      val nNewDocs = newHashAll.count() // cached-metadata read (checkpointed)
+      val newHash = newHashAll.filter(size(col("sh")) > 0)
       val newSigs = Dedup.minhashBands(newHash, numBands, bandSize)
 
       val oldSigs = StoreMaintenance.readOrEmpty(spark, sigsPath(storePath), sigSchema)
@@ -180,6 +186,9 @@ object StreamingDedup {
       // the persist is dropped in the finally below.
       val cands = candidatePairs(newSigs, allSigs,
         broadcastNew = nNewDocs * numBands <= MaxBroadcastSigRows).persist()
+      // every persisted frame of this batch (cands now, touched once
+      // built) — released in the finally whether the batch commits or not
+      val persisted = scala.collection.mutable.ListBuffer[DataFrame](cands)
       try {
         val nCands = cands.count() // materialize before fan-out
         // CORRECTIVE RE-SENDS must be able to LOWER or DISSOLVE a served
@@ -196,13 +205,16 @@ object StreamingDedup {
         // candidate join); the pair store is only scanned when re-sent
         // ids actually exist, and the touched relation is pair-store-
         // sized (near-dup pairs, tiny relative to the corpus).
-        val newIds = newHash.select("doc_id")
+        // resent detection runs on ALL re-sent ids (including docs whose
+        // new version shingles empty — exactly the re-sends that must
+        // dissolve their pairs)
+        val newIds = newHashAll.select("doc_id")
         val resent = StoreMaintenance
           .readOrEmpty(spark, hashesPath(storePath), hashSchema)
           .select("doc_id").distinct()
           .join(if (2 * nNewDocs <= MaxBroadcastSigRows) broadcast(newIds) else newIds,
             Seq("doc_id"), "left_semi")
-        val touched: DataFrame =
+        val touched: DataFrame = (
           if (resent.isEmpty) cands.limit(0)
           else {
             val oldPairs = StoreMaintenance
@@ -217,7 +229,8 @@ object StreamingDedup {
               .unionByName(oldPairs.join(resentB.withColumnRenamed("doc_id", "doc_b"),
                 Seq("doc_b"), "left_semi").select("doc_a", "doc_b"))
               .distinct()
-          }
+          }).persist()
+        persisted += touched
         // verify against the shingle sets of BOTH sides (old docs' sets come
         // from the hash store; candidate + touched pairs are few → the
         // verify joins broadcast them against the store scan). The store
@@ -234,16 +247,23 @@ object StreamingDedup {
         // relation is force-broadcast only under the same payload cap as
         // the sig side — a backfill-sized candidate set falls back to
         // AQE-planned joins instead of OOMing the driver.
+        // the forced-broadcast gate must bound the WHOLE verifyIds
+        // payload: candidates (≤ 2·nCands ids) AND touched stored pairs —
+        // a hub doc with a large pair fan re-sent in a tiny batch makes
+        // touched >> cands, and a gate on nCands alone would force an
+        // unbounded broadcast (the r10 review catch)
+        val nTouched = touched.count()
         val verifyIds = cands.select(col("doc_a").as("doc_id"))
           .unionByName(cands.select(col("doc_b").as("doc_id")))
           .unionByName(touched.select(col("doc_a").as("doc_id")))
           .unionByName(touched.select(col("doc_b").as("doc_id"))).distinct()
         val verifyIdsB =
-          if (4 * nCands <= MaxBroadcastSigRows) broadcast(verifyIds) else verifyIds
+          if (4 * nCands + 2 * nTouched <= MaxBroadcastSigRows) broadcast(verifyIds)
+          else verifyIds
         val allHash = canonicalByDoc(
           StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
             .select("doc_id", "sh", "hv", "ingest_ms")
-            .unionByName(newHash.select("doc_id", "sh", "hv")
+            .unionByName(newHashAll.select("doc_id", "sh", "hv")
               .withColumn("ingest_ms", lit(ingestMs)))
             .join(verifyIdsB, Seq("doc_id"), "left_semi"))
         val newPairs = Dedup.verifyJaccard(cands, allHash, threshold)
@@ -258,13 +278,13 @@ object StreamingDedup {
         // mid-window re-appends on replay, collapsed by compactStore / the
         // accessors (the replayed re-verification scores against the same
         // canonical versions, so re-appended rows stay value-identical)
-        newHash.select("doc_id", "sh", "hv").withColumn("ingest_ms", lit(ingestMs))
+        newHashAll.select("doc_id", "sh", "hv").withColumn("ingest_ms", lit(ingestMs))
           .write.mode(SaveMode.Append)
           .parquet(hashesPath(storePath))
         newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
           .parquet(sigsPath(storePath))
         pairRows.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
-      } finally cands.unpersist(): Unit
+      } finally persisted.foreach(_.unpersist(): Unit)
     }
   }
 

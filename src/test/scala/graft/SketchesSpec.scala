@@ -74,6 +74,19 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries: adversarial undercount — guaranteed hitter with tiny weight survives") {
+    // capacity 1 over a,b,a,b,…,a: count(a)=31 > floor=N/2=30, but the
+    // decrement-all dynamics leave its WEIGHT at 1 — a `weight > floor`
+    // output cut would drop a guaranteed heavy hitter (the r10 review
+    // catch); the summary itself must retain it
+    val agg = new Sketches.MisraGriesAgg(1)
+    val items = (0 until 30).flatMap(_ => Seq("a", "b")) :+ "a"
+    val s = items.foldLeft(agg.zero)(agg.reduce)
+    assert(s.n === 61)
+    assert(s.counters.contains("a"), "guaranteed heavy hitter evicted from summary")
+    assert(s.counters("a") <= 31 && s.counters("a") >= 1)
+  }
+
   test("CMS watchlist: estimates never undercount; absent term stays near zero") {
     val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
     val watch = Seq("spark", "hash", "join", "graftabsent")

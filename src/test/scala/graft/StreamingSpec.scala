@@ -874,6 +874,39 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("corrective re-send BELOW the shingle width still dissolves the pair") {
+    // doc 1's corrective version is one token — below the 3-word shingle
+    // width, so its new shingle set is EMPTY. The empty version must
+    // still supersede (latest-wins) and re-verify the stored pair to
+    // jaccard 0: deriving the re-sent ids from the size>0-filtered frame
+    // would make exactly these re-sends invisible (the r10 review catch)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dissolve_short").toString
+    val store = s"$dir/store"
+    val toks = (0 until 30).map(j => s"tok${('a' + j / 6).toChar}${('a' + j % 6).toChar}")
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, toks.mkString(" ")), (2L, toks.mkString(" ")), (3L, toks.mkString(" ")))
+        .toDF("doc_id", "text"), 0L, store))
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet ===
+      Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
+    // doc 1 re-sent below the width: its two pairs dissolve (empty vs
+    // non-empty jaccard 0), the untouched (2,3) pair survives
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((1L, "short")).toDF("doc_id", "text"), 1L, store))
+    assert(graft.streaming.StreamingDedup.pairs(spark, store)
+      .as[(Long, Long, Double)].collect().toSet === Set((2L, 3L, 1.0)),
+      "a re-send below the shingle width must dissolve exactly that doc's pairs")
+    // BOTH remaining endpoints re-sent short in one batch: the
+    // re-verified jaccard is 0/0 — it must record as a 0-valued
+    // dissolution row (coalesce in verifyJaccard), not drop out of the
+    // join and leave the 1.0 row serving
+    assert(graft.streaming.StreamingDedup.processBatch(
+      Seq((2L, "tiny"), (3L, "wee")).toDF("doc_id", "text"), 2L, store))
+    assert(graft.streaming.StreamingDedup.pairs(spark, store).isEmpty,
+      "a 0/0 re-verification must still record a dissolution marker")
+  }
+
   test("streamedClusters memo: serves cached on an unchanged store, recomputes on change") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cmemo").toString
