@@ -543,10 +543,13 @@ object Dedup {
     // labels per partition — instead of the session shuffle width
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt + 1))
-    var labels = sym.select(col("src").as("node")).distinct()
+    // same truncation discipline as the loop: on the durable branch the
+    // INITIAL label relation must also be a reliable checkpoint (an
+    // executor loss would silently lose localCheckpoint blocks mid-job);
+    // the following checksum action materializes the lazy mark
+    var labels = truncate(sym.select(col("src").as("node")).distinct()
       .repartition(parts, col("node"))
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .withColumn("label", col("node")))
     var prev = checksum(labels)
     var converged = false
     while (!converged) {

@@ -201,4 +201,56 @@ object Sketches {
       .na.fill(0L, Seq("exact_count"))
       .orderBy(col("term"))
   }
+
+  /** ORACLE-CHECKABLE Misra-Gries projection: the sketch's raw weights are
+    * engine-specific, but its COMPLETENESS GUARANTEE is deterministic —
+    * every term with true count strictly above `N/(capacity+1)` is provably
+    * present in the summary, and its weight undercounts by at most
+    * `N/(capacity+1)`. So the relation "frequent terms (exact count joins
+    * the threshold test) × (in_summary, mg_within_bound)" is a fixed
+    * row-set with all-true booleans that DuckDB can reproduce from exact
+    * GROUP BY counts alone — a broken MG implementation (dropped hitter,
+    * bound-violating undercount) flips a value and fails the hash compare.
+    *
+    * The exact-count pass exists to VERIFY the sketch (diagnostic query);
+    * the serving path is the summary itself. All-integer threshold
+    * arithmetic (`count·(cap+1) > n`) on both sides — no float division.
+    */
+  def heavyHittersChecked(docs: DataFrame, capacity: Int = 48): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs.select(explode(Text.terms(col("text"))).as("term"))
+    val state = terms.as[String]
+      .select(new MisraGriesAgg(capacity).toColumn.name("summary"))
+      .head()
+    val mg = state.counters.toSeq.toDF("term", "mg_weight")
+    terms.groupBy("term").agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") * (capacity + 1) > lit(state.n))
+      .join(broadcast(mg), Seq("term"), "left")
+      .select(
+        col("term"),
+        col("exact_count"),
+        col("mg_weight").isNotNull.as("in_summary"),
+        (col("mg_weight").isNotNull &&
+          (col("exact_count") - coalesce(col("mg_weight"), lit(0L))) * (capacity + 1)
+            <= lit(state.n)).as("mg_within_bound"))
+      .orderBy("term")
+  }
+
+  /** ORACLE-CHECKABLE Count-Min projection: point estimates are
+    * engine-specific, but `est ≥ exact` holds DETERMINISTICALLY for every
+    * key (CMS only ever over-counts). Emits the watchlist with exact
+    * counts (0 for absent keys) and the guaranteed-true `cms_ge_exact`
+    * flag — an undercounting CMS flips the flag and fails the hash.
+    * The `2N/width` closeness bound is only probabilistic (2^-depth per
+    * key) and deliberately NOT asserted here; it stays spec-only.
+    */
+  def cmsWatchlistChecked(docs: DataFrame, watch: Seq[String],
+                          depth: Int = 4, width: Int = 1024): DataFrame =
+    cmsWatchlist(docs, watch, depth, width)
+      .select(
+        col("term"),
+        col("exact_count"),
+        (col("cms_est") >= col("exact_count")).as("cms_ge_exact"))
+      .orderBy("term")
 }

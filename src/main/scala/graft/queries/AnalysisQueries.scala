@@ -228,11 +228,14 @@ object AnalysisQueries {
       graft.operators.Sketches.tokenCountQuantiles(docs(s, dir))),
     // Misra-Gries heavy hitters + Count-Min watchlist frequencies: the
     // fixed-state complements of the exact vocabulary-sized passes
-    // (`q_gram_topk` / `q_term_lookup`) — rows-only like the two above.
+    // (`q_gram_topk` / `q_term_lookup`). Unlike HLL/GK above, these two
+    // register their DETERMINISTIC projections (MG completeness set with
+    // all-true guarantee flags; CMS est≥exact flags) and are fully
+    // hash-checked — the raw weights/estimates stay spec-only.
     "q_heavy_hitters" -> ((s, dir) =>
-      graft.operators.Sketches.heavyHitters(docs(s, dir))),
+      graft.operators.Sketches.heavyHittersChecked(docs(s, dir))),
     "q_cms_watchlist" -> ((s, dir) =>
-      graft.operators.Sketches.cmsWatchlist(docs(s, dir),
+      graft.operators.Sketches.cmsWatchlistChecked(docs(s, dir),
         // the boolean-query fixture terms plus one absent from any corpus
         Seq("spark", "hash", "join", "graftabsent"))),
 
@@ -251,6 +254,20 @@ object AnalysisQueries {
 
   private val stopList = Text.EffectiveStopwords.map(w => s"'$w'").mkString(", ")
   private def wordList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Distinct stopword-filtered (doc, term) relation — the `Text.terms`
+    * stream the MG/CMS sketches consume (same tokenization as
+    * TextQueries.termsCte, minus the `source` column).
+    */
+  private val termsCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+       |  FROM documents
+       |), terms AS (
+       |  SELECT DISTINCT doc_id, term FROM toks
+       |  WHERE term <> '' AND term NOT IN ($stopList)
+       |)""".stripMargin
 
   private val toksCte =
     """WITH toks AS (
@@ -277,6 +294,26 @@ object AnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // MG completeness set: every term with exact (doc-distinct) count
+    // strictly above N/(capacity+1) — capacity 48, so `count·49 > n` in
+    // exact integer arithmetic — with the engine's guarantee flags
+    // reproduced as literal TRUE (the guarantees are theorems; a sketch
+    // bug flips a flag and the hash catches it).
+    "q_heavy_hitters" ->
+      s"""$termsCte, tot AS (SELECT count(*) AS n FROM terms),
+         |cnt AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY term)
+         |SELECT term, exact_count, TRUE AS in_summary, TRUE AS mg_within_bound
+         |FROM cnt, tot WHERE exact_count * 49 > n ORDER BY term""".stripMargin,
+
+    // CMS watchlist: exact counts (0 for the absent probe key) with the
+    // deterministic est≥exact guarantee as literal TRUE.
+    "q_cms_watchlist" ->
+      s"""$termsCte, cnt AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY term)
+         |SELECT w.term, coalesce(cnt.exact_count, CAST(0 AS BIGINT)) AS exact_count,
+         |       TRUE AS cms_ge_exact
+         |FROM (VALUES ('graftabsent'), ('hash'), ('join'), ('spark')) AS w(term)
+         |LEFT JOIN cnt ON cnt.term = w.term ORDER BY w.term""".stripMargin,
+
     "q_lang_id" ->
       s"""$toksCte, scored AS (
          |  SELECT doc_id,
