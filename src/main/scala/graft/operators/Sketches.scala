@@ -202,6 +202,45 @@ object Sketches {
       .orderBy(col("term"))
   }
 
+  /** ORACLE-CHECKABLE Greenwald-Khanna projection: the quantile VALUES are
+    * engine-specific, but the sketch's rank guarantee is a deterministic
+    * theorem — `percentile_approx(col, φ, accuracy)` returns an element
+    * whose exact rank is within `N/accuracy` of `φ·N` (Spark's
+    * QuantileSummaries contract; for N < accuracy the summary holds every
+    * sample and is exact). Emits one row per φ with the guarantee
+    * re-derived against exact rank bounds (`#{x < v}+1 .. #{x <= v}`,
+    * ±1 rank slack for the query-time rounding) as an all-true flag that
+    * DuckDB reproduces as literal TRUE — a bound-violating sketch flips
+    * the flag and fails the hash.
+    */
+  def tokenCountQuantilesChecked(docs: DataFrame,
+                                 accuracy: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phis = Seq(0.5, 0.9, 0.99)
+    val toks = docs.select(size(Text.tokenize(col("text"))).as("n_tokens"))
+    val head = toks.agg(
+      percentile_approx(col("n_tokens"),
+        array(phis.map(lit): _*), lit(accuracy)).as("qs"),
+      count(lit(1)).as("n")).head()
+    val qs = head.getSeq[Int](0)
+    val n = head.getLong(1)
+    val rankAggs = phis.indices.flatMap { i =>
+      Seq(
+        sum(when(col("n_tokens") < qs(i), 1L).otherwise(0L)).as(s"lt_$i"),
+        sum(when(col("n_tokens") <= qs(i), 1L).otherwise(0L)).as(s"le_$i"))
+    }
+    val ranks = toks.agg(rankAggs.head, rankAggs.tail: _*).head()
+    val rows = phis.zipWithIndex.map { case (phi, i) =>
+      val lt = ranks.getLong(2 * i)
+      val le = ranks.getLong(2 * i + 1)
+      val target = phi * n
+      val tol = n.toDouble / accuracy + 1.0
+      (phi, n, (lt + 1) <= target + tol && le >= target - tol)
+    }
+    rows.toDF("phi", "n_docs", "within_bound").orderBy("phi")
+  }
+
   /** ORACLE-CHECKABLE Misra-Gries projection: the sketch's raw weights are
     * engine-specific, but its COMPLETENESS GUARANTEE is deterministic —
     * every term with true count strictly above `N/(capacity+1)` is provably

@@ -224,8 +224,11 @@ object AnalysisQueries {
     // sketch surface in the driver's coverage and the benchmark.
     "q_vocab_hll" -> ((s, dir) =>
       graft.operators.Sketches.vocabularyBySource(docs(s, dir))),
+    // GK quantiles: registers the deterministic rank-guarantee projection
+    // (per-φ all-true bound flags) — hash-checked like MG/CMS below; the
+    // raw quantile values stay spec-only (SketchesSpec).
     "q_quantiles_gk" -> ((s, dir) =>
-      graft.operators.Sketches.tokenCountQuantiles(docs(s, dir))),
+      graft.operators.Sketches.tokenCountQuantilesChecked(docs(s, dir))),
     // Misra-Gries heavy hitters + Count-Min watchlist frequencies: the
     // fixed-state complements of the exact vocabulary-sized passes
     // (`q_gram_topk` / `q_term_lookup`). Unlike HLL/GK above, these two
@@ -294,6 +297,15 @@ object AnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // GK rank guarantee: one row per φ with n_docs and the
+    // deterministically-true bound flag (the engine re-derives the flag
+    // from exact rank bounds; the oracle states the theorem).
+    "q_quantiles_gk" ->
+      """SELECT CAST(phi AS DOUBLE) AS phi, n_docs, TRUE AS within_bound
+        |FROM (VALUES (0.5), (0.9), (0.99)) AS p(phi),
+        |     (SELECT count(*) AS n_docs FROM documents) d
+        |ORDER BY phi""".stripMargin,
+
     // MG completeness set: every term with exact (doc-distinct) count
     // strictly above N/(capacity+1) — capacity 48, so `count·49 > n` in
     // exact integer arithmetic — with the engine's guarantee flags

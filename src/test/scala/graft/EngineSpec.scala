@@ -10,9 +10,10 @@ class EngineSpec extends AnyFunSuite {
     // every registered query is oracle-checked except the DECLARED
     // rows-only sketch entries (approximate values are engine-specific
     // by construction — error bounds asserted in SketchesSpec); nothing
-    // else may silently skip the value oracle. MG/CMS register their
-    // deterministic guarantee projections and ARE oracle-checked (r11).
-    val rowsOnlyByDesign = Set("q_vocab_hll", "q_quantiles_gk")
+    // else may silently skip the value oracle. MG/CMS/GK register their
+    // deterministic guarantee projections and ARE oracle-checked (r11);
+    // HLL stays rows-only (no deterministic bound exists for it).
+    val rowsOnlyByDesign = Set("q_vocab_hll")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnlyByDesign -- SparkEntry.queries.keySet).isEmpty)

@@ -29,6 +29,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(p50 > 0 && p99 < 1000)
   }
 
+  test("GK checked projection: rank-guarantee flags hold, also under compression") {
+    val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
+    val rows = Sketches.tokenCountQuantilesChecked(docs)
+      .as[(Double, Long, Boolean)].collect()
+    assert(rows.map(_._1).toSeq === Seq(0.5, 0.9, 0.99))
+    rows.foreach { case (phi, n, ok) =>
+      assert(n === 500)
+      assert(ok, s"phi=$phi rank bound violated")
+    }
+    // accuracy=100 < n=500 forces real GK compression (the default 10000
+    // holds every sample exactly) — the theorem must still hold
+    val tight = Sketches.tokenCountQuantilesChecked(docs, accuracy = 100)
+      .as[(Double, Long, Boolean)].collect()
+    tight.foreach { case (phi, _, ok) =>
+      assert(ok, s"phi=$phi rank bound violated at accuracy=100")
+    }
+  }
+
   test("Misra-Gries: every guaranteed heavy hitter present, weights bounded") {
     val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
     val capacity = 48
