@@ -253,6 +253,23 @@ object AnalysisQueries {
           col("meta.digest").as("digest"),
           col("meta.format").as("format"))
     }),
+
+    // Multimodal frame sampling: k evenly-spaced fixed-width binary
+    // slices per payload (the video/audio frame shape), exploded and
+    // digested — md5 strings make the oracle an exact compare with no
+    // float noise. The DuckDB mirror does the same slice arithmetic on
+    // the text (corpus is pure ASCII, so char offsets == byte offsets).
+    "q_frame_sample" -> ((s, dir) => {
+      val payload = docs(s, dir).select(
+        col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      payload.select(col("doc_id"),
+          posexplode(graft.operators.Multimodal
+            .frameSample(col("payload"), k = 4, frameBytes = 32))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"),
+          md5(col("frame")).as("frame_digest"))
+    }),
   )
 
   private val stopList = Text.EffectiveStopwords.map(w => s"'$w'").mkString(", ")
@@ -305,6 +322,21 @@ object AnalysisQueries {
         |FROM (VALUES (0.5), (0.9), (0.99)) AS p(phi),
         |     (SELECT count(*) AS n_docs FROM documents) d
         |ORDER BY phi""".stripMargin,
+
+    // Frame-sample mirror: Spark's `/` on ints is double division and the
+    // start cast truncates (== floor for non-negatives), so the SQL uses
+    // /3.0 + floor explicitly. substr clipping beyond the payload matches
+    // on both sides; ASCII corpus ⇒ md5(chars) == md5(bytes).
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, unnest(range(0, 4)) AS frame_idx,
+        |         greatest((len(text) - 32) / 3.0, 0) AS step
+        |  FROM documents
+        |)
+        |SELECT doc_id, frame_idx,
+        |       CAST(len(substr(text, CAST(floor(frame_idx * step + 1) AS INT), 32)) AS BIGINT) AS frame_bytes,
+        |       md5(substr(text, CAST(floor(frame_idx * step + 1) AS INT), 32)) AS frame_digest
+        |FROM f""".stripMargin,
 
     // MG completeness set: every term with exact (doc-distinct) count
     // strictly above N/(capacity+1) — capacity 48, so `count·49 > n` in
