@@ -114,6 +114,64 @@ object Multimodal {
     }
   }
 
+  /** Batched resize interface — same per-partition-initialized batch
+    * contract as `BatchCodec`, producing transformed PAYLOADS (bytes in,
+    * bytes out) rather than feature vectors: the shape of any
+    * re-encoding media transform (resize, transcode, frame re-mux).
+    */
+  sealed trait BatchResizer extends Serializable {
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Byte]]
+  }
+
+  /** CI-path stub resize: w·h bytes sampled on an evenly-spaced grid of
+    * the payload (the byte-level analogue of nearest-neighbor scaling) —
+    * deterministic, output length always w·h, no codec dependency.
+    */
+  final class StubResizer extends BatchResizer {
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Byte]] =
+      payloads.map { bytes =>
+        val out = new Array[Byte](w * h)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+            i += 1
+          }
+        }
+        out
+      }
+  }
+
+  /** REAL image resize via the JDK (headless-safe, no external library):
+    * ImageIO decode → Graphics2D bilinear scale onto a w×h canvas → PNG
+    * re-encode. Undecodable/corrupt payloads yield EMPTY bytes — the
+    * quarantine convention (a successful resize is never empty, PNG has
+    * a mandatory header).
+    */
+  final class ImageIoResizer extends BatchResizer {
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Byte]] =
+      payloads.map { bytes =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) Array.empty[Byte]
+        else {
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null): Unit
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", buf)
+          buf.toByteArray
+        }
+      }
+  }
+
   /** Conf key selecting the decode codec (gate pattern of
     * `spark.graft.fetch.live`): `stub` (default) | `imageio`.
     */
@@ -140,6 +198,40 @@ object Multimodal {
   /** The stub path explicitly (CI determinism regardless of session conf). */
   def decodeFeaturesStub(df: DataFrame, dims: Int = 16, batchSize: Int = 64): DataFrame =
     decodeWith(df, "stub", dims, batchSize)
+
+  private def makeResizer(name: String): BatchResizer = name match {
+    case "stub" => new StubResizer
+    case "imageio" => new ImageIoResizer
+    case other => throw new IllegalArgumentException(
+      s"unknown multimodal codec '$other' ($CodecConfKey): stub | imageio")
+  }
+
+  /** Batched per-partition resize: `(doc_id, payload)` → `(doc_id,
+    * payload)` at the target size, resizer chosen by `CodecConfKey` —
+    * same once-per-partition init + batch streaming as `decodeFeatures`.
+    */
+  def resizePayloads(df: DataFrame, w: Int, h: Int,
+                     batchSize: Int = 64): DataFrame = {
+    val codecName = df.sparkSession.conf.get(CodecConfKey, "stub")
+    makeResizer(codecName): Unit // unknown name fails fast, on the driver
+    resizeWith(df, codecName, w, h, batchSize)
+  }
+
+  private[graft] def resizeWith(df: DataFrame, codecName: String, w: Int,
+                                h: Int, batchSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val resizer = makeResizer(codecName) // once per partition
+        it.grouped(batchSize).flatMap { batch =>
+          val resized = resizer.resizeBatch(
+            batch.map(b => Option(b._2).getOrElse(Array.empty[Byte])), w, h)
+          batch.map(_._1).zip(resized)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
 
   private def decodeWith(df: DataFrame, codecName: String, dims: Int,
                          batchSize: Int): DataFrame = {

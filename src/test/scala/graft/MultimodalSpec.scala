@@ -89,4 +89,27 @@ class MultimodalSpec extends AnyFunSuite {
     try intercept[IllegalArgumentException](Multimodal.decodeFeatures(data))
     finally spark.conf.unset(Multimodal.CodecConfKey)
   }
+
+  test("resize: stub is deterministic fixed-shape; imageio REALLY rescales") {
+    val png = pngBytes
+    val data = Seq((10L, png), (11L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    // default (no conf) = stub: output is always w·h bytes, partitioning-invariant
+    val s1 = Multimodal.resizePayloads(data, 4, 4).orderBy("doc_id")
+      .as[(Long, Array[Byte])].collect()
+    val s2 = Multimodal.resizePayloads(data.repartition(3), 4, 4).orderBy("doc_id")
+      .as[(Long, Array[Byte])].collect()
+    assert(s1.map(_._2.toSeq).toSeq === s2.map(_._2.toSeq).toSeq)
+    assert(s1.forall(_._2.length === 16))
+    // real path: 4×4 PNG → 2×2 PNG, decodable at the target size with the
+    // halves' colors preserved (left black, right white)
+    val real = Multimodal.resizeWith(data, "imageio", 2, 2, batchSize = 64)
+      .as[(Long, Array[Byte])].collect().toMap
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(real(10L)))
+    assert(out.getWidth === 2 && out.getHeight === 2)
+    assert((out.getRGB(0, 0) & 0xFFFFFF) === 0x000000)
+    assert((out.getRGB(1, 0) & 0xFFFFFF) === 0xFFFFFF)
+    // undecodable payload quarantines as EMPTY bytes (never a valid PNG)
+    assert(real(11L).isEmpty)
+  }
 }
