@@ -217,6 +217,11 @@ object Multimodal {
     resizeWith(df, codecName, w, h, batchSize)
   }
 
+  /** The stub path explicitly (CI determinism regardless of session conf). */
+  def resizePayloadsStub(df: DataFrame, w: Int, h: Int,
+                         batchSize: Int = 64): DataFrame =
+    resizeWith(df, "stub", w, h, batchSize)
+
   private[graft] def resizeWith(df: DataFrame, codecName: String, w: Int,
                                 h: Int, batchSize: Int): DataFrame = {
     val spark = df.sparkSession

@@ -254,6 +254,20 @@ object AnalysisQueries {
           col("meta.format").as("format"))
     }),
 
+    // Multimodal resize through the BATCHED mapPartitions plumbing (the
+    // stub codec's grid sample is deterministic integer arithmetic, so
+    // unlike the image codecs it is oracle-expressible): this hash-checks
+    // the per-partition batch path itself — batching, null-payload guard,
+    // row alignment — not just a column expression.
+    "q_resize" -> ((s, dir) => {
+      val payload = docs(s, dir).select(
+        col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      graft.operators.Multimodal.resizePayloadsStub(payload, 16, 16)
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("resized_bytes"),
+          md5(col("payload")).as("resized_digest"))
+    }),
+
     // Multimodal frame sampling: k evenly-spaced fixed-width binary
     // slices per payload (the video/audio frame shape), exploded and
     // digested — md5 strings make the oracle an exact compare with no
@@ -322,6 +336,19 @@ object AnalysisQueries {
         |FROM (VALUES (0.5), (0.9), (0.99)) AS p(phi),
         |     (SELECT count(*) AS n_docs FROM documents) d
         |ORDER BY phi""".stripMargin,
+
+    // Stub-resize mirror: out byte i = payload byte (i·len)//256 (pure
+    // integer floor arithmetic on both sides); the string rebuilt in
+    // grid order md5-matches the engine's resized payload because the
+    // corpus is pure ASCII. min doc length 47 ⇒ no empty-payload branch.
+    "q_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, i, substr(text, CAST((i*len(text))//256 AS INT)+1, 1) AS ch
+        |  FROM documents, range(0, 256) t(i)
+        |)
+        |SELECT doc_id, CAST(256 AS BIGINT) AS resized_bytes,
+        |       md5(string_agg(ch, '' ORDER BY i)) AS resized_digest
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     // Frame-sample mirror: Spark's `/` on ints is double division and the
     // start cast truncates (== floor for non-negatives), so the SQL uses
