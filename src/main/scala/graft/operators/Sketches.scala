@@ -255,11 +255,21 @@ object Sketches {
     * the serving path is the summary itself. All-integer threshold
     * arithmetic (`count·(cap+1) > n`) on both sides — no float division.
     */
-  def heavyHittersChecked(docs: DataFrame, capacity: Int = 48): DataFrame = {
-    val spark = docs.sparkSession
+  def heavyHittersChecked(docs: DataFrame, capacity: Int = 48): DataFrame =
+    heavyHittersCheckedFromTerms(
+      docs.select(explode(Text.terms(col("text"))).as("term")), capacity)
+
+  /** `heavyHittersChecked` over an existing single-column `term` relation —
+    * e.g. the persisted bucket-laid posting store, which IS the distinct
+    * stopword-filtered (doc, term) stream by construction: the sketch pass
+    * then reads a stored column instead of re-tokenizing the corpus (the
+    * serving form at scale; identical result and oracle).
+    */
+  def heavyHittersCheckedFromTerms(terms: DataFrame,
+                                   capacity: Int = 48): DataFrame = {
+    val spark = terms.sparkSession
     import spark.implicits._
-    val terms = docs.select(explode(Text.terms(col("text"))).as("term"))
-    val state = terms.as[String]
+    val state = terms.select(col("term")).as[String]
       .select(new MisraGriesAgg(capacity).toColumn.name("summary"))
       .head()
     val mg = state.counters.toSeq.toDF("term", "mg_weight")
@@ -286,10 +296,32 @@ object Sketches {
     */
   def cmsWatchlistChecked(docs: DataFrame, watch: Seq[String],
                           depth: Int = 4, width: Int = 1024): DataFrame =
-    cmsWatchlist(docs, watch, depth, width)
+    cmsWatchlistCheckedFromTerms(
+      docs.select(explode(Text.terms(col("text"))).as("term")),
+      watch, depth, width)
+
+  /** `cmsWatchlistChecked` over an existing `term` relation (see
+    * `heavyHittersCheckedFromTerms`) — the exact side's watch-term filter
+    * additionally bucket-prunes when the relation is the term-bucketed
+    * posting store.
+    */
+  def cmsWatchlistCheckedFromTerms(terms: DataFrame, watch: Seq[String],
+                                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val agg = new CountMinAgg(depth, width)
+    val t = terms.select(col("term"))
+    val sketch = t.as[String].select(agg.toColumn.name("sketch")).head()
+    val est = watch.map(w => w -> agg.estimate(sketch, w)).toDF("term", "cms_est")
+    est.join(
+        t.filter(col("term").isin(watch: _*))
+          .groupBy("term").agg(count(lit(1)).as("exact_count")),
+        Seq("term"), "left")
+      .na.fill(0L, Seq("exact_count"))
       .select(
         col("term"),
         col("exact_count"),
         (col("cms_est") >= col("exact_count")).as("cms_ge_exact"))
       .orderBy("term")
+  }
 }

@@ -235,10 +235,15 @@ object AnalysisQueries {
     // register their DETERMINISTIC projections (MG completeness set with
     // all-true guarantee flags; CMS est≥exact flags) and are fully
     // hash-checked — the raw weights/estimates stay spec-only.
+    // Both serve their term stream from the persisted bucket-laid posting
+    // store (== the distinct stopword-filtered (doc, term) relation) —
+    // one stored-column scan instead of re-tokenizing the corpus.
     "q_heavy_hitters" -> ((s, dir) =>
-      graft.operators.Sketches.heavyHittersChecked(docs(s, dir))),
+      graft.operators.Sketches.heavyHittersCheckedFromTerms(
+        graft.sources.IndexStore.postings(s, dir).select("term"))),
     "q_cms_watchlist" -> ((s, dir) =>
-      graft.operators.Sketches.cmsWatchlistChecked(docs(s, dir),
+      graft.operators.Sketches.cmsWatchlistCheckedFromTerms(
+        graft.sources.IndexStore.postings(s, dir).select("term"),
         // the boolean-query fixture terms plus one absent from any corpus
         Seq("spark", "hash", "join", "graftabsent"))),
 
