@@ -43,6 +43,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal queries: column-pruned scan, shuffle-free map pipeline") {
+    // q_frame_sample / q_resize are pure per-row transforms: the parquet
+    // scan must read ONLY (doc_id, text) — a scan that drags the other
+    // document columns through an encode+mapPartitions pipeline is
+    // exactly the waste column pruning exists to stop — and no exchange
+    // may appear (posexplode and the batched resize are map-side).
+    Seq("q_frame_sample", "q_resize").foreach { q =>
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val p = exec.toString
+      assert(shuffles(p) === 0, s"$q gained a shuffle:\n$p")
+      val scans = PlanScans.fileScans(exec)
+      assert(scans.nonEmpty, s"$q: no file scan found")
+      scans.foreach { s =>
+        val cols = s.output.map(_.name).toSet
+        assert(cols.subsetOf(Set("doc_id", "text")),
+          s"$q scan reads ${cols.mkString(",")} — column pruning lost")
+      }
+    }
+  }
+
   test("q_gram_topk: map-side partial count, one exchange, TakeOrdered top-k") {
     val p = plan("q_gram_topk")
     assert(p.contains("partial_count"), "pair counts must pre-aggregate map-side")
