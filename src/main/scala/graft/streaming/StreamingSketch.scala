@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.Text
+import graft.operators.Sketches
+
+/** Incremental Misra-Gries heavy-hitter maintenance over a DOCUMENT
+  * STREAM — the streaming twin of the batch `Sketches.heavyHitters`
+  * pass, and the monitoring shape a large ingest pipeline actually
+  * runs: a fixed-size summary of the hottest terms, kept current per
+  * micro-batch, readable at any time without touching the corpus.
+  *
+  * MERGEABILITY IS THE WHOLE DESIGN (Agarwal et al., PODS'12): per
+  * micro-batch only the BATCH's terms are folded into a partial
+  * summary (map-side, O(capacity) state per partition), and that
+  * partial is APPENDED to the store as `part/batch=<id>.json` — the
+  * accumulated state is the merge of all parts, computed at read time
+  * (driver-side; #batches × O(capacity) — a compaction can collapse
+  * parts at any time because merge is associative).
+  *
+  * REPLAY CONTRACT: a replayed batch OVERWRITES its own part file
+  * (per-batch content keyed by batchId), so at-least-once delivery can
+  * never double-count — the same idempotency-by-key discipline as the
+  * pair/posting stores, without their latest-wins collapse (the key IS
+  * the batch). The `runOnce` marker additionally short-circuits clean
+  * replays. The partial file is written tmp-then-rename so a reader
+  * never observes a torn part.
+  *
+  * The MG guarantees survive accumulation: each part obeys the bound
+  * for its batch, and `merge` preserves completeness and the
+  * N/(capacity+1) undercount bound for the UNION stream
+  * (SketchProperties proves this over arbitrary splits) — so the
+  * accumulated summary serves the same `heavyHittersChecked`-style
+  * projection as batch, at any point in the stream.
+  */
+object StreamingSketch {
+
+  val DefaultCapacity = 48
+
+  private def partsDir(store: String) = s"$store/mg_parts"
+  private def partPath(store: String, batchId: Long) =
+    s"${partsDir(store)}/batch_$batchId.json"
+
+  /** JSON string escape matching Verify's rules (terms are [a-z]+ by
+    * tokenizer contract, but escape defensively anyway).
+    */
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def stateJson(st: Sketches.MGState): String = {
+    val counters = st.counters.toSeq.sortBy(_._1)
+      .map { case (t, w) => s"${esc(t)}:$w" }.mkString("{", ",", "}")
+    s"""{"n":${st.n},"counters":$counters}"""
+  }
+
+  /** Minimal parser for the exact shape `stateJson` writes (no JSON lib
+    * on the classpath by environment contract). Term keys are tokenizer
+    * output ([a-z]+), so the quoted segments contain no escapes in
+    * practice; the parser still unescapes the sequences `esc` emits.
+    */
+  private[graft] def parseState(json: String): Sketches.MGState = {
+    val n = """^\{"n":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
+    // counters live strictly inside the object following `"counters":` —
+    // parse only that span, so a TERM literally named "n" can't be
+    // confused with the count field
+    val span = json.indexOf("\"counters\":{") match {
+      case -1 => ""
+      case i => json.substring(i + "\"counters\":{".length, json.lastIndexOf('}'))
+    }
+    val pair = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+    val counters = pair.findAllMatchIn(span).map { m =>
+      val t = m.group(1)
+        .replace("\\\"", "\uE000").replace("\\n", "\n").replace("\\r", "\r")
+        .replace("\\t", "\t").replace("\\\\", "\\").replace("\uE000", "\"")
+      t -> m.group(2).toLong
+    }.toMap
+    Sketches.MGState(counters, n)
+  }
+
+  private def writePart(conf: org.apache.hadoop.conf.Configuration,
+                        store: String, batchId: Long,
+                        st: Sketches.MGState): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    val dir = new org.apache.hadoop.fs.Path(partsDir(store))
+    if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+    val tmp = new org.apache.hadoop.fs.Path(partPath(store, batchId) + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(partPath(store, batchId))
+    val out = fs.create(tmp, true)
+    try out.write(stateJson(st).getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false): Unit
+    fs.rename(tmp, dst): Unit
+  }
+
+  /** Fold one micro-batch of documents into its own partial summary and
+    * write it (idempotent by batchId). @return false on a clean replay
+    * of a committed batch (skipped).
+    */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  storePath: String,
+                                  capacity: Int = DefaultCapacity): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    StoreMaintenance.runOnce(conf, storePath, "mgsketch", batchId) {
+      val partial = batch.select(explode(Text.terms(col("text"))).as("term"))
+        .as[String]
+        .select(new Sketches.MisraGriesAgg(capacity).toColumn.name("s"))
+        .head()
+      writePart(conf, storePath, batchId, partial)
+    }
+  }
+
+  /** The accumulated summary: merge of every batch part (associative —
+    * listing order does not matter). O(#batches × capacity) driver work;
+    * an empty/absent store reads as the zero state.
+    */
+  def state(spark: SparkSession, storePath: String,
+            capacity: Int = DefaultCapacity): Sketches.MGState = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(partsDir(storePath))
+    val fs = dir.getFileSystem(conf)
+    val agg = new Sketches.MisraGriesAgg(capacity)
+    if (!fs.exists(dir)) agg.zero
+    else {
+      val parts = fs.listStatus(dir).toSeq
+        .filter(s => s.getPath.getName.endsWith(".json"))
+        .sortBy(_.getPath.getName)
+      parts.map { s =>
+        val in = fs.open(s.getPath)
+        try {
+          val bytes = new Array[Byte](s.getLen.toInt)
+          in.readFully(bytes)
+          parseState(new String(bytes, "UTF-8"))
+        } finally in.close()
+      }.foldLeft(agg.zero)(agg.merge)
+    }
+  }
+
+  /** The accumulated summary as a relation (term, mg_weight) — the
+    * serving read, O(capacity) rows.
+    */
+  def heavyHitters(spark: SparkSession, storePath: String,
+                   capacity: Int = DefaultCapacity): DataFrame = {
+    import spark.implicits._
+    val st = state(spark, storePath, capacity)
+    st.counters.toSeq.toDF("term", "mg_weight")
+  }
+
+  /** Start the incremental heavy-hitter sink over a document stream.
+    * `capacity` MUST stay fixed for the lifetime of a store (summaries
+    * of different capacities merge to the coarser bound — re-ingest
+    * into a fresh store to re-tune).
+    */
+  def sinkHeavyHitters(docs: DataFrame, storePath: String,
+                       checkpointDir: String,
+                       capacity: Int = DefaultCapacity): StreamingQuery = {
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    StoreMaintenance.registeredStart(conf, storePath) {
+      docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val appended = processBatch(batch, batchId, storePath, capacity)
+          // a SKIPPED replay still executes the batch plan so any stateful
+          // upstream operator commits its state store
+          if (!appended) StoreMaintenance.noopExecute(batch)
+        }
+        .start()
+    }
+  }
+}

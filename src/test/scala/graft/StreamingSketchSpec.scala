@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Text
+import graft.operators.Sketches
+import graft.streaming.StreamingSketch
+
+/** Incremental heavy-hitter maintenance: the accumulated summary after
+  * streaming a corpus batch-by-batch must satisfy the SAME Misra-Gries
+  * guarantees as one batch pass over the union (mergeable-summaries
+  * theorem — SketchProperties proves it at state level; this spec proves
+  * the STORE path end-to-end: partial-per-batch files, tmp-rename
+  * writes, replay overwrite idempotency, JSON round-trip).
+  */
+class StreamingSketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // hot terms "alpha"/"beta" planted across batches; tail of rarer terms
+  private val batches: Seq[Seq[(Long, String)]] = Seq(
+    Seq((0L, "alpha beta gamma alpha"), (1L, "alpha delta")),
+    Seq((2L, "beta alpha epsilon"), (3L, "alpha beta zeta eta")),
+    Seq((4L, "theta alpha beta"), (5L, "alpha iota"), (6L, "beta kappa"))
+  )
+
+  private def exactCounts(): (Map[String, Long], Long) = {
+    import spark.implicits._
+    val all = docsDf(batches.flatten)
+      .select(explode(Text.terms(col("text"))).as("term"))
+      .as[String].collect()
+    (all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }, all.length.toLong)
+  }
+
+  test("streamed MG store: guarantees over the union; replay cannot double-count") {
+    val store = tmpDir("graft-mgsketch-") + "/store"
+    val cap = 4 // small capacity so decrements actually happen
+    for ((b, id) <- batches.zipWithIndex)
+      assert(StreamingSketch.processBatch(docsDf(b), id.toLong, store, cap))
+
+    val st = StreamingSketch.state(spark, store, cap)
+    val (exact, n) = exactCounts()
+    assert(st.n === n, "accumulated n must be the exact union length")
+    val floor = n / (cap + 1L)
+    // completeness: every term above the bound is present
+    exact.foreach { case (t, c) =>
+      if (c > floor) assert(st.counters.contains(t),
+        s"hitter '$t' (count $c > floor $floor) missing from streamed summary")
+    }
+    // soundness: never overcount, undercount within the bound
+    st.counters.foreach { case (t, w) =>
+      val e = exact.getOrElse(t, 0L)
+      assert(w <= e && e - w <= floor, s"'$t' weight $w outside [${e - floor}, $e]")
+    }
+    assert(st.counters.size <= cap)
+
+    // REPLAY: re-processing a committed batch is skipped (marker) and the
+    // accumulated state is unchanged — at-least-once can't double-count
+    assert(!StreamingSketch.processBatch(docsDf(batches(1)), 1L, store, cap))
+    assert(StreamingSketch.state(spark, store, cap) === st)
+
+    // serving relation matches the state
+    import spark.implicits._
+    val served = StreamingSketch.heavyHitters(spark, store, cap)
+      .as[(String, Long)].collect().toMap
+    assert(served === st.counters)
+  }
+
+  test("streamed MG sink: end-to-end over a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("graft-mgsketch-sink-") + "/store"
+    val ckpt = tmpDir("graft-mgsketch-ckpt-")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingSketch.sinkHeavyHitters(
+      input.toDF().toDF("doc_id", "text"), store, ckpt, capacity = 4)
+    try {
+      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+      val st = StreamingSketch.state(spark, store, capacity = 4)
+      val (exact, n) = exactCounts()
+      assert(st.n === n)
+      val floor = n / 5L
+      exact.foreach { case (t, c) =>
+        if (c > floor) assert(st.counters.contains(t), s"'$t' missing")
+      }
+    } finally q.stop()
+  }
+
+  test("state JSON round-trips, including a term named 'n' and the zero state") {
+    // Text.terms is per-doc DISTINCT: two docs each containing alpha + n
+    // → counts alpha=2, n=2, total 4. A term literally named "n" must
+    // survive the round-trip (the parser scopes the counters object, it
+    // does not filter by key name).
+    val store = tmpDir("graft-mgjson-") + "/store"
+    assert(StreamingSketch.processBatch(
+      docsDf(Seq((0L, "alpha n"), (1L, "n alpha"))), 0L, store, 4))
+    val st = StreamingSketch.state(spark, store, 4)
+    assert(st.counters.get("alpha") === Some(2L))
+    assert(st.counters.get("n") === Some(2L), "term 'n' lost by the parser")
+    assert(st.n === 4L)
+    // zero state: absent store reads as zero
+    val agg = new Sketches.MisraGriesAgg(4)
+    val empty = StreamingSketch.state(spark, tmpDir("graft-mgempty-") + "/nope", 4)
+    assert(empty === agg.zero)
+  }
+}
