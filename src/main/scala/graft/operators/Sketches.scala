@@ -272,6 +272,21 @@ object Sketches {
     val state = terms.select(col("term")).as[String]
       .select(new MisraGriesAgg(capacity).toColumn.name("summary"))
       .head()
+    heavyHittersCheckedFromState(terms, state, capacity)
+  }
+
+  /** The completeness projection against an ALREADY-BUILT summary — e.g.
+    * the accumulated state of a `StreamingSketch` store. The projection
+    * is merge-path-independent (the frequent set is derived from exact
+    * counts + `state.n`, and the guarantee flags are theorems for ANY
+    * valid MG summary of the same stream), so a streamed state serves
+    * the identical oracle-checked rows as the batch pass — provided
+    * `terms` is the same stream the summary accumulated.
+    */
+  def heavyHittersCheckedFromState(terms: DataFrame, state: MGState,
+                                   capacity: Int = 48): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
     val mg = state.counters.toSeq.toDF("term", "mg_weight")
     terms.groupBy("term").agg(count(lit(1)).as("exact_count"))
       .filter(col("exact_count") * (capacity + 1) > lit(state.n))

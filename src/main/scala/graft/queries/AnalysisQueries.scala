@@ -14,6 +14,32 @@ object AnalysisQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Corpus.documents(s, dir)
 
+  /** Session-scoped `StreamingSketch` stores holding `dir`'s corpus
+    * ingested incrementally (three deterministic doc_id-mod-3
+    * micro-batches through `processBatch` — the same ingest shape as
+    * `DedupStore.streamedStorePath`), so `q_heavy_hitters_streamed`
+    * exercises the real accumulate path. Built once per (session, dir);
+    * files live under the `SessionStores` process scope.
+    */
+  object SketchStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def streamedMgStore(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_mgsketch",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val d = docs(s, dir).select("doc_id", "text")
+        for (b <- 0 until 3)
+          graft.streaming.StreamingSketch.processBatch(
+            d.filter(col("doc_id") % 3 === b), b.toLong, path)
+        cache += (s, dir) -> path
+        path
+      })
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> ((s, dir) => {
       val toks = Text.tokenize(col("text"))
@@ -246,6 +272,18 @@ object AnalysisQueries {
         graft.sources.IndexStore.postings(s, dir).select("term"),
         // the boolean-query fixture terms plus one absent from any corpus
         Seq("spark", "hash", "join", "graftabsent"))),
+    // The STREAMED twin of q_heavy_hitters: the summary comes from the
+    // session's StreamingSketch store (corpus ingested in three
+    // incremental micro-batches), and because the completeness
+    // projection is merge-path-independent the oracle SQL is IDENTICAL
+    // to the batch query's — stream ≡ batch at the guarantee level,
+    // hash-checked.
+    "q_heavy_hitters_streamed" -> ((s, dir) => {
+      val store = SketchStores.streamedMgStore(s, dir)
+      graft.operators.Sketches.heavyHittersCheckedFromState(
+        graft.sources.IndexStore.postings(s, dir).select("term"),
+        graft.streaming.StreamingSketch.state(s, store))
+    }),
 
     // Multimodal: binary payload + typed metadata (Multimodal.withMeta)
     // over utf-8 document bytes standing in for an opaque media column.
@@ -376,6 +414,14 @@ object AnalysisQueries {
     // reproduced as literal TRUE (the guarantees are theorems; a sketch
     // bug flips a flag and the hash catches it).
     "q_heavy_hitters" ->
+      s"""$termsCte, tot AS (SELECT count(*) AS n FROM terms),
+         |cnt AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY term)
+         |SELECT term, exact_count, TRUE AS in_summary, TRUE AS mg_within_bound
+         |FROM cnt, tot WHERE exact_count * 49 > n ORDER BY term""".stripMargin,
+
+    // identical SQL to q_heavy_hitters: the streamed summary must serve
+    // the same completeness rows (merge-path independence).
+    "q_heavy_hitters_streamed" ->
       s"""$termsCte, tot AS (SELECT count(*) AS n FROM terms),
          |cnt AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY term)
          |SELECT term, exact_count, TRUE AS in_summary, TRUE AS mg_within_bound
