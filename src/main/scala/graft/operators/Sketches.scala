@@ -325,11 +325,26 @@ object Sketches {
     val spark = terms.sparkSession
     import spark.implicits._
     val agg = new CountMinAgg(depth, width)
-    val t = terms.select(col("term"))
-    val sketch = t.as[String].select(agg.toColumn.name("sketch")).head()
+    val sketch = terms.select(col("term")).as[String]
+      .select(agg.toColumn.name("sketch")).head()
+    cmsWatchlistCheckedFromState(terms, sketch, watch, depth, width)
+  }
+
+  /** The est≥exact projection against an ALREADY-BUILT CMS counter array
+    * — e.g. the accumulated state of a `StreamingSketch` CMS store. CMS
+    * is linear (merged parts ≡ the union-stream sketch), so a streamed
+    * state serves the identical oracle-checked rows as the batch pass.
+    */
+  def cmsWatchlistCheckedFromState(terms: DataFrame, sketch: Array[Long],
+                                   watch: Seq[String],
+                                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val agg = new CountMinAgg(depth, width)
     val est = watch.map(w => w -> agg.estimate(sketch, w)).toDF("term", "cms_est")
     est.join(
-        t.filter(col("term").isin(watch: _*))
+        terms.select(col("term"))
+          .filter(col("term").isin(watch: _*))
           .groupBy("term").agg(count(lit(1)).as("exact_count")),
         Seq("term"), "left")
       .na.fill(0L, Seq("exact_count"))

@@ -31,9 +31,11 @@ object AnalysisQueries {
         val path = graft.sources.SessionStores.scopedPath("graft_mgsketch",
           "store_" + graft.sources.SessionStores.tagOf(dir))
         val d = docs(s, dir).select("doc_id", "text")
-        for (b <- 0 until 3)
-          graft.streaming.StreamingSketch.processBatch(
-            d.filter(col("doc_id") % 3 === b), b.toLong, path)
+        for (b <- 0 until 3) {
+          val batch = d.filter(col("doc_id") % 3 === b)
+          graft.streaming.StreamingSketch.processBatch(batch, b.toLong, path)
+          graft.streaming.StreamingSketch.processBatchCms(batch, b.toLong, path)
+        }
         cache += (s, dir) -> path
         path
       })
@@ -284,6 +286,16 @@ object AnalysisQueries {
         graft.sources.IndexStore.postings(s, dir).select("term"),
         graft.streaming.StreamingSketch.state(s, store))
     }),
+    // CMS streamed twin — CMS is LINEAR, so the merged part arrays equal
+    // the union-stream sketch exactly; identical oracle SQL as the batch
+    // query.
+    "q_cms_watchlist_streamed" -> ((s, dir) => {
+      val store = SketchStores.streamedMgStore(s, dir)
+      graft.operators.Sketches.cmsWatchlistCheckedFromState(
+        graft.sources.IndexStore.postings(s, dir).select("term"),
+        graft.streaming.StreamingSketch.cmsState(s, store),
+        Seq("spark", "hash", "join", "graftabsent"))
+    }),
 
     // Multimodal: binary payload + typed metadata (Multimodal.withMeta)
     // over utf-8 document bytes standing in for an opaque media column.
@@ -430,6 +442,15 @@ object AnalysisQueries {
     // CMS watchlist: exact counts (0 for the absent probe key) with the
     // deterministic est≥exact guarantee as literal TRUE.
     "q_cms_watchlist" ->
+      s"""$termsCte, cnt AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY term)
+         |SELECT w.term, coalesce(cnt.exact_count, CAST(0 AS BIGINT)) AS exact_count,
+         |       TRUE AS cms_ge_exact
+         |FROM (VALUES ('graftabsent'), ('hash'), ('join'), ('spark')) AS w(term)
+         |LEFT JOIN cnt ON cnt.term = w.term ORDER BY w.term""".stripMargin,
+
+    // identical SQL: the streamed (linear-merge) CMS must serve the same
+    // guarantee rows.
+    "q_cms_watchlist_streamed" ->
       s"""$termsCte, cnt AS (SELECT term, count(*) AS exact_count FROM terms GROUP BY term)
          |SELECT w.term, coalesce(cnt.exact_count, CAST(0 AS BIGINT)) AS exact_count,
          |       TRUE AS cms_ge_exact

@@ -156,6 +156,83 @@ object StreamingSketch {
     st.counters.toSeq.toDF("term", "mg_weight")
   }
 
+  // ---------------------------------------------------------------------
+  // Count-Min twin: the SAME part-file discipline for the CMS counter
+  // array. CMS is a LINEAR sketch — the element-wise sum of per-batch
+  // partials is EXACTLY the sketch of the union stream (not merely
+  // bound-preserving like MG), so the accumulated state is
+  // indistinguishable from a batch pass.
+  // ---------------------------------------------------------------------
+
+  val DefaultDepth = 4
+  val DefaultWidth = 1024
+
+  private def cmsPartsDir(store: String) = s"$store/cms_parts"
+  private def cmsPartPath(store: String, batchId: Long) =
+    s"${cmsPartsDir(store)}/batch_$batchId.txt"
+
+  /** Fold one micro-batch into its own CMS partial (comma-separated
+    * longs, tmp-then-rename, idempotent by batchId). @return false on a
+    * clean replay of a committed batch.
+    */
+  private[graft] def processBatchCms(batch: DataFrame, batchId: Long,
+                                     storePath: String,
+                                     depth: Int = DefaultDepth,
+                                     width: Int = DefaultWidth): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    StoreMaintenance.runOnce(conf, storePath, "cmssketch", batchId) {
+      val partial = batch.select(explode(Text.terms(col("text"))).as("term"))
+        .as[String]
+        .select(new Sketches.CountMinAgg(depth, width).toColumn.name("s"))
+        .head()
+      val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
+      val dir = new org.apache.hadoop.fs.Path(cmsPartsDir(storePath))
+      if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+      val tmp = new org.apache.hadoop.fs.Path(cmsPartPath(storePath, batchId) + ".tmp")
+      val dst = new org.apache.hadoop.fs.Path(cmsPartPath(storePath, batchId))
+      val out = fs.create(tmp, true)
+      try out.write(partial.mkString(",").getBytes("UTF-8")) finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, false): Unit
+      fs.rename(tmp, dst): Unit
+    }
+  }
+
+  /** The accumulated CMS counter array: element-wise sum of every batch
+    * part (≡ the sketch of the union stream — linearity). Absent store
+    * reads as the zero array.
+    */
+  def cmsState(spark: SparkSession, storePath: String,
+               depth: Int = DefaultDepth,
+               width: Int = DefaultWidth): Array[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(cmsPartsDir(storePath))
+    val fs = dir.getFileSystem(conf)
+    val zero = new Array[Long](depth * width + 1)
+    if (!fs.exists(dir)) zero
+    else {
+      fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".txt"))
+        .sortBy(_.getPath.getName)
+        .foldLeft(zero) { (acc, s) =>
+          val in = fs.open(s.getPath)
+          val part =
+            try {
+              val bytes = new Array[Byte](s.getLen.toInt)
+              in.readFully(bytes)
+              new String(bytes, "UTF-8").split(',').map(_.toLong)
+            } finally in.close()
+          require(part.length == acc.length,
+            s"CMS part ${s.getPath.getName} has ${part.length} counters, " +
+              s"store expects ${acc.length} — depth/width changed mid-store")
+          var i = 0
+          while (i < acc.length) { acc(i) += part(i); i += 1 }
+          acc
+        }
+    }
+  }
+
   /** Start the incremental heavy-hitter sink over a document stream.
     * `capacity` MUST stay fixed for the lifetime of a store (summaries
     * of different capacities merge to the coarser bound — re-ingest

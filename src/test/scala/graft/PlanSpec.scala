@@ -63,6 +63,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch queries: term stream from the posting store, never the corpus") {
+    // the r11 store-serving contract: the MG/CMS families (batch and
+    // streamed twins) read the persisted posting relation's term column;
+    // a refactor that re-tokenizes documents.parquet silently re-adds
+    // the corpus scan these queries exist to avoid
+    Seq("q_heavy_hitters", "q_heavy_hitters_streamed",
+        "q_cms_watchlist", "q_cms_watchlist_streamed").foreach { q =>
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val scansDocs = PlanScans.fileScans(exec).exists(
+        _.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")))
+      assert(!scansDocs, s"$q re-reads documents.parquet — store-serving contract broken")
+    }
+  }
+
   test("q_gram_topk: map-side partial count, one exchange, TakeOrdered top-k") {
     val p = plan("q_gram_topk")
     assert(p.contains("partial_count"), "pair counts must pre-aggregate map-side")

@@ -94,6 +94,31 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed CMS store: linearity — merged parts EQUAL the single-pass sketch") {
+    import spark.implicits._
+    val store = tmpDir("graft-cmssketch-") + "/store"
+    val (depth, width) = (4, 64)
+    for ((b, id) <- batches.zipWithIndex)
+      assert(StreamingSketch.processBatchCms(docsDf(b), id.toLong, store, depth, width))
+    val streamed = StreamingSketch.cmsState(spark, store, depth, width)
+    // single batch pass over the union — CMS is linear, arrays must be
+    // IDENTICAL, not merely bound-compatible
+    val agg = new Sketches.CountMinAgg(depth, width)
+    val union = docsDf(batches.flatten)
+      .select(explode(Text.terms(col("text"))).as("term"))
+      .as[String].select(agg.toColumn.name("s")).head()
+    assert(streamed.toSeq === union.toSeq)
+    // replay: skipped and state unchanged
+    assert(!StreamingSketch.processBatchCms(docsDf(batches(0)), 0L, store, depth, width))
+    assert(StreamingSketch.cmsState(spark, store, depth, width).toSeq === streamed.toSeq)
+    // est >= exact for every union term through the streamed state
+    val (exact, n) = exactCounts()
+    exact.foreach { case (t, c) =>
+      assert(agg.estimate(streamed, t) >= c, s"'$t' underestimated")
+    }
+    assert(streamed.last === n)
+  }
+
   test("state JSON round-trips, including a term named 'n' and the zero state") {
     // Text.terms is per-doc DISTINCT: two docs each containing alpha + n
     // → counts alpha=2, n=2, total 4. A term literally named "n" must
