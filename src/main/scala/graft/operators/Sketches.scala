@@ -223,8 +223,28 @@ object Sketches {
       percentile_approx(col("n_tokens"),
         array(phis.map(lit): _*), lit(accuracy)).as("qs"),
       count(lit(1)).as("n")).head()
-    val qs = head.getSeq[Int](0)
+    val qs = head.getSeq[Int](0).map(_.toDouble)
     val n = head.getLong(1)
+    rankCheckProjection(toks, phis, qs, n, accuracy)
+  }
+
+  /** The per-φ rank-guarantee projection against quantile values from an
+    * ALREADY-BUILT summary — e.g. the merged state of a `StreamingSketch`
+    * GK store. `n` must be the summary's total count (= the stream
+    * length the values summarize), and `toks` the same stream.
+    */
+  def tokenCountQuantilesCheckedFromValues(docs: DataFrame, qs: Seq[Double],
+                                           n: Long,
+                                           accuracy: Int = 10000): DataFrame = {
+    val toks = docs.select(size(Text.tokenize(col("text"))).as("n_tokens"))
+    rankCheckProjection(toks, Seq(0.5, 0.9, 0.99), qs, n, accuracy)
+  }
+
+  private def rankCheckProjection(toks: DataFrame, phis: Seq[Double],
+                                  qs: Seq[Double], n: Long,
+                                  accuracy: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
     val rankAggs = phis.indices.flatMap { i =>
       Seq(
         sum(when(col("n_tokens") < qs(i), 1L).otherwise(0L)).as(s"lt_$i"),
@@ -239,6 +259,35 @@ object Sketches {
       (phi, n, (lt + 1) <= target + tol && le >= target - tol)
     }
     rows.toDF("phi", "n_docs", "within_bound").orderBy("phi")
+  }
+
+  /** Greenwald-Khanna partial-summary aggregator over token counts —
+    * the SAME summary structure `percentile_approx` builds
+    * (`QuantileSummaries`, a public catalyst class), exposed as an
+    * `Aggregator` so a `StreamingSketch` store can persist PER-BATCH
+    * partials and merge them at read (insert buffers per partition,
+    * compress-then-merge across partitions — the distributed shape).
+    */
+  final class GKAgg(relativeError: Double)
+      extends Aggregator[Int, org.apache.spark.sql.catalyst.util.QuantileSummaries,
+                         org.apache.spark.sql.catalyst.util.QuantileSummaries] {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+    override def zero: QuantileSummaries =
+      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relativeError)
+
+    override def reduce(b: QuantileSummaries, v: Int): QuantileSummaries =
+      b.insert(v.toDouble)
+
+    override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      a.compress().merge(b.compress())
+
+    override def finish(r: QuantileSummaries): QuantileSummaries = r.compress()
+
+    override def bufferEncoder: Encoder[QuantileSummaries] =
+      Encoders.kryo[QuantileSummaries]
+    override def outputEncoder: Encoder[QuantileSummaries] =
+      Encoders.kryo[QuantileSummaries]
   }
 
   /** ORACLE-CHECKABLE Misra-Gries projection: the sketch's raw weights are

@@ -35,6 +35,7 @@ object AnalysisQueries {
           val batch = d.filter(col("doc_id") % 3 === b)
           graft.streaming.StreamingSketch.processBatch(batch, b.toLong, path)
           graft.streaming.StreamingSketch.processBatchCms(batch, b.toLong, path)
+          graft.streaming.StreamingSketch.processBatchGk(batch, b.toLong, path)
         }
         cache += (s, dir) -> path
         path
@@ -296,6 +297,17 @@ object AnalysisQueries {
         graft.streaming.StreamingSketch.cmsState(s, store),
         Seq("spark", "hash", "join", "graftabsent"))
     }),
+    // GK streamed twin: quantile values queried from the merged per-batch
+    // summaries, rank-verified against exact counts — identical oracle
+    // SQL as the batch query (GK merge preserves the rank bound for the
+    // union stream).
+    "q_quantiles_gk_streamed" -> ((s, dir) => {
+      val store = SketchStores.streamedMgStore(s, dir)
+      val summary = graft.streaming.StreamingSketch.gkState(s, store)
+      val qs = Seq(0.5, 0.9, 0.99).map(p => summary.query(p).getOrElse(0.0))
+      graft.operators.Sketches.tokenCountQuantilesCheckedFromValues(
+        docs(s, dir), qs, summary.count)
+    }),
 
     // Multimodal: binary payload + typed metadata (Multimodal.withMeta)
     // over utf-8 document bytes standing in for an opaque media column.
@@ -387,6 +399,14 @@ object AnalysisQueries {
     // deterministically-true bound flag (the engine re-derives the flag
     // from exact rank bounds; the oracle states the theorem).
     "q_quantiles_gk" ->
+      """SELECT CAST(phi AS DOUBLE) AS phi, n_docs, TRUE AS within_bound
+        |FROM (VALUES (0.5), (0.9), (0.99)) AS p(phi),
+        |     (SELECT count(*) AS n_docs FROM documents) d
+        |ORDER BY phi""".stripMargin,
+
+    // identical SQL: the streamed (merged-partial) GK summary must serve
+    // the same guarantee rows.
+    "q_quantiles_gk_streamed" ->
       """SELECT CAST(phi AS DOUBLE) AS phi, n_docs, TRUE AS within_bound
         |FROM (VALUES (0.5), (0.9), (0.99)) AS p(phi),
         |     (SELECT count(*) AS n_docs FROM documents) d

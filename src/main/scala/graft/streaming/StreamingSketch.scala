@@ -233,6 +233,95 @@ object StreamingSketch {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Greenwald-Khanna twin: per-batch QuantileSummaries partials over the
+  // per-doc token counts, persisted as (value, g, delta) tuple lines and
+  // merged at read — GK merge preserves the rank-error bound for the
+  // union stream (the same contract percentile_approx's distributed
+  // partial merge relies on).
+  // ---------------------------------------------------------------------
+
+  val DefaultAccuracy = 10000
+
+  private def gkPartsDir(store: String) = s"$store/gk_parts"
+  private def gkPartPath(store: String, batchId: Long) =
+    s"${gkPartsDir(store)}/batch_$batchId.txt"
+
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+  private def gkSerialize(qs: QuantileSummaries): String = {
+    val header = s"${qs.count}"
+    val rows = qs.sampled.map(s => s"${java.lang.Double.doubleToLongBits(s.value)},${s.g},${s.delta}")
+    (header +: rows).mkString("\n")
+  }
+
+  private[graft] def gkParse(text: String, relativeError: Double): QuantileSummaries = {
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val count = lines.head.toLong
+    val sampled = lines.tail.map { l =>
+      val Array(v, g, d) = l.split(',')
+      new QuantileSummaries.Stats(
+        java.lang.Double.longBitsToDouble(v.toLong), g.toLong, d.toLong)
+    }
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold,
+      relativeError, sampled, count, true)
+  }
+
+  /** Fold one micro-batch's per-doc token counts into a GK partial
+    * (tmp-then-rename, idempotent by batchId). @return false on replay.
+    */
+  private[graft] def processBatchGk(batch: DataFrame, batchId: Long,
+                                    storePath: String,
+                                    accuracy: Int = DefaultAccuracy): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    StoreMaintenance.runOnce(conf, storePath, "gksketch", batchId) {
+      val partial = batch
+        .select(size(Text.tokenize(col("text"))).as("n_tokens"))
+        .as[Int]
+        .select(new Sketches.GKAgg(1.0 / accuracy).toColumn.name("s"))
+        .head()
+      val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
+      val dir = new org.apache.hadoop.fs.Path(gkPartsDir(storePath))
+      if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+      val tmp = new org.apache.hadoop.fs.Path(gkPartPath(storePath, batchId) + ".tmp")
+      val dst = new org.apache.hadoop.fs.Path(gkPartPath(storePath, batchId))
+      val out = fs.create(tmp, true)
+      try out.write(gkSerialize(partial).getBytes("UTF-8")) finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, false): Unit
+      fs.rename(tmp, dst): Unit
+    }
+  }
+
+  /** The accumulated GK summary: merge of every batch part. Absent store
+    * reads as the empty summary (count 0).
+    */
+  def gkState(spark: SparkSession, storePath: String,
+              accuracy: Int = DefaultAccuracy): QuantileSummaries = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(gkPartsDir(storePath))
+    val fs = dir.getFileSystem(conf)
+    val relErr = 1.0 / accuracy
+    val zero = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relErr).compress()
+    if (!fs.exists(dir)) zero
+    else {
+      val parts = fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".txt"))
+        .sortBy(_.getPath.getName)
+        .map { s =>
+          val in = fs.open(s.getPath)
+          try {
+            val bytes = new Array[Byte](s.getLen.toInt)
+            in.readFully(bytes)
+            gkParse(new String(bytes, "UTF-8"), relErr)
+          } finally in.close()
+        }
+      parts.foldLeft(zero)((a, b) => a.merge(b))
+    }
+  }
+
   /** Start the incremental heavy-hitter sink over a document stream.
     * `capacity` MUST stay fixed for the lifetime of a store (summaries
     * of different capacities merge to the coarser bound — re-ingest

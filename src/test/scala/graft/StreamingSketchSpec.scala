@@ -119,6 +119,37 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(streamed.last === n)
   }
 
+  test("streamed GK store: merged summary honors the rank bound over the union") {
+    import spark.implicits._
+    val store = tmpDir("graft-gksketch-") + "/store"
+    val accuracy = 100
+    for ((b, id) <- batches.zipWithIndex)
+      assert(StreamingSketch.processBatchGk(docsDf(b), id.toLong, store, accuracy))
+    val summary = StreamingSketch.gkState(spark, store, accuracy)
+    // exact token counts of the union stream (tokenize keeps stopwords)
+    val exact = docsDf(batches.flatten)
+      .select(size(Text.tokenize(col("text"))).as("n")).as[Int].collect().sorted
+    assert(summary.count === exact.length.toLong)
+    val n = exact.length
+    for (phi <- Seq(0.5, 0.9, 0.99)) {
+      val v = summary.query(phi).get
+      val lt = exact.count(_ < v)
+      val le = exact.count(_ <= v)
+      val target = phi * n
+      val tol = n.toDouble / accuracy + 1.0
+      assert(lt + 1 <= target + tol && le >= target - tol,
+        s"phi=$phi value=$v rank span [${lt + 1}, $le] misses target $target ± $tol")
+    }
+    // replay: skipped, state unchanged
+    assert(!StreamingSketch.processBatchGk(docsDf(batches(2)), 2L, store, accuracy))
+    val again = StreamingSketch.gkState(spark, store, accuracy)
+    assert(again.count === summary.count)
+    assert(again.sampled.map(s => (s.value, s.g, s.delta)).toSeq ===
+      summary.sampled.map(s => (s.value, s.g, s.delta)).toSeq)
+    // absent store reads as the empty summary
+    assert(StreamingSketch.gkState(spark, tmpDir("graft-gkempty-") + "/nope").count === 0L)
+  }
+
   test("state JSON round-trips, including a term named 'n' and the zero state") {
     // Text.terms is per-doc DISTINCT: two docs each containing alpha + n
     // → counts alpha=2, n=2, total 4. A term literally named "n" must
