@@ -132,18 +132,21 @@ object StreamingSketch {
     val agg = new Sketches.MisraGriesAgg(capacity)
     if (!fs.exists(dir)) agg.zero
     else {
-      val parts = fs.listStatus(dir).toSeq
-        .filter(s => s.getPath.getName.endsWith(".json"))
-        .sortBy(_.getPath.getName)
-      parts.map { s =>
-        val in = fs.open(s.getPath)
-        try {
-          val bytes = new Array[Byte](s.getLen.toInt)
-          in.readFully(bytes)
-          parseState(new String(bytes, "UTF-8"))
-        } finally in.close()
-      }.foldLeft(agg.zero)(agg.merge)
+      livePartFiles(fs, dir, ".json")
+        .map(p => parseState(readUtf8(fs, p)))
+        .foldLeft(agg.zero)(agg.merge)
     }
+  }
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
   }
 
   /** The accumulated summary as a relation (term, mg_weight) — the
@@ -212,24 +215,15 @@ object StreamingSketch {
     val zero = new Array[Long](depth * width + 1)
     if (!fs.exists(dir)) zero
     else {
-      fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.endsWith(".txt"))
-        .sortBy(_.getPath.getName)
-        .foldLeft(zero) { (acc, s) =>
-          val in = fs.open(s.getPath)
-          val part =
-            try {
-              val bytes = new Array[Byte](s.getLen.toInt)
-              in.readFully(bytes)
-              new String(bytes, "UTF-8").split(',').map(_.toLong)
-            } finally in.close()
-          require(part.length == acc.length,
-            s"CMS part ${s.getPath.getName} has ${part.length} counters, " +
-              s"store expects ${acc.length} — depth/width changed mid-store")
-          var i = 0
-          while (i < acc.length) { acc(i) += part(i); i += 1 }
-          acc
-        }
+      livePartFiles(fs, dir, ".txt").foldLeft(zero) { (acc, p) =>
+        val part = readUtf8(fs, p).split(',').map(_.toLong)
+        require(part.length == acc.length,
+          s"CMS part ${p.getName} has ${part.length} counters, " +
+            s"store expects ${acc.length} — depth/width changed mid-store")
+        var i = 0
+        while (i < acc.length) { acc(i) += part(i); i += 1 }
+        acc
+      }
     }
   }
 
@@ -307,19 +301,103 @@ object StreamingSketch {
       QuantileSummaries.defaultCompressThreshold, relErr).compress()
     if (!fs.exists(dir)) zero
     else {
-      val parts = fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.endsWith(".txt"))
-        .sortBy(_.getPath.getName)
-        .map { s =>
-          val in = fs.open(s.getPath)
-          try {
-            val bytes = new Array[Byte](s.getLen.toInt)
-            in.readFully(bytes)
-            gkParse(new String(bytes, "UTF-8"), relErr)
-          } finally in.close()
-        }
-      parts.foldLeft(zero)((a, b) => a.merge(b))
+      livePartFiles(fs, dir, ".txt")
+        .map(p => gkParse(readUtf8(fs, p), relErr))
+        .foldLeft(zero)((a, b) => a.merge(b))
     }
+  }
+
+  /** The LIVE part files of a family dir, under the compaction contract:
+    * `compacted_upto_<maxBatchId>` supersedes every `batch_<id>` part
+    * with id ≤ maxBatchId (those are either merged into it or crashed-
+    * delete leftovers whose content it already carries) and every OLDER
+    * compacted file; `batch_<id>` parts with id > maxBatchId are new
+    * ingest since the compact and merge on top. With no compacted file,
+    * all batch parts are live.
+    */
+  private def livePartFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path,
+                            ext: String): Seq[org.apache.hadoop.fs.Path] = {
+    val comp = ("""compacted_upto_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
+    val batch = ("""batch_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
+    val all = fs.listStatus(dir).toSeq.map(_.getPath)
+    val comps = all.flatMap(p => p.getName match {
+      case comp(id) => Some(id.toLong -> p)
+      case _ => None
+    })
+    val batches = all.flatMap(p => p.getName match {
+      case batch(id) => Some(id.toLong -> p)
+      case _ => None
+    })
+    comps.sortBy(_._1).lastOption match {
+      case None => batches.sortBy(_._1).map(_._2)
+      case Some((upto, cp)) =>
+        cp +: batches.filter(_._1 > upto).sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** Collapse every accumulated part (MG, CMS, GK) into ONE part each —
+    * an all-day stream otherwise accumulates a file per micro-batch and
+    * the read-side merge grows linearly. Safe under replay: the runOnce
+    * COMMIT MARKERS outlive the parts, so a replayed batch is skipped
+    * before it could re-append content the compacted part already
+    * carries; associativity makes the merged part ≡ the parts it
+    * replaces. Crash-safe per family: the merge is written
+    * tmp-then-rename as `compacted_upto_<maxBatchId>` BEFORE any
+    * original is deleted, and readers apply the supersede rule
+    * (`livePartFiles`), so a crash mid-delete leaves only ignorable
+    * garbage — the delete pass is pure GC. Post-compact ingest keeps
+    * appending `batch_<id>` parts with LARGER ids, which merge on top.
+    *
+    * Caller contract (same as every store compact in this engine):
+    * pause the ingest query over this store first.
+    */
+  def compactParts(spark: SparkSession, storePath: String,
+                   capacity: Int = DefaultCapacity,
+                   depth: Int = DefaultDepth, width: Int = DefaultWidth,
+                   accuracy: Int = DefaultAccuracy): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def collapse(dirPath: String, ext: String, merged: => String): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(dirPath)
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        val batch = ("""batch_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
+        val live = livePartFiles(fs, dir, ext)
+        val liveBatchIds = live.flatMap(p => p.getName match {
+          case batch(id) => Some(id.toLong)
+          case _ => None
+        })
+        if (liveBatchIds.nonEmpty) {
+          val upto = liveBatchIds.max
+          val content = merged // merges the live view BEFORE any delete
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$dirPath/compacted_upto_$upto$ext.tmp")
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$dirPath/compacted_upto_$upto$ext")
+          val out = fs.create(tmp, true)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          if (fs.exists(dst)) fs.delete(dst, false): Unit
+          fs.rename(tmp, dst): Unit
+          // GC strictly the superseded files: batch parts with id ≤ upto
+          // and any OLDER compacted file — a part a racing ingest might
+          // have appended (contract violation) is left intact
+          val comp = ("""compacted_upto_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
+          fs.listStatus(dir).toSeq.map(_.getPath).filter(_ != dst)
+            .filter(p => p.getName match {
+              case batch(id) => id.toLong <= upto
+              case comp(id) => id.toLong < upto
+              case _ => false
+            })
+            .foreach(p => fs.delete(p, false): Unit)
+        }
+      }
+    }
+    collapse(partsDir(storePath), ".json",
+      stateJson(state(spark, storePath, capacity)))
+    collapse(cmsPartsDir(storePath), ".txt",
+      cmsState(spark, storePath, depth, width).mkString(","))
+    collapse(gkPartsDir(storePath), ".txt",
+      gkSerialize(gkState(spark, storePath, accuracy)))
   }
 
   /** Start the incremental heavy-hitter sink over a document stream.

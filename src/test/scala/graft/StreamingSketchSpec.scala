@@ -150,6 +150,48 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(StreamingSketch.gkState(spark, tmpDir("graft-gkempty-") + "/nope").count === 0L)
   }
 
+  test("compactParts: one part per family, state identical, post-compact ingest merges on top") {
+    import spark.implicits._
+    val store = tmpDir("graft-sketchcompact-") + "/store"
+    val (cap, depth, width, acc) = (4, 4, 64, 100)
+    // ingest the first two batches, then compact
+    for ((b, id) <- batches.take(2).zipWithIndex) {
+      StreamingSketch.processBatch(docsDf(b), id.toLong, store, cap): Unit
+      StreamingSketch.processBatchCms(docsDf(b), id.toLong, store, depth, width): Unit
+      StreamingSketch.processBatchGk(docsDf(b), id.toLong, store, acc): Unit
+    }
+    val preMg = StreamingSketch.state(spark, store, cap)
+    val preCms = StreamingSketch.cmsState(spark, store, depth, width).toSeq
+    StreamingSketch.compactParts(spark, store, cap, depth, width, acc)
+    // state unchanged, and each family dir holds exactly one live file
+    assert(StreamingSketch.state(spark, store, cap) === preMg)
+    assert(StreamingSketch.cmsState(spark, store, depth, width).toSeq === preCms)
+    def files(sub: String): Seq[String] =
+      new java.io.File(s"$store/$sub").listFiles().map(_.getName).toSeq
+        .filterNot(_.startsWith(".")).sorted // drop local-FS .crc sidecars
+    assert(files("mg_parts") === Seq("compacted_upto_1.json"))
+    assert(files("cms_parts") === Seq("compacted_upto_1.txt"))
+    assert(files("gk_parts") === Seq("compacted_upto_1.txt"))
+    // a crashed delete pass (stale original alongside the compacted part)
+    // must be ignored by the supersede rule, not double-counted
+    val stale = new java.io.File(s"$store/cms_parts/batch_0.txt")
+    val zeros = StreamingSketch.cmsState(spark, store, depth, width).length
+    java.nio.file.Files.writeString(stale.toPath,
+      Array.fill(zeros)("7").mkString(","))
+    assert(StreamingSketch.cmsState(spark, store, depth, width).toSeq === preCms)
+    assert(stale.delete())
+    // a replayed pre-compact batch is still marker-skipped
+    assert(!StreamingSketch.processBatchCms(docsDf(batches(0)), 0L, store, depth, width))
+    // post-compact ingest: batch 2 lands as a new part and merges on top —
+    // the final CMS must equal the linear single-pass over ALL batches
+    StreamingSketch.processBatchCms(docsDf(batches(2)), 2L, store, depth, width): Unit
+    val agg = new Sketches.CountMinAgg(depth, width)
+    val union = docsDf(batches.flatten)
+      .select(explode(Text.terms(col("text"))).as("term"))
+      .as[String].select(agg.toColumn.name("s")).head()
+    assert(StreamingSketch.cmsState(spark, store, depth, width).toSeq === union.toSeq)
+  }
+
   test("state JSON round-trips, including a term named 'n' and the zero state") {
     // Text.terms is per-doc DISTINCT: two docs each containing alpha + n
     // → counts alpha=2, n=2, total 4. A term literally named "n" must
