@@ -365,6 +365,25 @@ object RelationalQueries {
           .cast("double").as("trailing_revenue"),
         count(lit(1)).over(w).as("n_trailing"))
     }),
+
+    // The remaining common window shapes in one pass — ntile (equi-depth
+    // bucketing), cume_dist (distribution rank), first_value (running
+    // frame head) — all over ONE per-customer window ordering (fully
+    // deterministic: the orderkey tie-break), so the plan is a single
+    // window exchange shared by all three functions. Per-customer
+    // partitions = data-sized parallelism, nothing global.
+    "q_window_shapes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first_value(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -502,6 +521,19 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the ordering is made total by the orderkey tie-break, so ntile /
+    // cume_dist / first_value are all deterministic; cume rounded at the
+    // boundary per the float parity rules
+    "q_window_shapes" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       first_value(o_totalprice) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
