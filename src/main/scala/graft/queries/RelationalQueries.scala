@@ -319,6 +319,34 @@ object RelationalQueries {
            |GROUP BY CUBE (r_name, n_name)""".stripMargin)
     }),
 
+    // EXPLICIT grouping sets (the general form rollup/cube specialize):
+    // region totals and nation totals in one pass, same leaf
+    // pre-aggregate discipline as q_cube_revenue (Expand runs over the
+    // 25 leaf rows, not the fact table) plus grouping_id to tell the
+    // levels apart where a grouping column is genuinely NULL-ambiguous.
+    "q_grouping_sets" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer", "nation", "region")
+        .foreach(t => tbl(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+      s.sql(
+        s"""WITH leaf AS (
+           |  SELECT r_name, n_name,
+           |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev,
+           |    COUNT(*) AS cnt
+           |  FROM graft_lineitem
+           |  JOIN graft_orders   ON l_orderkey = o_orderkey
+           |  JOIN graft_customer ON o_custkey = c_custkey
+           |  JOIN graft_nation   ON c_nationkey = n_nationkey
+           |  JOIN graft_region   ON n_regionkey = r_regionkey
+           |  GROUP BY r_name, n_name
+           |)
+           |SELECT r_name, n_name,
+           |  CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+           |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+           |  SUM(cnt) AS n_lineitems
+           |FROM leaf
+           |GROUP BY GROUPING SETS ((r_name), (n_name))""".stripMargin)
+    }),
+
     // Exact percentiles by SORT (operators/Percentiles — the exact
     // counterpart of the GK sketch): quartiles of extended price per
     // return flag. Spark's built-in exact `percentile` buffers every
@@ -495,6 +523,19 @@ object RelationalQueries {
          |JOIN nation   ON c_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY CUBE (r_name, n_name)""".stripMargin,
+
+    // grouping_id bit order (r_name, n_name) matches Spark's argument
+    // order: (r_name) set → n_name aggregated → gid 1; (n_name) → gid 2
+    "q_grouping_sets" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+         |  $revenueSql AS revenue, COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name), (n_name))""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
