@@ -54,15 +54,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def esc(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def esc(s: String): String = graft.util.JsonText.esc(s)
 
     // Materialize EVERY row through the noop sink: unlike `count()`,
     // which lets Catalyst prune a projection query down to a count-only

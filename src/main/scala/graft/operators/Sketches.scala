@@ -223,8 +223,12 @@ object Sketches {
       percentile_approx(col("n_tokens"),
         array(phis.map(lit): _*), lit(accuracy)).as("qs"),
       count(lit(1)).as("n")).head()
-    val qs = head.getSeq[Int](0).map(_.toDouble)
+    // empty corpus: percentile_approx yields NULL — emit the n=0 rows
+    // (vacuously within bound; cross-joined with count(*) the oracle
+    // produces the same) instead of an opaque NPE
     val n = head.getLong(1)
+    val qs = Option(head.getSeq[Int](0)).map(_.map(_.toDouble))
+      .getOrElse(phis.map(_ => 0.0))
     rankCheckProjection(toks, phis, qs, n, accuracy)
   }
 
@@ -245,6 +249,13 @@ object Sketches {
                                   accuracy: Int): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
+    require(qs.length == phis.length,
+      s"${qs.length} quantile values for ${phis.length} phis — mispaired")
+    if (n == 0L)
+      // no stream: every bound holds vacuously (the sum aggregates below
+      // would be NULL over zero rows)
+      return phis.map(phi => (phi, 0L, true))
+        .toDF("phi", "n_docs", "within_bound").orderBy("phi")
     val rankAggs = phis.indices.flatMap { i =>
       Seq(
         sum(when(col("n_tokens") < qs(i), 1L).otherwise(0L)).as(s"lt_$i"),

@@ -32,10 +32,15 @@ object AnalysisQueries {
           "store_" + graft.sources.SessionStores.tagOf(dir))
         val d = docs(s, dir).select("doc_id", "text")
         for (b <- 0 until 3) {
-          val batch = d.filter(col("doc_id") % 3 === b)
-          graft.streaming.StreamingSketch.processBatch(batch, b.toLong, path)
-          graft.streaming.StreamingSketch.processBatchCms(batch, b.toLong, path)
-          graft.streaming.StreamingSketch.processBatchGk(batch, b.toLong, path)
+          // persist: the three sketch passes each run their own action —
+          // unpersisted, every pass re-reads and re-filters the corpus
+          // (9 scans instead of 3)
+          val batch = d.filter(col("doc_id") % 3 === b).persist()
+          try {
+            graft.streaming.StreamingSketch.processBatch(batch, b.toLong, path): Unit
+            graft.streaming.StreamingSketch.processBatchCms(batch, b.toLong, path): Unit
+            graft.streaming.StreamingSketch.processBatchGk(batch, b.toLong, path): Unit
+          } finally batch.unpersist(): Unit
         }
         cache += (s, dir) -> path
         path

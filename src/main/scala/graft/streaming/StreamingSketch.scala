@@ -43,18 +43,10 @@ object StreamingSketch {
   private def partPath(store: String, batchId: Long) =
     s"${partsDir(store)}/batch_$batchId.json"
 
-  /** JSON string escape matching Verify's rules (terms are [a-z]+ by
-    * tokenizer contract, but escape defensively anyway).
-    */
-  private def esc(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  // terms are [a-z]+ by tokenizer contract, but escape defensively via
+  // the shared escaper so the part-file JSON can never diverge from the
+  // artifact writers' rules
+  private def esc(s: String): String = graft.util.JsonText.esc(s)
 
   private def stateJson(st: Sketches.MGState): String = {
     val counters = st.counters.toSeq.sortBy(_._1)
@@ -79,27 +71,36 @@ object StreamingSketch {
     }
     val pair = """"((?:[^"\\]|\\.)*)":(\d+)""".r
     val counters = pair.findAllMatchIn(span).map { m =>
-      val t = m.group(1)
-        .replace("\\\"", "\uE000").replace("\\n", "\n").replace("\\r", "\r")
-        .replace("\\t", "\t").replace("\\\\", "\\").replace("\uE000", "\"")
-      t -> m.group(2).toLong
+      graft.util.JsonText.unesc(m.group(1)) -> m.group(2).toLong
     }.toMap
     Sketches.MGState(counters, n)
   }
 
+  /** The ONE atomic part write: mkdirs, tmp write, delete-dst, rename —
+    * with the rename result CHECKED (HDFS-like filesystems report
+    * failure by returning false, not throwing; an unchecked rename would
+    * let the commit marker land with no part behind it, silently losing
+    * the batch's contribution on every replay — same convention as
+    * `StoreMaintenance`'s swap renames).
+    */
+  private def writeAtomic(conf: org.apache.hadoop.conf.Configuration,
+                          path: String, content: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val dir = dst.getParent
+    if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false): Unit
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
   private def writePart(conf: org.apache.hadoop.conf.Configuration,
                         store: String, batchId: Long,
-                        st: Sketches.MGState): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
-    val dir = new org.apache.hadoop.fs.Path(partsDir(store))
-    if (!fs.exists(dir)) fs.mkdirs(dir): Unit
-    val tmp = new org.apache.hadoop.fs.Path(partPath(store, batchId) + ".tmp")
-    val dst = new org.apache.hadoop.fs.Path(partPath(store, batchId))
-    val out = fs.create(tmp, true)
-    try out.write(stateJson(st).getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false): Unit
-    fs.rename(tmp, dst): Unit
-  }
+                        st: Sketches.MGState): Unit =
+    writeAtomic(conf, partPath(store, batchId), stateJson(st))
 
   /** Fold one micro-batch of documents into its own partial summary and
     * write it (idempotent by batchId). @return false on a clean replay
@@ -129,13 +130,15 @@ object StreamingSketch {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(partsDir(storePath))
     val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) new Sketches.MisraGriesAgg(capacity).zero
+    else mergeMgFiles(fs, livePartFiles(fs, dir, ".json"), capacity)
+  }
+
+  private def mergeMgFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           files: Seq[org.apache.hadoop.fs.Path],
+                           capacity: Int): Sketches.MGState = {
     val agg = new Sketches.MisraGriesAgg(capacity)
-    if (!fs.exists(dir)) agg.zero
-    else {
-      livePartFiles(fs, dir, ".json")
-        .map(p => parseState(readUtf8(fs, p)))
-        .foldLeft(agg.zero)(agg.merge)
-    }
+    files.map(p => parseState(readUtf8(fs, p))).foldLeft(agg.zero)(agg.merge)
   }
 
   private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
@@ -190,15 +193,7 @@ object StreamingSketch {
         .as[String]
         .select(new Sketches.CountMinAgg(depth, width).toColumn.name("s"))
         .head()
-      val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
-      val dir = new org.apache.hadoop.fs.Path(cmsPartsDir(storePath))
-      if (!fs.exists(dir)) fs.mkdirs(dir): Unit
-      val tmp = new org.apache.hadoop.fs.Path(cmsPartPath(storePath, batchId) + ".tmp")
-      val dst = new org.apache.hadoop.fs.Path(cmsPartPath(storePath, batchId))
-      val out = fs.create(tmp, true)
-      try out.write(partial.mkString(",").getBytes("UTF-8")) finally out.close()
-      if (fs.exists(dst)) fs.delete(dst, false): Unit
-      fs.rename(tmp, dst): Unit
+      writeAtomic(conf, cmsPartPath(storePath, batchId), partial.mkString(","))
     }
   }
 
@@ -214,18 +209,21 @@ object StreamingSketch {
     val fs = dir.getFileSystem(conf)
     val zero = new Array[Long](depth * width + 1)
     if (!fs.exists(dir)) zero
-    else {
-      livePartFiles(fs, dir, ".txt").foldLeft(zero) { (acc, p) =>
-        val part = readUtf8(fs, p).split(',').map(_.toLong)
-        require(part.length == acc.length,
-          s"CMS part ${p.getName} has ${part.length} counters, " +
-            s"store expects ${acc.length} — depth/width changed mid-store")
-        var i = 0
-        while (i < acc.length) { acc(i) += part(i); i += 1 }
-        acc
-      }
-    }
+    else mergeCmsFiles(fs, livePartFiles(fs, dir, ".txt"), depth, width)
   }
+
+  private def mergeCmsFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            files: Seq[org.apache.hadoop.fs.Path],
+                            depth: Int, width: Int): Array[Long] =
+    files.foldLeft(new Array[Long](depth * width + 1)) { (acc, p) =>
+      val part = readUtf8(fs, p).split(',').map(_.toLong)
+      require(part.length == acc.length,
+        s"CMS part ${p.getName} has ${part.length} counters, " +
+          s"store expects ${acc.length} — depth/width changed mid-store")
+      var i = 0
+      while (i < acc.length) { acc(i) += part(i); i += 1 }
+      acc
+    }
 
   // ---------------------------------------------------------------------
   // Greenwald-Khanna twin: per-batch QuantileSummaries partials over the
@@ -276,15 +274,7 @@ object StreamingSketch {
         .as[Int]
         .select(new Sketches.GKAgg(1.0 / accuracy).toColumn.name("s"))
         .head()
-      val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
-      val dir = new org.apache.hadoop.fs.Path(gkPartsDir(storePath))
-      if (!fs.exists(dir)) fs.mkdirs(dir): Unit
-      val tmp = new org.apache.hadoop.fs.Path(gkPartPath(storePath, batchId) + ".tmp")
-      val dst = new org.apache.hadoop.fs.Path(gkPartPath(storePath, batchId))
-      val out = fs.create(tmp, true)
-      try out.write(gkSerialize(partial).getBytes("UTF-8")) finally out.close()
-      if (fs.exists(dst)) fs.delete(dst, false): Unit
-      fs.rename(tmp, dst): Unit
+      writeAtomic(conf, gkPartPath(storePath, batchId), gkSerialize(partial))
     }
   }
 
@@ -297,14 +287,19 @@ object StreamingSketch {
     val dir = new org.apache.hadoop.fs.Path(gkPartsDir(storePath))
     val fs = dir.getFileSystem(conf)
     val relErr = 1.0 / accuracy
+    if (!fs.exists(dir))
+      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relErr).compress()
+    else mergeGkFiles(fs, livePartFiles(fs, dir, ".txt"), accuracy)
+  }
+
+  private def mergeGkFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           files: Seq[org.apache.hadoop.fs.Path],
+                           accuracy: Int): QuantileSummaries = {
+    val relErr = 1.0 / accuracy
     val zero = new QuantileSummaries(
       QuantileSummaries.defaultCompressThreshold, relErr).compress()
-    if (!fs.exists(dir)) zero
-    else {
-      livePartFiles(fs, dir, ".txt")
-        .map(p => gkParse(readUtf8(fs, p), relErr))
-        .foldLeft(zero)((a, b) => a.merge(b))
-    }
+    files.map(p => gkParse(readUtf8(fs, p), relErr))
+      .foldLeft(zero)((a, b) => a.merge(b))
   }
 
   /** The LIVE part files of a family dir, under the compaction contract:
@@ -357,7 +352,13 @@ object StreamingSketch {
                    depth: Int = DefaultDepth, width: Int = DefaultWidth,
                    accuracy: Int = DefaultAccuracy): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def collapse(dirPath: String, ext: String, merged: => String): Unit = {
+    // the merged content is computed from the SAME file list that
+    // determined `upto` — re-listing inside the merge would let a part
+    // appended between the two listings fold into the compacted file
+    // while also surviving as a live part (double-counted forever)
+    def collapse(dirPath: String, ext: String)(
+        mergeFiles: (org.apache.hadoop.fs.FileSystem,
+                     Seq[org.apache.hadoop.fs.Path]) => String): Unit = {
       val dir = new org.apache.hadoop.fs.Path(dirPath)
       val fs = dir.getFileSystem(conf)
       if (fs.exists(dir)) {
@@ -369,18 +370,14 @@ object StreamingSketch {
         })
         if (liveBatchIds.nonEmpty) {
           val upto = liveBatchIds.max
-          val content = merged // merges the live view BEFORE any delete
-          val tmp = new org.apache.hadoop.fs.Path(
-            s"$dirPath/compacted_upto_$upto$ext.tmp")
+          val content = mergeFiles(fs, live) // exactly the listed view
           val dst = new org.apache.hadoop.fs.Path(
             s"$dirPath/compacted_upto_$upto$ext")
-          val out = fs.create(tmp, true)
-          try out.write(content.getBytes("UTF-8")) finally out.close()
-          if (fs.exists(dst)) fs.delete(dst, false): Unit
-          fs.rename(tmp, dst): Unit
+          writeAtomic(conf, dst.toString, content)
           // GC strictly the superseded files: batch parts with id ≤ upto
           // and any OLDER compacted file — a part a racing ingest might
-          // have appended (contract violation) is left intact
+          // have appended (contract violation) is left intact AND is not
+          // in the merged content (it was never in `live`)
           val comp = ("""compacted_upto_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
           fs.listStatus(dir).toSeq.map(_.getPath).filter(_ != dst)
             .filter(p => p.getName match {
@@ -392,12 +389,12 @@ object StreamingSketch {
         }
       }
     }
-    collapse(partsDir(storePath), ".json",
-      stateJson(state(spark, storePath, capacity)))
-    collapse(cmsPartsDir(storePath), ".txt",
-      cmsState(spark, storePath, depth, width).mkString(","))
-    collapse(gkPartsDir(storePath), ".txt",
-      gkSerialize(gkState(spark, storePath, accuracy)))
+    collapse(partsDir(storePath), ".json")(
+      (fs, files) => stateJson(mergeMgFiles(fs, files, capacity)))
+    collapse(cmsPartsDir(storePath), ".txt")(
+      (fs, files) => mergeCmsFiles(fs, files, depth, width).mkString(","))
+    collapse(gkPartsDir(storePath), ".txt")(
+      (fs, files) => gkSerialize(mergeGkFiles(fs, files, accuracy)))
   }
 
   /** Start the incremental heavy-hitter sink over a document stream.

@@ -208,5 +208,13 @@ class StreamingSketchSpec extends AnyFunSuite {
     val agg = new Sketches.MisraGriesAgg(4)
     val empty = StreamingSketch.state(spark, tmpDir("graft-mgempty-") + "/nope", 4)
     assert(empty === agg.zero)
+    // the shared escaper round-trips the adversarial cases a replace-chain
+    // unescape corrupts: literal backslash followed by n/r/t, quotes,
+    // control chars (terms can't contain these today — the defense must
+    // still be correct for the day that contract changes)
+    import graft.util.JsonText
+    for (s <- Seq("x\\n", "a\"b", "t\tb", "\\\\", "z", "plain"))
+      assert(JsonText.unesc(JsonText.esc(s).drop(1).dropRight(1)) === s,
+        s"round-trip broke for ${s.map(_.toInt).mkString(",")}")
   }
 }
