@@ -23,6 +23,12 @@ for f in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
+# A query that threw inside Verify surfaces in _errors.json — fail loudly
+# here instead of letting the query silently vanish from the compare (the
+# r10 failure mode: 8 broken queries read as "not registered").
+errpath = f"{out}/_errors.json"
+verify_errors = json.load(open(errpath)) if os.path.exists(errpath) else {}
+
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -31,6 +37,14 @@ def canon(df):
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 fails = []
+for name, msg in sorted(verify_errors.items()):
+    fails.append((name, f"Verify threw: {msg}"))
+# Every oracle entry must have a corresponding Spark output dir — a missing
+# dir means the query never ran (thrown, unregistered, or name drift), which
+# must read as a failure, not as absence.
+for name in sorted(oracle):
+    if name not in verify_errors and not os.path.isdir(os.path.join(out, name)):
+        fails.append((name, "oracle entry has no Spark output dir"))
 for name in sorted(os.listdir(out)):
     pq_dir = os.path.join(out, name)
     if not os.path.isdir(pq_dir):

@@ -27,6 +27,30 @@ object Sketches {
         approx_count_distinct(col("term"), rsd).as("approx_vocab"),
         countDistinct(col("term")).as("exact_vocab"))
 
+  /** ORACLE-CHECKABLE HyperLogLog projection: the per-source ESTIMATE is
+    * engine-specific (register layout, bias correction), but HLL++ is
+    * deterministic for a fixed input set — the same corpus always yields
+    * the same estimate, independent of partitioning (register merge is a
+    * commutative max). So for a fixed corpus the relation
+    * "(source, exact_vocab, |est − exact| ≤ bound·exact)" is a
+    * deterministic row-set whose flag DuckDB reproduces as literal TRUE
+    * from exact distinct counts alone — the same protocol as the MG
+    * completeness set and the GK rank flags. The generic HLL theorem
+    * gives only a PROBABILISTIC rsd, so `bound` is set generously above
+    * both the 3·rsd tail and the observed per-sf error (≤ 0.036 at
+    * sf0.001/0.01/0.1, measured 2026-08-14, pinned in SketchesSpec); a
+    * broken sketch
+    * (wrong hashing, lost registers, bad merge) lands far outside it
+    * and flips the flag, failing the hash compare.
+    */
+  def vocabularyBySourceChecked(docs: DataFrame, rsd: Double = 0.05,
+                                bound: Double = 0.15): DataFrame =
+    vocabularyBySource(docs, rsd)
+      .select(col("source"), col("exact_vocab"),
+        (abs(col("approx_vocab") - col("exact_vocab")) <=
+          lit(bound) * col("exact_vocab")).as("hll_within_bound"))
+      .orderBy("source")
+
   /** Token-count distribution quantiles via the Greenwald-Khanna sketch
     * (`percentile_approx`) — p50/p90/p99 of tokens per document.
     */

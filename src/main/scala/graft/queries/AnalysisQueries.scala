@@ -252,12 +252,14 @@ object AnalysisQueries {
         col("event_id"), col("event_type"),
         from_json(col("props"), lit("k INT")).getField("k").as("k"))),
 
-    // Approximate sketches, registered ROWS-ONLY (no oracleSql entry —
-    // sketch outputs are engine-specific by construction; SketchesSpec
-    // asserts error bounds against exact answers). Registration puts the
-    // sketch surface in the driver's coverage and the benchmark.
+    // HLL vocabulary cardinality: registers the deterministic
+    // relative-error projection (per-source |est−exact|/exact ≤ 0.15
+    // flag, exact from SQL) — the same checked-projection protocol as
+    // MG/CMS/GK below, so the row is fully hash-checked; the raw
+    // estimates stay spec-only (SketchesSpec pins observed error
+    // ≤ 0.036 at every sf against the 0.15 registration bound).
     "q_vocab_hll" -> ((s, dir) =>
-      graft.operators.Sketches.vocabularyBySource(docs(s, dir))),
+      graft.operators.Sketches.vocabularyBySourceChecked(docs(s, dir))),
     // GK quantiles: registers the deterministic rank-guarantee projection
     // (per-φ all-true bound flags) — hash-checked like MG/CMS below; the
     // raw quantile values stay spec-only (SketchesSpec).
@@ -400,6 +402,22 @@ object AnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // HLL relative-error guarantee: per-source exact distinct terms with
+    // the deterministically-true bound flag (the engine re-derives the
+    // flag from its own estimate; the oracle states the registration
+    // bound holds — measured ≥4× above observed error at every sf).
+    // Per-doc DISTINCT is skipped: count(DISTINCT term) absorbs it.
+    "q_vocab_hll" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+         |  FROM documents
+         |)
+         |SELECT source, count(DISTINCT term) AS exact_vocab,
+         |       TRUE AS hll_within_bound
+         |FROM toks WHERE term <> '' AND term NOT IN ($stopList)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     // GK rank guarantee: one row per φ with n_docs and the
     // deterministically-true bound flag (the engine re-derives the flag
     // from exact rank bounds; the oracle states the theorem).

@@ -108,22 +108,32 @@ object StreamingSketch {
     */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
                                   storePath: String,
-                                  capacity: Int = DefaultCapacity): Boolean = {
+                                  capacity: Int = DefaultCapacity,
+                                  autoCompactAt: Int = AutoCompactParts): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    StoreMaintenance.runOnce(conf, storePath, "mgsketch", batchId) {
+    val appended = StoreMaintenance.runOnce(conf, storePath, "mgsketch", batchId) {
       val partial = batch.select(explode(Text.terms(col("text"))).as("term"))
         .as[String]
         .select(new Sketches.MisraGriesAgg(capacity).toColumn.name("s"))
         .head()
       writePart(conf, storePath, batchId, partial)
     }
+    // outside the commit marker: compaction is state-preserving, so a
+    // crash mid-compact after the marker landed loses nothing a replay
+    // would need
+    if (appended)
+      autoCompact(conf, partsDir(storePath), ".json", autoCompactAt)(
+        mgMergeContent(capacity))
+    appended
   }
 
   /** The accumulated summary: merge of every batch part (associative —
-    * listing order does not matter). O(#batches × capacity) driver work;
-    * an empty/absent store reads as the zero state.
+    * listing order does not matter). Driver work is O(#live-parts ×
+    * capacity), and #live-parts is bounded by `AutoCompactParts` under
+    * any ingest (the append path self-compacts past the threshold); an
+    * empty/absent store reads as the zero state.
     */
   def state(spark: SparkSession, storePath: String,
             capacity: Int = DefaultCapacity): Sketches.MGState = {
@@ -184,17 +194,22 @@ object StreamingSketch {
   private[graft] def processBatchCms(batch: DataFrame, batchId: Long,
                                      storePath: String,
                                      depth: Int = DefaultDepth,
-                                     width: Int = DefaultWidth): Boolean = {
+                                     width: Int = DefaultWidth,
+                                     autoCompactAt: Int = AutoCompactParts): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    StoreMaintenance.runOnce(conf, storePath, "cmssketch", batchId) {
+    val appended = StoreMaintenance.runOnce(conf, storePath, "cmssketch", batchId) {
       val partial = batch.select(explode(Text.terms(col("text"))).as("term"))
         .as[String]
         .select(new Sketches.CountMinAgg(depth, width).toColumn.name("s"))
         .head()
       writeAtomic(conf, cmsPartPath(storePath, batchId), partial.mkString(","))
     }
+    if (appended)
+      autoCompact(conf, cmsPartsDir(storePath), ".txt", autoCompactAt)(
+        cmsMergeContent(depth, width))
+    appended
   }
 
   /** The accumulated CMS counter array: element-wise sum of every batch
@@ -264,11 +279,12 @@ object StreamingSketch {
     */
   private[graft] def processBatchGk(batch: DataFrame, batchId: Long,
                                     storePath: String,
-                                    accuracy: Int = DefaultAccuracy): Boolean = {
+                                    accuracy: Int = DefaultAccuracy,
+                                    autoCompactAt: Int = AutoCompactParts): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    StoreMaintenance.runOnce(conf, storePath, "gksketch", batchId) {
+    val appended = StoreMaintenance.runOnce(conf, storePath, "gksketch", batchId) {
       val partial = batch
         .select(size(Text.tokenize(col("text"))).as("n_tokens"))
         .as[Int]
@@ -276,6 +292,10 @@ object StreamingSketch {
         .head()
       writeAtomic(conf, gkPartPath(storePath, batchId), gkSerialize(partial))
     }
+    if (appended)
+      autoCompact(conf, gkPartsDir(storePath), ".txt", autoCompactAt)(
+        gkMergeContent(accuracy))
+    appended
   }
 
   /** The accumulated GK summary: merge of every batch part. Absent store
@@ -352,49 +372,105 @@ object StreamingSketch {
                    depth: Int = DefaultDepth, width: Int = DefaultWidth,
                    accuracy: Int = DefaultAccuracy): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    // the merged content is computed from the SAME file list that
-    // determined `upto` — re-listing inside the merge would let a part
-    // appended between the two listings fold into the compacted file
-    // while also surviving as a live part (double-counted forever)
-    def collapse(dirPath: String, ext: String)(
-        mergeFiles: (org.apache.hadoop.fs.FileSystem,
-                     Seq[org.apache.hadoop.fs.Path]) => String): Unit = {
-      val dir = new org.apache.hadoop.fs.Path(dirPath)
-      val fs = dir.getFileSystem(conf)
-      if (fs.exists(dir)) {
-        val batch = ("""batch_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
-        val live = livePartFiles(fs, dir, ext)
-        val liveBatchIds = live.flatMap(p => p.getName match {
-          case batch(id) => Some(id.toLong)
-          case _ => None
-        })
-        if (liveBatchIds.nonEmpty) {
-          val upto = liveBatchIds.max
-          val content = mergeFiles(fs, live) // exactly the listed view
-          val dst = new org.apache.hadoop.fs.Path(
-            s"$dirPath/compacted_upto_$upto$ext")
-          writeAtomic(conf, dst.toString, content)
-          // GC strictly the superseded files: batch parts with id ≤ upto
-          // and any OLDER compacted file — a part a racing ingest might
-          // have appended (contract violation) is left intact AND is not
-          // in the merged content (it was never in `live`)
-          val comp = ("""compacted_upto_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
-          fs.listStatus(dir).toSeq.map(_.getPath).filter(_ != dst)
-            .filter(p => p.getName match {
-              case batch(id) => id.toLong <= upto
-              case comp(id) => id.toLong < upto
-              case _ => false
-            })
-            .foreach(p => fs.delete(p, false): Unit)
-        }
+    collapse(conf, partsDir(storePath), ".json")(mgMergeContent(capacity))
+    collapse(conf, cmsPartsDir(storePath), ".txt")(cmsMergeContent(depth, width))
+    collapse(conf, gkPartsDir(storePath), ".txt")(gkMergeContent(accuracy))
+  }
+
+  // per-family merged-content closures — shared by the manual compactParts
+  // and the per-append auto-compaction (each append path compacts only
+  // ITS family: the families have independent writers in principle)
+  private def mgMergeContent(capacity: Int)(
+      fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.Path]): String =
+    stateJson(mergeMgFiles(fs, files, capacity))
+  private def cmsMergeContent(depth: Int, width: Int)(
+      fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.Path]): String =
+    mergeCmsFiles(fs, files, depth, width).mkString(",")
+  private def gkMergeContent(accuracy: Int)(
+      fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.Path]): String =
+    gkSerialize(mergeGkFiles(fs, files, accuracy))
+
+  /** One family-dir compaction. The merged content is computed from the
+    * SAME file list that determined `upto` — re-listing inside the merge
+    * would let a part appended between the two listings fold into the
+    * compacted file while also surviving as a live part (double-counted
+    * forever).
+    */
+  private def collapse(conf: org.apache.hadoop.conf.Configuration,
+                       dirPath: String, ext: String)(
+      mergeFiles: (org.apache.hadoop.fs.FileSystem,
+                   Seq[org.apache.hadoop.fs.Path]) => String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) {
+      val batch = ("""batch_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
+      val live = livePartFiles(fs, dir, ext)
+      val liveBatchIds = live.flatMap(p => p.getName match {
+        case batch(id) => Some(id.toLong)
+        case _ => None
+      })
+      if (liveBatchIds.nonEmpty) {
+        val upto = liveBatchIds.max
+        val content = mergeFiles(fs, live) // exactly the listed view
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$dirPath/compacted_upto_$upto$ext")
+        writeAtomic(conf, dst.toString, content)
+        // GC strictly the superseded files: batch parts with id ≤ upto
+        // and any OLDER compacted file — a part a racing ingest might
+        // have appended (contract violation) is left intact AND is not
+        // in the merged content (it was never in `live`)
+        val comp = ("""compacted_upto_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
+        fs.listStatus(dir).toSeq.map(_.getPath).filter(_ != dst)
+          .filter(p => p.getName match {
+            case batch(id) => id.toLong <= upto
+            case comp(id) => id.toLong < upto
+            case _ => false
+          })
+          .foreach(p => fs.delete(p, false): Unit)
       }
+      // orphan-tmp GC: a crash between `writeAtomic`'s create and rename
+      // leaves `<name>.tmp`, which no reader ever matches (livePartFiles
+      // keys on the bare names) — never live by construction, so any tmp
+      // present here is garbage. Safe against in-flight writes because
+      // every writer of this dir runs on the thread invoking this
+      // compaction (the single-writer store contract).
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(ext + ".tmp"))
+        .foreach(p => fs.delete(p, false): Unit)
     }
-    collapse(partsDir(storePath), ".json")(
-      (fs, files) => stateJson(mergeMgFiles(fs, files, capacity)))
-    collapse(cmsPartsDir(storePath), ".txt")(
-      (fs, files) => mergeCmsFiles(fs, files, depth, width).mkString(","))
-    collapse(gkPartsDir(storePath), ".txt")(
-      (fs, files) => gkSerialize(mergeGkFiles(fs, files, accuracy)))
+  }
+
+  /** Live batch parts (post-supersede) past which an append triggers its
+    * family's compaction — keeps any unattended ingest's read-side merge
+    * O(AutoCompactParts × state) instead of O(#batches × state), without
+    * anyone ever calling `compactParts`. 64 parts ≈ 64 driver file reads
+    * per uncompacted read and a sub-second compaction at any capacity.
+    */
+  val AutoCompactParts = 64
+
+  /** Compact `dirPath` iff its live batch-part count reached the
+    * threshold. Invoked from the append path AFTER the part landed, on
+    * the writer's own thread — the compaction the `compactParts` caller
+    * contract requires a paused ingest for is exactly this call when the
+    * ingest itself makes it, so it needs no external coordination. The
+    * one extra `listStatus` per append is driver-side metadata.
+    */
+  private def autoCompact(conf: org.apache.hadoop.conf.Configuration,
+                          dirPath: String, ext: String, threshold: Int)(
+      mergeFiles: (org.apache.hadoop.fs.FileSystem,
+                   Seq[org.apache.hadoop.fs.Path]) => String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) {
+      val batch = ("""batch_(\d+)""" + java.util.regex.Pattern.quote(ext)).r
+      val liveBatches = livePartFiles(fs, dir, ext).count(p =>
+        batch.pattern.matcher(p.getName).matches)
+      if (liveBatches >= threshold)
+        collapse(conf, dirPath, ext)(mergeFiles)
+    }
   }
 
   /** Start the incremental heavy-hitter sink over a document stream.

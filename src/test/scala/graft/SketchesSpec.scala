@@ -20,6 +20,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL checked projection: every bound flag true, with headroom under the registration bound") {
+    // The q_vocab_hll oracle emits literal TRUE per source — this pins
+    // the engine side of that contract, and additionally that observed
+    // error sits well inside the registered 0.15 bound (≥2× headroom at
+    // sf0.001; measured max 0.036 across all sfs 2026-08-14), so corpus
+    // drift toward the bound surfaces here as a named failure before it
+    // can flip a hash.
+    val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
+    val flags = Sketches.vocabularyBySourceChecked(docs)
+      .as[(String, Long, Boolean)].collect()
+    assert(flags.length === 20)
+    flags.foreach { case (src, exact, ok) =>
+      assert(exact > 0, s"$src has empty vocabulary")
+      assert(ok, s"$src estimate outside the 0.15 registration bound")
+    }
+    val tight = Sketches.vocabularyBySourceChecked(docs, bound = 0.075)
+      .as[(String, Long, Boolean)].collect()
+    tight.foreach { case (src, _, ok) =>
+      assert(ok, s"$src error above 0.075 — headroom under the 0.15 bound eroded")
+    }
+  }
+
   test("token-count quantiles are ordered and bounded by observed range") {
     val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
     val (p50, p90, p99, n) = Sketches.tokenCountQuantiles(docs)

@@ -192,6 +192,52 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(StreamingSketch.cmsState(spark, store, depth, width).toSeq === union.toSeq)
   }
 
+  test("append path self-compacts past the part threshold; state is the union") {
+    import spark.implicits._
+    val store = tmpDir("graft-autocompact-") + "/store"
+    val (cap, threshold) = (4, 3)
+    // 5 single-doc batches with threshold 3: batch 2's append sees 3 live
+    // parts and collapses them; batches 3-4 land on top; batch 4's append
+    // sees {compacted, 3, 4} = 2 live batch parts — below threshold
+    val docs = batches.flatten
+    for ((d, id) <- docs.take(5).zipWithIndex)
+      assert(StreamingSketch.processBatch(docsDf(Seq(d)), id.toLong, store,
+        cap, autoCompactAt = threshold))
+    def files(): Seq[String] =
+      new java.io.File(s"$store/mg_parts").listFiles().map(_.getName).toSeq
+        .filterNot(_.startsWith(".")).sorted
+    assert(files() === Seq("batch_3.json", "batch_4.json", "compacted_upto_2.json"),
+      "the third append must have auto-compacted parts 0-2")
+    // accumulated state ≡ one pass over the union of all five batches
+    val st = StreamingSketch.state(spark, store, cap)
+    assert(st.n === docsDf(docs.take(5))
+      .select(explode(Text.terms(col("text"))).as("t")).count())
+    // replay of a compacted-away batch is still marker-skipped
+    assert(!StreamingSketch.processBatch(docsDf(Seq(docs.head)), 0L, store,
+      cap, autoCompactAt = threshold))
+  }
+
+  test("compaction GCs orphan tmp files from crashed atomic writes") {
+    import spark.implicits._
+    val store = tmpDir("graft-tmpgc-") + "/store"
+    val (cap, depth, width, acc) = (4, 4, 64, 100)
+    for ((b, id) <- batches.take(2).zipWithIndex) {
+      StreamingSketch.processBatch(docsDf(b), id.toLong, store, cap): Unit
+      StreamingSketch.processBatchCms(docsDf(b), id.toLong, store, depth, width): Unit
+      StreamingSketch.processBatchGk(docsDf(b), id.toLong, store, acc): Unit
+    }
+    // simulate a crash between writeAtomic's create and rename in each family
+    val orphans = Seq(s"$store/mg_parts/batch_9.json.tmp",
+      s"$store/cms_parts/batch_9.txt.tmp",
+      s"$store/gk_parts/compacted_upto_9.txt.tmp")
+    orphans.foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "garbage"): Unit)
+    val preMg = StreamingSketch.state(spark, store, cap)
+    StreamingSketch.compactParts(spark, store, cap, depth, width, acc)
+    orphans.foreach(p => assert(!new java.io.File(p).exists(), s"orphan $p survived GC"))
+    assert(StreamingSketch.state(spark, store, cap) === preMg)
+  }
+
   test("state JSON round-trips, including a term named 'n' and the zero state") {
     // Text.terms is per-doc DISTINCT: two docs each containing alpha + n
     // → counts alpha=2, n=2, total 4. A term literally named "n" must
