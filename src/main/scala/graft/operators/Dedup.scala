@@ -380,7 +380,26 @@ object Dedup {
     *     sets (the DuckDB oracles keep the textbook form).
     */
   private[graft] def verifyJaccard(cands: DataFrame, sh: DataFrame,
-                                   threshold: Double): DataFrame = {
+                                   threshold: Double): DataFrame =
+    verifyJaccardImpl(cands.withColumn("_rv", lit(false)), sh, threshold)
+
+  /** `verifyJaccard` over a pair relation carrying a boolean `_rv`
+    * (re-verification) column: `_rv = true` rows BYPASS both the
+    * size-prune and the threshold filter — every such pair returns with
+    * its exact jaccard, below-threshold included. This is the streaming
+    * re-verify contract (a re-verified jaccard that FELL below the sink
+    * threshold is a dissolution marker the pair store must record)
+    * folded into the SAME plan as new-candidate verification, so one
+    * micro-batch runs ONE verify DAG over the shingle store instead of
+    * two — the job-count fold the local-scheduler-bound ingest profile
+    * asked for (BASELINE.md build-cost note).
+    */
+  private[graft] def verifyJaccardResend(cands: DataFrame, sh: DataFrame,
+                                         threshold: Double): DataFrame =
+    verifyJaccardImpl(cands, sh, threshold)
+
+  private def verifyJaccardImpl(cands: DataFrame, sh: DataFrame,
+                                threshold: Double): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("_n"))
     cands
       .join(sizes.select(col("doc_id").as("doc_a"), col("_n").as("_na")), "doc_a")
@@ -388,7 +407,7 @@ object Dedup {
       // 1e-6 slack: the final filter compares round(J, 6), which can
       // round a just-under-threshold J UP to it — the prune must keep
       // any pair the rounded filter could keep
-      .filter(least(col("_na"), col("_nb")).cast("double") >=
+      .filter(col("_rv") || least(col("_na"), col("_nb")).cast("double") >=
         greatest(col("_na"), col("_nb")) * (threshold - 1e-6))
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
@@ -403,8 +422,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         coalesce(
           round(try_divide(col("_inter"), col("_na") + col("_nb") - col("_inter")), 6),
-          lit(0.0)).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+          lit(0.0)).as("jaccard"),
+        col("_rv"))
+      .filter(col("_rv") || col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Exact n-gram-Jaccard near-duplicate pairs with RARE-SHINGLE

@@ -207,29 +207,39 @@ object StreamingDedup {
         // sized (near-dup pairs, tiny relative to the corpus).
         // resent detection runs on ALL re-sent ids (including docs whose
         // new version shingles empty — exactly the re-sends that must
-        // dissolve their pairs)
+        // dissolve their pairs). No separate isEmpty probe: the common
+        // no-re-send path prices the SAME hash-store id scan either way,
+        // and the extra relation the probe used to gate — the pair store
+        // — is near-dup-pair-sized; folding the probe into the one
+        // `touched` materialization drops an action (and its store-scan
+        // job) from every micro-batch.
+        // no distinct on the store-id side: `resent` is only ever the
+        // RIGHT side of left_semi joins, where duplicate rows (replay
+        // residuals / re-send versions) cannot change the result — the
+        // dedup shuffle would be a pure extra exchange per batch
         val newIds = newHashAll.select("doc_id")
         val resent = StoreMaintenance
           .readOrEmpty(spark, hashesPath(storePath), hashSchema)
-          .select("doc_id").distinct()
+          .select("doc_id")
           .join(if (2 * nNewDocs <= MaxBroadcastSigRows) broadcast(newIds) else newIds,
             Seq("doc_id"), "left_semi")
-        val touched: DataFrame = (
-          if (resent.isEmpty) cands.limit(0)
-          else {
-            val oldPairs = StoreMaintenance
-              .readOrEmpty(spark, pairsPath(storePath), pairSchema)
-            // re-sent ids ≤ batch size, so the broadcast cap that admitted
-            // the batch's sigs admits them; over-cap backfills fall back to
-            // AQE-planned joins like every other guarded broadcast here
-            val resentB =
-              if (2 * nNewDocs <= MaxBroadcastSigRows) broadcast(resent) else resent
-            oldPairs.join(resentB.withColumnRenamed("doc_id", "doc_a"),
-                Seq("doc_a"), "left_semi").select("doc_a", "doc_b")
-              .unionByName(oldPairs.join(resentB.withColumnRenamed("doc_id", "doc_b"),
-                Seq("doc_b"), "left_semi").select("doc_a", "doc_b"))
-              .distinct()
-          }).persist()
+        val oldPairs = StoreMaintenance
+          .readOrEmpty(spark, pairsPath(storePath), pairSchema)
+        // re-sent ids ≤ batch size, so the broadcast cap that admitted
+        // the batch's sigs admits them; over-cap backfills fall back to
+        // AQE-planned joins like every other guarded broadcast here
+        val resentB =
+          if (2 * nNewDocs <= MaxBroadcastSigRows) broadcast(resent) else resent
+        // duplicates here (a pair touched on both endpoints, multi-stamp
+        // pair-store rows) are LEGAL: the pre-verify groupBy below is the
+        // one collapse point, so a dedup shuffle here would be redundant;
+        // nTouched over-counts accordingly, which only makes the
+        // broadcast gate more conservative
+        val touched = oldPairs.join(resentB.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_semi").select("doc_a", "doc_b")
+          .unionByName(oldPairs.join(resentB.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b"), "left_semi").select("doc_a", "doc_b"))
+          .persist()
         persisted += touched
         // verify against the shingle sets of BOTH sides (old docs' sets come
         // from the hash store; candidate + touched pairs are few → the
@@ -253,35 +263,59 @@ object StreamingDedup {
         // touched >> cands, and a gate on nCands alone would force an
         // unbounded broadcast (the r10 review catch)
         val nTouched = touched.count()
+        // semi-join right side again — duplicates harmless, the distinct
+        // would be one more exchange; the 4·nCands + 2·nTouched gate
+        // already bounds the UN-deduped broadcast payload
         val verifyIds = cands.select(col("doc_a").as("doc_id"))
           .unionByName(cands.select(col("doc_b").as("doc_id")))
           .unionByName(touched.select(col("doc_a").as("doc_id")))
-          .unionByName(touched.select(col("doc_b").as("doc_id"))).distinct()
+          .unionByName(touched.select(col("doc_b").as("doc_id")))
         val verifyIdsB =
           if (4 * nCands + 2 * nTouched <= MaxBroadcastSigRows) broadcast(verifyIds)
           else verifyIds
+        // persisted + materialized: the verify plan joins this relation
+        // FOUR times (size prune ×2, shingle sets ×2) — uncached, each
+        // join re-runs the store scan + semi-join + canonical collapse
+        // subtree as its own AQE stage chain; cached, the subtree runs
+        // once. The relation is verify-ids-sized (bounded by the
+        // broadcast gate above), so the persist is small by construction.
         val allHash = canonicalByDoc(
           StoreMaintenance.readOrEmpty(spark, hashesPath(storePath), hashSchema)
             .select("doc_id", "sh", "hv", "ingest_ms")
             .unionByName(newHashAll.select("doc_id", "sh", "hv")
               .withColumn("ingest_ms", lit(ingestMs)))
-            .join(verifyIdsB, Seq("doc_id"), "left_semi"))
-        val newPairs = Dedup.verifyJaccard(cands, allHash, threshold)
-        // threshold 0.0 keeps every re-verified jaccard — a value that
-        // FELL below the sink threshold is exactly the dissolution the
-        // store must record
-        val reVerified = Dedup.verifyJaccard(touched, allHash, 0.0)
-        val pairRows = newPairs.unionByName(reVerified).distinct()
+            .join(verifyIdsB, Seq("doc_id"), "left_semi")).persist()
+        persisted += allHash
+        allHash.count(): Unit // one materialization, not four racing ones
+        // ONE verify DAG for both pair sources (was two verifyJaccard
+        // passes — the `_rv` flag carries the re-verification contract:
+        // those rows skip the size-prune and keep below-threshold
+        // jaccards as dissolution markers; new candidates filter at the
+        // sink threshold as before). A pair in both sources collapses in
+        // the pre-verify groupBy — _rv wins, and its kept-jaccard
+        // semantics are a superset of the candidate row's.
+        val toVerify = cands.withColumn("_rv", lit(false))
+          .unionByName(touched.withColumn("_rv", lit(true)))
+          .groupBy("doc_a", "doc_b").agg(max(col("_rv")).as("_rv"))
+        val pairRows = Dedup.verifyJaccardResend(toVerify, allHash, threshold)
           .withColumn("ingest_ms", lit(ingestMs))
 
         // three appends inside the marker window: at-least-once — a crash
         // mid-window re-appends on replay, collapsed by compactStore / the
         // accessors (the replayed re-verification scores against the same
-        // canonical versions, so re-appended rows stay value-identical)
-        newHashAll.select("doc_id", "sh", "hv").withColumn("ingest_ms", lit(ingestMs))
+        // canonical versions, so re-appended rows stay value-identical).
+        // Small batches coalesce to one output file per sub-store: the
+        // hash/sig payloads are already materialized (checkpoint), so the
+        // coalesce costs no parallelism upstream, and every later store
+        // scan lists 1 file per batch instead of a task-count's worth.
+        val shrink: DataFrame => DataFrame = df =>
+          if (2 * nNewDocs <= MaxBroadcastSigRows) df.coalesce(1) else df
+        shrink(newHashAll.select("doc_id", "sh", "hv")
+            .withColumn("ingest_ms", lit(ingestMs)))
           .write.mode(SaveMode.Append)
           .parquet(hashesPath(storePath))
-        newSigs.select("doc_id", "band", "sig").write.mode(SaveMode.Append)
+        shrink(newSigs.select("doc_id", "band", "sig"))
+          .write.mode(SaveMode.Append)
           .parquet(sigsPath(storePath))
         pairRows.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
       } finally persisted.foreach(_.unpersist(): Unit)

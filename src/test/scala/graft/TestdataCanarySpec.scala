@@ -58,6 +58,31 @@ class TestdataCanarySpec extends AnyFunSuite {
       "label" -> one(IntegerType))
   )
 
+  // Content canary, not just schema: the q_resize / q_frame_sample
+  // oracles equate char offsets with byte offsets and md5(chars) with
+  // md5(bytes) — sound only while documents.text is pure ASCII — and
+  // skip the empty-payload branch because the shortest doc is ≥ 47
+  // chars. A generator drift to non-ASCII or shorter docs would surface
+  // as opaque md5 hash mismatches; this test makes it name itself.
+  // Checked at both gate scales (sf0.001 tests, sf0.01 driver oracle).
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"testdata canary: $sf documents.text is pure ASCII with min length >= 47") {
+      import org.apache.spark.sql.functions._
+      val row = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .agg(
+          sum(when(col("text").rlike("[^\\x00-\\x7F]"), 1L).otherwise(0L))
+            .as("non_ascii_docs"),
+          min(length(col("text"))).as("min_len"))
+        .head()
+      assert(row.getLong(0) === 0L,
+        s"$sf/documents.parquet now carries non-ASCII text — the " +
+          "q_resize/q_frame_sample oracles' chars==bytes assumption broke")
+      assert(row.getInt(1) >= 47,
+        s"$sf shortest doc is ${row.getInt(1)} chars (< 47) — the resize " +
+          "oracle's no-empty-payload assumption broke")
+    }
+  }
+
   for ((table, cols) <- expected.toSeq.sortBy(_._1)) {
     test(s"testdata canary: $table.parquet matches the engine's expected schema") {
       val actual = spark.read.parquet(s"$dir/$table.parquet").schema
