@@ -62,4 +62,55 @@ object Skew {
           saltedBig("_salt") === replicated("_salt"))
       .drop("_salt")
   }
+
+  /** OBSERVED salt fan: how many salts does this key distribution
+    * actually need? One bounded statistics job — sample the key column
+    * (fixed seed, so the decision is deterministic and oracle-safe),
+    * count per sampled key, take the max — then scale the hottest key's
+    * estimated TRUE row count (`maxSampled / fraction`) against
+    * `hotKeyRows`, the row count one task is expected to absorb.
+    *
+    * The test is ABSOLUTE, mirroring AQE's skew-join trigger
+    * (`skewedPartitionThresholdInBytes`): a relative max/avg ratio is
+    * sampling-noise-bound near its threshold and, more importantly,
+    * salting only pays for itself when a single key OVERFLOWS a task —
+    * a 100-row "hot" key in a 600k-row table is 4× the mean and still
+    * nothing to split. Fan = next-pow-2 of estHot/hotKeyRows, clamped
+    * to [1, maxSalts]; 1 means "don't salt" (the plain join is the
+    * right plan and the ×fan dimension replication is pure waste).
+    *
+    * Cost model at 100 TB: the stat job scans ONE column of a sample
+    * (column-pruned parquet read, partial-agg'd max) — O(sample), not
+    * O(data), and orders of magnitude cheaper than an unconditionally
+    * ×8-replicated dimension shuffle.
+    */
+  def observedSaltFan(big: DataFrame, bigKey: String, maxSalts: Int = 16,
+                      hotKeyRows: Long = 4L * 1000 * 1000,
+                      sampleFraction: Double = 0.02, seed: Long = 42L): Int = {
+    val mx = big.select(col(bigKey))
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(col(bigKey)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"))
+      .head()
+    if (mx.isNullAt(0)) 1
+    else {
+      val estHot = mx.getLong(0).toDouble / sampleFraction
+      val want = math.ceil(estHot / hotKeyRows.toDouble).toInt
+      if (want <= 1) 1
+      else math.min(maxSalts, Integer.highestOneBit(want - 1) << 1)
+    }
+  }
+
+  /** Salted join with the fan DERIVED from observed skew: fan 1 (the
+    * common case — no key overflows a task) degrades to the plain join
+    * with zero replication; a genuinely hot key gets exactly the fan
+    * its volume demands, capped at `maxSalts`.
+    */
+  def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                         smallKey: String, maxSalts: Int = 16,
+                         hotKeyRows: Long = 4L * 1000 * 1000): DataFrame = {
+    val fan = observedSaltFan(big, bigKey, maxSalts, hotKeyRows)
+    if (fan <= 1) big.join(small, big(bigKey) === small(smallKey))
+    else saltedJoin(big, small, bigKey, smallKey, fan)
+  }
 }

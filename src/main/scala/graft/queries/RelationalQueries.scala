@@ -216,14 +216,18 @@ object RelationalQueries {
         .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("month"))
         .agg(revenue.as("revenue"), count(lit(1)).as("n_lineitems"))),
 
-    // Salted equi-join (explicit skew fallback — Skew.saltedJoin): the
-    // skewed probe side spreads each key over 8 salts, the dimension side
-    // replicates 8×. Result must equal the plain join bit-for-bit (the
-    // oracle runs the UNSALTED join).
+    // ADAPTIVE salted equi-join (explicit skew fallback —
+    // Skew.adaptiveSaltedJoin): the fan comes from the probe side's
+    // observed key histogram (sampled, fixed seed), so a distribution
+    // where no key overflows a task — like l_orderkey here — degrades to
+    // the plain join with ZERO dimension replication, while a genuinely
+    // hot key gets exactly the fan its volume demands (≤ 8). Result must
+    // equal the plain join bit-for-bit (the oracle runs the UNSALTED
+    // join); PlanSpec pins the fan decision on both shapes.
     "q_salted_join" -> ((s, dir) =>
       graft.operators.Skew
-        .saltedJoin(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
-          "l_orderkey", "o_orderkey", salts = 8)
+        .adaptiveSaltedJoin(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", maxSalts = 8)
         .groupBy("o_orderpriority")
         .agg(revenue.as("revenue"), count(lit(1)).as("n_lineitems"))),
 

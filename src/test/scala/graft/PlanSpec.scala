@@ -159,6 +159,58 @@ class PlanSpec extends AnyFunSuite {
       s"phrase-term scans not bucket-pruned:\n$p")
   }
 
+  test("4-term phrase: every slice still bucket-pruned, no sort-merge of full postings") {
+    // the scaling guard for the phrase family: as phrases lengthen, each
+    // extra term must add one more PRUNED slice of the positional store
+    // joined broadcast-side — never a sort-merge join of unpruned
+    // posting relations (which at 100 TB would shuffle the whole index
+    // per phrase term)
+    val p = graft.operators.InvertedIndex.phraseQuery(
+      graft.sources.IndexStore.positionalPostings(spark, dir),
+      Seq("value", "table", "spark", "hash"))
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: 1 out of 32".r.findAllIn(p).length === 4,
+      s"phrase-term scans not bucket-pruned:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"phrase slices joined by SMJ:\n$p")
+  }
+
+  test("q_salted_join: observed fan is 1 on a task-scale key distribution — no replication") {
+    // the adaptive-fan contract (r12): l_orderkey's hottest key is a
+    // handful of rows — nothing overflows a task — so the fan decision
+    // must come back 1 and the executed plan must contain NO dimension
+    // replication (no explode) and no salt column
+    val li = graft.sources.Tables.tbl(spark, dir, "lineitem")
+    assert(graft.operators.Skew.observedSaltFan(li, "l_orderkey", maxSalts = 8) === 1)
+    val p = plan("q_salted_join")
+    assert(!p.contains("explode"), s"uniform keys still pay dim replication:\n$p")
+    assert(!p.contains("_salt"), s"salt column present on a fan-1 decision:\n$p")
+  }
+
+  test("observedSaltFan: a key that overflows a task gets a fan scaled to its volume") {
+    import spark.implicits._
+    // 4,000 rows of one hot key + 50 singletons; with hotKeyRows=500 the
+    // hot key is ~8 task-loads → fan 8; a generous threshold → fan 1;
+    // the cap clamps. sampleFraction 1.0 removes sampling noise from the
+    // pin (the decision path is identical — the fraction only scales the
+    // estimate).
+    val big = (Seq.fill(4000)(7L) ++ (100L until 150L)).toDF("k").repartition(5)
+    val fan = graft.operators.Skew.observedSaltFan(
+      big, "k", maxSalts = 16, hotKeyRows = 500, sampleFraction = 1.0)
+    assert(fan === 8, s"expected fan 8 for an 8-task-load hot key, got $fan")
+    assert(graft.operators.Skew.observedSaltFan(
+      big, "k", maxSalts = 4, hotKeyRows = 500, sampleFraction = 1.0) === 4)
+    assert(graft.operators.Skew.observedSaltFan(
+      big, "k", maxSalts = 16, hotKeyRows = 1000000, sampleFraction = 1.0) === 1)
+    // and the adaptive join under a forced-salt threshold still equals the plain join
+    val small = Seq((7L, "dim7"), (100L, "d100"), (999L, "dx")).toDF("sk", "name")
+    val adaptive = graft.operators.Skew.adaptiveSaltedJoin(
+      big, small, "k", "sk", maxSalts = 16, hotKeyRows = 500)
+    val plain = big.join(small, big("k") === small("sk"))
+    assert(adaptive.columns.toSeq === plain.columns.toSeq)
+    assert(adaptive.count() === plain.count())
+    assert(adaptive.except(plain).count() === 0 && plain.except(adaptive).count() === 0)
+  }
+
   test("semi/anti joins: filter pushed to the build-side scan, no output widening") {
     val semi = plan("q_semijoin")
     assert(semi.contains("LeftSemi"), s"expected a semi join:\n$semi")
