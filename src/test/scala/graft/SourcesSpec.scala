@@ -170,6 +170,52 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("S1: live-transport crawl soak — crawlToCorpus over HTTP equals the offline parse") {
+    // the whole S1 stack with NOTHING stubbed: a localhost JDK HttpServer
+    // serves the category_page.html fixture chain (page 2 = the fixture
+    // with its pagination anchor removed, i.e. the last page), the crawl
+    // client is the REAL config-gated HttpClient (spark.graft.fetch.live
+    // flipped for the duration), pagination follows the fixture's
+    // entity-decoded relative href resolved against the live base URL,
+    // and the politeness delay fires exactly once between the two pages.
+    // Hermetic: 127.0.0.1 only, no egress needed.
+    val page1 = fixture("category_page.html")
+    val page2 = page1.replaceAll("""<a href="/w/index\.php[^>]*>next page</a>""", "")
+    assert(Html.nextPageLink(page2) === None) // the chain really ends at page 2
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: String): Unit =
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    serve("/w/category", page1)
+    serve("/w/index.php", page2) // matches the ?title=...&pagefrom=Delta next link
+    server.start()
+    val port = server.getAddress.getPort
+    spark.conf.set("spark.graft.fetch.live", "true")
+    try {
+      val fetch = Corpus.fetcherFactory(spark)() // must be the REAL client under the flag
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val crawled = Corpus.crawlToCorpus(spark, fetch,
+          s"http://127.0.0.1:$port/w/category", delayMs = 777L, sleep = sleeps += _)
+        .as[(Long, String)].collect().toSeq
+      assert(sleeps.toSeq === Seq(777L)) // politeness: one delay between two pages
+      // parity with the offline-parsed corpus over the same page HTMLs
+      val offline = Corpus.fromCategoryHtml(spark, Seq(page1, page2))
+        .as[(Long, String)].collect().toSeq
+      assert(crawled === offline)
+      assert(crawled.map(_._2) ===
+        Seq("/wiki/Alpha_Band", "/wiki/Beta_Singer", "/wiki/Delta_Duo",
+            "/wiki/Alpha_Band", "/wiki/Beta_Singer", "/wiki/Delta_Duo"))
+    } finally {
+      spark.conf.set("spark.graft.fetch.live", "false")
+      server.stop(0)
+    }
+  }
+
   test("S3: extractText takes the content div, drops table/script/style, joins text") {
     val text = Html.extractText(fixture("article.html"))
     assert(text === "The Alpha Band was a rock & roll group formed in 1976. They released three albums <fast>.")
