@@ -95,6 +95,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Serialized Bloom filter over the benchmark's distinct shingles —
+    * the compact form of the decontamination eval set. Built with
+    * Spark's distributed sketch aggregation (`df.stat.bloomFilter`:
+    * per-partition filters OR-merged, only the final bit array reaches
+    * the driver), so the eval corpus itself never collects. ~19 bits per
+    * shingle at fpp=1e-4 versus the full shingle STRINGS (~30+ bytes
+    * each) the exact broadcast ships — the difference between a
+    * multi-GB and a tens-of-MB eval-set broadcast when the benchmark
+    * suite is large. Deterministic: fixed murmur3 seeds, OR-merge is
+    * insertion-order-independent, and sizing depends only on the counted
+    * distinct-shingle cardinality and fpp.
+    */
+  def benchShingleBloom(benchShingles: DataFrame, fpp: Double = 1e-4): Array[Byte] = {
+    val bench = benchShingles.select(explode(col("sh")).as("s")).distinct()
+    val n = math.max(bench.count(), 1L) // eval-set-sized action, sizes the bit array
+    graft.plans.BloomContains.serialize(bench.stat.bloomFilter("s", n, fpp))
+  }
+
+  /** Bloom-filter decontamination (⊕ LLM-pipeline): the SAME contract as
+    * `decontaminateFromShingles` — training docs sharing any shingle
+    * with the benchmark, with overlap counts — but probabilistic with a
+    * ONE-SIDED error: no false negatives ever (every truly contaminated
+    * doc is flagged; Bloom `false` is definite), a bounded per-shingle
+    * false-positive rate `fpp` (a clean doc with k shingles is
+    * false-flagged with probability ≈ k·fpp — choose fpp accordingly;
+    * the 1e-4 default keeps ~200-shingle docs around 2%). Flagged docs
+    * are REVIEWED or dropped conservatively — over-removal at rate
+    * k·fpp is the accepted trade for the broadcast shrink.
+    *
+    * Scale shape: the corpus side is ONE scan + a codegen'd map-side
+    * `bloom_contains` probe — NO join at all (the exact variant's
+    * broadcast-hash-join disappears); only flagged (doc, shingle) rows
+    * reach the per-doc aggregate. The filter rides in the plan's
+    * references array exactly like Spark's own runtime join filters.
+    */
+  def decontaminateBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
+                         fpp: Double = 1e-4): DataFrame = {
+    val bloom = benchShingleBloom(benchShingles, fpp)
+    corpusShingles.select(col("doc_id"), explode(col("sh")).as("s"))
+      .filter(graft.plans.BloomContains.bloomContains(bloom, col("s")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** Modulus and per-hash (multiplier, offset) for the universal-hash
     * family h_k(v) = (a_k·v + b_k) mod P. a_k < 2^20 keeps a·v+b < 2^52
     * for the 32-bit base values — no overflow in any engine's BIGINT.

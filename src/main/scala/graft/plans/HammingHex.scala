@@ -116,6 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashHexDescriptor)
     ext.injectFunction(GraftExtensions.dotF64Descriptor)
     ext.injectFunction(GraftExtensions.runStatsDescriptor)
+    ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
   }
 }
 
@@ -191,5 +192,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "run_stats(grams) takes exactly one argument")
       RunStats(children.head)
+    })
+
+  private[plans] val bloomContainsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "bloom_contains(filter, value) takes exactly two arguments")
+      BloomContains(children.head, children(1))
     })
 }

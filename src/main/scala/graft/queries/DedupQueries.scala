@@ -85,6 +85,36 @@ object DedupQueries {
       val sh = DedupStore.hashes(s, dir).select(col("doc_id"), col("sh"))
       Dedup.decontaminateFromShingles(sh.filter(!evalDocPred), sh.filter(evalDocPred))
     }),
+
+    // Bloom-filter decontamination, hash-checked via the deterministic
+    // guarantee-projection protocol (the HLL/MG/CMS/GK pattern): the
+    // probabilistic structure's ONE-SIDED contract — every exactly-
+    // contaminated doc is bloom-flagged (no false negatives, Bloom
+    // `false` is definite) and doc-level false positives stay within a
+    // generous fixed bound — is computed as booleans the oracle states
+    // as literals. Both branches share the session shingle store; the
+    // bloom branch itself is join-FREE (scan → codegen'd bloom_contains
+    // probe → per-doc agg), which is its 100 TB reason to exist: the
+    // eval broadcast shrinks from full shingle strings to ~19 bits per
+    // shingle. DedupSpec pins ≥2× headroom on the fp bound per scale so
+    // corpus drift names itself before flipping the hash.
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val sh = DedupStore.hashes(s, dir).select(col("doc_id"), col("sh"))
+      val corpusSh = sh.filter(!evalDocPred)
+      val benchSh = sh.filter(evalDocPred)
+      val exact = Dedup.materializeOnce(
+        Dedup.decontaminateFromShingles(corpusSh, benchSh).select("doc_id"))
+      val flagged = Dedup.materializeOnce(
+        Dedup.decontaminateBloom(corpusSh, benchSh).select("doc_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(exact.join(flagged, Seq("doc_id"), "left_anti")
+          .agg((count(lit(1)) === 0).as("no_false_negatives"))))
+        .crossJoin(broadcast(flagged.join(exact, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_fp"))
+          .crossJoin(broadcast(corpusSh.agg(count(lit(1)).as("n_docs"))))
+          .select((col("n_fp") <= col("n_docs") * lit(0.05) + lit(10))
+            .as("fp_within_bound"))))
+    }),
   )
 
   /** Stand-in eval-slice parameters: doc_id multiples of `EvalDocMod`
@@ -441,6 +471,22 @@ object DedupQueries {
          |FROM ex e JOIN bench b ON e.shingle = b.shingle
          |WHERE NOT (e.doc_id % $EvalDocMod = 0 AND e.doc_id < $EvalDocCap)
          |GROUP BY e.doc_id""".stripMargin,
+
+    // the Bloom guarantees the oracle can state exactly: the engine's
+    // booleans must come back true, n_exact must equal the exact SQL
+    "q_bloom_decontaminate" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.s AS shingle FROM shs, unnest(sh) AS t(s)
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalDocMod = 0 AND doc_id < $EvalDocCap
+         |), exact AS (
+         |  SELECT DISTINCT e.doc_id
+         |  FROM ex e JOIN bench b ON e.shingle = b.shingle
+         |  WHERE NOT (e.doc_id % $EvalDocMod = 0 AND e.doc_id < $EvalDocCap)
+         |)
+         |SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |       true AS no_false_negatives,
+         |       true AS fp_within_bound""".stripMargin,
 
     // both settings' full pipelines, unrolled with suffixed CTE names; the
     // scalar-subquery SELECT makes the three counts one hash-checked row

@@ -44,7 +44,14 @@ class CodegenGuardSpec extends AnyFunSuite {
       BoundReference(0, ArrayType(DoubleType), nullable = true),
       BoundReference(1, ArrayType(DoubleType), nullable = true)),
     "run_stats" -> graft.plans.RunStats(
-      BoundReference(0, ArrayType(StringType), nullable = true)))
+      BoundReference(0, ArrayType(StringType), nullable = true)),
+    "bloom_contains" -> {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.01)
+      bf.putString("seed")
+      graft.plans.BloomContains(
+        Literal(graft.plans.BloomContains.serialize(bf), BinaryType),
+        BoundReference(0, StringType, nullable = true))
+    })
 
   test("no generated snippet line begins with '|' (stripMargin splice hazard)") {
     spark // force session init (codegen touches SQLConf.get)
@@ -114,6 +121,18 @@ class CodegenGuardSpec extends AnyFunSuite {
       // the q_sim_topk inner loop at real embedding widths
       val top = graft.operators.Similarity.topK(emb, queryId = 0L, k = 5)
       assert(top.count() === 5)
+    }
+  }
+
+  test("bloom_contains compiles and runs CODEGEN_ONLY") {
+    withCodegenOnly {
+      val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+      // the q_bloom_decontaminate probe at real corpus widths: bench =
+      // the eval slice, corpus scan filtered by the codegen'd probe
+      val sh = graft.operators.Dedup.shingleSets(docs, 3)
+      val flagged = graft.operators.Dedup.decontaminateBloom(
+        sh.filter(col("doc_id") % 97 =!= 0), sh.filter(col("doc_id") % 97 === 0))
+      assert(flagged.count() > 0)
     }
   }
 

@@ -217,6 +217,66 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 2L, 4L -> 1L)) // doc 3 absent: not contaminated
   }
 
+  test("bloom_contains probe matches the build side's string encoding, non-ASCII included") {
+    // build with putString (what df.stat.bloomFilter does for strings),
+    // probe with the codegen'd mightContainBinary over UTF-8 bytes — the
+    // two must agree byte-for-byte or membership silently breaks on
+    // multi-byte text
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.01)
+    val in = Seq("plain ascii", "naïve café", "日本語のテキスト", "mixed ascii + 中文")
+    in.foreach(bf.putString)
+    val bytes = graft.plans.BloomContains.serialize(bf)
+    val probe = (in ++ Seq("absent one", "çafé naïve", "日本語")).toDF("s")
+      .repartition(2) // real execution path, not a folded local relation
+      .select(col("s"), graft.plans.BloomContains.bloomContains(bytes, col("s")).as("hit"))
+      .as[(String, Boolean)].collect().toMap
+    in.foreach(s => assert(probe(s), s"inserted string not found: $s"))
+    probe.foreach { case (s, hit) =>
+      assert(hit === bf.mightContainString(s), s"probe/build disagree on: $s")
+    }
+  }
+
+  test("decontaminateBloom: no false negatives on the synthetic corpus, exact ⊆ flagged") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zz alpha beta gamma yy"),
+      (2L, "alpha beta gamma delta qq"),
+      (3L, "foo bar baz qux"),
+      (4L, "one more clean document here")
+    ).toDF("doc_id", "text")
+    val exact = graft.operators.Dedup.decontaminate(train, bench)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = graft.operators.Dedup.decontaminateBloom(
+        graft.operators.Dedup.shingleSets(train, 3),
+        graft.operators.Dedup.shingleSets(bench, 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(flagged), s"false negatives: ${exact -- flagged}")
+    assert(exact === Set(1L, 2L))
+  }
+
+  test("q_bloom_decontaminate guarantees hold with >=2x headroom on the real corpus") {
+    // the checked-projection protocol: the oracle pins the booleans as
+    // literals, so this spec must pin the HEADROOM — if corpus drift or
+    // an fpp change pushes the measured doc-level false-positive count
+    // past HALF the query's bound (5% of corpus docs + 10), this test
+    // names the violated assumption before the hash gate flips
+    val dir = "/root/testdata/sf0.001"
+    val sh = graft.queries.DedupQueries.DedupStore.hashes(spark, dir)
+      .select(col("doc_id"), col("sh"))
+    val corpusSh = sh.filter(!graft.queries.DedupQueries.evalDocPred)
+    val benchSh = sh.filter(graft.queries.DedupQueries.evalDocPred)
+    val exact = graft.operators.Dedup.decontaminateFromShingles(corpusSh, benchSh)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = graft.operators.Dedup.decontaminateBloom(corpusSh, benchSh)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(flagged), s"false negatives: ${exact -- flagged}")
+    val nDocs = corpusSh.count()
+    val fp = (flagged -- exact).size
+    val bound = nDocs * 0.05 + 10
+    assert(fp <= bound / 2,
+      s"fp headroom lost: $fp false-positive docs vs bound $bound over $nDocs docs")
+  }
+
   test("q_decontaminate eval slice: capped at 64 docs, ids past the cap are training data") {
     import spark.implicits._
     val cap = graft.queries.DedupQueries.EvalDocCap.toLong
