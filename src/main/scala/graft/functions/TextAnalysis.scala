@@ -97,6 +97,33 @@ object TextAnalysis {
     */
   def md5RankOrder(id: Column): Seq[Column] = Seq(md5(id.cast("string")), id)
 
+  /** Deterministic uniform in (0,1) from the id's md5: the first 8 hex
+    * chars as a 32-bit value v, u = (v + 0.5) / 2^32 — half-offset so u
+    * is never exactly 0 or 1 (both would break x^(1/w) sampling). Same
+    * engine-portability contract as `md5RankOrder`: the DuckDB oracles
+    * mirror the nibble decode verbatim.
+    */
+  def hashUniform(id: Column): Column = {
+    val nibs = (1 to 8).map { i =>
+      val c = ascii(substring(md5(id.cast("string")), i, 1))
+      when(c <= 57, c - 48).otherwise(c - 87)
+    }
+    val v = nibs.tail.foldLeft(nibs.head.cast("long"))((acc, n) => acc * 16 + n)
+    (v.cast("double") + 0.5) / lit(4294967296.0)
+  }
+
+  /** Efraimidis–Spirakis weighted-sampling priority u^(1/w): taking the
+    * top-k by this key IS a weighted random sample without replacement
+    * with inclusion probability proportional to w (the classic A-ES
+    * result), yet fully deterministic here because u comes from
+    * `hashUniform` — stable across runs, engines and cluster sizes.
+    * Rounded to 6 decimals (the engine float-parity rule); callers order
+    * by (priority DESC, id) so rounding collisions break identically
+    * everywhere. Weights must be strictly positive.
+    */
+  def weightedPriority(id: Column, weight: Column): Column =
+    round(pow(hashUniform(id), lit(1.0) / weight), 6)
+
   /** Heuristic quality score in [0,1]: one point per satisfied band,
     * equally weighted — length band, mean-token-length band, stopword
     * band, punctuation band. Deterministic integer arithmetic.

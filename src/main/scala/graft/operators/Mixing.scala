@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Target-mix resampling (⊕ LLM-pipeline): downsample a multi-source
@@ -89,4 +89,33 @@ object Mixing {
       .filter(col("rk") <= col("quota"))
       .select("source", "doc_id", "rk")
   }
+
+  /** WEIGHTED sample without replacement, k docs with inclusion
+    * probability proportional to `weight` (Efraimidis–Spirakis A-ES:
+    * top-k by priority u^(1/w)) — the "sample by quality/length/score"
+    * pass a curation pipeline runs when it wants a budget-sized subset
+    * that still favors its best documents. Fully DETERMINISTIC: u is
+    * md5-derived (`TextAnalysis.hashUniform`), so the sample is stable
+    * across runs, engines and cluster sizes — reproducible curation, and
+    * oracle-checkable (the RNG `sample()` can never be).
+    *
+    * Scale shape: priority is a map-side projection; the top-k plans as
+    * TakeOrderedAndProject — per-partition O(k) heaps merged once,
+    * NEVER a global sort of the corpus. k is result-sized by contract
+    * (a sample you intend to look at), not corpus-sized; for
+    * corpus-fraction sampling use a priority-threshold filter instead
+    * (same key, no ordering at all).
+    *
+    * Weights must be strictly positive (u^(1/w) needs w > 0; a zero
+    * weight is a doc the caller already decided to drop — filter it
+    * first). Ties on the 6-dp rounded priority break by doc_id, a total
+    * order, so the boundary of the sample is exact.
+    */
+  def weightedSample(docsDf: DataFrame, weight: Column, k: Int): DataFrame =
+    docsDf
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.weightedPriority(col("doc_id"), weight)
+          .as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
 }

@@ -173,6 +173,14 @@ object AnalysisQueries {
         .select("source", "doc_id", "rk")
     }),
 
+    // Deterministic WEIGHTED sample (⊕ LLM-pipeline): 100 docs with
+    // inclusion probability ∝ n_chars via A-ES priority u^(1/w), u
+    // md5-derived — reproducible "favor the longer/better docs"
+    // subsetting, planned as TakeOrderedAndProject (per-partition O(k)
+    // heaps), never a global sort. See Mixing.weightedSample.
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.operators.Mixing.weightedSample(docs(s, dir), col("n_chars"), 100)),
+
     // Target-mix resampling (⊕ LLM-pipeline): hit a prescribed 5:3:2
     // domain mix over three sources, dropping the rest — integer batch
     // quotas (exact proportions by construction), scarcest source caps
@@ -678,6 +686,26 @@ object AnalysisQueries {
         |)
         |SELECT r.source, r.doc_id, r.rk FROM r JOIN q USING (source)
         |WHERE r.rk <= q.quota""".stripMargin,
+
+    // mirror of hashUniform + weightedPriority: 8-nibble md5 decode →
+    // u = (v + 0.5)/2^32, priority = round(pow(u, 1/n_chars), 6),
+    // top 100 by (priority DESC, doc_id) — the doc_id tie-break makes
+    // the LIMIT boundary exact in both engines
+    "q_sample_weighted" -> {
+      def nib(i: Int) =
+        s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) <= 57
+           |      THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48
+           |      ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87 END)""".stripMargin
+      val v = (2 to 8).map(nib).foldLeft(s"CAST(${nib(1)} AS BIGINT)")((acc, n) => s"($acc * 16 + $n)")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         round(pow((CAST($v AS DOUBLE) + 0.5) / 4294967296.0,
+         |                   1.0 / n_chars), 6) AS priority
+         |  FROM documents
+         |)
+         |SELECT doc_id, priority FROM p
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
+    },
 
     "q_sample_per_source" ->
       """SELECT source, doc_id, rk FROM (

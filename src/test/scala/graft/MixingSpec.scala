@@ -72,4 +72,59 @@ class MixingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq("a" -> 0)))
     intercept[IllegalArgumentException](Mixing.targetMix(corpus, Seq("a" -> 1, "a" -> 2)))
   }
+
+  /** Driver-side mirror of hashUniform/weightedPriority for oracle-style
+    * cross-checks: md5 of the id string, first 8 hex chars → v,
+    * u = (v + 0.5)/2^32, priority = round(u^(1/w), 6).
+    */
+  private def refPriority(id: Long, w: Double): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val v = java.lang.Long.parseLong(hex, 16)
+    val u = (v + 0.5) / 4294967296.0
+    BigDecimal(math.pow(u, 1.0 / w))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("weightedSample: top-k matches the A-ES reference computed driver-side") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 300L).map(i => (i, (i % 7 + 1) * 50L)).toDF("doc_id", "n_chars")
+    val got = Mixing.weightedSample(df, col("n_chars"), 25)
+      .as[(Long, Double)].collect().toSeq
+    val want = (1L to 300L).map(i => (i, refPriority(i, ((i % 7) + 1) * 50.0)))
+      .sortBy { case (id, p) => (-p, id) }.take(25)
+    assert(got === want)
+  }
+
+  test("weightedSample: deterministic across runs and partitionings") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 500L).map(i => (i, i % 13 + 1L)).toDF("doc_id", "n_chars")
+    val a = Mixing.weightedSample(df.repartition(3), col("n_chars"), 40)
+      .as[(Long, Double)].collect().toSeq
+    val b = Mixing.weightedSample(df.repartition(11), col("n_chars"), 40)
+      .as[(Long, Double)].collect().toSeq
+    assert(a === b)
+  }
+
+  test("weightedSample: weight dominance — a vastly heavier doc is always selected") {
+    import org.apache.spark.sql.functions.col
+    // w=1e6 vs w=1: u^(1e-6) is ~1 for ANY u, u^1 is uniform — the heavy
+    // doc outranks 400 light docs (deterministic here, and overwhelmingly
+    // probable under true A-ES semantics)
+    val df = ((1L to 400L).map(i => (i, 1L)) :+ (999L, 1000000L)).toDF("doc_id", "n_chars")
+    val ids = Mixing.weightedSample(df, col("n_chars"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(999L), "heaviest doc missing from the sample")
+  }
+
+  test("weightedSample: plans TakeOrdered, never a global sort of the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+    val p = Mixing.weightedSample(docs, col("n_chars"), 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+    assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined,
+      s"global sort exchange in a top-k sample:\n$p")
+  }
 }
