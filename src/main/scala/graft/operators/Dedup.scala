@@ -131,13 +131,20 @@ object Dedup {
     * references array exactly like Spark's own runtime join filters.
     */
   def decontaminateBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
-                         fpp: Double = 1e-4): DataFrame = {
-    val bloom = benchShingleBloom(benchShingles, fpp)
+                         fpp: Double = 1e-4): DataFrame =
+    decontaminateBloomWith(corpusShingles, benchShingleBloom(benchShingles, fpp))
+
+  /** `decontaminateBloom` over an ALREADY-BUILT serialized filter — the
+    * form a pipeline maintaining its eval filter incrementally calls
+    * (`StreamingSketch.bloomState`): the probe pass is identical, only
+    * the filter's provenance differs.
+    */
+  def decontaminateBloomWith(corpusShingles: DataFrame,
+                             filterBytes: Array[Byte]): DataFrame =
     corpusShingles.select(col("doc_id"), explode(col("sh")).as("s"))
-      .filter(graft.plans.BloomContains.bloomContains(bloom, col("s")))
+      .filter(graft.plans.BloomContains.bloomContains(filterBytes, col("s")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_flagged"))
-  }
 
   /** Modulus and per-hash (multiplier, offset) for the universal-hash
     * family h_k(v) = (a_k·v + b_k) mod P. a_k < 2^20 keeps a·v+b < 2^52

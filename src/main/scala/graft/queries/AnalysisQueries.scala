@@ -40,6 +40,14 @@ object AnalysisQueries {
             graft.streaming.StreamingSketch.processBatch(batch, b.toLong, path): Unit
             graft.streaming.StreamingSketch.processBatchCms(batch, b.toLong, path): Unit
             graft.streaming.StreamingSketch.processBatchGk(batch, b.toLong, path): Unit
+            // bloom family: only the batch's EVAL-slice shingles feed the
+            // incremental decontamination filter (the batch twin's bench
+            // side, arriving in drops)
+            graft.streaming.StreamingSketch.processBatchBloom(
+              graft.operators.Dedup.shingleSets(
+                  batch.filter(DedupQueries.evalDocPred), 3)
+                .select(explode(col("sh")).as("s")),
+              b.toLong, path): Unit
           } finally batch.unpersist(): Unit
         }
         cache += (s, dir) -> path

@@ -98,24 +98,45 @@ object DedupQueries {
     // eval broadcast shrinks from full shingle strings to ~19 bits per
     // shingle. DedupSpec pins ≥2× headroom on the fp bound per scale so
     // corpus drift names itself before flipping the hash.
-    "q_bloom_decontaminate" -> ((s, dir) => {
-      val sh = DedupStore.hashes(s, dir).select(col("doc_id"), col("sh"))
-      val corpusSh = sh.filter(!evalDocPred)
-      val benchSh = sh.filter(evalDocPred)
-      val exact = Dedup.materializeOnce(
-        Dedup.decontaminateFromShingles(corpusSh, benchSh).select("doc_id"))
-      val flagged = Dedup.materializeOnce(
-        Dedup.decontaminateBloom(corpusSh, benchSh).select("doc_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(exact.join(flagged, Seq("doc_id"), "left_anti")
-          .agg((count(lit(1)) === 0).as("no_false_negatives"))))
-        .crossJoin(broadcast(flagged.join(exact, Seq("doc_id"), "left_anti")
-          .agg(count(lit(1)).as("n_fp"))
-          .crossJoin(broadcast(corpusSh.agg(count(lit(1)).as("n_docs"))))
-          .select((col("n_fp") <= col("n_docs") * lit(0.05) + lit(10))
-            .as("fp_within_bound"))))
+    "q_bloom_decontaminate" -> ((s, dir) =>
+      bloomDecontChecked(s, dir, (c, b) => Dedup.decontaminateBloom(c, b))),
+
+    // The STREAMED twin: the filter comes from the session's incremental
+    // bloom store (eval shingles ingested per micro-batch, OR-merged at
+    // read — StreamingSketch's bloom family), probed by the identical
+    // codegen'd pass. Bloom OR-merge is bit-exact for the union stream,
+    // so the guarantee projection — and therefore the oracle SQL — is
+    // IDENTICAL to the batch query's: stream ≡ batch at the guarantee
+    // level, hash-checked.
+    "q_bloom_decontaminate_streamed" -> ((s, dir) => {
+      val store = AnalysisQueries.SketchStores.streamedMgStore(s, dir)
+      val filter = graft.streaming.StreamingSketch.bloomState(s, store)
+      bloomDecontChecked(s, dir, (c, _) => Dedup.decontaminateBloomWith(c, filter))
     }),
   )
+
+  /** Shared checked projection for the Bloom decontamination family:
+    * `flaggedOf` supplies the probabilistic branch (batch-built filter
+    * or the streamed store's accumulated one); the exact branch and the
+    * guarantee booleans are common. Single hash-checked row.
+    */
+  private def bloomDecontChecked(s: SparkSession, dir: String,
+      flaggedOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val sh = DedupStore.hashes(s, dir).select(col("doc_id"), col("sh"))
+    val corpusSh = sh.filter(!evalDocPred)
+    val benchSh = sh.filter(evalDocPred)
+    val exact = Dedup.materializeOnce(
+      Dedup.decontaminateFromShingles(corpusSh, benchSh).select("doc_id"))
+    val flagged = Dedup.materializeOnce(flaggedOf(corpusSh, benchSh).select("doc_id"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(exact.join(flagged, Seq("doc_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("no_false_negatives"))))
+      .crossJoin(broadcast(flagged.join(exact, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_fp"))
+        .crossJoin(broadcast(corpusSh.agg(count(lit(1)).as("n_docs"))))
+        .select((col("n_fp") <= col("n_docs") * lit(0.05) + lit(10))
+          .as("fp_within_bound"))))
+  }
 
   /** Stand-in eval-slice parameters: doc_id multiples of `EvalDocMod`
     * below `EvalDocCap` — at most 64 eval docs at ANY corpus scale. ONE
@@ -475,6 +496,22 @@ object DedupQueries {
     // the Bloom guarantees the oracle can state exactly: the engine's
     // booleans must come back true, n_exact must equal the exact SQL
     "q_bloom_decontaminate" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.s AS shingle FROM shs, unnest(sh) AS t(s)
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalDocMod = 0 AND doc_id < $EvalDocCap
+         |), exact AS (
+         |  SELECT DISTINCT e.doc_id
+         |  FROM ex e JOIN bench b ON e.shingle = b.shingle
+         |  WHERE NOT (e.doc_id % $EvalDocMod = 0 AND e.doc_id < $EvalDocCap)
+         |)
+         |SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |       true AS no_false_negatives,
+         |       true AS fp_within_bound""".stripMargin,
+
+    // stream ≡ batch at the guarantee level (bloom OR-merge is bit-exact
+    // for the union stream) — byte-identical oracle SQL as the batch twin
+    "q_bloom_decontaminate_streamed" ->
       s"""$shingleCte, ex AS (
          |  SELECT doc_id, t.s AS shingle FROM shs, unnest(sh) AS t(s)
          |), bench AS (

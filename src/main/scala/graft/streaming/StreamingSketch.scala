@@ -322,6 +322,89 @@ object StreamingSketch {
       .foldLeft(zero)((a, b) => a.merge(b))
   }
 
+  // ---------------------------------------------------------------------
+  // Bloom twin: the decontamination eval-set filter, maintained
+  // incrementally — the shape a pipeline with a GROWING benchmark suite
+  // runs (eval sets arrive in drops; re-building the filter from the
+  // full suite per drop re-reads every eval corpus). Bloom is a
+  // PURE-OR sketch: the bitwise OR of per-batch filters with identical
+  // geometry IS the filter of the union stream, BIT-EXACT (not merely
+  // bound-preserving — SketchProperties proves serialized equality over
+  // arbitrary splits), so the accumulated filter gives the identical
+  // no-false-negative guarantee a batch build would. Geometry is fixed
+  // per store by (BloomItemCapacity, BloomFpp) — the MG capacity rule:
+  // re-tune by re-ingesting a fresh store; a geometry mismatch fails
+  // loudly at merge.
+  // ---------------------------------------------------------------------
+
+  /** Sizes the fixed per-store filter geometry: ~19.2 bits/item at
+    * 1e-4 → ~157 KB per part. An eval suite past the capacity degrades
+    * fpp smoothly (never correctness — no false negatives regardless).
+    */
+  val BloomItemCapacity: Long = 1L << 16
+  val BloomFpp: Double = 1e-4
+
+  private def bloomPartsDir(store: String) = s"$store/bloom_parts"
+  private def bloomPartPath(store: String, batchId: Long) =
+    s"${bloomPartsDir(store)}/batch_$batchId.b64"
+
+  private def emptyBloom(): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.create(BloomItemCapacity, BloomFpp)
+
+  private def bloomB64(bf: org.apache.spark.util.sketch.BloomFilter): String =
+    java.util.Base64.getEncoder.encodeToString(graft.plans.BloomContains.serialize(bf))
+
+  private[graft] def bloomParse(text: String): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(text.trim)))
+
+  /** Fold one micro-batch of eval-set SHINGLES (a string column `s`)
+    * into its own Bloom partial (base64 of the public serialization,
+    * tmp-then-rename, idempotent by batchId). The partial builds with
+    * Spark's distributed sketch aggregation — per-partition filters
+    * OR-merged, only the bit array reaching the driver. @return false
+    * on a clean replay of a committed batch.
+    */
+  private[graft] def processBatchBloom(shingles: DataFrame, batchId: Long,
+                                       storePath: String,
+                                       autoCompactAt: Int = AutoCompactParts): Boolean = {
+    val conf = shingles.sparkSession.sparkContext.hadoopConfiguration
+    val appended = StoreMaintenance.runOnce(conf, storePath, "bloomsketch", batchId) {
+      val partial = shingles.stat.bloomFilter("s", BloomItemCapacity, BloomFpp)
+      writeAtomic(conf, bloomPartPath(storePath, batchId), bloomB64(partial))
+    }
+    if (appended)
+      autoCompact(conf, bloomPartsDir(storePath), ".b64", autoCompactAt)(
+        bloomMergeContent)
+    appended
+  }
+
+  /** The accumulated filter, serialized — the form `bloom_contains`
+    * probes and `Dedup.decontaminateBloomWith` serves. Absent/empty
+    * store reads as the empty filter (matches nothing).
+    */
+  def bloomState(spark: SparkSession, storePath: String): Array[Byte] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(bloomPartsDir(storePath))
+    val fs = dir.getFileSystem(conf)
+    val bf =
+      if (!fs.exists(dir)) emptyBloom()
+      else mergeBloomFiles(fs, livePartFiles(fs, dir, ".b64"))
+    graft.plans.BloomContains.serialize(bf)
+  }
+
+  private def mergeBloomFiles(fs: org.apache.hadoop.fs.FileSystem,
+                              files: Seq[org.apache.hadoop.fs.Path])
+      : org.apache.spark.util.sketch.BloomFilter =
+    files.foldLeft(emptyBloom()) { (acc, p) =>
+      acc.mergeInPlace(bloomParse(readUtf8(fs, p)))
+    }
+
+  private def bloomMergeContent(
+      fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.Path]): String =
+    bloomB64(mergeBloomFiles(fs, files))
+
   /** The LIVE part files of a family dir, under the compaction contract:
     * `compacted_upto_<maxBatchId>` supersedes every `batch_<id>` part
     * with id ≤ maxBatchId (those are either merged into it or crashed-
@@ -351,7 +434,7 @@ object StreamingSketch {
     }
   }
 
-  /** Collapse every accumulated part (MG, CMS, GK) into ONE part each —
+  /** Collapse every accumulated part (MG, CMS, GK, Bloom) into ONE part each —
     * an all-day stream otherwise accumulates a file per micro-batch and
     * the read-side merge grows linearly. Safe under replay: the runOnce
     * COMMIT MARKERS outlive the parts, so a replayed batch is skipped
@@ -375,6 +458,7 @@ object StreamingSketch {
     collapse(conf, partsDir(storePath), ".json")(mgMergeContent(capacity))
     collapse(conf, cmsPartsDir(storePath), ".txt")(cmsMergeContent(depth, width))
     collapse(conf, gkPartsDir(storePath), ".txt")(gkMergeContent(accuracy))
+    collapse(conf, bloomPartsDir(storePath), ".b64")(bloomMergeContent)
   }
 
   // per-family merged-content closures — shared by the manual compactParts

@@ -25,24 +25,48 @@ object SketchProperties extends Properties("Sketches") {
 
   private val capGen = Gen.choose(1, 8)
 
+  /** Split a stream at arbitrary points — the distributed partials
+    * shape shared by every merge theorem here.
+    */
+  private def splitParts(stream: List[String], cuts: List[Int]): List[List[String]] = {
+    val sorted = cuts.map(c => math.abs(c % (stream.length + 1))).sorted.distinct
+    (0 :: sorted ::: List(stream.length)).distinct.sorted
+      .sliding(2).collect { case List(a, b) if b > a => stream.slice(a, b) }
+      .toList match {
+      case Nil => List(stream)
+      case ps => ps
+    }
+  }
+
   /** Fold a stream into MG partial states split at arbitrary points,
     * then merge — the distributed execution shape.
     */
   private def mgRun(stream: List[String], cap: Int,
                     cuts: List[Int]): Sketches.MGState = {
     val agg = new Sketches.MisraGriesAgg(cap)
-    val parts = {
-      val sorted = cuts.map(c => math.abs(c % (stream.length + 1))).sorted.distinct
-      (0 :: sorted ::: List(stream.length)).distinct.sorted
-        .sliding(2).collect { case List(a, b) if b > a => stream.slice(a, b) }
-        .toList match {
-        case Nil => List(stream)
-        case ps => ps
-      }
-    }
-    parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+    splitParts(stream, cuts).map(p => p.foldLeft(agg.zero)(agg.reduce))
       .reduceOption(agg.merge).getOrElse(agg.zero)
   }
+
+  property("Bloom: OR-merge over any split is BIT-EXACT vs the single-pass build") =
+    forAll(streamGen, Gen.listOf(Gen.choose(0, 200))) { (stream, cuts) =>
+      // the theorem StreamingSketch's bloom family rests on: per-part
+      // filters with identical geometry OR-merge to the filter of the
+      // union stream, serialized-byte-identical — so the incremental
+      // store's guarantee projection is indistinguishable from a batch
+      // build's (no false negatives regardless of how ingestion split)
+      def fresh() = org.apache.spark.util.sketch.BloomFilter.create(256, 0.01)
+      def ser(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray
+      }
+      val single = fresh()
+      stream.foreach(single.putString)
+      val merged = splitParts(stream, cuts)
+        .map { p => val f = fresh(); p.foreach(f.putString); f }
+        .foldLeft(fresh())((a, b) => a.mergeInPlace(b))
+      java.util.Arrays.equals(ser(single), ser(merged)) &&
+        stream.forall(merged.mightContainString)
+    }
 
   property("MG: completeness + bounded undercount + exact n, any split") =
     forAll(streamGen, capGen, Gen.listOf(Gen.choose(0, 200))) { (stream, cap, cuts) =>

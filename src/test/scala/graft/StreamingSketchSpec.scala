@@ -159,19 +159,24 @@ class StreamingSketchSpec extends AnyFunSuite {
       StreamingSketch.processBatch(docsDf(b), id.toLong, store, cap): Unit
       StreamingSketch.processBatchCms(docsDf(b), id.toLong, store, depth, width): Unit
       StreamingSketch.processBatchGk(docsDf(b), id.toLong, store, acc): Unit
+      StreamingSketch.processBatchBloom(
+        docsDf(b).select(col("text").as("s")), id.toLong, store): Unit
     }
     val preMg = StreamingSketch.state(spark, store, cap)
     val preCms = StreamingSketch.cmsState(spark, store, depth, width).toSeq
+    val preBloom = StreamingSketch.bloomState(spark, store).toSeq
     StreamingSketch.compactParts(spark, store, cap, depth, width, acc)
     // state unchanged, and each family dir holds exactly one live file
     assert(StreamingSketch.state(spark, store, cap) === preMg)
     assert(StreamingSketch.cmsState(spark, store, depth, width).toSeq === preCms)
+    assert(StreamingSketch.bloomState(spark, store).toSeq === preBloom)
     def files(sub: String): Seq[String] =
       new java.io.File(s"$store/$sub").listFiles().map(_.getName).toSeq
         .filterNot(_.startsWith(".")).sorted // drop local-FS .crc sidecars
     assert(files("mg_parts") === Seq("compacted_upto_1.json"))
     assert(files("cms_parts") === Seq("compacted_upto_1.txt"))
     assert(files("gk_parts") === Seq("compacted_upto_1.txt"))
+    assert(files("bloom_parts") === Seq("compacted_upto_1.b64"))
     // a crashed delete pass (stale original alongside the compacted part)
     // must be ignored by the supersede rule, not double-counted
     val stale = new java.io.File(s"$store/cms_parts/batch_0.txt")
@@ -215,6 +220,50 @@ class StreamingSketchSpec extends AnyFunSuite {
     // replay of a compacted-away batch is still marker-skipped
     assert(!StreamingSketch.processBatch(docsDf(Seq(docs.head)), 0L, store,
       cap, autoCompactAt = threshold))
+  }
+
+  test("streamed Bloom store: OR-merged parts BIT-EQUAL the single-pass filter; replay skipped") {
+    import spark.implicits._
+    val store = tmpDir("graft-bloomsketch-") + "/store"
+    val shingleBatches = Seq(
+      Seq("a b c", "c d e"), Seq("e f g"), Seq("h i j", "a b c"))
+    for ((b, id) <- shingleBatches.zipWithIndex)
+      assert(StreamingSketch.processBatchBloom(b.toDF("s"), id.toLong, store))
+    val got = StreamingSketch.bloomState(spark, store)
+    // bloom is pure-OR: the accumulated filter must be BIT-IDENTICAL to
+    // one distributed build over the union (same fixed geometry)
+    val single = shingleBatches.flatten.toDF("s").stat.bloomFilter(
+      "s", StreamingSketch.BloomItemCapacity, StreamingSketch.BloomFpp)
+    assert(java.util.Arrays.equals(got, graft.plans.BloomContains.serialize(single)),
+      "streamed OR-merge diverged from the single-pass filter")
+    // replay of a committed batch is marker-skipped and changes nothing
+    assert(!StreamingSketch.processBatchBloom(shingleBatches(1).toDF("s"), 1L, store))
+    assert(java.util.Arrays.equals(StreamingSketch.bloomState(spark, store), got))
+    // every ingested shingle probes true through the codegen'd expression
+    val probed = shingleBatches.flatten.toDF("s").repartition(2)
+      .filter(graft.plans.BloomContains.bloomContains(got, col("s"))).count()
+    assert(probed === shingleBatches.flatten.size.toLong)
+    // empty/absent store: the empty filter matches nothing
+    val empty = StreamingSketch.bloomState(spark, tmpDir("graft-bloomempty-") + "/nope")
+    assert(Seq("a b c").toDF("s")
+      .filter(graft.plans.BloomContains.bloomContains(empty, col("s"))).count() === 0L)
+  }
+
+  test("bloom append path self-compacts past the part threshold; filter is the union") {
+    import spark.implicits._
+    val store = tmpDir("graft-bloomauto-") + "/store"
+    val shingles = (0 until 5).map(i => s"sh_$i")
+    for ((s, id) <- shingles.zipWithIndex)
+      assert(StreamingSketch.processBatchBloom(Seq(s).toDF("s"), id.toLong, store,
+        autoCompactAt = 3))
+    val files = new java.io.File(s"$store/bloom_parts").listFiles().map(_.getName)
+      .toSeq.filterNot(_.startsWith(".")).sorted
+    assert(files === Seq("batch_3.b64", "batch_4.b64", "compacted_upto_2.b64"),
+      s"the third append must have auto-compacted parts 0-2, got $files")
+    val merged = StreamingSketch.bloomState(spark, store)
+    val hits = shingles.toDF("s")
+      .filter(graft.plans.BloomContains.bloomContains(merged, col("s"))).count()
+    assert(hits === 5L, "a shingle ingested pre-compaction fell out of the filter")
   }
 
   test("compaction GCs orphan tmp files from crashed atomic writes") {
