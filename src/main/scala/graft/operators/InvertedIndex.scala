@@ -89,6 +89,36 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** PROXIMITY query (phrase-with-slop, unordered): documents where two
+    * terms occur within `slop` positions of each other in the
+    * stopword-filtered stream, with the qualifying position-pair count
+    * and the minimum observed distance — the "terms near each other"
+    * relevance signal sitting between boolean AND (any distance) and
+    * `phraseQuery` (distance exactly 1, ordered).
+    *
+    * Scale shape: two term-filtered slices of the persisted positional
+    * index (each bucket-pruned to its term — the corpus is never
+    * re-tokenized), equi-joined on doc_id with the band predicate as a
+    * post-join filter; both branches are posting-set-sized so AQE
+    * broadcasts the smaller. Per-doc pair multiplicity is tf(a)·tf(b) —
+    * bounded by document length, never corpus-sized.
+    */
+  def proximityQuery(positional: DataFrame, a: String, b: String,
+                     slop: Int): DataFrame = {
+    requireIndexableQuery(Seq(a, b), "proximity query")
+    require(a != b, "proximity terms must differ (same-term proximity is trivially 0)")
+    require(slop >= 1, s"slop must be >= 1, got $slop")
+    val pa = positional.filter(col("term") === a)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = positional.filter(col("term") === b)
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= slop)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+  }
+
   /** Typed surface (SURVEY §1.3): the same pipeline over case-class
     * Datasets for compile-time-safe composition in Scala.
     */

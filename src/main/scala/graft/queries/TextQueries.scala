@@ -97,6 +97,12 @@ object TextQueries {
     "q_phrase" -> ((s, dir) => InvertedIndex.phraseQuery(
       graft.sources.IndexStore.positionalPostings(s, dir), Seq("value", "table"))),
 
+    // proximity (phrase-with-slop, unordered) over the same positional
+    // index: "spark" and "hash" within 5 filtered positions — two
+    // bucket-pruned slices, never a corpus re-tokenize
+    "q_near" -> ((s, dir) => InvertedIndex.proximityQuery(
+      graft.sources.IndexStore.positionalPostings(s, dir), "spark", "hash", 5)),
+
     "q_bool_not" -> ((s, dir) => BooleanQuery.andNot(storedPostings(s, dir), "spark", Seq("hash"))),
 
     "q_token_count" -> ((s, dir) =>
@@ -185,6 +191,27 @@ object TextQueries {
          |  FROM filt
          |)
          |SELECT doc_id, n_matches FROM m WHERE n_matches > 0""".stripMargin,
+
+    // independent formulation: explicit 0-based positions via range over
+    // the filtered token list, banded self-join — mirrors posexplode's
+    // position semantics exactly
+    "q_near" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |                     t -> t <> '') AS ts
+         |  FROM documents
+         |), filt AS (
+         |  SELECT doc_id, list_filter(ts, t -> t NOT IN ($stopList)) AS fs FROM toks
+         |), pos AS (
+         |  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, fs[CAST(t.i AS INT)] AS term
+         |  FROM filt, unnest(range(1, len(fs) + 1)) AS t(i)
+         |), a AS (SELECT doc_id, pos AS pa FROM pos WHERE term = 'spark'),
+         |   b AS (SELECT doc_id, pos AS pb FROM pos WHERE term = 'hash')
+         |SELECT a.doc_id, count(*) AS n_pairs, min(abs(pa - pb)) AS min_dist
+         |FROM a JOIN b USING (doc_id)
+         |WHERE abs(pa - pb) <= 5
+         |GROUP BY a.doc_id""".stripMargin,
 
     "q_bool_not" ->
       s"""$termsCte SELECT doc_id FROM terms WHERE term = 'spark'

@@ -137,4 +137,26 @@ class InvertedIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](InvertedIndex.phraseQuery(pos, Seq("Cat", "sat")))
     intercept[IllegalArgumentException](InvertedIndex.phraseQuery(pos, Seq("cat")))
   }
+
+  test("proximity query: banded position pairs, pair count + min distance, loud guards") {
+    val corpus = Seq(
+      (1L, "u1", "cat alpha beta sat"),   // cat@0, sat@3 → 1 pair, dist 3
+      (2L, "u2", "cat sat cat"),          // pairs (0,1),(2,1) → 2 pairs, min 1
+      // 7 filtered tokens between them → dist 8 > slop 5 → absent
+      (3L, "u3", "cat alpha beta gamma delta epsilon zeta eta sat"),
+      (4L, "u4", "cat alone here")
+    ).toDF("doc_id", "url", "text")
+    val pos = InvertedIndex.positionalPostings(corpus)
+    val got = InvertedIndex.proximityQuery(pos, "cat", "sat", 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((1L, 3L)), 2L -> ((2L, 1L))))
+    // widening the slop admits doc 3 at its true distance
+    val wide = InvertedIndex.proximityQuery(pos, "cat", "sat", 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(wide(3L) === ((1L, 8L)))
+    // guards: stopword, same term, zero slop
+    intercept[IllegalArgumentException](InvertedIndex.proximityQuery(pos, "the", "cat", 5))
+    intercept[IllegalArgumentException](InvertedIndex.proximityQuery(pos, "cat", "cat", 5))
+    intercept[IllegalArgumentException](InvertedIndex.proximityQuery(pos, "cat", "sat", 0))
+  }
 }

@@ -159,6 +159,16 @@ class PlanSpec extends AnyFunSuite {
       s"phrase-term scans not bucket-pruned:\n$p")
   }
 
+  test("q_near: both proximity slices bucket-pruned, no corpus scan") {
+    val exec = SparkEntry.queries("q_near")(spark, dir).queryExecution.executedPlan
+    val p = exec.toString
+    assert("SelectedBucketsCount: 1 out of 32".r.findAllIn(p).length === 2,
+      s"proximity slices not bucket-pruned:\n$p")
+    val scansDocs = PlanScans.fileScans(exec).exists(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")))
+    assert(!scansDocs, "q_near re-tokenizes the corpus instead of reading the positional store")
+  }
+
   test("4-term phrase: every slice still bucket-pruned, no sort-merge of full postings") {
     // the scaling guard for the phrase family: as phrases lengthen, each
     // extra term must add one more PRUNED slice of the positional store
