@@ -537,18 +537,29 @@ object Dedup {
                                threshold: Double = 0.5,
                                minSharedRare: Int = 1): DataFrame = {
     val sh = shAll.filter(size(col("sh")) > 0)
+    verifyJaccard(rareShingleCandidates(sh, maxDf, minSharedRare), sh, threshold)
+  }
+
+  /** Rare-shingle candidate pairs — the generation stage shared by the
+    * Jaccard and containment verifiers: two docs become candidates when
+    * they share ≥ `minSharedRare` shingles with document frequency in
+    * [2, maxDf]. The shared-rare-shingle count replaces a DISTINCT:
+    * identical shuffle (hash partition on the pair), but the
+    * HAVING-style filter drops the share-exactly-one-rare-shingle mass
+    * before any verify join moves array payload; the requirement is
+    * capped by each doc's own shingle count (short-doc guard is the
+    * caller's `size(sh) > 0` filter). collect_list is bounded by maxDf
+    * BY CONSTRUCTION (the rare join).
+    */
+  private[graft] def rareShingleCandidates(sh: DataFrame, maxDf: Int,
+                                           minSharedRare: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = ex.groupBy("shingle")
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
       .select("shingle")
-    // the shared-rare-shingle count replaces the old DISTINCT: identical
-    // shuffle (hash partition on the pair), but the HAVING-style filter
-    // drops the share-exactly-one-rare-shingle mass before the verify
-    // joins move any array payload; the requirement is capped by each
-    // doc's own shingle count (short-doc guard above)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("_ns"))
-    val cands = ex.join(rare, "shingle")
+    ex.join(rare, "shingle")
       .groupBy("shingle")
       .agg(collect_list(col("doc_id")).as("ids")) // ≤ maxDf by the join
       .select(explode(col("ids")).as("doc_a"), col("ids"))
@@ -560,7 +571,33 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("_ns").as("_sb")), "doc_b")
       .filter(col("_shared") >= least(lit(minSharedRare), col("_sa"), col("_sb")))
       .select("doc_a", "doc_b")
-    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** CONTAINMENT pairs — the asymmetric overlap near-dup Jaccard
+    * misses: containment(A→B) = |A∩B|/|A| ≈ 1 when doc A is quoted or
+    * embedded inside a larger doc B, while their Jaccard can be
+    * arbitrarily small (|A|/|B|). The standard curation signal for
+    * "document X is a subset of document Y — keep one".
+    *
+    * Same rare-shingle candidate generation as the Jaccard pipeline,
+    * but the verify stage deliberately has NO size-ratio prune — that
+    * prune encodes J ≤ min/max, which is exactly the asymmetric mass
+    * containment exists to keep. Output carries both directions
+    * (cont_a = coverage of A, cont_b = coverage of B), kept when either
+    * reaches `threshold`; 6-dp rounding per the float-parity rule.
+    */
+  def containmentPairsFromShingles(shAll: DataFrame, maxDf: Int = 10,
+                                   threshold: Double = 0.8,
+                                   minSharedRare: Int = 2): DataFrame = {
+    val sh = shAll.filter(size(col("sh")) > 0)
+    rareShingleCandidates(sh, maxDf, minSharedRare)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("_inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_inter") / size(col("sa")), 6).as("cont_a"),
+        round(col("_inter") / size(col("sb")), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
   }
 
   /** Transitive duplicate clusters: connected components over an

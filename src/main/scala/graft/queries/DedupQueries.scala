@@ -73,6 +73,13 @@ object DedupQueries {
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir), minSharedRare = 2)),
 
+    // containment (subset-duplicate) pairs: the asymmetric overlap the
+    // Jaccard threshold misses — same shared candidate stage, verify
+    // WITHOUT the size-ratio prune (that prune encodes J ≤ min/max,
+    // exactly the mass containment exists to keep)
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairsFromShingles(DedupStore.hashes(s, dir))),
+
     // benchmark decontamination: a deterministic slice of the corpus
     // stands in for the eval set; training docs that share any trigram
     // shingle with it are flagged with their distinct overlap count.
@@ -481,6 +488,33 @@ object DedupQueries {
          |  JOIN shs sb ON cand.doc_b = sb.doc_id
          |)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    // same candidate CTE as q_jaccard_pairs (minSharedRare=2), but the
+    // verify computes BOTH directional coverages and keeps either ≥ 0.8
+    "q_containment" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.shingle FROM shs, unnest(sh) AS t(shingle)
+         |), rare AS (
+         |  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
+         |), sz AS (
+         |  SELECT doc_id, len(sh) AS ns FROM shs
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN rare r ON a.shingle = r.shingle
+         |  JOIN sz sa ON sa.doc_id = a.doc_id
+         |  JOIN sz sb ON sb.doc_id = b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= least(2, min(sa.ns), min(sb.ns))
+         |), c AS (
+         |  SELECT doc_a, doc_b,
+         |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh), 6) AS cont_a,
+         |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh), 6) AS cont_b
+         |  FROM cand
+         |  JOIN shs sa ON cand.doc_a = sa.doc_id
+         |  JOIN shs sb ON cand.doc_b = sb.doc_id
+         |)
+         |SELECT doc_a, doc_b, cont_a, cont_b FROM c
+         |WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin,
 
     "q_decontaminate" ->
       s"""$shingleCte, ex AS (

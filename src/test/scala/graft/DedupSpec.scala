@@ -217,6 +217,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 2L, 4L -> 1L)) // doc 3 absent: not contaminated
   }
 
+  test("containment finds a planted subset pair that the Jaccard threshold misses") {
+    // doc 2 embeds doc 1's text inside much more material: every shingle
+    // of doc 1 appears in doc 2 (containment 1.0) but jaccard is
+    // |A|/|B| ≈ 0.26 — below any near-dup threshold
+    val small = "quick silver foxes vault over sleeping hounds tonight"
+    val train = Seq(
+      (1L, small),
+      (2L, s"opening words establish context then $small and closing words " +
+        "wander far away into entirely unrelated territory for several more phrases"),
+      (3L, "completely different content about engines and computation")
+    ).toDF("doc_id", "text")
+    val sh = graft.operators.Dedup.shingleSets(train, 3)
+    val cont = graft.operators.Dedup.containmentPairsFromShingles(sh)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.length === 1)
+    val (a, b, ca, cb) = cont.head
+    assert((a, b) === ((1L, 2L)))
+    assert(ca === 1.0, s"doc 1 fully covered, got $ca")
+    assert(cb < 0.8, s"doc 2 only partially covered, got $cb")
+    // the same pair fails the Jaccard pipeline at its 0.5 threshold
+    val jac = graft.operators.Dedup.jaccardPairsFromShingles(sh, minSharedRare = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => p._1 == 1L && p._2 == 2L),
+      "jaccard should miss the asymmetric pair containment exists to catch")
+  }
+
   test("bloom_contains probe matches the build side's string encoding, non-ASCII included") {
     // build with putString (what df.stat.bloomFilter does for strings),
     // probe with the codegen'd mightContainBinary over UTF-8 bytes — the
