@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) with asymmetric distance computation (ADC)
+  * — the third classic ANN family next to sign-LSH buckets and IVF
+  * cells (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011): vectors are cut into M subvectors, each
+  * quantized against a per-subspace codebook of K codewords, so a
+  * 64-dim float vector compresses to M small codes; a query scores a
+  * candidate WITHOUT touching its floats by summing per-subspace
+  * query×codeword dot products looked up by the candidate's codes.
+  * At 100 TB this is the memory-side lever: the scan ranks codes
+  * (M bytes/vector) and only the top `poolSize` candidates are
+  * re-ranked against their real vectors.
+  *
+  * Determinism (the engine's oracle-portability contract): codebooks
+  * are the subvectors of the first K vectors (the `q_ann_ivf`
+  * deterministic-quantizer precedent — a deployment would Lloyd-train
+  * them like `VectorStore.ivf(iters=2)` does for cells); code
+  * assignment breaks distance ties by codeword id; the ADC estimate
+  * sums per-subspace dots through DECIMAL(18,6) so the total is exact
+  * and ADDITION-ORDER-INDEPENDENT (the `q_lm_score` rule — a double
+  * SUM hash-diverges between engines on aggregation order); every
+  * float compare is 6-dp rounded. The DuckDB oracle mirrors each step.
+  *
+  * All vectors are L2-normalized first, so inner product IS cosine and
+  * the ADC estimate approximates the true cosine directly.
+  */
+object PQ {
+
+  val M = 8        // subspaces
+  val SubDim = 8   // dims per subspace (fixture vectors are 64-dim)
+  val K = 32       // codewords per subspace
+
+  private def dot(a: Column, b: Column): Column = graft.plans.DotF64.dotF64(a, b)
+
+  /** (vec_id, vn) with vn = v / ||v|| — from a `Similarity.prepared`
+    * relation (vec_id, v, norm).
+    */
+  private[graft] def normalized(p: DataFrame): DataFrame =
+    p.select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("vn"))
+
+  /** (vec_id, m, sub): the M subvectors of every normalized vector. */
+  private[graft] def subvectors(pn: DataFrame): DataFrame =
+    pn.select(col("vec_id"), explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"), slice(col("vn"), m * SubDim + 1, SubDim).as("sub"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+
+  /** The deterministic codebook: per subspace, the subvectors of
+    * vec_id < K as codewords (m, cent_id, cw). K×M rows — broadcast
+    * scale by construction.
+    */
+  private[graft] def codebook(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("cw"))
+
+  /** Encode every vector: nearest codeword per subspace by squared L2
+    * distance (computed as ss + cc − 2·sc over codegen'd `dot_f64`,
+    * 6-dp rounded for the tie-stable compare), id tie-break. The
+    * codebook side is broadcast; the window partitions are (vector,
+    * subspace) — data-sized parallelism.
+    */
+  private[graft] def encode(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val dist = round(
+      dot(col("sub"), col("sub")) + dot(col("cw"), col("cw"))
+        - lit(2) * dot(col("sub"), col("cw")), 6)
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("_dist"), col("cent_id"))
+    subs.join(broadcast(cb), Seq("m"))
+      .withColumn("_dist", dist)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+  }
+
+  /** Top-k by PQ-ADC with exact re-rank: rank ALL candidates by the
+    * code-table estimate, keep `poolSize`, re-rank the pool by exact
+    * cosine, return (vec_id, sim). `poolSize` bounds the float-touching
+    * work; recall is pinned by spec (`PQSpec`), not assumed.
+    */
+  def pqTopK(p: DataFrame, queryId: Long, k: Int, poolSize: Int = 100): DataFrame = {
+    val pn = normalized(p)
+    val subs = subvectors(pn)
+    val cb = codebook(subs)
+    val codes = encode(subs.filter(col("vec_id") =!= queryId), cb)
+    // ADC table: per (subspace, codeword), the query-subvector dot —
+    // K×M rows, broadcast
+    val qd = cb.join(
+        subs.filter(col("vec_id") === queryId)
+          .select(col("m"), col("sub").as("qsub")), Seq("m"))
+      .select(col("m"), col("cent_id"),
+        round(dot(col("qsub"), col("cw")), 6).as("qdot"))
+    // exact order-independent sum of the M rounded dots per candidate
+    val est = codes
+      .join(broadcast(qd),
+        codes("m") === qd("m") && codes("code") === qd("cent_id"))
+      .groupBy(codes("vec_id"))
+      .agg(sum(col("qdot").cast("decimal(18,6)")).cast("double").as("est"))
+    val pool = est.orderBy(col("est").desc, col("vec_id")).limit(poolSize)
+      .select("vec_id")
+    // exact cosine re-rank of the pool only
+    val q = p.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    p.join(pool, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

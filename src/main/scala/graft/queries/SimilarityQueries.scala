@@ -25,6 +25,10 @@ object SimilarityQueries {
     "q_ann_ivf_trained" -> ((s, dir) =>
       VectorStore.ivfTopKTrained(s, dir, queryId = 0L, k = 10)),
     "q_embed_dup" -> ((s, dir) => VectorStore.embeddingDuplicates(s, dir)),
+    // PQ-ADC: codes-only candidate ranking + exact re-rank of the pool —
+    // the memory-side ANN family (M bytes/vector scanned, floats touched
+    // only for poolSize candidates); oracle mirrors the whole pipeline
+    "q_ann_pq" -> ((s, dir) => VectorStore.pqTopK(s, dir, queryId = 0L, k = 10)),
   )
 
   /** vec_id, v (double list), norm — mirror of `Similarity.prepared`. */
@@ -74,6 +78,47 @@ object SimilarityQueries {
          |       round(list_sum(list_transform(range(1, len(v)+1), k -> v[k]*qv[k]))
          |             / (norm * qn), 6) AS sim
          |FROM n, q WHERE vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // full PQ-ADC mirror: normalize → 8 subvectors → codebook from
+    // vec_id < 32 → nearest codeword per (vector, subspace) by 6-dp
+    // squared-L2 (ss + cc − 2·sc, id tie-break) → query dot table →
+    // DECIMAL-summed estimate → pool of 100 → exact cosine re-rank
+    "q_ann_pq" ->
+      s"""$prepCte, pn AS (
+         |  SELECT vec_id, list_transform(range(1, 65), i -> v[i] / norm) AS vn FROM n
+         |), subs AS (
+         |  SELECT vec_id, t.m, list_transform(range(1, 9), i -> vn[t.m * 8 + i]) AS sub
+         |  FROM pn, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(m)
+         |), cb AS (
+         |  SELECT m, vec_id AS cent_id, sub AS cw FROM subs WHERE vec_id < 32
+         |), dists AS (
+         |  SELECT s.vec_id, s.m, c.cent_id,
+         |         round(list_sum(list_transform(range(1, 9), i -> s.sub[i] * s.sub[i]))
+         |               + list_sum(list_transform(range(1, 9), i -> c.cw[i] * c.cw[i]))
+         |               - 2 * list_sum(list_transform(range(1, 9), i -> s.sub[i] * c.cw[i])), 6) AS dist
+         |  FROM subs s JOIN cb c USING (m)
+         |  WHERE s.vec_id <> 0
+         |), enc AS (
+         |  SELECT vec_id, m, cent_id AS code FROM dists
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cent_id) = 1
+         |), qd AS (
+         |  SELECT c.m, c.cent_id,
+         |         round(list_sum(list_transform(range(1, 9), i -> qs.sub[i] * c.cw[i])), 6) AS qdot
+         |  FROM cb c JOIN (SELECT m, sub FROM subs WHERE vec_id = 0) qs USING (m)
+         |), est AS (
+         |  SELECT e.vec_id, CAST(SUM(CAST(qdot AS DECIMAL(18,6))) AS DOUBLE) AS est
+         |  FROM enc e JOIN qd ON e.m = qd.m AND e.code = qd.cent_id
+         |  GROUP BY e.vec_id
+         |), pool AS (
+         |  SELECT vec_id FROM est ORDER BY est DESC, vec_id LIMIT 100
+         |), q AS (
+         |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0
+         |)
+         |SELECT n.vec_id,
+         |       round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+         |             / (norm * qn), 6) AS sim
+         |FROM n JOIN pool USING (vec_id), q
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_ann_ivf" ->

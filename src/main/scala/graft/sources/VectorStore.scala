@@ -114,4 +114,14 @@ object VectorStore {
     val (assigned, cents) = ivf(spark, dir, nCells, iters)
     Similarity.ivfRankAssigned(assigned, cents, queryId, k, nProbe)
   }
+
+  /** PQ-ADC top-k over the prepared store (codebook + encode derive from
+    * the same persisted relation; a deployment would persist the code
+    * table alongside — at fixture scale the encode pass is cheaper than
+    * a second store).
+    */
+  def pqTopK(spark: SparkSession, dir: String, queryId: Long, k: Int,
+             poolSize: Int = 100): DataFrame =
+    graft.operators.PQ.pqTopK(
+      vectors(spark, dir).select("vec_id", "v", "norm"), queryId, k, poolSize)
 }

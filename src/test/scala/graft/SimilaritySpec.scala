@@ -106,6 +106,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall; exact=$exact trained=$trained")
   }
 
+  test("PQ-ADC: recall >= 0.8 @ k=10 vs exact; codes well-formed; deterministic") {
+    val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
+    val p = Similarity.prepared(corpus)
+    val exact = Similarity.topK(corpus, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val pq = graft.operators.PQ.pqTopK(p, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val recall = exact.intersect(pq.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.8, s"PQ recall $recall; exact=$exact pq=${pq.map(_._1)}")
+    // sims in the output are the EXACT re-ranked cosines — any returned
+    // vector that IS in the exact top-10 must carry the identical sim
+    val exactSims = Similarity.topK(corpus, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toMap
+    pq.filter(r => exactSims.contains(r._1))
+      .foreach { case (id, sim) => assert(sim === exactSims(id)) }
+    // codes: every (vector, subspace) has exactly one code in [0, K)
+    val subs = graft.operators.PQ.subvectors(graft.operators.PQ.normalized(p))
+    val codes = graft.operators.PQ.encode(subs, graft.operators.PQ.codebook(subs))
+    val n = p.count()
+    assert(codes.count() === n * graft.operators.PQ.M)
+    assert(codes.filter(org.apache.spark.sql.functions.col("code") < 0 ||
+      org.apache.spark.sql.functions.col("code") >= graft.operators.PQ.K).count() === 0)
+    // determinism across partitionings
+    val again = graft.operators.PQ.pqTopK(p.repartition(7), queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(again === pq)
+  }
+
   test("lloyd training is deterministic across invocations") {
     val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
     def run() = Similarity.ivfTopKTrained(corpus, queryId = 0L, k = 10)
