@@ -127,6 +127,9 @@ object Bench {
     }
     val D = graft.queries.DedupQueries.DedupStore
     val shingleBuildSec = subBuild { D.hashes(spark, sfDir).count(): Unit }
+    // shared rare-shingle candidate relation (q_jaccard_pairs +
+    // q_containment) — same build-once attribution
+    val candBuildSec = subBuild { D.rareCandidates(spark, sfDir).count(): Unit }
     val pairBuildSec = subBuild { D.pairs(spark, sfDir).count(): Unit }
     val clusterBuildSec = subBuild { D.clusters(spark, sfDir).count(): Unit }
     // the streamed-ingest store q_curate_streamed serves from: three
@@ -141,8 +144,8 @@ object Bench {
       if (streamedStore == null) sys.error("ingest failed")
       D.streamedClusters(spark, streamedStore).count(): Unit
     }
-    val dedupSubs = Seq(shingleBuildSec, pairBuildSec, clusterBuildSec,
-      streamedIngestSec, streamedMemoSec)
+    val dedupSubs = Seq(shingleBuildSec, candBuildSec, pairBuildSec,
+      clusterBuildSec, streamedIngestSec, streamedMemoSec)
     val dedupBuildSec = if (dedupSubs.exists(_ < 0)) -1.0 else dedupSubs.sum
     // one-time derived-store builds for the layout/co-location queries —
     // same build-once-query-many attribution as the index and dedup
@@ -261,7 +264,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => esc(k) + ":" + esc(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
     println(line)
     // sidecar copy for any consumer whose stdout capture truncates
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),

@@ -590,7 +590,17 @@ object Dedup {
                                    threshold: Double = 0.8,
                                    minSharedRare: Int = 2): DataFrame = {
     val sh = shAll.filter(size(col("sh")) > 0)
-    rareShingleCandidates(sh, maxDf, minSharedRare)
+    containmentFromCandidates(
+      rareShingleCandidates(sh, maxDf, minSharedRare), sh, threshold)
+  }
+
+  /** The containment VERIFY stage over an already-generated candidate
+    * relation — the form callers sharing one candidate pass with the
+    * Jaccard verifier use (`DedupQueries.DedupStore.rareCandidates`).
+    */
+  private[graft] def containmentFromCandidates(cands: DataFrame, sh: DataFrame,
+                                               threshold: Double): DataFrame =
+    cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .withColumn("_inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
@@ -598,7 +608,6 @@ object Dedup {
         round(col("_inter") / size(col("sa")), 6).as("cont_a"),
         round(col("_inter") / size(col("sb")), 6).as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
-  }
 
   /** Transitive duplicate clusters: connected components over an
     * undirected pair relation (`doc_a`, `doc_b`), labeling every member

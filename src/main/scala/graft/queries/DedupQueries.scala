@@ -70,15 +70,24 @@ object DedupQueries {
     // sf0.001/sf0.01; at sf0.1 exactly one true pair of 237 is dropped —
     // pinned per scale in DedupSpec ("divergence is pinned per scale") so
     // a corpus or operator change can't silently widen it
+    // both verifiers share the SESSION-CACHED candidate relation
+    // (DedupStore.rareCandidates) — the generation stage is ~half of
+    // either query's cost and byte-identical between them
     "q_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsFromShingles(DedupStore.hashes(s, dir), minSharedRare = 2)),
+      Dedup.verifyJaccard(
+        DedupStore.rareCandidates(s, dir),
+        DedupStore.hashes(s, dir).filter(size(col("sh")) > 0),
+        threshold = 0.5)),
 
     // containment (subset-duplicate) pairs: the asymmetric overlap the
     // Jaccard threshold misses — same shared candidate stage, verify
     // WITHOUT the size-ratio prune (that prune encodes J ≤ min/max,
     // exactly the mass containment exists to keep)
     "q_containment" -> ((s, dir) =>
-      Dedup.containmentPairsFromShingles(DedupStore.hashes(s, dir))),
+      Dedup.containmentFromCandidates(
+        DedupStore.rareCandidates(s, dir),
+        DedupStore.hashes(s, dir).filter(size(col("sh")) > 0),
+        threshold = 0.8)),
 
     // benchmark decontamination: a deterministic slice of the corpus
     // stands in for the eval set; training docs that share any trigram
@@ -216,12 +225,14 @@ object DedupQueries {
     private var pairCache = Map.empty[(SparkSession, String), DataFrame]
     private var clusterCache = Map.empty[(SparkSession, String), DataFrame]
     private var bloomCache = Map.empty[(SparkSession, String), Array[Byte]]
+    private var candCache = Map.empty[(SparkSession, String), DataFrame]
 
     private def pruneStopped(): Unit = {
       hashCache = hashCache.filter(!_._1._1.sparkContext.isStopped)
       pairCache = pairCache.filter(!_._1._1.sparkContext.isStopped)
       clusterCache = clusterCache.filter(!_._1._1.sparkContext.isStopped)
       bloomCache = bloomCache.filter(!_._1._1.sparkContext.isStopped)
+      candCache = candCache.filter(!_._1._1.sparkContext.isStopped)
       // a stopped session's durable checkpoint files are unreachable
       // garbage (readable only through its RDD lineage) — sweep them
       Dedup.releaseStaleCheckpoints()
@@ -234,9 +245,12 @@ object DedupQueries {
       hashCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
       pairCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
       clusterCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
+      candCache.filter(_._1._2 == dir).values.foreach(_.unpersist())
       hashCache = hashCache.filter(_._1._2 != dir)
       pairCache = pairCache.filter(_._1._2 != dir)
       clusterCache = clusterCache.filter(_._1._2 != dir)
+      candCache = candCache.filter(_._1._2 != dir)
+      bloomCache = bloomCache.filter(_._1._2 != dir)
     }
 
     /** End-of-job release for one session: drop this session's cached
@@ -252,9 +266,12 @@ object DedupQueries {
       hashCache.filter(_._1._1 eq s).values.foreach(_.unpersist())
       pairCache.filter(_._1._1 eq s).values.foreach(_.unpersist())
       clusterCache.filter(_._1._1 eq s).values.foreach(_.unpersist())
+      candCache.filter(_._1._1 eq s).values.foreach(_.unpersist())
       hashCache = hashCache.filter(e => !(e._1._1 eq s))
       pairCache = pairCache.filter(e => !(e._1._1 eq s))
       clusterCache = clusterCache.filter(e => !(e._1._1 eq s))
+      candCache = candCache.filter(e => !(e._1._1 eq s))
+      bloomCache = bloomCache.filter(e => !(e._1._1 eq s))
       Dedup.releaseCheckpoints(s)
     }
 
@@ -284,6 +301,24 @@ object DedupQueries {
           hashes(s, dir).select(col("doc_id"), col("sh")).filter(evalDocPred))
         bloomCache += (s, dir) -> b
         b
+      })
+    }
+
+    /** The rare-shingle candidate pair relation (maxDf=10,
+      * minSharedRare=2), generated ONCE per (session, corpus) and shared
+      * by the Jaccard and containment verifiers — the candidate stage is
+      * ~half of either query's cost and is byte-identical between them.
+      * Near-dup-pairs-sized (tiny); persisted.
+      */
+    def rareCandidates(s: SparkSession, dir: String): DataFrame = lock.synchronized {
+      pruneStopped()
+      candCache.getOrElse((s, dir), {
+        val c = Dedup.rareShingleCandidates(
+          hashes(s, dir).filter(size(col("sh")) > 0),
+          maxDf = 10, minSharedRare = 2).persist()
+        c.count() // materialize before fan-out
+        candCache += (s, dir) -> c
+        c
       })
     }
 
