@@ -268,6 +268,36 @@ object Similarity {
     ivfRank(p, lloydCentroids(p, nCells, iters), queryId, k, nProbe)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the coarse quantizer,
+    * then within each cluster discard every vector that has a
+    * smaller-id cluster-mate above the cosine threshold —
+    * keep-one-per-semantic-group with NO all-pairs pass. Emits the
+    * DISCARD set (vec_id, cell, max_sim, n_dups); survivors are the
+    * complement, so the output is both the curation decision and its
+    * witness.
+    *
+    * Scale shape: the quadratic term is bounded per cell — the paper's
+    * design point is nCells grows with corpus size (∝√N) so cell
+    * populations stay flat; the join key is `cell`, both sides read the
+    * SAME cell-partitioned store (`VectorStore.ivf`), and a hot cell is
+    * AQE-skew-splittable because the pair expansion is a join, not a
+    * collect_list (same bounded-buffer argument as
+    * `embeddingDuplicatesBucketed`).
+    */
+  private[graft] def semDedupDiscards(assigned: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val mates = assigned.select(col("cell").as("m_cell"),
+      col("vec_id").as("mate_id"), col("v").as("mv"), col("norm").as("mn"))
+    assigned
+      .join(mates, col("cell") === col("m_cell") && col("mate_id") < col("vec_id"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        cosine(col("v"), col("norm"), col("mv"), col("mn")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id", "cell")
+      .agg(max(col("sim")).as("max_sim"), count(lit(1)).as("n_dups"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH candidates,
     * then keep in-bucket pairs with cosine ≥ `threshold`. The dedup-flavor
     * counterpart of `annNearestNeighbor` — same bucketing, pair output.

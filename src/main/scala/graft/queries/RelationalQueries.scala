@@ -29,6 +29,23 @@ object RelationalQueries {
   private val revenueSql =
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** One PageRank power iteration as CTEs (mirror of `Graph.pageRank`):
+    * DECIMAL(27,12)-summed inflow (order-independent), 6-dp rounded
+    * rank. Literals go through text→DOUBLE casts so DuckDB's
+    * decimal-literal parsing can't diverge from Spark's double lits.
+    */
+  private def prIterSql(i: Int): String =
+    s"""inf$i AS (
+       |  SELECT e.dst AS node,
+       |         CAST(SUM(CAST(r.pr * e.w / e.outw AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+       |  FROM e JOIN r$i r ON e.src = r.node GROUP BY e.dst
+       |), r${i + 1} AS (
+       |  SELECT n.node,
+       |         round(CAST('0.006' AS DOUBLE)
+       |               + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 6) AS pr
+       |  FROM nodes n LEFT JOIN inf$i USING (node)
+       |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1-style pricing summary: the canonical partial-agg benchmark.
@@ -82,6 +99,63 @@ object RelationalQueries {
   )
 
   val queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deequ-style validation suite: six constraints over orders computed
+    // in ONE aggregate pass (operators/Validation.scala) — completeness,
+    // key uniqueness, domain compliance, value bounds. Ratios are exact
+    // (integer-valued doubles divided once) so both engines agree
+    // bit-for-bit.
+    "q_validate" -> ((s, dir) => {
+      import graft.operators.Validation._
+      run(tbl(s, dir, "orders"), Seq(
+        completeness("o_custkey"),
+        uniqueness("o_orderkey"),
+        compliance("status_domain",
+          col("o_orderstatus").isin("O", "F", "P")),
+        minBound("o_totalprice", atLeast = 0.0),
+        distinctAtMost("o_orderpriority", atMost = 5L),
+        compliance("priority_nonempty", length(col("o_orderpriority")) > 0)))
+    }),
+
+    // Weighted PageRank over the nation trade graph (supplier nation →
+    // customer nation, edge weight = lineitem count): the iterative
+    // graph-analytics family. Edge build is the q5-style join chain;
+    // 8 power iterations with DECIMAL-summed inflows (operators/Graph).
+    "q_pagerank" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val edges = li
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
+      graft.operators.Graph.pageRank(edges, nodes, iters = 8)
+        .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("pr"))
+        .orderBy(col("pr").desc, col("n_name"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): left outer
+    // join so zero-order customers survive, per-customer count, then the
+    // count-of-counts. Scale note: the join and the first aggregate share
+    // the customer-key distribution (one exchange serves both); the
+    // second aggregate's key space is order-counts — tiny at any scale.
+    "q_custdist" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select("c_custkey")
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // Hierarchical totals via ROLLUP: (region, nation), (region), (grand
     // total) — subtotal rows carry nulls in the rolled-up columns.
     // Expressed through the spark.sql surface: Spark 4.1's Dataset
@@ -419,6 +493,59 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_validate" ->
+      s"""WITH m AS (
+         |  SELECT count(*) AS n,
+         |         count(o_custkey) AS n_cust,
+         |         count(DISTINCT o_orderkey) AS n_key,
+         |         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS n_status,
+         |         min(o_totalprice) AS min_price,
+         |         count(DISTINCT o_orderpriority) AS n_prio,
+         |         sum(CASE WHEN length(o_orderpriority) > 0 THEN 1 ELSE 0 END) AS n_prio_ne
+         |  FROM orders
+         |)
+         |SELECT 'completeness(o_custkey)' AS check_name,
+         |       CAST(n_cust AS DOUBLE)/n AS metric, CAST(n_cust AS DOUBLE)/n >= 1.0 AS passed FROM m
+         |UNION ALL SELECT 'uniqueness(o_orderkey)',
+         |       CAST(n_key AS DOUBLE)/n, CAST(n_key AS DOUBLE)/n = 1.0 FROM m
+         |UNION ALL SELECT 'compliance(status_domain)',
+         |       CAST(n_status AS DOUBLE)/n, CAST(n_status AS DOUBLE)/n >= 1.0 FROM m
+         |UNION ALL SELECT 'min(o_totalprice)',
+         |       CAST(min_price AS DOUBLE), min_price >= 0.0 FROM m
+         |UNION ALL SELECT 'approx_domain(o_orderpriority)',
+         |       CAST(n_prio AS DOUBLE), n_prio <= 5 FROM m
+         |UNION ALL SELECT 'compliance(priority_nonempty)',
+         |       CAST(n_prio_ne AS DOUBLE)/n, CAST(n_prio_ne AS DOUBLE)/n >= 1.0 FROM m""".stripMargin,
+
+    "q_pagerank" ->
+      s"""WITH e0 AS (
+         |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2
+         |), ow AS (
+         |  SELECT src, sum(w) AS outw FROM e0 GROUP BY src
+         |), e AS (
+         |  SELECT e0.src, dst, w, outw FROM e0 JOIN ow USING (src)
+         |), nodes AS (
+         |  SELECT n_nationkey AS node FROM nation
+         |), r0 AS (
+         |  SELECT node, CAST('0.04' AS DOUBLE) AS pr FROM nodes
+         |), ${(0 until 8).map(prIterSql).mkString(", ")}
+         |SELECT n_name, pr FROM r8 JOIN nation ON node = n_nationkey
+         |ORDER BY pr DESC, n_name""".stripMargin,
+
+    "q_custdist" ->
+      s"""SELECT c_count, count(*) AS custdist FROM (
+         |  SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM customer LEFT OUTER JOIN orders
+         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         |  GROUP BY c_custkey
+         |) GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
     "q_rollup_revenue" ->
       s"""SELECT r_name, n_name, $revenueSql AS revenue, COUNT(*) AS n_lineitems
          |FROM lineitem

@@ -29,6 +29,9 @@ object SimilarityQueries {
     // the memory-side ANN family (M bytes/vector scanned, floats touched
     // only for poolSize candidates); oracle mirrors the whole pipeline
     "q_ann_pq" -> ((s, dir) => VectorStore.pqTopK(s, dir, queryId = 0L, k = 10)),
+    // SemDeDup: trained-IVF cells bound the quadratic term; discard =
+    // has a smaller-id cluster-mate with cosine >= threshold
+    "q_semdedup" -> ((s, dir) => VectorStore.semDedup(s, dir)),
   )
 
   /** vec_id, v (double list), norm — mirror of `Similarity.prepared`. */
@@ -200,6 +203,30 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, nn_id, sim FROM pairs
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1""".stripMargin,
+
+    // SemDeDup mirror: same trained assignment as q_ann_ivf_trained,
+    // then the in-cell smaller-id pair pass with 6-dp cosines
+    "q_semdedup" ->
+      s"""$prepCte, c0 AS (
+         |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
+         |), ${lloydIterSql(0)}, ${lloydIterSql(1)}, sf AS (
+         |  SELECT n.vec_id, n.v, n.norm, cent_id,
+         |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
+         |               / (norm * cn), 6) AS csim
+         |  FROM n, c2
+         |), assigned AS (
+         |  SELECT vec_id, v, norm, cent_id AS cell FROM sf
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+         |), pairs AS (
+         |  SELECT b.vec_id, b.cell,
+         |         round(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*a.v[i]))
+         |               / (b.norm * a.norm), 6) AS sim
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_id, cell, max(sim) AS max_sim, count(*) AS n_dups
+         |FROM pairs WHERE sim >= 0.3
+         |GROUP BY vec_id, cell""".stripMargin,
 
     "q_embed_dup" ->
       s"""$prepCte, b AS (

@@ -115,6 +115,16 @@ object VectorStore {
     Similarity.ivfRankAssigned(assigned, cents, queryId, k, nProbe)
   }
 
+  /** SemDeDup discard set served from the persisted trained-IVF store —
+    * the cluster assignment is the expensive half and it is already on
+    * disk cell-partitioned; the query pays only the in-cell pair pass.
+    */
+  def semDedup(spark: SparkSession, dir: String, nCells: Int = 16,
+               iters: Int = 2, threshold: Double = 0.3): DataFrame = {
+    val (assigned, _) = ivf(spark, dir, nCells, iters)
+    Similarity.semDedupDiscards(assigned, threshold)
+  }
+
   /** PQ-ADC top-k over the prepared store (codebook + encode derive from
     * the same persisted relation; a deployment would persist the code
     * table alongside — at fixture scale the encode pass is cheaper than

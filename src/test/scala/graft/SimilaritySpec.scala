@@ -134,6 +134,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again === pq)
   }
 
+  test("semdedup: discards are exactly the vectors with a smaller-id cluster-mate above threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val tau = 0.3
+    val (assigned, _) = graft.sources.VectorStore.ivf(spark, dir, nCells = 16, iters = 2)
+    val rows = graft.sources.VectorStore.semDedup(spark, dir, threshold = tau)
+      .as[(Long, Long, Double, Long)].collect()
+    // brute-force ground truth: every in-cell ordered pair above tau
+    val vecs = assigned.select("vec_id", "v", "norm", "cell")
+      .as[(Long, Seq[Double], Double, Int)].collect()
+    def cos(a: (Long, Seq[Double], Double, Int), b: (Long, Seq[Double], Double, Int)) =
+      BigDecimal(a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (for {
+      a <- vecs; b <- vecs
+      if a._4 == b._4 && a._1 < b._1
+      s = cos(a, b) if s >= tau
+    } yield (b._1, s)).groupBy(_._1)
+      .map { case (id, ss) => id -> ((ss.map(_._2).max, ss.length.toLong)) }
+    assert(rows.map(_._1).toSet === expect.keySet,
+      s"discard set mismatch: got ${rows.map(_._1).toSet}, want ${expect.keySet}")
+    rows.foreach { case (id, _, maxSim, nDups) =>
+      assert((maxSim, nDups) === expect(id), s"witness mismatch for vec $id")
+    }
+    // completeness restated: the survivor set has no in-cell pair >= tau
+    val discards = rows.map(_._1).toSet
+    val survivors = vecs.filterNot(v => discards.contains(v._1))
+    for (a <- survivors; b <- survivors if a._4 == b._4 && a._1 < b._1)
+      assert(cos(a, b) < tau, s"surviving pair (${a._1},${b._1}) above threshold")
+  }
+
   test("lloyd training is deterministic across invocations") {
     val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
     def run() = Similarity.ivfTopKTrained(corpus, queryId = 0L, k = 10)
