@@ -33,7 +33,12 @@ object Graph {
     val n = nodes.count() // one metadata-sized action, node count only
     val base = (1.0 - damping) / n
     val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
+    // every iteration references e: without a persist the final DAG
+    // re-derives the (possibly expensive) edge build once PER iteration;
+    // cached, the build runs once and iterations reuse the (edge-count
+    // sized, already-aggregated) relation
     val e = edges.join(outw, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
       val inflow = e.join(ranks, col("src") === col("node"))

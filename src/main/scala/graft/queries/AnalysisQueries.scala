@@ -80,6 +80,25 @@ object AnalysisQueries {
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // Quality-percentile curation gate: keep every document at or above
+    // its source's 25th quality percentile — the threshold adapts per
+    // source instead of a global cutoff silently dropping whole weak
+    // sources. percent_rank over (quality, doc_id) is a deterministic
+    // total order; the window partitions by source (data-sized, never a
+    // single global sort).
+    "q_quality_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("source").orderBy("quality", "doc_id")
+      scored.withColumn("pr", percent_rank().over(w))
+        .groupBy("source")
+        .agg(
+          count(when(col("pr") >= 0.25, lit(1))).as("n_kept"),
+          count(lit(1)).as("n_total"),
+          min(when(col("pr") >= 0.25, col("quality"))).as("min_kept_quality"))
+    }),
+
     "q_token_bpe" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -136,6 +155,39 @@ object AnalysisQueries {
         .select(explode(Text.shinglesFromTokens(col("ts"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram")).limit(20)),
+
+    // Collocation extraction by pointwise mutual information: bigrams
+    // that co-occur far above chance, the phrase-discovery pass corpus
+    // curation runs before tokenizer training. Unigram and bigram counts
+    // are map-side-combined one-exchange aggregates; totals are a
+    // broadcast single row; PMI = ln((n2·T²)/(B·n1a·n1b)) with both
+    // engines evaluating the identical parenthesization (ln parity
+    // precedent: q_lm_score).
+    "q_pmi" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
+      val uni = toks.select(explode(col("ts")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n1"))
+      val bi = toks
+        .select(explode(Text.shinglesFromTokens(col("ts"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n2"))
+        .filter(col("n2") >= 5)
+      val tot = toks.agg(
+        sum(size(col("ts"))).as("tt"),
+        sum(greatest(size(col("ts")) - 1, lit(0))).as("bb"))
+      bi
+        .withColumn("wa", split(col("gram"), " ").getItem(0))
+        .withColumn("wb", split(col("gram"), " ").getItem(1))
+        .join(uni.select(col("term").as("wa"), col("n1").as("na")), "wa")
+        .join(uni.select(col("term").as("wb"), col("n1").as("nb")), "wb")
+        .crossJoin(broadcast(tot))
+        .select(col("gram"),
+          round(log((col("n2").cast("double") * col("tt") * col("tt")) /
+            (col("bb").cast("double") * col("na") * col("nb"))), 6).as("pmi"),
+          col("n2"))
+        .orderBy(col("pmi").desc, col("gram"))
+        .limit(20)
+    }),
 
     // Rolling-hash (Rabin-Karp) fingerprints via the native
     // `rolling_hashes` Catalyst expression: every 16-byte window of the
@@ -260,6 +312,57 @@ object AnalysisQueries {
           unix_micros(col("purchase_t")).as("purchase_us"),
           col("value"),
           unix_micros(col("click_t")).as("click_us"))
+    }),
+
+    // Ordered-funnel analysis: users progressing view → click →
+    // purchase, each later stage strictly after the previous one and
+    // within 24 h of the first view. All three stages are user-keyed
+    // aggregates/joins (one key distribution throughout); time keys are
+    // the events table's engine-portable epoch-µs.
+    "q_funnel" -> ((s, dir) => {
+      val horizonUs = 24L * 3600L * 1000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("t")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t_view"))
+      val vc = v
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("c_us")), "user_id")
+        .filter(col("c_us") > col("t_view") &&
+          col("c_us") <= col("t_view") + horizonUs)
+        .groupBy("user_id", "t_view").agg(min(col("c_us")).as("t_click"))
+      val vcp = vc
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p_us")), "user_id")
+        .filter(col("p_us") > col("t_click") &&
+          col("p_us") <= col("t_view") + horizonUs)
+        .groupBy("user_id").agg(min(col("p_us")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(vc.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(vcp.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+    }),
+
+    // Retention cohorts: users bucketed by the week of their first
+    // event; each cell counts users active `week_offset` weeks later.
+    // Distinct (user, week) activity join first-week — both user-keyed;
+    // the cohort-cell aggregate's key space is weeks² (tiny at any
+    // scale). Offsets are exact integer arithmetic on µs-truncated
+    // weeks, not calendar subtraction.
+    "q_retention" -> ((s, dir) => {
+      val weekUs = 7L * 24L * 3600L * 1000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("t")).as("wk"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          ((unix_micros(col("wk")) - unix_micros(col("cohort"))) / lit(weekUs))
+            .cast("long").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
     }),
 
     // Multimodal/semi-structured: JSON props → typed struct column.
@@ -547,6 +650,30 @@ object AnalysisQueries {
          |       round(CAST(sum(w) AS DOUBLE) / sum(tf), 6) AS avg_logp
          |FROM w GROUP BY doc_id""".stripMargin,
 
+    "q_pmi" ->
+      s"""$toksCte, g2 AS (
+         |  SELECT list_transform(range(1, greatest(len(ts)-1, 0)+1),
+         |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
+         |  FROM toks
+         |), bi AS (
+         |  SELECT g AS gram, count(*) AS n2 FROM g2, unnest(gs) AS t(g)
+         |  GROUP BY 1 HAVING count(*) >= 5
+         |), uni AS (
+         |  SELECT u.term, count(*) AS n1 FROM toks, unnest(ts) AS u(term) GROUP BY 1
+         |), tot AS (
+         |  SELECT sum(len(ts)) AS tt, sum(greatest(len(ts)-1, 0)) AS bb FROM toks
+         |), sp AS (
+         |  SELECT gram, n2,
+         |         string_split(gram, ' ')[1] AS wa, string_split(gram, ' ')[2] AS wb
+         |  FROM bi
+         |)
+         |SELECT gram,
+         |       round(ln((CAST(n2 AS DOUBLE) * tt * tt)
+         |                / (CAST(bb AS DOUBLE) * na.n1 * nb.n1)), 6) AS pmi,
+         |       n2
+         |FROM sp JOIN uni na ON sp.wa = na.term JOIN uni nb ON sp.wb = nb.term, tot
+         |ORDER BY pmi DESC, gram LIMIT 20""".stripMargin,
+
     "q_gram_topk" ->
       s"""$toksCte, g2 AS (
          |  SELECT list_transform(range(1, greatest(len(ts)-1, 0)+1),
@@ -606,6 +733,34 @@ object AnalysisQueries {
          |         (CASE WHEN stopword_ratio <= 0.6 THEN 1 ELSE 0 END) +
          |         (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)) / 4.0, 2) AS quality
          |FROM m""".stripMargin,
+
+    "q_quality_gate" ->
+      s"""$toksCte, m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) END, 6) AS mean_token_len,
+         |    ${ratioSql(s"len(list_filter(ts, t -> list_contains([$stopList], t)))")} AS stopword_ratio,
+         |    round(CASE WHEN len(text) = 0 THEN 0.0
+         |          ELSE CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
+         |  FROM toks JOIN documents USING (doc_id)
+         |), q AS (
+         |  SELECT doc_id, source,
+         |    round(((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN mean_token_len BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN stopword_ratio <= 0.6 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)) / 4.0, 2) AS quality
+         |  FROM m
+         |), r AS (
+         |  SELECT source, doc_id, quality,
+         |         percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS pr
+         |  FROM q
+         |)
+         |SELECT source,
+         |       count(CASE WHEN pr >= 0.25 THEN 1 END) AS n_kept,
+         |       count(*) AS n_total,
+         |       min(CASE WHEN pr >= 0.25 THEN quality END) AS min_kept_quality
+         |FROM r GROUP BY source""".stripMargin,
 
     "q_token_bpe" ->
       """SELECT doc_id,
@@ -801,6 +956,39 @@ object AnalysisQueries {
       """SELECT event_id, event_type,
         |       TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT) AS k
         |FROM events""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events
+        |), v AS (
+        |  SELECT user_id, min(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1
+        |), vc AS (
+        |  SELECT v.user_id, v.t_view, min(c.us) AS t_click
+        |  FROM v JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+        |     AND c.us > v.t_view AND c.us <= v.t_view + 86400000000
+        |  GROUP BY 1, 2
+        |), vcp AS (
+        |  SELECT vc.user_id, min(p.us) AS t_purchase
+        |  FROM vc JOIN e p ON p.user_id = vc.user_id AND p.event_type = 'purchase'
+        |     AND p.us > vc.t_click AND p.us <= vc.t_view + 86400000000
+        |  GROUP BY 1
+        |)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM vc
+        |UNION ALL SELECT '3_purchase', count(*) FROM vcp""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_ns(date_trunc('week', ts))//1000 AS wk
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1
+        |)
+        |SELECT strftime(make_timestamp(cohort), '%Y-%m-%d') AS cohort_week,
+        |       CAST((wk - cohort) / 604800000000 AS BIGINT) AS week_offset,
+        |       count(*) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_binary_stats" ->
       """SELECT doc_id,
