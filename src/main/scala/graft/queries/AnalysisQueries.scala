@@ -30,7 +30,7 @@ object AnalysisQueries {
       cache.getOrElse((s, dir), {
         val path = graft.sources.SessionStores.scopedPath("graft_mgsketch",
           "store_" + graft.sources.SessionStores.tagOf(dir))
-        val d = docs(s, dir).select("doc_id", "text")
+        val d = docs(s, dir).select("doc_id", "source", "text")
         for (b <- 0 until 3) {
           // persist: the three sketch passes each run their own action —
           // unpersisted, every pass re-reads and re-filters the corpus
@@ -43,6 +43,10 @@ object AnalysisQueries {
             // bloom family: only the batch's EVAL-slice shingles feed the
             // incremental decontamination filter (the batch twin's bench
             // side, arriving in drops)
+            graft.streaming.StreamingSketch.processBatchHll(
+              batch.select(col("source"),
+                explode(Text.terms(col("text"))).as("term")),
+              b.toLong, path): Unit
             graft.streaming.StreamingSketch.processBatchBloom(
               graft.operators.Dedup.shingleSets(
                   batch.filter(DedupQueries.evalDocPred), 3)
@@ -365,6 +369,33 @@ object AnalysisQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Time-series resample + forward fill: each user's last reading per
+    // day, re-gridded onto a dense daily spine (their own [min, max]
+    // range) with gap days carrying the previous reading — the
+    // sensor/metrics regularization pass. The spine explode is
+    // per-user-bounded; the fill is one user-partitioned window (never
+    // a global sort).
+    "q_gapfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), to_date(col("t")).as("day"),
+        unix_micros(col("t")).as("us"), col("event_id"), col("value"))
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1).select("user_id", "day", "value")
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("value"), ignoreNulls = true).over(wFill).as("reading"),
+          col("value").isNull.as("filled"))
+    }),
+
     // Multimodal/semi-structured: JSON props → typed struct column.
     "q_props_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -379,6 +410,22 @@ object AnalysisQueries {
     // ≤ 0.036 at every sf against the 0.15 registration bound).
     "q_vocab_hll" -> ((s, dir) =>
       graft.operators.Sketches.vocabularyBySourceChecked(docs(s, dir))),
+    // Streamed twin: the ESTIMATE comes from the incremental HLL store
+    // (per-batch register partials, union-merged — union of sketches ≡
+    // sketch of the union); the exact side and the bound projection are
+    // the batch pass's, so the same oracle SQL hash-checks both.
+    "q_vocab_hll_streamed" -> ((s, dir) => {
+      val store = SketchStores.streamedMgStore(s, dir)
+      val est = graft.streaming.StreamingSketch.hllVocabEstimates(s, store)
+      docs(s, dir)
+        .select(col("source"), explode(Text.terms(col("text"))).as("term"))
+        .groupBy("source").agg(countDistinct(col("term")).as("exact_vocab"))
+        .join(est, "source")
+        .select(col("source"), col("exact_vocab"),
+          (abs(col("approx_vocab") - col("exact_vocab")) <=
+            lit(0.15) * col("exact_vocab")).as("hll_within_bound"))
+        .orderBy("source")
+    }),
     // GK quantiles: registers the deterministic rank-guarantee projection
     // (per-φ all-true bound flags) — hash-checked like MG/CMS below; the
     // raw quantile values stay spec-only (SketchesSpec).
@@ -527,6 +574,18 @@ object AnalysisQueries {
     // bound holds — measured ≥4× above observed error at every sf).
     // Per-doc DISTINCT is skipped: count(DISTINCT term) absorbs it.
     "q_vocab_hll" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+         |  FROM documents
+         |)
+         |SELECT source, count(DISTINCT term) AS exact_vocab,
+         |       TRUE AS hll_within_bound
+         |FROM toks WHERE term <> '' AND term NOT IN ($stopList)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical SQL: the streamed estimate must satisfy the same bound
+    "q_vocab_hll_streamed" ->
       s"""WITH toks AS (
          |  SELECT source,
          |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
@@ -976,6 +1035,33 @@ object AnalysisQueries {
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM vc
         |UNION ALL SELECT '3_purchase', count(*) FROM vcp""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_ns(ts)//1000 AS us,
+        |         event_id, value
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, day, value FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, day
+        |                             ORDER BY us DESC, event_id DESC) = 1
+        |), b AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+        |), s AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                              CAST(d1 AS TIMESTAMP),
+        |                                              INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b
+        |), j AS (
+        |  SELECT s.user_id, s.day, d.value
+        |  FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       last_value(value IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING) AS reading,
+        |       value IS NULL AS filled
+        |FROM j""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (

@@ -405,6 +405,97 @@ object StreamingSketch {
       files: Seq[org.apache.hadoop.fs.Path]): String =
     bloomB64(mergeBloomFiles(fs, files))
 
+  // ---- HLL family: per-source vocabulary-cardinality registers ----
+  //
+  // Per micro-batch, one DataSketches HLL sketch per source
+  // (`hll_sketch_agg`, lgK 12 — Spark's default) lands as a part; the
+  // accumulated per-source registers are the union of the parts, and
+  // UNION OF SKETCHES = SKETCH OF THE UNION (registers are per-slot
+  // maxima — commutative, idempotent, order-independent), so the
+  // streamed estimate serves the same deterministic bound projection as
+  // the batch `vocabularyBySourceChecked`. Part payload is
+  // O(#sources × 2^lgK) regardless of vocabulary size.
+
+  private def hllPartsDir(store: String) = s"$store/hll_parts"
+  private def hllPartPath(store: String, batchId: Long) =
+    s"${hllPartsDir(store)}/batch_$batchId.json"
+
+  val HllLgK = 12
+
+  private def hllJson(m: Seq[(String, Array[Byte])]): String =
+    m.sortBy(_._1).map { case (src, b) =>
+      s"${esc(src)}: ${esc(java.util.Base64.getEncoder.encodeToString(b))}"
+    }.mkString("{", ",", "}")
+
+  /** Source names are `esc`-escaped on write; base64 payloads carry no
+    * quotes — the quoted-pair scan below is exact for this format.
+    */
+  private[graft] def hllParse(json: String): Map[String, Array[Byte]] =
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(json).map { m =>
+      val key = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      key -> java.util.Base64.getDecoder.decode(m.group(2))
+    }.toMap
+
+  /** Fold one micro-batch of (source, term) rows into per-source HLL
+    * partials. Same idempotency contract as every family: `runOnce`
+    * marker + per-batch part keyed by batchId, tmp-then-rename.
+    */
+  private[graft] def processBatchHll(terms: DataFrame, batchId: Long,
+                                     storePath: String,
+                                     autoCompactAt: Int = AutoCompactParts): Boolean = {
+    val conf = terms.sparkSession.sparkContext.hadoopConfiguration
+    val appended = StoreMaintenance.runOnce(conf, storePath, "hllsketch", batchId) {
+      val rows = terms
+        .groupBy("source")
+        .agg(hll_sketch_agg(col("term"), lit(HllLgK)).as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq
+      writeAtomic(conf, hllPartPath(storePath, batchId), hllJson(rows))
+    }
+    if (appended)
+      autoCompact(conf, hllPartsDir(storePath), ".json", autoCompactAt)(
+        hllMergeContent)
+    appended
+  }
+
+  private def mergeHllMaps(parts: Seq[Map[String, Array[Byte]]])
+      : Map[String, Array[Byte]] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    parts.flatMap(_.toSeq).groupBy(_._1).map { case (src, bs) =>
+      val u = new Union(HllLgK)
+      bs.foreach { case (_, b) => u.update(HllSketch.heapify(b)) }
+      src -> u.getResult.toCompactByteArray
+    }
+  }
+
+  private def mergeHllFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            files: Seq[org.apache.hadoop.fs.Path])
+      : Map[String, Array[Byte]] =
+    mergeHllMaps(files.map(p => hllParse(readUtf8(fs, p))))
+
+  private def hllMergeContent(
+      fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.Path]): String =
+    hllJson(mergeHllFiles(fs, files).toSeq)
+
+  /** The accumulated per-source estimates (source, approx_vocab) as a
+    * DataFrame — union of every live part's registers, estimated with
+    * the same Spark function family the batch pass uses. Absent store
+    * reads as empty.
+    */
+  def hllVocabEstimates(spark: SparkSession, storePath: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(hllPartsDir(storePath))
+    val fs = dir.getFileSystem(conf)
+    val merged: Seq[(String, Array[Byte])] =
+      if (!fs.exists(dir)) Seq.empty
+      else mergeHllFiles(fs, livePartFiles(fs, dir, ".json")).toSeq
+    import spark.implicits._
+    merged.toDF("source", "sk")
+      .groupBy("source")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_vocab"))
+  }
+
   /** The LIVE part files of a family dir, under the compaction contract:
     * `compacted_upto_<maxBatchId>` supersedes every `batch_<id>` part
     * with id ≤ maxBatchId (those are either merged into it or crashed-
@@ -459,6 +550,7 @@ object StreamingSketch {
     collapse(conf, cmsPartsDir(storePath), ".txt")(cmsMergeContent(depth, width))
     collapse(conf, gkPartsDir(storePath), ".txt")(gkMergeContent(accuracy))
     collapse(conf, bloomPartsDir(storePath), ".b64")(bloomMergeContent)
+    collapse(conf, hllPartsDir(storePath), ".json")(hllMergeContent)
   }
 
   // per-family merged-content closures — shared by the manual compactParts

@@ -249,6 +249,47 @@ class StreamingSketchSpec extends AnyFunSuite {
       .filter(graft.plans.BloomContains.bloomContains(empty, col("s"))).count() === 0L)
   }
 
+  test("streamed HLL store: union-merged registers estimate within bound; replay skipped; compaction preserves") {
+    import spark.implicits._
+    val store = tmpDir("graft-hllsketch-") + "/store"
+    val termBatches: Seq[Seq[(String, String)]] = Seq(
+      (0 until 40).map(i => ("src0", s"t$i")) ++ (0 until 10).map(i => ("src1", s"u$i")),
+      (20 until 60).map(i => ("src0", s"t$i")),                 // overlap 20-39
+      (0 until 25).map(i => ("src1", s"u$i")) ++ Seq(("src2", "only"))
+    )
+    for ((b, id) <- termBatches.zipWithIndex)
+      assert(StreamingSketch.processBatchHll(b.toDF("source", "term"), id.toLong, store))
+    val exact = termBatches.flatten.distinct.groupBy(_._1).map { case (s, ts) => s -> ts.size }
+    def estimates(): Map[String, Double] =
+      StreamingSketch.hllVocabEstimates(spark, store)
+        .as[(String, Double)].collect().toMap
+    val est = estimates()
+    assert(est.keySet === exact.keySet)
+    // lgK=12 on tiny sets: HLL is exact-mode, estimates are essentially exact
+    est.foreach { case (s, e) =>
+      assert(math.abs(e - exact(s)) <= 0.15 * exact(s),
+        s"source $s estimate $e outside bound of exact ${exact(s)}")
+    }
+    // replay of a committed batch is marker-skipped and changes nothing
+    assert(!StreamingSketch.processBatchHll(termBatches(1).toDF("source", "term"), 1L, store))
+    assert(estimates() === est)
+    // compaction collapses parts; union associativity keeps estimates identical
+    StreamingSketch.compactParts(spark, store)
+    val files = new java.io.File(s"$store/hll_parts").listFiles().map(_.getName)
+      .toSeq.filterNot(_.startsWith(".")).sorted
+    assert(files === Seq("compacted_upto_2.json"), s"got $files")
+    assert(estimates() === est, "compaction changed the merged registers")
+    // post-compact ingest merges on top
+    assert(StreamingSketch.processBatchHll(
+      Seq(("src2", "another")).toDF("source", "term"), 3L, store))
+    val after = estimates()
+    assert(after("src2") > est("src2"))
+    assert(after("src0") === est("src0"))
+    // absent store reads as empty
+    assert(StreamingSketch.hllVocabEstimates(spark,
+      tmpDir("graft-hllempty-") + "/nope").count() === 0L)
+  }
+
   test("bloom append path self-compacts past the part threshold; filter is the union") {
     import spark.implicits._
     val store = tmpDir("graft-bloomauto-") + "/store"
