@@ -396,6 +396,31 @@ object AnalysisQueries {
           col("value").isNull.as("filled"))
     }),
 
+    // Cross-source overlap matrix: shingle-level Jaccard between every
+    // source pair — the corpus-composition diagnostic a curation
+    // pipeline runs to find near-duplicate SOURCES (mirror sites, feed
+    // overlap) before doc-level dedup. Distinct (source, shingle) is
+    // corpus-mass map-side work; the pair join is shingle-keyed
+    // (AQE-splittable) with expansion bounded by sources-per-shingle²;
+    // the output is source-pairs-sized.
+    "q_source_overlap" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"),
+          explode(Text.shinglesFromTokens(Text.tokenize(col("text")), 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      sh.select(col("source").as("source_a"), col("sh"))
+        .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+    }),
+
     // Multimodal/semi-structured: JSON props → typed struct column.
     "q_props_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -1035,6 +1060,30 @@ object AnalysisQueries {
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM vc
         |UNION ALL SELECT '3_purchase', count(*) FROM vcp""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                     t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(range(1, greatest(len(ts)-2, 0)+1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        |  FROM toks
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM sh GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, n_shared,
+        |       round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes na ON source_a = na.source
+        |JOIN sizes nb ON source_b = nb.source""".stripMargin,
 
     "q_gapfill" ->
       """WITH e AS (

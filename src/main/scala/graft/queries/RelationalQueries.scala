@@ -29,6 +29,22 @@ object RelationalQueries {
   private val revenueSql =
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Per-column aggregate + per-column output row of the q_profile
+    * oracle (mirror of the struct-explode form).
+    */
+  private def profileAggSql(c: String): String =
+    s"""count($c) AS nn_$c, CAST(min($c) AS DOUBLE) AS mn_$c,
+       |         CAST(max($c) AS DOUBLE) AS mx_$c,
+       |         CAST(SUM(CAST($c AS DECIMAL(27,6))) AS DOUBLE) AS s_$c,
+       |         CAST(SUM(CAST($c*$c AS DECIMAL(30,8))) AS DOUBLE) AS q_$c""".stripMargin
+
+  private def profileRowSql(c: String): String =
+    s"""SELECT '$c' AS column_name, n - nn_$c AS n_nulls,
+       |       mn_$c AS min_val, mx_$c AS max_val,
+       |       round(s_$c / nn_$c, 6) AS mean,
+       |       round(sqrt((q_$c - s_$c*s_$c/nn_$c) / (nn_$c - 1)), 6) AS stddev
+       |FROM m""".stripMargin
+
   /** One PageRank power iteration as CTEs (mirror of `Graph.pageRank`):
     * DECIMAL(27,12)-summed inflow (order-independent), 6-dp rounded
     * rank. Literals go through text→DOUBLE casts so DuckDB's
@@ -114,6 +130,34 @@ object RelationalQueries {
         minBound("o_totalprice", atLeast = 0.0),
         distinctAtMost("o_orderpriority", atMost = 5L),
         compliance("priority_nonempty", length(col("o_orderpriority")) > 0)))
+    }),
+
+    // One-pass numeric column profiler (the data-exploration complement
+    // of q_validate): null counts, min/max, mean, sample stddev for all
+    // four lineitem measures from ONE aggregate over ONE scan. Moments
+    // go through DECIMAL sums (exact, order-independent) and the
+    // mean/stddev arithmetic is the identical double-op sequence on
+    // both engines.
+    "q_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"nn_$c"),
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"),
+          sum(col(c).cast(DecimalType(27, 6))).cast("double").as(s"s_$c"),
+          sum((col(c) * col(c)).cast(DecimalType(30, 8))).cast("double").as(s"q_$c"))
+      } :+ count(lit(1)).as("n")
+      val one = tbl(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        val nn = col(s"nn_$c"); val sm = col(s"s_$c"); val sq = col(s"q_$c")
+        struct(lit(c).as("column_name"),
+          (col("n") - nn).as("n_nulls"),
+          col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"),
+          round(sm / nn, 6).as("mean"),
+          round(sqrt((sq - sm * sm / nn) / (nn - lit(1))), 6).as("stddev"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }),
 
     // Weighted PageRank over the nation trade graph (supplier nation →
@@ -516,6 +560,16 @@ object RelationalQueries {
          |       CAST(n_prio AS DOUBLE), n_prio <= 5 FROM m
          |UNION ALL SELECT 'compliance(priority_nonempty)',
          |       CAST(n_prio_ne AS DOUBLE)/n, CAST(n_prio_ne AS DOUBLE)/n >= 1.0 FROM m""".stripMargin,
+
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      s"""WITH m AS (
+         |  SELECT count(*) AS n,
+         |         ${cols.map(profileAggSql).mkString(",\n         ")}
+         |  FROM lineitem
+         |)
+         |${cols.map(profileRowSql).mkString("\nUNION ALL ")}""".stripMargin
+    },
 
     "q_pagerank" ->
       s"""WITH e0 AS (
