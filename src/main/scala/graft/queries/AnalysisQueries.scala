@@ -396,6 +396,27 @@ object AnalysisQueries {
           col("value").isNull.as("filled"))
     }),
 
+    // Trailing active-user windows: per day, the distinct users active
+    // that day (DAU) and over the trailing 7 days (WAU) — the
+    // engagement-rollup shape. Exact trailing distinct via contribution
+    // explode (a day of activity feeds 7 window days) + one distinct —
+    // never a per-window re-scan; key spaces are days × users.
+    "q_trailing_dau" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(to_date(col("t")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("wday")).distinct()
+      val contrib = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+          col("user_id"))
+        .join(days, "wday") // windows that exist in the data range only
+        .distinct()
+      val wau = contrib.groupBy("wday").agg(count(lit(1)).as("wau"))
+      du.groupBy("day").agg(count(lit(1)).as("dau"))
+        .join(wau, col("day") === col("wday"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"))
+    }),
+
     // Cross-source overlap matrix: shingle-level Jaccard between every
     // source pair — the corpus-composition diagnostic a curation
     // pipeline runs to find near-duplicate SOURCES (mirror sites, feed
@@ -1060,6 +1081,23 @@ object AnalysisQueries {
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM vc
         |UNION ALL SELECT '3_purchase', count(*) FROM vcp""".stripMargin,
+
+    "q_trailing_dau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT day AS wday FROM du
+        |), contrib AS (
+        |  SELECT DISTINCT d.wday, c.user_id
+        |  FROM du c
+        |  JOIN days d ON d.wday BETWEEN c.day AND c.day + INTERVAL 6 DAY
+        |), wau AS (
+        |  SELECT wday, count(*) AS wau FROM contrib GROUP BY 1
+        |), dau AS (
+        |  SELECT day, count(*) AS dau FROM du GROUP BY 1
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau
+        |FROM dau JOIN wau ON day = wday""".stripMargin,
 
     "q_source_overlap" ->
       """WITH toks AS (

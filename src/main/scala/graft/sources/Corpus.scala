@@ -138,6 +138,17 @@ object Corpus {
       .json(path)
       .withColumn("url", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
 
+  /** Documents from ORC — the columnar-format sibling of the parquet
+    * path (Spark's built-in `orc` source: predicate pushdown, column
+    * pruning, and vectorized reads all apply the same way). Write side
+    * below for round-trip interop with ORC-first warehouses.
+    */
+  def documentsFromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeDocumentsOrc(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").orc(path)
+
   /** Reference S1: build the URL corpus from already-fetched category
     * listing pages (driver-side, exactly like the reference's
     * single-threaded crawl — `master/src/master.py:48-86`). Pagination is

@@ -164,4 +164,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(fromCsv === fromJsonl)
     assert(fromCsv.map(_._1) === Set("cat", "sat", "dog", "ran"))
   }
+
+  test("ORC round-trip: written corpus reads back identical and feeds the same pipeline") {
+    val dir = Files.createTempDirectory("graft_orc")
+    val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
+    Corpus.writeDocumentsOrc(docs, dir.resolve("docs.orc").toString)
+    val back = Corpus.documentsFromOrc(spark, dir.resolve("docs.orc").toString)
+    assert(back.schema === docs.schema)
+    val a = docs.orderBy("doc_id").collect()
+    val b = back.orderBy("doc_id").collect()
+    assert(a === b, "ORC round-trip changed the corpus")
+    // a pushed filter reaches the ORC scan (format keeps pushdown)
+    val filtered = back.filter($"doc_id" === 7L)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"no pushed filter in ORC scan:\n$scan")
+    assert(InvertedIndex.postings(back).count() ===
+      InvertedIndex.postings(docs).count())
+  }
 }
