@@ -27,6 +27,14 @@ object Graph {
   /** Weighted PageRank. `edges`: (src, dst, w); `nodes`: (node).
     * Dangling nodes (no out-edges) leak their mass — the simple
     * formulation; the oracle mirrors it. Returns (node, pr).
+    *
+    * Exchange shape: the edge relation is partitioned by `dst` ONCE and
+    * persisted — every iteration's inflow aggregate then inherits that
+    * distribution, so with ranks broadcast (node-sized ≪ edge-sized;
+    * Catalyst picks it from stats) an iteration adds NO edge-mass
+    * exchange at all. When ranks outgrow broadcast (true web scale),
+    * Catalyst falls back to a src-keyed shuffle of ranks only — the
+    * edges still never move again.
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
@@ -37,16 +45,16 @@ object Graph {
     // re-derives the (possibly expensive) edge build once PER iteration;
     // cached, the build runs once and iterations reuse the (edge-count
     // sized, already-aggregated) relation
-    val e = edges.join(outw, "src")
+    val e = edges.join(outw, "src").repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
-      val inflow = e.join(ranks, col("src") === col("node"))
+      val inflow = e.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"),
           (col("pr") * col("w") / col("outw")).cast(DecimalType(27, 12)).as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).cast("double").as("inflow"))
-      ranks = nodes.join(inflow, col("node") === col("dst"), "left_outer")
+      ranks = nodes.join(broadcast(inflow), col("node") === col("dst"), "left_outer")
         .select(col("node"),
           round(lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
             .as("pr"))
