@@ -280,6 +280,30 @@ class PlanSpec extends AnyFunSuite {
       s"full outer degenerated to a nested loop:\n$p")
   }
 
+  test("grouped top-k plans bound each group via WindowGroupLimit (partial + final)") {
+    // Spark 3.5+ rewrites rank-predicate-over-window into a bounded
+    // per-group limit (heap, not a full per-partition sort of all rows)
+    // BEFORE and AFTER the exchange. This is why the engine composes the
+    // built-in window form instead of a custom top-k operator — the pin
+    // fails if a refactor (e.g. an expression wrapper around the rank
+    // column) breaks the pattern match and silently restores the
+    // sort-everything plan.
+    for (q <- Seq("q_top_terms_per_source", "q_sample_per_source")) {
+      val p = plan(q)
+      assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+        s"$q lost the map-side (Partial) group limit:\n$p")
+      assert("WindowGroupLimit.*Final".r.findFirstIn(p).isDefined,
+        s"$q lost the reduce-side (Final) group limit:\n$p")
+    }
+  }
+
+  test("q_validate single-pass shape survives planning: one scan, no join, no union") {
+    val p = plan("q_validate")
+    assert(!p.contains("Union"), s"q_validate unioned per-check scans:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_validate read the table more than once:\n$p")
+  }
+
   test("q_jaccard_pairs: equi-joins throughout, never a nested loop or cartesian") {
     val p = plan("q_jaccard_pairs")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
