@@ -32,7 +32,49 @@ object SimilarityQueries {
     // SemDeDup: trained-IVF cells bound the quadratic term; discard =
     // has a smaller-id cluster-mate with cosine >= threshold
     "q_semdedup" -> ((s, dir) => VectorStore.semDedup(s, dir)),
+    // Streamed twins: the corpus ingested in three micro-batches through
+    // StreamingEmbed.processBatch; served from the accumulated store
+    // under the SAME oracle SQL as the batch queries (the store's
+    // canonical vectors/pairs equal the batch relations — StreamingSpec
+    // proves it, these rows hash-check it).
+    "q_embed_dup_streamed" -> ((s, dir) =>
+      graft.streaming.StreamingEmbed.pairs(s, EmbedStores.streamedStore(s, dir))),
+    "q_semdedup_streamed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val p = graft.streaming.StreamingEmbed
+        .vectors(s, EmbedStores.streamedStore(s, dir))
+        .select("vec_id", "v", "norm")
+      val cents = graft.operators.Similarity.lloydCentroids(p, nCells = 16, iters = 2)
+      graft.operators.Similarity.semDedupDiscards(
+        p.withColumn("cell", graft.operators.Similarity.bestCell(cents).cast("int")),
+        threshold = 0.3)
+    }),
   )
+
+  /** Session-scoped StreamingEmbed store holding `dir`'s embeddings
+    * ingested incrementally (three deterministic vec_id-mod-3
+    * micro-batches through `processBatch` — the accumulate path the
+    * streamed twins serve from). Built once per (session, dir).
+    */
+  private object EmbedStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def streamedStore(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        import org.apache.spark.sql.functions.col
+        val path = graft.sources.SessionStores.scopedPath("graft_embstream",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val emb = graft.sources.Tables.tbl(s, dir, "embeddings")
+        for (b <- 0 until 3)
+          graft.streaming.StreamingEmbed.processBatch(
+            emb.filter(col("vec_id") % 3 === b), b.toLong, path): Unit
+        cache += (s, dir) -> path
+        path
+      })
+    }
+  }
 
   /** vec_id, v (double list), norm — mirror of `Similarity.prepared`. */
   private val prepCte =
@@ -71,6 +113,46 @@ object SimilarityQueries {
        |), c${it + 1} AS (
        |  SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn FROM l$it
        |)""".stripMargin
+
+  /** SemDeDup mirror (shared by the batch query and its streamed twin):
+    * the q_ann_ivf_trained assignment, then the in-cell smaller-id pair
+    * pass with 6-dp cosines.
+    */
+  private lazy val semdedupSql: String =
+    s"""$prepCte, c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
+       |), ${lloydIterSql(0)}, ${lloydIterSql(1)}, sf AS (
+       |  SELECT n.vec_id, n.v, n.norm, cent_id,
+       |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
+       |               / (norm * cn), 6) AS csim
+       |  FROM n, c2
+       |), assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM sf
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+       |), pairs AS (
+       |  SELECT b.vec_id, b.cell,
+       |         round(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*a.v[i]))
+       |               / (b.norm * a.norm), 6) AS sim
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_id, cell, max(sim) AS max_sim, count(*) AS n_dups
+       |FROM pairs WHERE sim >= 0.3
+       |GROUP BY vec_id, cell""".stripMargin
+
+  /** Sign-bucket near-dup pairs (shared by q_embed_dup and its streamed
+    * twin — the store's canonical pairs equal this relation).
+    */
+  private lazy val embedDupSql: String =
+    s"""$prepCte, b AS (
+       |  SELECT vec_id, v, norm, $signBucket AS bucket FROM n
+       |), pairs AS (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k]*b2.v[k]))
+       |               / (a.norm * b2.norm), 6) AS sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |)
+       |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
@@ -206,37 +288,12 @@ object SimilarityQueries {
 
     // SemDeDup mirror: same trained assignment as q_ann_ivf_trained,
     // then the in-cell smaller-id pair pass with 6-dp cosines
-    "q_semdedup" ->
-      s"""$prepCte, c0 AS (
-         |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
-         |), ${lloydIterSql(0)}, ${lloydIterSql(1)}, sf AS (
-         |  SELECT n.vec_id, n.v, n.norm, cent_id,
-         |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
-         |               / (norm * cn), 6) AS csim
-         |  FROM n, c2
-         |), assigned AS (
-         |  SELECT vec_id, v, norm, cent_id AS cell FROM sf
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
-         |), pairs AS (
-         |  SELECT b.vec_id, b.cell,
-         |         round(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*a.v[i]))
-         |               / (b.norm * a.norm), 6) AS sim
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |)
-         |SELECT vec_id, cell, max(sim) AS max_sim, count(*) AS n_dups
-         |FROM pairs WHERE sim >= 0.3
-         |GROUP BY vec_id, cell""".stripMargin,
+    "q_semdedup" -> semdedupSql,
+    // streamed twin: the store's canonical vectors equal the table, so
+    // the identical SQL checks the streamed pipeline end to end
+    "q_semdedup_streamed" -> semdedupSql,
+    "q_embed_dup_streamed" -> embedDupSql,
 
-    "q_embed_dup" ->
-      s"""$prepCte, b AS (
-         |  SELECT vec_id, v, norm, $signBucket AS bucket FROM n
-         |), pairs AS (
-         |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-         |         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k]*b2.v[k]))
-         |               / (a.norm * b2.norm), 6) AS sim
-         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         |)
-         |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.3""".stripMargin,
+    "q_embed_dup" -> embedDupSql,
   )
 }
