@@ -390,6 +390,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // NULL-AWARE anti join (NOT IN, three-valued logic): events whose
+    // extracted k is NOT IN the error-event k set. Distinct from
+    // q_antijoin's NOT-EXISTS shape: a NULL probe value can never
+    // satisfy NOT IN (NULL <> x is UNKNOWN), so null-k events vanish —
+    // the semantics the left_anti join does NOT have. The subquery side
+    // is filtered non-null so Spark plans the single-column null-aware
+    // anti join (broadcast) instead of degenerating to a nested loop.
+    "q_not_in" -> ((s, dir) => {
+      graft.sources.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .createOrReplaceTempView("graft_ev_k")
+      s.sql(
+        """SELECT event_id, k FROM graft_ev_k
+          |WHERE event_type = 'purchase'
+          |  AND k NOT IN (SELECT k FROM graft_ev_k
+          |                WHERE event_type = 'error' AND k IS NOT NULL
+          |                  AND k < 50)""".stripMargin)
+    }),
+
     // Pivot: quantity totals per return flag, one column per line status.
     // Explicit pivot values keep the schema static (a dynamic pivot would
     // need a driver-side distinct pass — an anti-pattern at scale) and the
@@ -590,6 +610,18 @@ object RelationalQueries {
          |), ${(0 until 8).map(prIterSql).mkString(", ")}
          |SELECT n_name, pr FROM r8 JOIN nation ON node = n_nationkey
          |ORDER BY pr DESC, n_name""".stripMargin,
+
+    "q_not_in" ->
+      """WITH ek AS (
+        |  SELECT event_id, event_type,
+        |         TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT) AS k
+        |  FROM events
+        |)
+        |SELECT event_id, k FROM ek
+        |WHERE event_type = 'purchase'
+        |  AND k NOT IN (SELECT k FROM ek
+        |                WHERE event_type = 'error' AND k IS NOT NULL
+        |                  AND k < 50)""".stripMargin,
 
     "q_custdist" ->
       s"""SELECT c_count, count(*) AS custdist FROM (

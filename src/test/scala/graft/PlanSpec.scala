@@ -304,6 +304,19 @@ class PlanSpec extends AnyFunSuite {
       s"q_validate read the table more than once:\n$p")
   }
 
+  test("q_not_in plans the null-aware anti-join fast path, not a nested loop") {
+    // NOT IN with a nullable probe column degenerates to
+    // BroadcastNestedLoopJoin unless the single-column null-aware
+    // BroadcastHashJoin optimization applies (subquery side known
+    // non-null); the pin fails if the subquery loses its IS NOT NULL
+    // guard or grows a second column
+    val p = plan("q_not_in")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q_not_in degenerated to a nested loop:\n$p")
+    assert("LeftAnti, BuildRight, true".r.findFirstIn(p).isDefined,
+      s"null-aware hash anti-join flag missing:\n$p")
+  }
+
   test("q_jaccard_pairs: equi-joins throughout, never a nested loop or cartesian") {
     val p = plan("q_jaccard_pairs")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
