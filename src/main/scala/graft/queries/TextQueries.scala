@@ -47,6 +47,44 @@ object TextQueries {
   private def storedPostings(s: SparkSession, dir: String): DataFrame =
     graft.sources.IndexStore.postings(s, dir)
 
+  /** Shared by q_index_stats and its streamed twin. postings_csv is
+    * CAPPED at the first 100 doc_ids: an unbounded collect_list per term
+    * means a common term's row holds the whole corpus at scale.
+    */
+  private def indexStatsOf(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      min("doc_id").as("min_doc"),
+      max("doc_id").as("max_doc"),
+      array_join(transform(slice(sort_array(collect_list(col("doc_id"))), 1, 100),
+        d => d.cast("string")), ",").as("postings_csv"))
+
+  /** Session-scoped streamed index table per (session, dir) — built on
+    * first use, compacted once (restores (term, doc_id) uniqueness and
+    * per-bucket single files), then served read-only.
+    */
+  private object StreamedIndex {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def table(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val tag = graft.sources.SessionStores.tagOf(dir)
+        val path = graft.sources.SessionStores.scopedPath("graft_stridx", "store_" + tag)
+        val tbl = s"graft_stridx_$tag"
+        val d = docs(s, dir)
+        for (b <- 0 until 3)
+          graft.streaming.StreamingIndex.appendBatch(
+            InvertedIndex.postings(d.filter(col("doc_id") % 3 === b)),
+            b.toLong, tbl, path, buckets = 32): Unit
+        graft.streaming.StreamingIndex.compact(s, tbl, path, buckets = 32)
+        cache += (s, dir) -> tbl
+        tbl
+      })
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_postings" -> ((s, dir) => postings(s, dir)),
 
@@ -65,13 +103,20 @@ object TextQueries {
     // postings_csv is CAPPED at the first 100 doc_ids: an unbounded
     // collect_list per term means a common term's row holds the whole
     // corpus at scale.
-    "q_index_stats" -> ((s, dir) =>
-      postings(s, dir).groupBy("term").agg(
-        count(lit(1)).as("df"),
-        min("doc_id").as("min_doc"),
-        max("doc_id").as("max_doc"),
-        array_join(transform(slice(sort_array(collect_list(col("doc_id"))), 1, 100),
-          d => d.cast("string")), ",").as("postings_csv"))),
+    "q_index_stats" -> ((s, dir) => indexStatsOf(postings(s, dir))),
+
+    // STREAMED-INDEX twins: the flagship index built incrementally —
+    // three doc_id-mod-3 posting micro-batches appended through
+    // `StreamingIndex.appendBatch` into the bucketed table layout, one
+    // compaction (the pause-compact-resume discipline). The accumulated
+    // table equals the batch index relation, so both rows hash-check
+    // under the batch oracles; the lookup still bucket-prunes because
+    // the streamed table carries the same bucket spec.
+    "q_index_stats_streamed" -> ((s, dir) =>
+      indexStatsOf(s.table(StreamedIndex.table(s, dir)))),
+
+    "q_term_lookup_streamed" -> ((s, dir) =>
+      InvertedIndex.lookup(s.table(StreamedIndex.table(s, dir)), "spark")),
 
     "q_bool_and" -> ((s, dir) => BooleanQuery.and(storedPostings(s, dir), Seq("spark", "hash"))),
 
@@ -149,6 +194,17 @@ object TextQueries {
 
     "q_term_lookup" ->
       s"""$termsCte SELECT doc_id, $urlSql AS url FROM terms WHERE term = 'spark'""",
+
+    // streamed-index twin: identical SQL — the accumulated+compacted
+    // streamed table must equal the batch posting relation
+    "q_term_lookup_streamed" ->
+      s"""$termsCte SELECT doc_id, $urlSql AS url FROM terms WHERE term = 'spark'""",
+
+    "q_index_stats_streamed" ->
+      s"""$termsCte SELECT term, count(*) AS df, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  array_to_string(list_transform(list_slice(list(doc_id ORDER BY doc_id), 1, 100),
+         |                  d -> CAST(d AS VARCHAR)), ',') AS postings_csv
+         |FROM terms GROUP BY term""".stripMargin,
 
     "q_doc_freq" ->
       s"""$termsCte SELECT term, count(*) AS df FROM terms GROUP BY term""",
