@@ -175,6 +175,13 @@ object Bench {
         // streamed MG sketch store serving q_heavy_hitters_streamed —
         // same build-once attribution as the dedup streamed store
         graft.queries.AnalysisQueries.SketchStores.streamedMgStore(spark, sfDir): Unit
+        // r12 streamed-twin stores: embedding ingest (q_embed_dup_streamed /
+        // q_semdedup_streamed) and the incrementally-built index table
+        // (q_term_lookup_streamed / q_index_stats_streamed) — same
+        // build-once attribution
+        graft.queries.SimilarityQueries.EmbedStores.streamedStore(spark, sfDir): Unit
+        graft.queries.SimilarityQueries.streamedIvf(spark, sfDir).count()
+        graft.queries.TextQueries.StreamedIndex.table(spark, sfDir): Unit
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 

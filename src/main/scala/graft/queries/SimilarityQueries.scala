@@ -39,24 +39,42 @@ object SimilarityQueries {
     // proves it, these rows hash-check it).
     "q_embed_dup_streamed" -> ((s, dir) =>
       graft.streaming.StreamingEmbed.pairs(s, EmbedStores.streamedStore(s, dir))),
-    "q_semdedup_streamed" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
-      val p = graft.streaming.StreamingEmbed
-        .vectors(s, EmbedStores.streamedStore(s, dir))
-        .select("vec_id", "v", "norm")
-      val cents = graft.operators.Similarity.lloydCentroids(p, nCells = 16, iters = 2)
-      graft.operators.Similarity.semDedupDiscards(
-        p.withColumn("cell", graft.operators.Similarity.bestCell(cents).cast("int")),
-        threshold = 0.3)
-    }),
+    "q_semdedup_streamed" -> ((s, dir) =>
+      graft.operators.Similarity.semDedupDiscards(streamedIvf(s, dir),
+        threshold = 0.3)),
   )
+
+  /** Trained-IVF assignment DERIVED from the streamed vector store,
+    * persisted cell-partitioned per store VERSION (row count + latest
+    * ingest stamp — an ingest or re-delivery rebuilds, an unchanged
+    * store serves the persisted assignment; same memo-by-version
+    * protocol as the streamed curation clusters). Keeps the Lloyd
+    * training out of every q_semdedup_streamed execution, mirroring how
+    * the batch twin serves from `VectorStore.ivf`.
+    */
+  private[graft] def streamedIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = EmbedStores.streamedStore(s, dir)
+    val p = graft.streaming.StreamingEmbed.vectors(s, store)
+      .select("vec_id", "v", "norm")
+    val ver = graft.streaming.StreamingEmbed.storeVersion(s, store)
+    val root = graft.sources.SessionStores.scopedPath("graft_embstream_ivf",
+      s"ivf_v${ver._1}_${ver._2}_" +
+        graft.sources.SessionStores.tagOf(dir))
+    graft.sources.SessionStores.servedPath(s, s"$root/assigned") {
+      val cents = graft.operators.Similarity.lloydCentroids(p, nCells = 16, iters = 2)
+      p.withColumn("cell", graft.operators.Similarity.bestCell(cents).cast("int"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$root/assigned")
+    }
+  }
 
   /** Session-scoped StreamingEmbed store holding `dir`'s embeddings
     * ingested incrementally (three deterministic vec_id-mod-3
     * micro-batches through `processBatch` — the accumulate path the
     * streamed twins serve from). Built once per (session, dir).
     */
-  private object EmbedStores {
+  private[graft] object EmbedStores {
     private val lock = new Object
     private var cache = Map.empty[(SparkSession, String), String]
 

@@ -63,7 +63,7 @@ object TextQueries {
     * first use, compacted once (restores (term, doc_id) uniqueness and
     * per-bucket single files), then served read-only.
     */
-  private object StreamedIndex {
+  private[graft] object StreamedIndex {
     private val lock = new Object
     private var cache = Map.empty[(SparkSession, String), String]
 

@@ -170,6 +170,18 @@ object StreamingEmbed {
     * similarity consumers over a streamed corpus. One row per vec_id:
     * latest ingest stamp wins (`StreamingDedup.canonicalByDoc`'s rule).
     */
+  /** Change witness for structures DERIVED from this store: (raw row
+    * count, latest ingest stamp) over the un-collapsed vecs relation —
+    * any append or re-delivery moves at least one of the two, an
+    * unchanged store reads the same pair (the `pairsVersion` protocol).
+    */
+  private[graft] def storeVersion(spark: SparkSession, storePath: String): (Long, Long) = {
+    val r = StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema)
+      .agg(count(lit(1)), max(coalesce(col("ingest_ms"), lit(Long.MinValue))))
+      .collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+  }
+
   def vectors(spark: SparkSession, storePath: String): DataFrame =
     canonicalVecRows(StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema))
       .select("vec_id", "v", "norm", "bucket")

@@ -7,16 +7,13 @@ class EngineSpec extends AnyFunSuite {
 
   test("registry resolves known pipelines and every query has an oracle") {
     assert(Engine.pipeline("q1_agg") != null)
-    // every registered query is oracle-checked except the DECLARED
-    // rows-only sketch entries (approximate values are engine-specific
-    // by construction — error bounds asserted in SketchesSpec); nothing
-    // else may silently skip the value oracle. MG/CMS/GK register their
-    // deterministic guarantee projections and ARE oracle-checked (r11);
-    // HLL stays rows-only (no deterministic bound exists for it).
-    val rowsOnlyByDesign = Set("q_vocab_hll")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    // EVERY registered query is oracle-checked — r12 closed the last
+    // rows-only exception (q_vocab_hll registers its deterministic
+    // relative-error projection like the rest of the sketch family).
+    // A new query without an oracle fails here, not silently at the
+    // driver's gate.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
-    assert((rowsOnlyByDesign -- SparkEntry.queries.keySet).isEmpty)
   }
 
   test("unknown pipeline name fails fast with the catalog in the message") {
