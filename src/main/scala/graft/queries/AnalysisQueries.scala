@@ -396,6 +396,35 @@ object AnalysisQueries {
           col("value").isNull.as("filled"))
     }),
 
+    // Event-sequence transition matrix: per-user consecutive event-type
+    // pairs (the first-order Markov structure funnels and session
+    // models start from). One user-partitioned lag window (data-sized
+    // partitions) + a transitions² aggregate; probabilities are exact
+    // count ratios.
+    "q_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("t")), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("t"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("prev_type")), 6))
+    }),
+
+    // Fixed-width histogram of order totals: bucket = floor(x / width) —
+    // the one-pass distribution diagnostic (integer bucket keys, exact
+    // counts; key space value-range/width at any data size).
+    "q_histogram" -> ((s, dir) =>
+      Tables.tbl(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // Trailing active-user windows: per day, the distinct users active
     // that day (DAU) and over the trailing 7 days (WAU) — the
     // engagement-rollup shape. Exact trailing distinct via contribution
@@ -1081,6 +1110,25 @@ object AnalysisQueries {
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM vc
         |UNION ALL SELECT '3_purchase', count(*) FROM vcp""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events
+        |), t AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_trailing_dau" ->
       """WITH du AS (
