@@ -52,15 +52,21 @@ object SimilarityQueries {
     * training out of every q_semdedup_streamed execution, mirroring how
     * the batch twin serves from `VectorStore.ivf`.
     */
-  private[graft] def streamedIvf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def streamedIvf(s: SparkSession, dir: String): DataFrame =
+    streamedIvfFor(s, EmbedStores.streamedStore(s, dir))
+
+  /** The derivation itself, keyed on an arbitrary StreamingEmbed store —
+    * separated so the version-rebuild contract is spec-testable against
+    * a mutable store.
+    */
+  private[graft] def streamedIvfFor(s: SparkSession, store: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val store = EmbedStores.streamedStore(s, dir)
     val p = graft.streaming.StreamingEmbed.vectors(s, store)
       .select("vec_id", "v", "norm")
     val ver = graft.streaming.StreamingEmbed.storeVersion(s, store)
     val root = graft.sources.SessionStores.scopedPath("graft_embstream_ivf",
       s"ivf_v${ver._1}_${ver._2}_" +
-        graft.sources.SessionStores.tagOf(dir))
+        graft.sources.SessionStores.tagOf(store))
     graft.sources.SessionStores.servedPath(s, s"$root/assigned") {
       val cents = graft.operators.Similarity.lloydCentroids(p, nCells = 16, iters = 2)
       p.withColumn("cell", graft.operators.Similarity.bestCell(cents).cast("int"))

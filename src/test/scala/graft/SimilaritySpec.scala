@@ -164,6 +164,23 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cos(a, b) < tau, s"surviving pair (${a._1},${b._1}) above threshold")
   }
 
+  test("streamedIvf: version-keyed derivation rebuilds when the embed store changes") {
+    val store = java.nio.file.Files.createTempDirectory("graft-embivf-").toString + "/store"
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, Array.tabulate(8)(d => i.toFloat + d + 1f))).toDF("vec_id", "embedding")
+    assert(graft.streaming.StreamingEmbed.processBatch(mk(0L until 20L), 0L, store))
+    val first = graft.queries.SimilarityQueries.streamedIvfFor(spark, store)
+      .select("vec_id").as[Long].collect().toSet
+    assert(first === (0L until 20L).toSet)
+    // ingest more: the version witness moves, so the derivation rebuilds
+    // instead of serving the stale assignment
+    assert(graft.streaming.StreamingEmbed.processBatch(mk(20L until 30L), 1L, store))
+    val second = graft.queries.SimilarityQueries.streamedIvfFor(spark, store)
+      .select("vec_id").as[Long].collect().toSet
+    assert(second === (0L until 30L).toSet,
+      "stale derived IVF served after the embed store changed")
+  }
+
   test("lloyd training is deterministic across invocations") {
     val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
     def run() = Similarity.ivfTopKTrained(corpus, queryId = 0L, k = 10)
