@@ -75,6 +75,82 @@ object PQ {
       .select(col("vec_id"), col("m"), col("cent_id").as("code"))
   }
 
+  /** IVF-PQ with residual encoding (Jégou et al. §IV — the
+    * billion-scale composition FAISS ships as IndexIVFPQ): the coarse
+    * quantizer's cell explains most of a vector's direction, so PQ
+    * encodes only the RESIDUAL r = vn − ĉ(cell) (normalized vector
+    * minus normalized centroid), which quantizes far better than the
+    * raw vector; a query probes nProbe cells and scores their members
+    * as q·vn ≈ q·ĉ(cell) + ADC(q, codes(r)) — the per-cell coarse term
+    * plus the code-table lookup, floats touched only for the re-rank
+    * pool.
+    *
+    * Scale shape: candidates come from the probed cells of the
+    * cell-PARTITIONED store (planning-time directory pruning), the
+    * shared residual codebook + query dot-table + per-cell coarse terms
+    * are all K×M / nProbe-sized broadcasts, and the ADC sum is the same
+    * DECIMAL(18,6) order-independent aggregate as flat PQ. A deployment
+    * precomputes the code table store-side; here candidates encode at
+    * query time (probed-cell-bounded work).
+    *
+    * Determinism: one GLOBAL residual codebook from the residual
+    * subvectors of vec_id < K (deterministic, like flat PQ — FAISS also
+    * shares one PQ codebook across cells); every float compare is 6-dp
+    * rounded; probe selection reuses the trained-IVF tie-break.
+    */
+  def ivfPqTopK(assigned: DataFrame, cents: Seq[Similarity.Centroid],
+                queryId: Long, k: Int, nProbe: Int = 4,
+                poolSize: Int = 100): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    // normalized vectors with their cell
+    val pn = assigned.select(col("vec_id"),
+      transform(col("v"), x => x / col("norm")).as("vn"), col("cell"))
+    // normalized centroids — nCells rows, broadcast
+    val centDf = cents.map(c => (c.id, c.cv.map(_ / c.cn).toSeq))
+      .toDF("cell", "cnv")
+    // residuals of every vector against its own cell's centroid
+    val res = pn.join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("vn"), col("cnv"), (a, b) => a - b).as("vn"))
+    val subs = subvectors(res.select("vec_id", "vn"))
+    val cb = codebook(subs) // residual codewords, vec_id < K, all cells
+    // probe cells: the query's nProbe best cells by the SAME rounded
+    // cosine + cent_id tie-break the trained-IVF rank uses
+    val probeCells = Similarity.probeCellsFor(assigned, cents, queryId, nProbe)
+    val cand = assigned
+      .filter(col("cell").isin(probeCells.map(_.toInt): _*))
+      .filter(col("vec_id") =!= queryId)
+    val codes = encode(subs.join(cand.select("vec_id"), "vec_id"), cb)
+    // global ADC table: query (full normalized) subvectors × residual
+    // codewords — K×M rows
+    val qsubs = subvectors(pn.filter(col("vec_id") === queryId).select("vec_id", "vn"))
+    val qd = cb.join(qsubs.select(col("m"), col("sub").as("qsub")), Seq("m"))
+      .select(col("m"), col("cent_id"), round(dot(col("qsub"), col("cw")), 6).as("qdot"))
+    // per-probed-cell coarse term q·ĉ
+    val q = pn.filter(col("vec_id") === queryId).select(col("vn").as("qvn"))
+    val qcoarse = centDf.filter(col("cell").isin(probeCells.map(_.toInt): _*))
+      .crossJoin(broadcast(q))
+      .select(col("cell"), round(dot(col("cnv"), col("qvn")), 6).as("qc"))
+    val est = codes
+      .join(broadcast(qd), codes("m") === qd("m") && codes("code") === qd("cent_id"))
+      .groupBy(codes("vec_id"))
+      .agg(sum(col("qdot").cast("decimal(18,6)")).cast("double").as("sumr"))
+      .join(cand.select("vec_id", "cell"), "vec_id")
+      .join(broadcast(qcoarse), "cell")
+      .select(col("vec_id"), (col("qc") + col("sumr")).as("est"))
+    val pool = est.orderBy(col("est").desc, col("vec_id")).limit(poolSize)
+      .select("vec_id")
+    val qrow = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    assigned.join(pool, Seq("vec_id"))
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Top-k by PQ-ADC with exact re-rank: rank ALL candidates by the
     * code-table estimate, keep `poolSize`, re-rank the pool by exact
     * cosine, return (vec_id, sim). `poolSize` bounds the float-touching

@@ -176,18 +176,25 @@ object Similarity {
     * shape. `cell` is INT on both sides (column and probe literals) so
     * the partition-pruning comparison never wraps the column in a cast.
     */
-  private[graft] def ivfRankAssigned(assigned: DataFrame, cents: Seq[Centroid],
-                                     queryId: Long, k: Int, nProbe: Int): DataFrame = {
+  /** The query's nProbe best cells — ascending array_sort by
+    * (csim, -cent_id); the LAST nProbe entries are exactly
+    * row_number(csim DESC, cent_id ASC) <= nProbe. A k-sized driver
+    * lift (bounded metadata, same contract as the centroid cache).
+    */
+  private[graft] def probeCellsFor(assigned: DataFrame, cents: Seq[Centroid],
+                                   queryId: Long, nProbe: Int): Seq[Long] = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    // ascending array_sort by (csim, -cent_id); the LAST nProbe entries
-    // are exactly row_number(csim DESC, cent_id ASC) <= nProbe
-    val probeCells: Seq[Long] =
-      if (cents.length <= nProbe) cents.map(_.id)
-      else assigned.filter(col("vec_id") === queryId)
-        .select(explode(slice(array_sort(centroidScores(cents)), -nProbe, nProbe)).as("e"))
-        .select((-col("e.negid")).as("cell"))
-        .as[Long].collect().toSeq
+    if (cents.length <= nProbe) cents.map(_.id)
+    else assigned.filter(col("vec_id") === queryId)
+      .select(explode(slice(array_sort(centroidScores(cents)), -nProbe, nProbe)).as("e"))
+      .select((-col("e.negid")).as("cell"))
+      .as[Long].collect().toSeq
+  }
+
+  private[graft] def ivfRankAssigned(assigned: DataFrame, cents: Seq[Centroid],
+                                     queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val probeCells = probeCellsFor(assigned, cents, queryId, nProbe)
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("norm").as("qn"))
     assigned

@@ -186,6 +186,32 @@ object RelationalQueries {
         .orderBy(col("pr").desc, col("n_name"))
     }),
 
+    // Triangle counting over the (undirected) nation trade graph —
+    // graph pattern matching. Canonical a<b<c edge orientation makes
+    // each triangle match exactly once, and the two joins are
+    // edge-keyed equi-joins (the standard distributed formulation:
+    // join fan bounded by per-node degree, never all-triples).
+    "q_triangles" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val sup = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val und = li
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(least(col("s_nationkey"), col("c_nationkey")).as("a"),
+          greatest(col("s_nationkey"), col("c_nationkey")).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      val e1 = und.select(col("a").as("x"), col("b").as("y"))
+      val e2 = und.select(col("a").as("y"), col("b").as("z"))
+      val e3 = und.select(col("a").as("x2"), col("b").as("z2"))
+      e1.join(e2, "y")
+        .join(e3, col("x") === col("x2") && col("z") === col("z2"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // TPC-H Q13 shape (customer order-count distribution): left outer
     // join so zero-order customers survive, per-customer count, then the
     // count-of-counts. Scale note: the join and the first aggregate share
@@ -626,6 +652,20 @@ object RelationalQueries {
         |  AND k NOT IN (SELECT k FROM ek
         |                WHERE event_type = 'error' AND k IS NOT NULL
         |                  AND k < 50)""".stripMargin,
+
+    "q_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+        |                  greatest(s_nationkey, c_nationkey) AS b
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE s_nationkey <> c_nationkey
+        |)
+        |SELECT count(*) AS n_triangles
+        |FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
     "q_custdist" ->
       s"""SELECT c_count, count(*) AS custdist FROM (

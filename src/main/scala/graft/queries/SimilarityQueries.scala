@@ -29,6 +29,9 @@ object SimilarityQueries {
     // the memory-side ANN family (M bytes/vector scanned, floats touched
     // only for poolSize candidates); oracle mirrors the whole pipeline
     "q_ann_pq" -> ((s, dir) => VectorStore.pqTopK(s, dir, queryId = 0L, k = 10)),
+    // IVF-PQ: residual encoding against the trained cells + per-cell
+    // coarse term + global ADC table — the billion-scale composition
+    "q_ann_ivfpq" -> ((s, dir) => VectorStore.ivfPqTopK(s, dir, queryId = 0L, k = 10)),
     // SemDeDup: trained-IVF cells bound the quadratic term; discard =
     // has a smaller-id cluster-mate with cosine >= threshold
     "q_semdedup" -> ((s, dir) => VectorStore.semDedup(s, dir)),
@@ -137,6 +140,84 @@ object SimilarityQueries {
        |), c${it + 1} AS (
        |  SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn FROM l$it
        |)""".stripMargin
+
+  /** IVF-PQ mirror: trained assignment (c2) → normalized vectors and
+    * centroids → residuals → global residual codebook (vec_id < 32) →
+    * candidate encode over the 4 probed cells → ADC estimate =
+    * per-cell coarse term + DECIMAL-summed code dots → pool(100) →
+    * exact re-rank. Every float compare 6-dp, every sum exact.
+    */
+  private lazy val ivfPqSql: String =
+    s"""$prepCte, c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
+       |), ${lloydIterSql(0)}, ${lloydIterSql(1)}, sf AS (
+       |  SELECT n.vec_id, n.v, n.norm, cent_id,
+       |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
+       |               / (norm * cn), 6) AS csim
+       |  FROM n, c2
+       |), assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM sf
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+       |), probe AS (
+       |  SELECT cent_id AS cell FROM sf WHERE vec_id = 0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) <= 4
+       |), pnorm AS (
+       |  SELECT vec_id, cell, list_transform(v, x -> x / norm) AS vn FROM assigned
+       |), centn AS (
+       |  SELECT cent_id AS cell, list_transform(cv, x -> x / cn) AS cnv FROM c2
+       |), resid AS (
+       |  SELECT vec_id, p.cell,
+       |         list_transform(range(1, 65), i -> vn[i] - cnv[i]) AS r
+       |  FROM pnorm p JOIN centn USING (cell)
+       |), rsubs AS (
+       |  SELECT vec_id, t.m, list_transform(range(1, 9), i -> r[t.m * 8 + i]) AS sub
+       |  FROM resid, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(m)
+       |), cb AS (
+       |  SELECT m, vec_id AS cent_id, sub AS cw FROM rsubs WHERE vec_id < 32
+       |), cand AS (
+       |  SELECT vec_id, cell FROM assigned
+       |  WHERE cell IN (SELECT cell FROM probe) AND vec_id <> 0
+       |), dists AS (
+       |  SELECT s.vec_id, s.m, c.cent_id,
+       |         round(list_sum(list_transform(range(1, 9), i -> s.sub[i] * s.sub[i]))
+       |               + list_sum(list_transform(range(1, 9), i -> c.cw[i] * c.cw[i]))
+       |               - 2 * list_sum(list_transform(range(1, 9), i -> s.sub[i] * c.cw[i])), 6) AS dist
+       |  FROM rsubs s JOIN cb c USING (m)
+       |  WHERE s.vec_id IN (SELECT vec_id FROM cand)
+       |), enc AS (
+       |  SELECT vec_id, m, cent_id AS code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cent_id) = 1
+       |), qsubs AS (
+       |  SELECT t.m, list_transform(range(1, 9), i -> vn[t.m * 8 + i]) AS qsub
+       |  FROM pnorm, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(m)
+       |  WHERE vec_id = 0
+       |), qd AS (
+       |  SELECT c.m, c.cent_id,
+       |         round(list_sum(list_transform(range(1, 9), i -> qs.qsub[i] * c.cw[i])), 6) AS qdot
+       |  FROM cb c JOIN qsubs qs USING (m)
+       |), qc AS (
+       |  SELECT cn.cell,
+       |         round(list_sum(list_transform(range(1, 65), i -> cnv[i] * qv.vn[i])), 6) AS qc
+       |  FROM centn cn JOIN probe USING (cell),
+       |       (SELECT vn FROM pnorm WHERE vec_id = 0) qv
+       |), est AS (
+       |  SELECT e.vec_id,
+       |         CAST(SUM(CAST(qdot AS DECIMAL(18,6))) AS DOUBLE) AS sumr
+       |  FROM enc e JOIN qd ON e.m = qd.m AND e.code = qd.cent_id
+       |  GROUP BY e.vec_id
+       |), scored AS (
+       |  SELECT est.vec_id, qc.qc + est.sumr AS est
+       |  FROM est JOIN cand USING (vec_id) JOIN qc ON cand.cell = qc.cell
+       |), pool AS (
+       |  SELECT vec_id FROM scored ORDER BY est DESC, vec_id LIMIT 100
+       |), q AS (
+       |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0
+       |)
+       |SELECT n.vec_id,
+       |       round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+       |             / (norm * qn), 6) AS sim
+       |FROM n JOIN pool USING (vec_id), q
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
   /** SemDeDup mirror (shared by the batch query and its streamed twin):
     * the q_ann_ivf_trained assignment, then the in-cell smaller-id pair
@@ -309,6 +390,8 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, nn_id, sim FROM pairs
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1""".stripMargin,
+
+    "q_ann_ivfpq" -> ivfPqSql,
 
     // SemDeDup mirror: same trained assignment as q_ann_ivf_trained,
     // then the in-cell smaller-id pair pass with 6-dp cosines

@@ -125,6 +125,17 @@ object VectorStore {
     Similarity.semDedupDiscards(assigned, threshold)
   }
 
+  /** IVF-PQ (residual-encoded) top-k served from the persisted
+    * trained-IVF store: probe cells prune store partitions; PQ scores
+    * only the probed cells' members.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long, k: Int,
+                nCells: Int = 16, iters: Int = 2, nProbe: Int = 4,
+                poolSize: Int = 100): DataFrame = {
+    val (assigned, cents) = ivf(spark, dir, nCells, iters)
+    graft.operators.PQ.ivfPqTopK(assigned, cents, queryId, k, nProbe, poolSize)
+  }
+
   /** PQ-ADC top-k over the prepared store (codebook + encode derive from
     * the same persisted relation; a deployment would persist the code
     * table alongside — at fixture scale the encode pass is cheaper than

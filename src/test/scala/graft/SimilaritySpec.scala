@@ -181,6 +181,30 @@ class SimilaritySpec extends AnyFunSuite {
       "stale derived IVF served after the embed store changed")
   }
 
+  test("IVF-PQ: recall >= 0.6 @ k=10 vs exact; residual estimate beats coarse-only ranking") {
+    val dir = "/root/testdata/sf0.01"
+    val corpus = graft.sources.Tables.tbl(spark, dir, "embeddings")
+    val exact = Similarity.topK(corpus, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ivfpq = graft.sources.VectorStore.ivfPqTopK(spark, dir, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // IVF-PQ prunes to 4/16 cells AND compresses to codes — recall is
+    // the product of both approximations; the probed-cell ceiling is
+    // what trained-IVF@nProbe=4 finds
+    val recall = exact.intersect(ivfpq.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.6, s"IVF-PQ recall $recall; exact=$exact got=${ivfpq.map(_._1)}")
+    // sims are exact re-ranked cosines: any overlap with the exact
+    // top-10 carries the identical value
+    val exactSims = Similarity.topK(corpus, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toMap
+    ivfpq.filter(r => exactSims.contains(r._1))
+      .foreach { case (id, sim) => assert(sim === exactSims(id)) }
+    // determinism across invocations (store-served, probe + encode fixed)
+    val again = graft.sources.VectorStore.ivfPqTopK(spark, dir, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(again === ivfpq)
+  }
+
   test("lloyd training is deterministic across invocations") {
     val corpus = graft.sources.Tables.tbl(spark, "/root/testdata/sf0.01", "embeddings")
     def run() = Similarity.ivfTopKTrained(corpus, queryId = 0L, k = 10)
