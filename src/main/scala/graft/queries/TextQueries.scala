@@ -135,6 +135,30 @@ object TextQueries {
     "q_bm25" -> ((s, dir) =>
       graft.sources.TermStatsStore.bm25(s, dir, Seq("spark", "hash"), 10)),
 
+    // HYBRID retrieval (the RAG-stack shape): reciprocal-rank fusion of
+    // the lexical BM25 top-10 and the embedding cosine top-10 (vec_id is
+    // the document's embedding id in the fixtures). Both legs are the
+    // store-served queries above; fusion is a 10+10-row full outer join —
+    // rank arithmetic only, so both engines agree exactly.
+    "q_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.sources.TermStatsStore.bm25(s, dir, Seq("spark", "hash"), 10)
+        .withColumn("rl", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rl"))
+      val vec = graft.sources.VectorStore.topK(s, dir, queryId = 0L, k = 10)
+        .withColumn("rv", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rv"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "q_bool_or" -> ((s, dir) => BooleanQuery.or(storedPostings(s, dir), Seq("spark", "hash"))),
 
     // phrase query over the persisted POSITIONAL index: docs where
@@ -341,6 +365,56 @@ object TextQueries {
          |SELECT doc_id, round(sum(w), 6) AS score, count(*) AS n_matched
          |FROM w GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // hybrid RRF: the BM25 leg is q_bm25's SQL verbatim + rank; the
+    // vector leg is q_sim_topk's + rank; fusion is rank arithmetic
+    "q_hybrid" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |             t -> t <> '' AND t NOT IN ($stopList))) AS dl
+         |  FROM documents
+         |), stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'hash') GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), w AS (
+         |  SELECT tf.doc_id,
+         |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+         |               * (tf * (1.2 + 1))
+         |               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)), 6) AS w
+         |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+         |), btop AS (
+         |  SELECT doc_id, round(sum(w), 6) AS score FROM w GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 10
+         |), brank AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rl FROM btop
+         |), ve AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), vn AS (
+         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM ve
+         |), qv AS (SELECT v AS qv, norm AS qn FROM vn WHERE vec_id = 0),
+         |vtop AS (
+         |  SELECT vec_id AS doc_id,
+         |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+         |               / (norm * qn), 6) AS sim
+         |  FROM vn, qv WHERE vec_id <> 0
+         |  ORDER BY sim DESC, vec_id LIMIT 10
+         |), vrank AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rv FROM vtop
+         |)
+         |SELECT doc_id,
+         |       round(COALESCE(CAST(1 AS DOUBLE) / (60 + rl), 0.0)
+         |             + COALESCE(CAST(1 AS DOUBLE) / (60 + rv), 0.0), 6) AS rrf
+         |FROM brank FULL OUTER JOIN vrank USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_tfidf" ->
       s"""$termsCte, toks2 AS (
