@@ -118,6 +118,18 @@ object TextQueries {
     "q_term_lookup_streamed" -> ((s, dir) =>
       InvertedIndex.lookup(s.table(StreamedIndex.table(s, dir)), "spark")),
 
+    // Prefix search over the persisted index (autocomplete shape): the
+    // range form of LIKE 's%' pushes BOTH bounds to the parquet scan,
+    // and because the stored postings are SORTED BY term inside each
+    // bucket, row-group min/max statistics skip the non-matching mass —
+    // hash bucketing can't prune a prefix (no single bucket), the sort
+    // layout is what serves it.
+    "q_prefix_terms" -> ((s, dir) =>
+      storedPostings(s, dir)
+        .filter(col("term") >= "s" && col("term") < "t")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy("term")),
+
     "q_bool_and" -> ((s, dir) => BooleanQuery.and(storedPostings(s, dir), Seq("spark", "hash"))),
 
     // ranked retrieval: tf-idf-scored top-10 for a two-term query — the
@@ -245,6 +257,11 @@ object TextQueries {
          |  array_to_string(list_transform(list_slice(list(doc_id ORDER BY doc_id), 1, 100),
          |                  d -> CAST(d AS VARCHAR)), ',') AS postings_csv
          |FROM terms GROUP BY term""".stripMargin,
+
+    "q_prefix_terms" ->
+      s"""$termsCte SELECT term, count(*) AS df FROM terms
+         |WHERE term >= 's' AND term < 't'
+         |GROUP BY term ORDER BY term""".stripMargin,
 
     "q_bool_and" ->
       s"""$termsCte SELECT a.doc_id FROM terms a JOIN terms b USING (doc_id)
