@@ -275,6 +275,52 @@ object Similarity {
     ivfRank(p, lloydCentroids(p, nCells, iters), queryId, k, nProbe)
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick k results maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — relevance minus redundancy,
+    * the diversity pass a retrieval stack runs over its candidate pool.
+    *
+    * Scale shape: the candidate pool (default 30) is produced by the
+    * DISTRIBUTED top-k, and the pool's pairwise cosines compute as a
+    * distributed pool²-bounded self-join; only the POOL-SIZED score
+    * matrix reaches the driver for the k-step greedy — the same
+    * bounded-metadata contract as the centroid/probe lifts. Every
+    * cosine is 6-dp rounded before the greedy; the greedy score is
+    * round(λ·simq − (1−λ)·ms, 6) with vec_id tie-break, so the DuckDB
+    * mirror (unrolled step CTEs) selects identically.
+    */
+  def mmrRerank(p: DataFrame, queryId: Long, poolSize: Int = 30, k: Int = 10,
+                lambda: Double = 0.7): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val mu = 1.0 - lambda
+    val pool = topKPrepared(p, queryId, poolSize)
+    val simq: Map[Long, Double] = pool.as[(Long, Double)].collect().toMap
+    val members = p.join(pool.select("vec_id"), "vec_id")
+    val a = members.select(col("vec_id").as("ia"), col("v").as("va"), col("norm").as("na"))
+    val b = members.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb"))
+    val psim: Map[(Long, Long), Double] = a.join(b, col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        cosine(col("va"), col("na"), col("vb"), col("nb")).as("s"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var selected = Vector.empty[(Int, Long, Double)]
+    var remaining = simq.keySet
+    for (rank <- 1 to math.min(k, simq.size)) {
+      val best = remaining.map { d =>
+        val ms =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => psim((d, s._2))).max
+        d -> r6(lambda * simq(d) - mu * ms)
+      }.toSeq.sortBy { case (d, sc) => (-sc, d) }.head
+      selected :+= ((rank, best._1, best._2))
+      remaining -= best._1
+    }
+    selected.toDF("mmr_rank", "vec_id", "mmr")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the coarse quantizer,
     * then within each cluster discard every vector that has a

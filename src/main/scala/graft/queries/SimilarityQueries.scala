@@ -32,6 +32,9 @@ object SimilarityQueries {
     // IVF-PQ: residual encoding against the trained cells + per-cell
     // coarse term + global ADC table — the billion-scale composition
     "q_ann_ivfpq" -> ((s, dir) => VectorStore.ivfPqTopK(s, dir, queryId = 0L, k = 10)),
+    // MMR diversity re-rank: greedy relevance-minus-redundancy over a
+    // distributed top-30 pool; only the pool-sized matrix lifts
+    "q_mmr" -> ((s, dir) => VectorStore.mmrRerank(s, dir)),
     // SemDeDup: trained-IVF cells bound the quadratic term; discard =
     // has a smaller-id cluster-mate with cosine >= threshold
     "q_semdedup" -> ((s, dir) => VectorStore.semDedup(s, dir)),
@@ -219,6 +222,60 @@ object SimilarityQueries {
        |FROM n JOIN pool USING (vec_id), q
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** One MMR greedy step as CTEs: per remaining candidate, the max
+    * 6-dp cosine to the already-selected set, then the argmax of
+    * round(λ·simq − (1−λ)·ms, 6) with vec_id tie-break. λ enters as a
+    * text→DOUBLE cast and (1−λ) is COMPUTED (1 − 0.7 in doubles =
+    * 0.30000000000000004 — writing '0.3' would diverge from the
+    * engine's `1.0 - lambda`).
+    */
+  private def mmrStepSql(i: Int): String =
+    s"""ms$i AS MATERIALIZED (
+       |  SELECT pq.vec_id, pq.simq, coalesce(max(ps.sim), CAST(0 AS DOUBLE)) AS ms
+       |  FROM poolq pq
+       |  LEFT JOIN pairsims ps
+       |    ON ps.a = pq.vec_id AND ps.b IN (SELECT vec_id FROM sa${i - 1})
+       |  WHERE pq.vec_id NOT IN (SELECT vec_id FROM sa${i - 1})
+       |  GROUP BY pq.vec_id, pq.simq
+       |), sel$i AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         round(CAST('0.7' AS DOUBLE) * simq
+       |               - (1 - CAST('0.7' AS DOUBLE)) * ms, 6) AS mmr
+       |  FROM ms$i
+       |  ORDER BY mmr DESC, vec_id LIMIT 1
+       |), sa$i AS MATERIALIZED (
+       |  SELECT vec_id FROM sa${i - 1} UNION ALL SELECT vec_id FROM sel$i
+       |)""".stripMargin
+
+  private lazy val mmrSql: String =
+    s"""$prepCte, q AS MATERIALIZED (
+       |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0
+       |), poolq AS MATERIALIZED (
+       |  SELECT vec_id, sim AS simq FROM (
+       |    SELECT vec_id,
+       |           round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+       |                 / (norm * qn), 6) AS sim
+       |    FROM n, q WHERE vec_id <> 0
+       |    ORDER BY sim DESC, vec_id LIMIT 30)
+       |), pm AS MATERIALIZED (
+       |  SELECT n.vec_id, v, norm FROM n JOIN poolq USING (vec_id)
+       |), pairsims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+       |               / (a.norm * b.norm), 6) AS sim
+       |  FROM pm a JOIN pm b ON a.vec_id <> b.vec_id
+       |), sel1 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         round(CAST('0.7' AS DOUBLE) * simq
+       |               - (1 - CAST('0.7' AS DOUBLE)) * CAST(0 AS DOUBLE), 6) AS mmr
+       |  FROM poolq ORDER BY mmr DESC, vec_id LIMIT 1
+       |), sa1 AS MATERIALIZED (
+       |  SELECT vec_id FROM sel1
+       |), ${(2 to 10).map(mmrStepSql).mkString(", ")}
+       |${(1 to 10).map(i =>
+             s"SELECT $i AS mmr_rank, vec_id, mmr FROM sel$i").mkString("\nUNION ALL ")}
+       |ORDER BY mmr_rank""".stripMargin
+
   /** SemDeDup mirror (shared by the batch query and its streamed twin):
     * the q_ann_ivf_trained assignment, then the in-cell smaller-id pair
     * pass with 6-dp cosines.
@@ -392,6 +449,7 @@ object SimilarityQueries {
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1""".stripMargin,
 
     "q_ann_ivfpq" -> ivfPqSql,
+    "q_mmr" -> mmrSql,
 
     // SemDeDup mirror: same trained assignment as q_ann_ivf_trained,
     // then the in-cell smaller-id pair pass with 6-dp cosines

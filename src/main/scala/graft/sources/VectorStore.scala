@@ -115,6 +115,12 @@ object VectorStore {
     Similarity.ivfRankAssigned(assigned, cents, queryId, k, nProbe)
   }
 
+  /** MMR diversity re-rank over the persisted prepared store. */
+  def mmrRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+                poolSize: Int = 30, k: Int = 10): DataFrame =
+    Similarity.mmrRerank(
+      vectors(spark, dir).select("vec_id", "v", "norm"), queryId, poolSize, k)
+
   /** SemDeDup discard set served from the persisted trained-IVF store —
     * the cluster assignment is the expensive half and it is already on
     * disk cell-partitioned; the query pays only the in-cell pair pass.
