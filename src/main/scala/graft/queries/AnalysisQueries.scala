@@ -396,6 +396,43 @@ object AnalysisQueries {
           col("value").isNull.as("filled"))
     }),
 
+    // Growth accounting: per week, users classified new / retained /
+    // resurrected (active now, inactive last week, seen before) plus the
+    // week's churned count (active last week, not this). One distinct
+    // (user, week) projection + one user-partitioned lag window; counts
+    // per (week, state) — weeks×4 key space at any scale.
+    "q_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"),
+          unix_micros(date_trunc("week", col("t"))).as("wk"))
+        .distinct()
+      val weekUs = 7L * 24L * 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val lab = wk
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("state",
+          when(col("prev").isNull, "new")
+            .when(col("wk") - col("prev") === weekUs, "retained")
+            .otherwise("resurrected"))
+      val active = lab.groupBy(col("wk"), col("state"))
+        .agg(count(lit(1)).as("n_users"))
+      // churned at week T+1: active at T, not at T+1 (only for weeks
+      // that exist in the data)
+      val weeks = wk.select(col("wk")).distinct()
+      val churned = wk
+        .select(col("user_id"), (col("wk") + weekUs).as("wk"))
+        .join(weeks, "wk")
+        .join(wk.withColumn("here", lit(1)), Seq("user_id", "wk"), "left_anti")
+        .groupBy("wk")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("state", lit("churned"))
+        .select("wk", "state", "n_users")
+      active.unionByName(churned)
+        .select((col("wk") / lit(1000000L)).cast("long").as("wk_s"),
+          col("state"), col("n_users"))
+    }),
+
     // Event-sequence transition matrix: per-user consecutive event-type
     // pairs (the first-order Markov structure funnels and session
     // models start from). One user-partitioned lag window (data-sized
@@ -1110,6 +1147,36 @@ object AnalysisQueries {
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM vc
         |UNION ALL SELECT '3_purchase', count(*) FROM vcp""".stripMargin,
+
+    "q_growth" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_ns(date_trunc('week', ts))//1000 AS wk
+        |  FROM events
+        |), lab AS (
+        |  SELECT user_id, wk,
+        |         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+        |  FROM wk
+        |), active AS (
+        |  SELECT wk,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN wk - prev = 604800000000 THEN 'retained'
+        |              ELSE 'resurrected' END AS state,
+        |         count(*) AS n_users
+        |  FROM lab GROUP BY 1, 2
+        |), weeks AS (
+        |  SELECT DISTINCT wk FROM wk
+        |), churned AS (
+        |  SELECT c.wk, 'churned' AS state, count(*) AS n_users
+        |  FROM (SELECT user_id, wk + 604800000000 AS wk FROM wk) c
+        |  JOIN weeks USING (wk)
+        |  LEFT JOIN wk w2 ON w2.user_id = c.user_id AND w2.wk = c.wk
+        |  WHERE w2.user_id IS NULL
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(wk / 1000000 AS BIGINT) AS wk_s, state, n_users FROM active
+        |UNION ALL
+        |SELECT CAST(wk / 1000000 AS BIGINT) AS wk_s, state, n_users FROM churned""".stripMargin,
 
     "q_transitions" ->
       """WITH e AS (
