@@ -164,6 +164,37 @@ object RelationalQueries {
       one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }),
 
+    // Bivariate statistics: Pearson correlation for selected lineitem
+    // measure pairs from ONE aggregate pass (the q_profile protocol —
+    // all five moment sums per pair go through exact order-independent
+    // DECIMAL sums; the correlation formula is then the identical
+    // double-op sequence on both engines, never the engine's CORR
+    // whose accumulation is implementation-specific).
+    "q_corr" -> ((s, dir) => {
+      val pairs = Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_extendedprice", "l_discount"),
+        ("l_discount", "l_tax"))
+      val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+        Seq(
+          sum(col(x).cast(DecimalType(18, 6))).cast("double").as(s"sx_$i"),
+          sum(col(y).cast(DecimalType(18, 6))).cast("double").as(s"sy_$i"),
+          sum((col(x) * col(x)).cast(DecimalType(18, 4))).cast("double").as(s"sxx_$i"),
+          sum((col(y) * col(y)).cast(DecimalType(18, 4))).cast("double").as(s"syy_$i"),
+          sum((col(x) * col(y)).cast(DecimalType(18, 4))).cast("double").as(s"sxy_$i"))
+      } :+ count(lit(1)).as("n")
+      val one = tbl(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+        val (sx, sy, sxx, syy, sxy) =
+          (col(s"sx_$i"), col(s"sy_$i"), col(s"sxx_$i"), col(s"syy_$i"), col(s"sxy_$i"))
+        val nn = col("n")
+        struct(lit(s"$x~$y").as("pair"),
+          round((nn * sxy - sx * sy) /
+            (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy)), 6).as("r"))
+      }
+      one.select(explode(array(rows: _*)).as("e")).select(col("e.*"))
+    }),
+
     // Weighted PageRank over the nation trade graph (supplier nation →
     // customer nation, edge weight = lineitem count): the iterative
     // graph-analytics family. Edge build is the q5-style join chain;
@@ -610,6 +641,33 @@ object RelationalQueries {
          |       CAST(n_prio AS DOUBLE), n_prio <= 5 FROM m
          |UNION ALL SELECT 'compliance(priority_nonempty)',
          |       CAST(n_prio_ne AS DOUBLE)/n, CAST(n_prio_ne AS DOUBLE)/n >= 1.0 FROM m""".stripMargin,
+
+    "q_corr" -> {
+      val pairs = Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_extendedprice", "l_discount"),
+        ("l_discount", "l_tax"))
+      val aggSql = pairs.zipWithIndex.map { case ((x, y), i) =>
+        s"""CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE) AS sx_$i,
+           |         CAST(SUM(CAST($y AS DECIMAL(18,6))) AS DOUBLE) AS sy_$i,
+           |         CAST(SUM(CAST($x*$x AS DECIMAL(18,4))) AS DOUBLE) AS sxx_$i,
+           |         CAST(SUM(CAST($y*$y AS DECIMAL(18,4))) AS DOUBLE) AS syy_$i,
+           |         CAST(SUM(CAST($x*$y AS DECIMAL(18,4))) AS DOUBLE) AS sxy_$i""".stripMargin
+      }.mkString(",\n         ")
+      val rowSql = pairs.zipWithIndex.map { case ((x, y), i) =>
+        s"""SELECT '$x~$y' AS pair,
+           |       round((n * sxy_$i - sx_$i * sy_$i)
+           |             / (sqrt(n * sxx_$i - sx_$i * sx_$i)
+           |                * sqrt(n * syy_$i - sy_$i * sy_$i)), 6) AS r
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH m AS (
+         |  SELECT count(*) AS n,
+         |         $aggSql
+         |  FROM lineitem
+         |)
+         |$rowSql""".stripMargin
+    },
 
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
