@@ -171,26 +171,29 @@ object RelationalQueries {
     // double-op sequence on both engines, never the engine's CORR
     // whose accumulation is implementation-specific).
     "q_corr" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val pairs = Seq(
         ("l_quantity", "l_extendedprice"),
         ("l_extendedprice", "l_discount"),
         ("l_discount", "l_tax"))
-      val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      // per-COLUMN moments once (shared across the pairs that use the
+      // column) + one cross product per pair — 11 decimal aggregates,
+      // not 5 per pair
+      val aggs = cols.flatMap { c =>
         Seq(
-          sum(col(x).cast(DecimalType(18, 6))).cast("double").as(s"sx_$i"),
-          sum(col(y).cast(DecimalType(18, 6))).cast("double").as(s"sy_$i"),
-          sum((col(x) * col(x)).cast(DecimalType(18, 4))).cast("double").as(s"sxx_$i"),
-          sum((col(y) * col(y)).cast(DecimalType(18, 4))).cast("double").as(s"syy_$i"),
-          sum((col(x) * col(y)).cast(DecimalType(18, 4))).cast("double").as(s"sxy_$i"))
+          sum(col(c).cast(DecimalType(18, 6))).cast("double").as(s"s_$c"),
+          sum((col(c) * col(c)).cast(DecimalType(18, 4))).cast("double").as(s"q_$c"))
+      } ++ pairs.zipWithIndex.map { case ((x, y), i) =>
+        sum((col(x) * col(y)).cast(DecimalType(18, 4))).cast("double").as(s"sxy_$i")
       } :+ count(lit(1)).as("n")
       val one = tbl(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
       val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
-        val (sx, sy, sxx, syy, sxy) =
-          (col(s"sx_$i"), col(s"sy_$i"), col(s"sxx_$i"), col(s"syy_$i"), col(s"sxy_$i"))
+        val (sx, sy, qx, qy, sxy) =
+          (col(s"s_$x"), col(s"s_$y"), col(s"q_$x"), col(s"q_$y"), col(s"sxy_$i"))
         val nn = col("n")
         struct(lit(s"$x~$y").as("pair"),
           round((nn * sxy - sx * sy) /
-            (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy)), 6).as("r"))
+            (sqrt(nn * qx - sx * sx) * sqrt(nn * qy - sy * sy)), 6).as("r"))
       }
       one.select(explode(array(rows: _*)).as("e")).select(col("e.*"))
     }),
@@ -643,22 +646,22 @@ object RelationalQueries {
          |       CAST(n_prio_ne AS DOUBLE)/n, CAST(n_prio_ne AS DOUBLE)/n >= 1.0 FROM m""".stripMargin,
 
     "q_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val pairs = Seq(
         ("l_quantity", "l_extendedprice"),
         ("l_extendedprice", "l_discount"),
         ("l_discount", "l_tax"))
-      val aggSql = pairs.zipWithIndex.map { case ((x, y), i) =>
-        s"""CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE) AS sx_$i,
-           |         CAST(SUM(CAST($y AS DECIMAL(18,6))) AS DOUBLE) AS sy_$i,
-           |         CAST(SUM(CAST($x*$x AS DECIMAL(18,4))) AS DOUBLE) AS sxx_$i,
-           |         CAST(SUM(CAST($y*$y AS DECIMAL(18,4))) AS DOUBLE) AS syy_$i,
-           |         CAST(SUM(CAST($x*$y AS DECIMAL(18,4))) AS DOUBLE) AS sxy_$i""".stripMargin
-      }.mkString(",\n         ")
+      val aggSql = (cols.map { c =>
+        s"""CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS s_$c,
+           |         CAST(SUM(CAST($c*$c AS DECIMAL(18,4))) AS DOUBLE) AS q_$c""".stripMargin
+      } ++ pairs.zipWithIndex.map { case ((x, y), i) =>
+        s"CAST(SUM(CAST($x*$y AS DECIMAL(18,4))) AS DOUBLE) AS sxy_$i"
+      }).mkString(",\n         ")
       val rowSql = pairs.zipWithIndex.map { case ((x, y), i) =>
         s"""SELECT '$x~$y' AS pair,
-           |       round((n * sxy_$i - sx_$i * sy_$i)
-           |             / (sqrt(n * sxx_$i - sx_$i * sx_$i)
-           |                * sqrt(n * syy_$i - sy_$i * sy_$i)), 6) AS r
+           |       round((n * sxy_$i - s_$x * s_$y)
+           |             / (sqrt(n * q_$x - s_$x * s_$x)
+           |                * sqrt(n * q_$y - s_$y * s_$y)), 6) AS r
            |FROM m""".stripMargin
       }.mkString("\nUNION ALL ")
       s"""WITH m AS (
