@@ -423,7 +423,7 @@ object AnalysisQueries {
       val churned = wk
         .select(col("user_id"), (col("wk") + weekUs).as("wk"))
         .join(weeks, "wk")
-        .join(wk.withColumn("here", lit(1)), Seq("user_id", "wk"), "left_anti")
+        .join(wk, Seq("user_id", "wk"), "left_anti")
         .groupBy("wk")
         .agg(count(lit(1)).as("n_users"))
         .withColumn("state", lit("churned"))
