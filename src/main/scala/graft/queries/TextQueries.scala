@@ -118,6 +118,26 @@ object TextQueries {
     "q_term_lookup_streamed" -> ((s, dir) =>
       InvertedIndex.lookup(s.table(StreamedIndex.table(s, dir)), "spark")),
 
+    // Fuzzy string join via SymSpell deletion-neighborhood blocking
+    // (Garbe's spell-correction index, applied to crawl-frontier URL
+    // near-dup detection): two strings within edit distance 1 ALWAYS
+    // share a 1-deletion variant, so candidates come from an equi-join
+    // on exploded variants — never an all-pairs edit-distance pass —
+    // and `levenshtein` verifies the survivors. Variant sharing is
+    // alphabet-bounded, so the join fan stays flat at any corpus size.
+    "q_fuzzy_urls" -> ((s, dir) => {
+      val u = docs(s, dir).select(col("url")).distinct()
+      val dels = u.select(col("url"), explode(
+        transform(sequence(lit(1), length(col("url"))), i =>
+          concat(col("url").substr(lit(1), i - lit(1)),
+            col("url").substr(i + lit(1), length(col("url")))))).as("v"))
+      dels.select(col("url").as("url_a"), col("v"))
+        .join(dels.select(col("url").as("url_b"), col("v")), "v")
+        .filter(col("url_a") < col("url_b"))
+        .select("url_a", "url_b").distinct()
+        .filter(levenshtein(col("url_a"), col("url_b")) === 1)
+    }),
+
     // Prefix search over the persisted index (autocomplete shape): the
     // range form of LIKE 's%' pushes BOTH bounds to the parquet scan,
     // and because the stored postings are SORTED BY term inside each
@@ -257,6 +277,21 @@ object TextQueries {
          |  array_to_string(list_transform(list_slice(list(doc_id ORDER BY doc_id), 1, 100),
          |                  d -> CAST(d AS VARCHAR)), ',') AS postings_csv
          |FROM terms GROUP BY term""".stripMargin,
+
+    "q_fuzzy_urls" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT $urlSql AS url FROM documents
+         |), dels AS (
+         |  SELECT url,
+         |         unnest(list_transform(range(1, len(url)+1),
+         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url)))) AS v
+         |  FROM u
+         |), pairs AS (
+         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+         |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+         |)
+         |SELECT url_a, url_b FROM pairs
+         |WHERE levenshtein(url_a, url_b) = 1""".stripMargin,
 
     "q_prefix_terms" ->
       s"""$termsCte SELECT term, count(*) AS df FROM terms
