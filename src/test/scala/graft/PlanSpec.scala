@@ -304,6 +304,17 @@ class PlanSpec extends AnyFunSuite {
       s"q_validate read the table more than once:\n$p")
   }
 
+  test("q_fuzzy_urls and q_triangles: equi-joins only, never a nested loop or cartesian") {
+    // the SymSpell variant join and the canonical-edge triangle joins
+    // are the whole point of these formulations — a refactor that
+    // degrades either to an all-pairs comparison must fail here
+    for (q <- Seq("q_fuzzy_urls", "q_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested loop:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+  }
+
   test("q_not_in plans the null-aware anti-join fast path, not a nested loop") {
     // NOT IN with a nullable probe column degenerates to
     // BroadcastNestedLoopJoin unless the single-column null-aware
