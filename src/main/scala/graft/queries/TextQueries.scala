@@ -120,23 +120,15 @@ object TextQueries {
 
     // Fuzzy string join via SymSpell deletion-neighborhood blocking
     // (Garbe's spell-correction index, applied to crawl-frontier URL
-    // near-dup detection): two strings within edit distance 1 ALWAYS
-    // share a 1-deletion variant, so candidates come from an equi-join
-    // on exploded variants — never an all-pairs edit-distance pass —
-    // and `levenshtein` verifies the survivors. Variant sharing is
-    // alphabet-bounded, so the join fan stays flat at any corpus size.
-    "q_fuzzy_urls" -> ((s, dir) => {
-      val u = docs(s, dir).select(col("url")).distinct()
-      val dels = u.select(col("url"), explode(
-        transform(sequence(lit(1), length(col("url"))), i =>
-          concat(col("url").substr(lit(1), i - lit(1)),
-            col("url").substr(i + lit(1), length(col("url")))))).as("v"))
-      dels.select(col("url").as("url_a"), col("v"))
-        .join(dels.select(col("url").as("url_b"), col("v")), "v")
-        .filter(col("url_a") < col("url_b"))
-        .select("url_a", "url_b").distinct()
-        .filter(levenshtein(col("url_a"), col("url_b")) === 1)
-    }),
+    // near-dup detection): candidates come from an equi-join on each
+    // url's {identity} ∪ {1-deletion} variant set — never an all-pairs
+    // edit-distance pass — and `levenshtein` verifies the survivors.
+    // The identity variant is what catches pure insert/delete pairs
+    // (lengths n vs n+1 — trailing-slash twins); deletions alone can
+    // never collide across the length gap (the r12 recall hole).
+    // Variant fan is |url|+1, so the join stays flat at any corpus size.
+    "q_fuzzy_urls" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.ed1Pairs(docs(s, dir), "url")),
 
     // Prefix search over the persisted index (autocomplete shape): the
     // range form of LIKE 's%' pushes BOTH bounds to the parquet scan,
@@ -278,13 +270,16 @@ object TextQueries {
          |                  d -> CAST(d AS VARCHAR)), ',') AS postings_csv
          |FROM terms GROUP BY term""".stripMargin,
 
+    // mirror of FuzzyJoin.ed1Pairs: variants = [url itself] ++ all
+    // 1-deletions — the identity entry is what lets length-(n, n+1)
+    // insert/delete pairs collide
     "q_fuzzy_urls" ->
       s"""WITH u AS (
          |  SELECT DISTINCT $urlSql AS url FROM documents
          |), dels AS (
          |  SELECT url,
-         |         unnest(list_transform(range(1, len(url)+1),
-         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url)))) AS v
+         |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
+         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
          |  FROM u
          |), pairs AS (
          |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
