@@ -182,6 +182,9 @@ object Bench {
         graft.queries.SimilarityQueries.EmbedStores.streamedStore(spark, sfDir): Unit
         graft.queries.SimilarityQueries.streamedIvf(spark, sfDir).count()
         graft.queries.TextQueries.StreamedIndex.table(spark, sfDir): Unit
+        // r13: the shared one-row moments relation q_profile + q_corr
+        // both project from — one lineitem scan, built once here
+        graft.queries.RelationalQueries.LineitemMoments.of(spark, sfDir).count()
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 

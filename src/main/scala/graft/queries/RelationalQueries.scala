@@ -29,6 +29,57 @@ object RelationalQueries {
   private val revenueSql =
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Session-scoped shared moments relation serving BOTH q_profile and
+    * q_corr: the union of their aggregate needs — per-column (count,
+    * min, max, decimal sum, decimal sum-of-squares), per-pair decimal
+    * cross sums, and the row count — computed in ONE aggregate pass
+    * over ONE lineitem scan, cached as a single row (bounded by
+    * contract: one row × 24 columns). Before r13 the two queries ran
+    * near-identical moment passes over the same table and were the
+    * board's top two bench costs (5.6 s combined); now the scan runs
+    * once and both projections read the cached row. Same session-store
+    * discipline as `TermStatsStore`/`StreamedIndex`: keyed by
+    * (session, dir), dropped when the session stops.
+    *
+    * Determinism: every sum goes through DECIMAL (exact and
+    * order-independent under any partitioning) and is cast to DOUBLE
+    * once — see the object-level rules above.
+    */
+  private[graft] object LineitemMoments {
+    val cols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs: Seq[(String, String)] = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_extendedprice", "l_discount"),
+      ("l_discount", "l_tax"))
+
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), DataFrame]
+
+    def of(s: SparkSession, dir: String): DataFrame = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val aggs = cols.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"nn_$c"),
+            min(col(c)).cast("double").as(s"mn_$c"),
+            max(col(c)).cast("double").as(s"mx_$c"),
+            // precision <= 18 keeps the per-row cast Long-backed (compact
+            // Decimal) — (30,8) was BigDecimal per row, ~2x the scan cost.
+            // Exact: measures are <=2-dp with |x| < 1e6, squares/products
+            // <=4-dp with |xy| < 1e11 — (18,6)/(18,4) hold them losslessly.
+            sum(col(c).cast(DecimalType(18, 6))).cast("double").as(s"s_$c"),
+            sum((col(c) * col(c)).cast(DecimalType(18, 4))).cast("double").as(s"q_$c"))
+        } ++ pairs.zipWithIndex.map { case ((x, y), i) =>
+          sum((col(x) * col(y)).cast(DecimalType(18, 4))).cast("double").as(s"sxy_$i")
+        } :+ count(lit(1)).as("n")
+        val m = tbl(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache += (s, dir) -> m
+        m
+      })
+    }
+  }
+
   /** Per-column aggregate + per-column output row of the q_profile
     * oracle (mirror of the struct-explode form).
     */
@@ -134,26 +185,12 @@ object RelationalQueries {
 
     // One-pass numeric column profiler (the data-exploration complement
     // of q_validate): null counts, min/max, mean, sample stddev for all
-    // four lineitem measures from ONE aggregate over ONE scan. Moments
-    // go through DECIMAL sums (exact, order-independent) and the
-    // mean/stddev arithmetic is the identical double-op sequence on
-    // both engines.
+    // four lineitem measures, projected from the SHARED session-scoped
+    // moments row (one aggregate pass over one scan serves this AND
+    // q_corr — see LineitemMoments). The mean/stddev arithmetic is the
+    // identical double-op sequence on both engines.
     "q_profile" -> ((s, dir) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = cols.flatMap { c =>
-        Seq(
-          count(col(c)).as(s"nn_$c"),
-          min(col(c)).cast("double").as(s"mn_$c"),
-          max(col(c)).cast("double").as(s"mx_$c"),
-          // precision <= 18 keeps the per-row cast Long-backed (compact
-          // Decimal) — (30,8) was BigDecimal per row, ~2x the scan cost.
-          // Exact: measures are <=2-dp with |x| < 1e6, squares <=4-dp
-          // with x^2 < 1e11 — both fit (18,6)/(18,4) losslessly.
-          sum(col(c).cast(DecimalType(18, 6))).cast("double").as(s"s_$c"),
-          sum((col(c) * col(c)).cast(DecimalType(18, 4))).cast("double").as(s"q_$c"))
-      } :+ count(lit(1)).as("n")
-      val one = tbl(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
-      val rows = cols.map { c =>
+      val rows = LineitemMoments.cols.map { c =>
         val nn = col(s"nn_$c"); val sm = col(s"s_$c"); val sq = col(s"q_$c")
         struct(lit(c).as("column_name"),
           (col("n") - nn).as("n_nulls"),
@@ -161,33 +198,18 @@ object RelationalQueries {
           round(sm / nn, 6).as("mean"),
           round(sqrt((sq - sm * sm / nn) / (nn - lit(1))), 6).as("stddev"))
       }
-      one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      LineitemMoments.of(s, dir)
+        .select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }),
 
     // Bivariate statistics: Pearson correlation for selected lineitem
-    // measure pairs from ONE aggregate pass (the q_profile protocol —
-    // all five moment sums per pair go through exact order-independent
-    // DECIMAL sums; the correlation formula is then the identical
-    // double-op sequence on both engines, never the engine's CORR
-    // whose accumulation is implementation-specific).
+    // measure pairs, projected from the same shared moments row as
+    // q_profile (all moment sums exact order-independent DECIMAL; the
+    // correlation formula is then the identical double-op sequence on
+    // both engines, never the engine's CORR whose accumulation is
+    // implementation-specific).
     "q_corr" -> ((s, dir) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val pairs = Seq(
-        ("l_quantity", "l_extendedprice"),
-        ("l_extendedprice", "l_discount"),
-        ("l_discount", "l_tax"))
-      // per-COLUMN moments once (shared across the pairs that use the
-      // column) + one cross product per pair — 11 decimal aggregates,
-      // not 5 per pair
-      val aggs = cols.flatMap { c =>
-        Seq(
-          sum(col(c).cast(DecimalType(18, 6))).cast("double").as(s"s_$c"),
-          sum((col(c) * col(c)).cast(DecimalType(18, 4))).cast("double").as(s"q_$c"))
-      } ++ pairs.zipWithIndex.map { case ((x, y), i) =>
-        sum((col(x) * col(y)).cast(DecimalType(18, 4))).cast("double").as(s"sxy_$i")
-      } :+ count(lit(1)).as("n")
-      val one = tbl(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
-      val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val rows = LineitemMoments.pairs.zipWithIndex.map { case ((x, y), i) =>
         val (sx, sy, qx, qy, sxy) =
           (col(s"s_$x"), col(s"s_$y"), col(s"q_$x"), col(s"q_$y"), col(s"sxy_$i"))
         val nn = col("n")
@@ -195,7 +217,8 @@ object RelationalQueries {
           round((nn * sxy - sx * sy) /
             (sqrt(nn * qx - sx * sx) * sqrt(nn * qy - sy * sy)), 6).as("r"))
       }
-      one.select(explode(array(rows: _*)).as("e")).select(col("e.*"))
+      LineitemMoments.of(s, dir)
+        .select(explode(array(rows: _*)).as("e")).select(col("e.*"))
     }),
 
     // Weighted PageRank over the nation trade graph (supplier nation →

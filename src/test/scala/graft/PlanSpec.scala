@@ -304,6 +304,18 @@ class PlanSpec extends AnyFunSuite {
       s"q_validate read the table more than once:\n$p")
   }
 
+  test("q_profile and q_corr project from the SHARED cached moments row") {
+    // one lineitem scan serves both: each plan must read the cached
+    // one-row moments relation, never its own parquet pass (the r12
+    // shape ran two near-identical moment scans — the board's top two
+    // bench costs)
+    for (q <- Seq("q_profile", "q_corr")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"$q does not read the cached moments relation:\n$p")
+    }
+  }
+
   test("q_fuzzy_urls and q_triangles: equi-joins only, never a nested loop or cartesian") {
     // the SymSpell variant join and the canonical-edge triangle joins
     // are the whole point of these formulations — a refactor that
