@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -9,12 +9,14 @@ import org.apache.spark.sql.types.DecimalType
   * `Dedup.duplicateClusters` already implements as pointer-jumping).
   *
   * Scale shape per iteration: one join (edges ⋈ ranks on src — ranks is
-  * node-sized, edges edge-sized; Catalyst broadcasts ranks while it
-  * fits, hash-exchanges both on src beyond that) + one dst-keyed
-  * aggregate with map-side partials. Nothing is ever collected: state
-  * stays a DataFrame, iterations compose lineage (fixed small iteration
-  * counts; a convergence-driven variant would checkpoint every few
-  * rounds exactly like `duplicateClusters` does).
+  * node-sized, edges edge-sized) + one dst-keyed aggregate with
+  * map-side partials. Nothing is ever collected: state stays a
+  * DataFrame. Join strategy is stats-driven: an explicit broadcast hint
+  * is only attached while the driver-known node COUNT is under
+  * `broadcastRanksMax` — an unconditional hint would be honored
+  * regardless of size and force-broadcast a node-sized relation at
+  * web-scale node counts (driver/executor OOM); past the gate, Catalyst
+  * and AQE pick the src-keyed shuffle from runtime stats.
   *
   * Determinism protocol (the cross-engine hinge, same as
   * `Similarity.lloydCentroids`): per-dst inflow sums go through
@@ -24,22 +26,46 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Above this node count, no broadcast hint is attached to the
+    * per-iteration ranks/inflow joins: ~16 B/row puts 1M nodes around
+    * the default 10 MB autoBroadcast threshold; the relation then
+    * follows stats/AQE like any other join side.
+    */
+  private[graft] val BroadcastRanksMaxDefault = 1000000L
+
   /** Weighted PageRank. `edges`: (src, dst, w); `nodes`: (node).
     * Dangling nodes (no out-edges) leak their mass — the simple
     * formulation; the oracle mirrors it. Returns (node, pr).
     *
     * Exchange shape: the edge relation is partitioned by `dst` ONCE and
     * persisted — every iteration's inflow aggregate then inherits that
-    * distribution, so with ranks broadcast (node-sized ≪ edge-sized;
-    * Catalyst picks it from stats) an iteration adds NO edge-mass
-    * exchange at all. When ranks outgrow broadcast (true web scale),
-    * Catalyst falls back to a src-keyed shuffle of ranks only — the
-    * edges still never move again.
+    * distribution, so while ranks broadcast (node-sized ≪ edge-sized)
+    * an iteration adds NO edge-mass exchange at all; past
+    * `broadcastRanksMax` nodes, ranks shuffle src-keyed and the edges
+    * still never move again.
+    *
+    * Lineage/cache lifecycle: every `checkpointEvery` iterations the
+    * rank state is materialized behind a plan boundary
+    * (`Dedup.materializeOnce` — reliable checkpoint on a cluster,
+    * localCheckpoint in local mode), so a convergence-driven caller can
+    * run 50+ iterations without unbounded plan growth or analysis-time
+    * blowup. The final ranks are materialized the same way, after which
+    * the iteration-scoped edge cache is RELEASED — repeated pageRank
+    * calls in a long-lived session don't accumulate edge-sized cache
+    * entries (the returned frame no longer references it).
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               checkpointEvery: Int = 10,
+               broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
     val n = nodes.count() // one metadata-sized action, node count only
+    require(n > 0, "pageRank needs a non-empty node set")
+    require(iters >= 0 && checkpointEvery > 0)
     val base = (1.0 - damping) / n
+    // gate decided ONCE from the driver-known node count — the hinted
+    // relation is exactly node-sized by construction (one row per node)
+    val hint: DataFrame => DataFrame =
+      if (n <= broadcastRanksMax) broadcast else identity
     val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
     // every iteration references e: without a persist the final DAG
     // re-derives the (possibly expensive) edge build once PER iteration;
@@ -48,17 +74,23 @@ object Graph {
     val e = edges.join(outw, "src").repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
-    for (_ <- 1 to iters) {
-      val inflow = e.join(broadcast(ranks), col("src") === col("node"))
+    for (i <- 1 to iters) {
+      val inflow = e.join(hint(ranks), col("src") === col("node"))
         .select(col("dst"),
           (col("pr") * col("w") / col("outw")).cast(DecimalType(27, 12)).as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).cast("double").as("inflow"))
-      ranks = nodes.join(broadcast(inflow), col("node") === col("dst"), "left_outer")
+      ranks = nodes.join(hint(inflow), col("node") === col("dst"), "left_outer")
         .select(col("node"),
           round(lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
             .as("pr"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = Dedup.materializeOnce(ranks)
     }
-    ranks
+    // materialize the fixpoint (node-sized) so the edge cache can be
+    // dropped NOW instead of leaking until storage eviction
+    val out = Dedup.materializeOnce(ranks)
+    e.unpersist()
+    out
   }
 }

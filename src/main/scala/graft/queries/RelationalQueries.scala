@@ -99,18 +99,33 @@ object RelationalQueries {
   /** One PageRank power iteration as CTEs (mirror of `Graph.pageRank`):
     * DECIMAL(27,12)-summed inflow (order-independent), 6-dp rounded
     * rank. Literals go through text→DOUBLE casts so DuckDB's
-    * decimal-literal parsing can't diverge from Spark's double lits.
+    * decimal-literal parsing can't diverge from Spark's double lits,
+    * and n comes from the `nn(cnt)` scalar CTE — never a hardcoded
+    * node count — with the SAME double-op sequence as the engine's
+    * `(1.0 - damping) / n`. Expects CTEs `e(src,dst,w,outw)`,
+    * `nodes(node)`, `nn(cnt)`, `r$i(node,pr)` in scope; shared by the
+    * nation-graph and doc-graph PageRank oracles.
     */
-  private def prIterSql(i: Int): String =
+  private[queries] def prIterSql(i: Int): String =
     s"""inf$i AS (
        |  SELECT e.dst AS node,
        |         CAST(SUM(CAST(r.pr * e.w / e.outw AS DECIMAL(27,12))) AS DOUBLE) AS inflow
        |  FROM e JOIN r$i r ON e.src = r.node GROUP BY e.dst
        |), r${i + 1} AS (
        |  SELECT n.node,
-       |         round(CAST('0.006' AS DOUBLE)
+       |         round((CAST('1' AS DOUBLE) - CAST('0.85' AS DOUBLE)) / nn.cnt
        |               + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 6) AS pr
-       |  FROM nodes n LEFT JOIN inf$i USING (node)
+       |  FROM nodes n CROSS JOIN nn LEFT JOIN inf$i USING (node)
+       |)""".stripMargin
+
+  /** The shared r0 + nn preamble of a PageRank oracle (uniform 1/n
+    * init, n computed in SQL).
+    */
+  private[queries] val prInitSql: String =
+    s"""nn AS (
+       |  SELECT count(*) AS cnt FROM nodes
+       |), r0 AS (
+       |  SELECT node, CAST('1' AS DOUBLE) / cnt AS pr FROM nodes CROSS JOIN nn
        |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -719,9 +734,7 @@ object RelationalQueries {
          |  SELECT e0.src, dst, w, outw FROM e0 JOIN ow USING (src)
          |), nodes AS (
          |  SELECT n_nationkey AS node FROM nation
-         |), r0 AS (
-         |  SELECT node, CAST('0.04' AS DOUBLE) AS pr FROM nodes
-         |), ${(0 until 8).map(prIterSql).mkString(", ")}
+         |), $prInitSql, ${(0 until 8).map(prIterSql).mkString(", ")}
          |SELECT n_name, pr FROM r8 JOIN nation ON node = n_nationkey
          |ORDER BY pr DESC, n_name""".stripMargin,
 

@@ -43,6 +43,47 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(1L) > pr(0L)) // 1 receives, 0 only emits
   }
 
+  test("empty node set is rejected, not Infinity ranks") {
+    val e = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val n = Seq.empty[Long].toDF("node")
+    assertThrows[IllegalArgumentException](Graph.pageRank(e, n, iters = 1))
+  }
+
+  test("past the broadcast gate the rank join is NOT a forced broadcast") {
+    // the docstring's "stats/AQE fall back to a src-keyed shuffle" can
+    // only happen if no explicit hint survives — an explicit broadcast()
+    // is honored regardless of size, so at web-scale node counts it
+    // would force a node-sized relation through the driver. Gate the
+    // hint off (broadcastRanksMax = 0) and pin that no
+    // ResolvedHint/broadcast remains in the optimized plan; with AQE
+    // free to choose, a genuinely huge ranks side then shuffles.
+    val edges = (0L until 200L).map(i => (i % 50, (i * 7) % 50, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = (0L until 50L).toDF("node")
+    val pr = Graph.pageRank(edges, nodes, iters = 1, broadcastRanksMax = 0)
+    assert(!pr.queryExecution.optimizedPlan.toString.contains("broadcast"))
+    // and the gated run computes the same fixpoint as the hinted one
+    val hinted = Graph.pageRank(edges, nodes, iters = 1)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(pr.as[(Long, Double)].collect().sortBy(_._1).toSeq === hinted)
+  }
+
+  test("high-iteration runs stay analyzable via periodic checkpoints") {
+    // 30 unrolled join-agg iterations without a lineage cut would grow
+    // the plan (and its analysis time) superlinearly; the every-10
+    // materialization bounds it. The assertion is the wall-clock of
+    // PLANNING+execution staying sane and the fixpoint being finite.
+    val edges = (0L until 100L).map(i => (i % 20, (i * 3) % 20, 1L + i % 3))
+      .toDF("src", "dst", "w")
+    val nodes = (0L until 20L).toDF("node")
+    val t0 = System.nanoTime()
+    val pr = Graph.pageRank(edges, nodes, iters = 30)
+      .as[(Long, Double)].collect().toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(pr.size === 20 && pr.values.forall(v => v > 0 && v < 1))
+    assert(sec < 120.0, s"30-iteration pagerank took $sec s")
+  }
+
   test("pagerank is deterministic across partitionings") {
     val edges = (0L until 40L).map(i => (i % 8, (i * 3) % 8, 1L + i % 5))
       .toDF("src", "dst", "w")
