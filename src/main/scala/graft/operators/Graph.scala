@@ -37,12 +37,17 @@ object Graph {
     * Dangling nodes (no out-edges) leak their mass — the simple
     * formulation; the oracle mirrors it. Returns (node, pr).
     *
-    * Exchange shape: the edge relation is partitioned by `dst` ONCE and
-    * persisted — every iteration's inflow aggregate then inherits that
-    * distribution, so while ranks broadcast (node-sized ≪ edge-sized)
-    * an iteration adds NO edge-mass exchange at all; past
-    * `broadcastRanksMax` nodes, ranks shuffle src-keyed and the edges
-    * still never move again.
+    * Exchange shape: the edge relation is partitioned ONCE and
+    * persisted, keyed to match the join strategy so edges never move
+    * again after the build. Broadcast path (n ≤ broadcastRanksMax):
+    * e is DST-partitioned — the join moves nothing and the inflow
+    * aggregate inherits the distribution, so an iteration adds NO
+    * exchange at all. Shuffle path: e is SRC-partitioned — the join
+    * shuffles only the node-sized ranks onto e's layout, and the
+    * edge-sized contribution stream is collapsed by the map-side
+    * partial agg before its dst exchange (≤ partitions × |dst| rows
+    * move, ≪ edges). Keying e by dst in the shuffle path would instead
+    * re-exchange the full edge relation on src EVERY iteration.
     *
     * Lineage/cache lifecycle: every `checkpointEvery` iterations the
     * rank state is materialized behind a plan boundary
@@ -64,14 +69,16 @@ object Graph {
     val base = (1.0 - damping) / n
     // gate decided ONCE from the driver-known node count — the hinted
     // relation is exactly node-sized by construction (one row per node)
+    val broadcastRanks = n <= broadcastRanksMax
     val hint: DataFrame => DataFrame =
-      if (n <= broadcastRanksMax) broadcast else identity
+      if (broadcastRanks) broadcast else identity
     val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
     // every iteration references e: without a persist the final DAG
     // re-derives the (possibly expensive) edge build once PER iteration;
     // cached, the build runs once and iterations reuse the (edge-count
-    // sized, already-aggregated) relation
-    val e = edges.join(outw, "src").repartition(col("dst"))
+    // sized, already-aggregated) relation — keyed per the doc above
+    val e = edges.join(outw, "src")
+      .repartition(col(if (broadcastRanks) "dst" else "src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (i <- 1 to iters) {

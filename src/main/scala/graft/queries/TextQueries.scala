@@ -130,6 +130,27 @@ object TextQueries {
     "q_fuzzy_urls" -> ((s, dir) =>
       graft.operators.FuzzyJoin.ed1Pairs(docs(s, dir), "url")),
 
+    // PageRank over the DOCUMENT graph (nodes = every distinct url,
+    // edges = the ED-1 fuzzy pairs, both directions, unit weight) — the
+    // iterative family exercised where node count is corpus-sized, NOT
+    // a 25-row dimension: the engine call gates the broadcast hint OFF
+    // (broadcastRanksMax = 0), so the oracle checks the stats/AQE
+    // src-keyed SHUFFLE iteration path — the plan that actually runs at
+    // web-scale node counts — not the broadcast fast path q_pagerank
+    // covers. Both directions come from one posexplode-free explode of
+    // the pair relation (a union would plan the fuzzy join twice).
+    "q_pagerank_docs" -> ((s, dir) => {
+      val pairs = graft.operators.FuzzyJoin.ed1Pairs(docs(s, dir), "url")
+      val edges = pairs.select(explode(array(
+        struct(col("url_a").as("src"), col("url_b").as("dst")),
+        struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"), lit(1L).as("w"))
+      val nodes = docs(s, dir).select(col("url").as("node")).distinct()
+      graft.operators.Graph.pageRank(edges, nodes, iters = 8,
+        broadcastRanksMax = 0)
+        .select(col("node").as("url"), col("pr"))
+    }),
+
     // Prefix search over the persisted index (autocomplete shape): the
     // range form of LIKE 's%' pushes BOTH bounds to the parquet scan,
     // and because the stored postings are SORTED BY term inside each
@@ -287,6 +308,34 @@ object TextQueries {
          |)
          |SELECT url_a, url_b FROM pairs
          |WHERE levenshtein(url_a, url_b) = 1""".stripMargin,
+
+    // doc-graph PageRank: the fuzzy-pair CTEs verbatim, then the shared
+    // iteration SQL (RelationalQueries.prIterSql — n computed in SQL)
+    "q_pagerank_docs" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT $urlSql AS url FROM documents
+         |), dels AS (
+         |  SELECT url,
+         |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
+         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
+         |  FROM u
+         |), cand AS (
+         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+         |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+         |), prs AS (
+         |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
+         |), e0 AS (
+         |  SELECT url_a AS src, url_b AS dst, 1 AS w FROM prs
+         |  UNION ALL
+         |  SELECT url_b AS src, url_a AS dst, 1 AS w FROM prs
+         |), ow AS (
+         |  SELECT src, sum(w) AS outw FROM e0 GROUP BY src
+         |), e AS (
+         |  SELECT e0.src, dst, w, outw FROM e0 JOIN ow USING (src)
+         |), nodes AS (
+         |  SELECT url AS node FROM u
+         |), ${RelationalQueries.prInitSql}, ${(0 until 8).map(RelationalQueries.prIterSql).mkString(", ")}
+         |SELECT node AS url, pr FROM r8""".stripMargin,
 
     "q_prefix_terms" ->
       s"""$termsCte SELECT term, count(*) AS df FROM terms
