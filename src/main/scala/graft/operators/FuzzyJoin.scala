@@ -39,6 +39,25 @@ object FuzzyJoin {
   def variantsOf(s: String): Seq[String] =
     s +: s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
 
+  /** Dictionary probe: the distinct values of `dict.col(c)` within
+    * edit distance 1 of the literal `q` (including `q` itself if
+    * present). The probe's variant set is computed driver-side
+    * (|q|+1 strings) and pushed as an IN filter against the exploded
+    * dictionary variants; a length band [|q|−1, |q|+1] prunes the
+    * dictionary before the explode (ED 1 can't bridge a 2-length gap).
+    * One vocab-sized pass, candidate-only levenshtein — never a full
+    * edit-distance scan of the dictionary.
+    */
+  def ed1Matches(dict: DataFrame, c: String, q: String): DataFrame = {
+    val vs = variantsOf(q)
+    dict.select(col(c))
+      .filter(length(col(c)).between(q.length - 1, q.length + 1))
+      .select(col(c), explode(variants(col(c))).as("v"))
+      .filter(col("v").isin(vs: _*))
+      .select(c).distinct()
+      .filter(levenshtein(col(c), lit(q)) <= 1)
+  }
+
   /** Self-join: all unordered pairs of `df.col(c)` values at edit
     * distance exactly 1. Input values are distinct-ed first; output is
     * (a, b) with a < b, each pair once.

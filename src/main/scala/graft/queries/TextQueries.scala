@@ -163,6 +163,26 @@ object TextQueries {
         .groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy("term")),
 
+    // Typo-tolerant term lookup (the retrieval feature the SymSpell
+    // block exists for): probe "park" is NOT in the vocabulary; its
+    // ED-1 dictionary neighbors — "part" (substitution) and "spark"
+    // (insertion, the class the r12 blocking missed) — come from one
+    // pass over the vocab-sized term-stats dictionary, then their
+    // posting lists are unioned from the persisted index. The matched
+    // term set lifts to the driver as an IN literal — bounded by
+    // contract (≤ ~alphabet × |probe| candidates for one probe) — so
+    // the postings scan bucket-prunes STATICALLY like q_term_lookup,
+    // never a join against an unpruned corpus-sized relation.
+    "q_term_fuzzy" -> ((s, dir) => {
+      val dict = graft.sources.TermStatsStore.stats(s, dir)
+        .filter(!col("stop"))
+      val matched = graft.operators.FuzzyJoin.ed1Matches(dict, "term", "park")
+        .collect().map(_.getString(0)).toSeq.sorted
+      storedPostings(s, dir)
+        .filter(col("term").isin(matched: _*))
+        .select("doc_id", "url").distinct()
+    }),
+
     "q_bool_and" -> ((s, dir) => BooleanQuery.and(storedPostings(s, dir), Seq("spark", "hash"))),
 
     // ranked retrieval: tf-idf-scored top-10 for a two-term query — the
@@ -341,6 +361,14 @@ object TextQueries {
       s"""$termsCte SELECT term, count(*) AS df FROM terms
          |WHERE term >= 's' AND term < 't'
          |GROUP BY term ORDER BY term""".stripMargin,
+
+    // independent formulation: brute-force levenshtein over the whole
+    // vocabulary (no SymSpell blocking to mirror — the blocking scheme
+    // itself is under test, per the r12 lesson that an oracle sharing
+    // the engine's blocking masks recall holes)
+    "q_term_fuzzy" ->
+      s"""$termsCte SELECT DISTINCT doc_id, $urlSql AS url FROM terms
+         |WHERE levenshtein(term, 'park') <= 1""".stripMargin,
 
     "q_bool_and" ->
       s"""$termsCte SELECT a.doc_id FROM terms a JOIN terms b USING (doc_id)

@@ -52,6 +52,20 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(pairs(urls) === brute)
   }
 
+  test("ed1Matches finds substitution AND insertion dictionary neighbors") {
+    val dict = Seq("part", "spark", "park", "stream", "parking", "pork")
+      .toDF("term")
+    // probe absent from the dictionary: matches via substitution
+    // ("pork"→"park" would be probe-side), insertion ("spark"), identity
+    val got = FuzzyJoin.ed1Matches(dict, "term", "park")
+      .as[String].collect().toSet
+    assert(got === Set("park", "part", "spark", "pork"))
+    // "parking" is at distance 3 — length band alone must not admit it
+    val far = FuzzyJoin.ed1Matches(dict, "term", "parkin")
+      .as[String].collect().toSet
+    assert(far === Set("parking"))
+  }
+
   test("variantsOf mirrors the column form") {
     val s = "abc"
     val fromCol = Seq(s).toDF("u").select(FuzzyJoin.variants(col("u")))

@@ -150,6 +150,15 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) === 0 && broadcasts(p) === 0)
   }
 
+  test("q_term_fuzzy: matched-term IN literal bucket-prunes the postings scan") {
+    // the SymSpell dictionary match lifts its (bounded) matched-term set
+    // to the driver precisely so the postings read is a STATIC IN filter
+    // — "park" matches {part, spark}, two terms → at most two buckets
+    val p = plan("q_term_fuzzy")
+    assert("SelectedBucketsCount: [12] out of 32".r.findFirstIn(p).isDefined,
+      s"postings scan not bucket-pruned:\n$p")
+  }
+
   test("q_phrase: every phrase-term slice bucket-prunes the persisted positional index") {
     val p = plan("q_phrase")
     // two phrase terms → two term-filtered scans of the positional table,
