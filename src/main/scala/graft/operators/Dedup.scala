@@ -60,6 +60,51 @@ object Dedup {
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
     rawShingleSets(docs, n).filter(size(col("sh")) > 0)
 
+  /** Cross-source overlap matrix: shingle-level Jaccard between every
+    * source pair — the corpus-composition diagnostic a curation
+    * pipeline runs to find near-duplicate SOURCES (mirror sites, feed
+    * overlap) before doc-level dedup.
+    *
+    * Scale bound: shingles present in MORE than `maxSourcesPerShingle`
+    * sources are pruned before the pair join — they are boilerplate
+    * (headers, license text, navigation) shared corpus-wide, the
+    * shingle-level analogue of stopwords, and carry no discriminating
+    * signal about which PAIR of sources mirrors which. Without the
+    * prune the pair join's expansion is sources-per-shingle², i.e.
+    * quadratic in source count the moment one boilerplate shingle
+    * spans every source; with it, expansion per shingle is ≤ K² by
+    * construction at ANY source cardinality. Sizes (and therefore the
+    * Jaccard denominator) are computed over the PRUNED sets, so the
+    * output is the exact Jaccard of the discriminating-shingle sets —
+    * a deterministic, oracle-mirrorable definition, not an
+    * approximation of the unpruned one. Remaining shape: distinct
+    * (source, shingle) is corpus-mass map-side work; the pair join is
+    * shingle-keyed (AQE-splittable); output is source-pairs-sized.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+                    maxSourcesPerShingle: Int = 12): DataFrame = {
+    val sh0 = docs
+      .select(col("source"),
+        explode(graft.functions.Text.shinglesFromTokens(
+          graft.functions.Text.tokenize(col("text")), n)).as("sh"))
+      .distinct()
+    val keep = sh0.groupBy("sh").agg(count(lit(1)).as("ns"))
+      .filter(col("ns") <= maxSourcesPerShingle)
+      .select("sh")
+    val sh = sh0.join(keep, Seq("sh"), "left_semi")
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.select(col("source").as("source_a"), col("sh"))
+      .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** Benchmark DECONTAMINATION (⊕ LLM-pipeline): training documents that
     * share any word-n-gram with an evaluation/benchmark corpus, with the
     * count of distinct overlapping shingles — the standard pre-training

@@ -483,30 +483,17 @@ object AnalysisQueries {
           col("dau"), col("wau"))
     }),
 
-    // Cross-source overlap matrix: shingle-level Jaccard between every
-    // source pair — the corpus-composition diagnostic a curation
-    // pipeline runs to find near-duplicate SOURCES (mirror sites, feed
-    // overlap) before doc-level dedup. Distinct (source, shingle) is
-    // corpus-mass map-side work; the pair join is shingle-keyed
-    // (AQE-splittable) with expansion bounded by sources-per-shingle²;
-    // the output is source-pairs-sized.
-    "q_source_overlap" -> ((s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("source"),
-          explode(Text.shinglesFromTokens(Text.tokenize(col("text")), 3)).as("sh"))
-        .distinct()
-      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      sh.select(col("source").as("source_a"), col("sh"))
-        .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
-        .filter(col("source_a") < col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_shared"))
-        .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
-        .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
-        .select(col("source_a"), col("source_b"), col("n_shared"),
-          round(col("n_shared").cast("double") /
-            (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
-    }),
+    // Cross-source overlap matrix (Dedup.sourceOverlap): shingle-level
+    // Jaccard between every source pair over the DISCRIMINATING
+    // shingles — shingles in > 12 sources are boilerplate (the
+    // shingle-level stopword analogue) and are pruned, which bounds
+    // the pair join's expansion at 12² per shingle at ANY source
+    // cardinality (unpruned it's sources-per-shingle², quadratic in
+    // source count the moment one boilerplate shingle spans every
+    // source). The oracle mirrors the prune; DedupSpec pins the
+    // adversarial many-source behavior.
+    "q_source_overlap" -> ((s, dir) =>
+      graft.operators.Dedup.sourceOverlap(docs(s, dir))),
 
     // Multimodal/semi-structured: JSON props → typed struct column.
     "q_props_extract" -> ((s, dir) =>
@@ -1225,11 +1212,15 @@ object AnalysisQueries {
         |         unnest(list_transform(range(1, greatest(len(ts)-2, 0)+1),
         |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
         |  FROM toks
+        |), keep AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 12
+        |), shk AS (
+        |  SELECT s.source, s.sh FROM sh s JOIN keep USING (sh)
         |), sizes AS (
-        |  SELECT source, count(*) AS n FROM sh GROUP BY 1
+        |  SELECT source, count(*) AS n FROM shk GROUP BY 1
         |), pairs AS (
         |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  FROM shk a JOIN shk b ON a.sh = b.sh AND a.source < b.source
         |  GROUP BY 1, 2
         |)
         |SELECT source_a, source_b, n_shared,

@@ -50,6 +50,34 @@ class DedupSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("sourceOverlap prunes corpus-wide boilerplate shingles (adversarial many-source)") {
+    // 15 sources all share one boilerplate sentence; only s01/s02 also
+    // share a discriminating one. Unpruned, the boilerplate shingle
+    // alone makes EVERY pair overlap (15²-ish join expansion — the
+    // quadratic-in-source-count trap); with the df-style prune the
+    // boilerplate carries no signal and only the real mirror pair
+    // survives, with Jaccard computed over the pruned sets.
+    val sources = (1 to 15).map(i => f"s$i%02d")
+    val boiler = sources.zipWithIndex.map { case (s, i) =>
+      (100L + i, s, "shared boiler plate words here") }
+    val unique = sources.zipWithIndex.map { case (s, i) =>
+      val l = ('a' + i).toChar
+      (200L + i, s, s"alpha$l beta$l gamma$l") }
+    val mirror = Seq((301L, "s01", "quick brown fox jumps"),
+      (302L, "s02", "quick brown fox jumps"))
+    val docs = (boiler ++ unique ++ mirror).toDF("doc_id", "source", "text")
+
+    val pruned = Dedup.sourceOverlap(docs, n = 3, maxSourcesPerShingle = 5)
+      .select("source_a", "source_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // only the mirror pair; 2 shared of (1 unique + 2 mirror) per side
+    assert(pruned === Seq(("s01", "s02", 2L, 0.5)))
+
+    // prune off (cap ≥ source count): boilerplate connects all 105 pairs
+    val unpruned = Dedup.sourceOverlap(docs, n = 3, maxSourcesPerShingle = 15)
+    assert(unpruned.count() === 105L)
+  }
+
   test("clusters: transitive pairs collapse to min-id components") {
     import org.apache.spark.sql.functions._
     // chain 1-2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
