@@ -185,6 +185,9 @@ object Bench {
         // r13: the shared one-row moments relation q_profile + q_corr
         // both project from — one lineitem scan, built once here
         graft.queries.RelationalQueries.LineitemMoments.of(spark, sfDir).count()
+        // r13: streamed edge-delta store + its version-keyed rank
+        // derivation (q_pagerank_streamed) — same build-once attribution
+        graft.queries.RelationalQueries.streamedRanks(spark, sfDir).count()
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 

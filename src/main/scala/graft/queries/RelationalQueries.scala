@@ -80,6 +80,77 @@ object RelationalQueries {
     }
   }
 
+  /** Session-scoped StreamingGraph store holding the nation trade
+    * graph's edge deltas ingested incrementally (three deterministic
+    * l_orderkey-mod-3 micro-batches through `processBatch` — each
+    * batch contributes its lineitem slice's (src nation, dst nation,
+    * count) partial weights, which SUM to the batch edge relation
+    * because counts are additive deltas). Built once per
+    * (session, dir); the EmbedStores pattern.
+    */
+  private[graft] object GraphStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def streamedStore(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_graphstream",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        for (b <- 0 until 3)
+          graft.streaming.StreamingGraph.processBatch(
+            nationEdgeContribs(s, dir, b), b.toLong, path): Unit
+        cache += (s, dir) -> path
+        path
+      })
+    }
+  }
+
+  /** One micro-batch's edge-delta contribution: the q_pagerank join
+    * chain over the batch's lineitem slice only.
+    */
+  private def nationEdgeContribs(s: SparkSession, dir: String, b: Int): DataFrame = {
+    val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .filter(col("l_orderkey") % 3 === b)
+    val sup = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** The streamed nation-graph fixpoint (node, pr) — shared by the
+    * registered query and Bench's untimed store-build warm.
+    */
+  private[graft] def streamedRanks(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingGraph.ranks(s, GraphStores.streamedStore(s, dir),
+      tbl(s, dir, "nation").select(col("n_nationkey").as("node")), iters = 8)
+
+  /** q_pagerank's oracle — shared verbatim by the streamed twin (the
+    * accumulated delta store must serve the batch fixpoint).
+    */
+  // lazy: references prInitSql/prIterSql declared further down the object
+  private lazy val pagerankOracleSql: String =
+    s"""WITH e0 AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2
+       |), ow AS (
+       |  SELECT src, sum(w) AS outw FROM e0 GROUP BY src
+       |), e AS (
+       |  SELECT e0.src, dst, w, outw FROM e0 JOIN ow USING (src)
+       |), nodes AS (
+       |  SELECT n_nationkey AS node FROM nation
+       |), $prInitSql, ${(0 until 8).map(prIterSql).mkString(", ")}
+       |SELECT n_name, pr FROM r8 JOIN nation ON node = n_nationkey
+       |ORDER BY pr DESC, n_name""".stripMargin
+
   /** Per-column aggregate + per-column output row of the q_profile
     * oracle (mirror of the struct-explode form).
     */
@@ -257,6 +328,19 @@ object RelationalQueries {
         .select(col("n_name"), col("pr"))
         .orderBy(col("pr").desc, col("n_name"))
     }),
+
+    // Streamed twin of q_pagerank: the SAME nation trade graph, but the
+    // edge relation accumulated from three l_orderkey-mod-3 micro-batch
+    // DELTA contributions through StreamingGraph.processBatch (edge
+    // weights are additive counts, so any batching accumulates to the
+    // batch edge relation bit-for-bit), with the fixpoint served from
+    // the version-keyed rank store — recomputed only when the edge
+    // store moves. Hash-checks under q_pagerank's identical oracle.
+    "q_pagerank_streamed" -> ((s, dir) =>
+      streamedRanks(s, dir)
+        .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("pr"))
+        .orderBy(col("pr").desc, col("n_name"))),
 
     // Triangle counting over the (undirected) nation trade graph —
     // graph pattern matching. Canonical a<b<c edge orientation makes
@@ -720,23 +804,11 @@ object RelationalQueries {
          |${cols.map(profileRowSql).mkString("\nUNION ALL ")}""".stripMargin
     },
 
-    "q_pagerank" ->
-      s"""WITH e0 AS (
-         |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
-         |  FROM lineitem
-         |  JOIN supplier ON l_suppkey = s_suppkey
-         |  JOIN orders   ON l_orderkey = o_orderkey
-         |  JOIN customer ON o_custkey = c_custkey
-         |  GROUP BY 1, 2
-         |), ow AS (
-         |  SELECT src, sum(w) AS outw FROM e0 GROUP BY src
-         |), e AS (
-         |  SELECT e0.src, dst, w, outw FROM e0 JOIN ow USING (src)
-         |), nodes AS (
-         |  SELECT n_nationkey AS node FROM nation
-         |), $prInitSql, ${(0 until 8).map(prIterSql).mkString(", ")}
-         |SELECT n_name, pr FROM r8 JOIN nation ON node = n_nationkey
-         |ORDER BY pr DESC, n_name""".stripMargin,
+    // streamed twin: identical SQL — the accumulated delta store must
+    // serve the batch fixpoint
+    "q_pagerank_streamed" -> pagerankOracleSql,
+
+    "q_pagerank" -> pagerankOracleSql,
 
     "q_not_in" ->
       """WITH ek AS (

@@ -166,10 +166,6 @@ object StreamingEmbed {
   private def canonicalPairs(p: DataFrame): DataFrame =
     p.groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
 
-  /** The accumulated (vec_id, v, norm, bucket) store — feed it to batch
-    * similarity consumers over a streamed corpus. One row per vec_id:
-    * latest ingest stamp wins (`StreamingDedup.canonicalByDoc`'s rule).
-    */
   /** Change witness for structures DERIVED from this store: (raw row
     * count, latest ingest stamp) over the un-collapsed vecs relation —
     * any append or re-delivery moves at least one of the two, an
@@ -182,6 +178,10 @@ object StreamingEmbed {
     (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
   }
 
+  /** The accumulated (vec_id, v, norm, bucket) store — feed it to batch
+    * similarity consumers over a streamed corpus. One row per vec_id:
+    * latest ingest stamp wins (`StreamingDedup.canonicalByDoc`'s rule).
+    */
   def vectors(spark: SparkSession, storePath: String): DataFrame =
     canonicalVecRows(StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema))
       .select("vec_id", "v", "norm", "bucket")

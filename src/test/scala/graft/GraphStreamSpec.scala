@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+import graft.streaming.StreamingGraph
+
+class GraphStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // a weighted digraph over 6 nodes, as raw per-fact contributions so
+  // batching slices genuinely overlap on (src, dst) keys
+  private lazy val facts = (0L until 60L)
+    .map(i => (i % 6, (i * 7 + 1) % 6, 1L + i % 3))
+    .toDF("src", "dst", "w")
+  private lazy val nodes = (0L until 6L).toDF("node")
+  private lazy val batchEdges =
+    facts.groupBy("src", "dst").agg(sum("w").as("w"))
+
+  private def freshStore(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_graph_$tag").toString
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("src", "dst", "w").as[(Long, Long, Long)].collect().toSet
+
+  test("accumulated delta store equals the batch edge relation") {
+    val store = freshStore("accum")
+    for (b <- 0 until 3)
+      assert(StreamingGraph.processBatch(
+        facts.filter(col("src") % 3 === b), b, store))
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === edgeSet(batchEdges))
+  }
+
+  test("a replayed batchId is skipped — edges unchanged") {
+    val store = freshStore("replay")
+    assert(StreamingGraph.processBatch(facts, 0L, store))
+    val before = edgeSet(StreamingGraph.edges(spark, store))
+    assert(!StreamingGraph.processBatch(facts, 0L, store)) // replay
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === before)
+  }
+
+  test("version-keyed ranks equal the batch fixpoint on replay") {
+    val store = freshStore("ranks")
+    for (b <- 0 until 3)
+      StreamingGraph.processBatch(facts.filter(col("src") % 3 === b), b, store)
+    val streamed = StreamingGraph.ranks(spark, store, nodes, iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = Graph.pageRank(batchEdges, nodes, iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch)
+  }
+
+  test("an append moves the store version and the rank store rebuilds") {
+    val store = freshStore("ver")
+    StreamingGraph.processBatch(facts.limit(30), 0L, store)
+    val v0 = StreamingGraph.storeVersion(spark, store)
+    val r0 = StreamingGraph.ranks(spark, store, nodes, iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // unchanged store: same version, same served fixpoint
+    assert(StreamingGraph.storeVersion(spark, store) === v0)
+    assert(StreamingGraph.ranks(spark, store, nodes, iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq === r0)
+    // append: version moves, ranks now reflect the full edge set
+    StreamingGraph.processBatch(facts, 1L, store)
+    assert(StreamingGraph.storeVersion(spark, store) !== v0)
+    val r1 = StreamingGraph.ranks(spark, store, nodes, iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val expect = Graph.pageRank(
+      facts.limit(30).unionByName(facts).groupBy("src", "dst").agg(sum("w").as("w")),
+      nodes, iters = 3).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r1 === expect)
+  }
+
+  test("compaction preserves served edges and the rebuilt fixpoint") {
+    val store = freshStore("compact")
+    for (b <- 0 until 3)
+      StreamingGraph.processBatch(facts.filter(col("src") % 3 === b), b, store)
+    val before = edgeSet(StreamingGraph.edges(spark, store))
+    val ranksBefore = StreamingGraph.ranks(spark, store, nodes, iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    StreamingGraph.compactStore(spark, store)
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === before)
+    // version moved (row count collapsed) → rebuild, to the same fixpoint
+    assert(StreamingGraph.ranks(spark, store, nodes, iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq === ranksBefore)
+  }
+}
