@@ -188,6 +188,8 @@ object Bench {
         // r13: streamed edge-delta store + its version-keyed rank
         // derivation (q_pagerank_streamed) — same build-once attribution
         graft.queries.RelationalQueries.streamedRanks(spark, sfDir).count()
+        // r13: streamed fuzzy-pair store (q_fuzzy_urls_streamed)
+        graft.queries.TextQueries.FuzzyStores.streamedStore(spark, sfDir): Unit
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 

@@ -34,6 +34,24 @@ object TextQueries {
 
   private val urlSql = "'doc://' || source || '/' || CAST(doc_id AS VARCHAR)"
 
+  /** q_fuzzy_urls' oracle — shared verbatim by the streamed twin (the
+    * accumulated pair store must equal the batch ED-1 pair relation).
+    */
+  private val fuzzyUrlsOracleSql: String =
+    s"""WITH u AS (
+       |  SELECT DISTINCT $urlSql AS url FROM documents
+       |), dels AS (
+       |  SELECT url,
+       |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
+       |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
+       |  FROM u
+       |), pairs AS (
+       |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+       |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+       |)
+       |SELECT url_a, url_b FROM pairs
+       |WHERE levenshtein(url_a, url_b) = 1""".stripMargin
+
   private def docs(s: SparkSession, dir: String): DataFrame = Corpus.documents(s, dir)
   private def postings(s: SparkSession, dir: String): DataFrame =
     InvertedIndex.postings(docs(s, dir))
@@ -85,6 +103,30 @@ object TextQueries {
     }
   }
 
+  /** Session-scoped StreamingFuzzy store holding `dir`'s urls ingested
+    * incrementally (three deterministic doc_id-mod-3 micro-batches —
+    * the EmbedStores pattern). Built once per (session, dir).
+    */
+  private[graft] object FuzzyStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def streamedStore(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_fuzzystream",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val d = docs(s, dir)
+        for (b <- 0 until 3)
+          graft.streaming.StreamingFuzzy.processBatch(
+            d.filter(col("doc_id") % 3 === b).select("url"),
+            b.toLong, path): Unit
+        cache += (s, dir) -> path
+        path
+      })
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_postings" -> ((s, dir) => postings(s, dir)),
 
@@ -129,6 +171,35 @@ object TextQueries {
     // Variant fan is |url|+1, so the join stays flat at any corpus size.
     "q_fuzzy_urls" -> ((s, dir) =>
       graft.operators.FuzzyJoin.ed1Pairs(docs(s, dir), "url")),
+
+    // Streamed twin: the crawl frontier arriving incrementally — three
+    // doc_id-mod-3 url micro-batches through StreamingFuzzy.processBatch
+    // (new urls' variants broadcast-join the accumulated variant store;
+    // a pair lands in the batch where its later endpoint arrives), the
+    // accumulated pair store hash-checked under the batch oracle.
+    "q_fuzzy_urls_streamed" -> ((s, dir) =>
+      graft.streaming.StreamingFuzzy.pairs(s, FuzzyStores.streamedStore(s, dir))),
+
+    // Crawl-frontier URL canonicalization: connected components over
+    // the ED-1 fuzzy pair graph (pointer-jumping Dedup.clusters,
+    // O(log diameter) rounds), each near-dup URL mapped to its
+    // component's canonical (min doc_id) URL — the dedup step a crawler
+    // runs on trailing-slash/typo URL families before fetch. Pairs map
+    // to doc ids through the 1:1 url↔doc_id relation; only URLs in ≥1
+    // pair appear (isolated URLs need no canonicalization).
+    "q_url_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("url"))
+      val pairs = graft.operators.FuzzyJoin.ed1Pairs(d, "url")
+      val idPairs = pairs
+        .join(d.select(col("url").as("url_a"), col("doc_id").as("doc_a")), "url_a")
+        .join(d.select(col("url").as("url_b"), col("doc_id").as("doc_b")), "url_b")
+        .select("doc_a", "doc_b")
+      graft.operators.Dedup.clusters(idPairs)
+        .join(d, "doc_id")
+        .join(d.select(col("doc_id").as("cluster_id"),
+          col("url").as("canonical_url")), "cluster_id")
+        .select("url", "canonical_url")
+    }),
 
     // PageRank over the DOCUMENT graph (nodes = every distinct url,
     // edges = the ED-1 fuzzy pairs, both directions, unit weight) — the
@@ -311,23 +382,50 @@ object TextQueries {
          |                  d -> CAST(d AS VARCHAR)), ',') AS postings_csv
          |FROM terms GROUP BY term""".stripMargin,
 
+    // streamed twin: identical SQL — the accumulated pair store must
+    // equal the batch ED-1 pair relation
+    "q_fuzzy_urls_streamed" -> fuzzyUrlsOracleSql,
+
     // mirror of FuzzyJoin.ed1Pairs: variants = [url itself] ++ all
     // 1-deletions — the identity entry is what lets length-(n, n+1)
     // insert/delete pairs collide
-    "q_fuzzy_urls" ->
-      s"""WITH u AS (
-         |  SELECT DISTINCT $urlSql AS url FROM documents
+    "q_fuzzy_urls" -> fuzzyUrlsOracleSql,
+
+    // URL components: the fuzzy-pair CTEs verbatim, ids through the
+    // 1:1 url↔doc_id relation, then the recursive min-label reach (the
+    // q_dedup_clusters oracle shape) mapped back to urls
+    "q_url_clusters" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT DISTINCT doc_id, $urlSql AS url FROM documents
          |), dels AS (
          |  SELECT url,
          |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
          |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
          |  FROM u
-         |), pairs AS (
+         |), cand AS (
          |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
          |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+         |), prs AS (
+         |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
+         |), idp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM prs JOIN u a ON prs.url_a = a.url JOIN u b ON prs.url_b = b.url
+         |), sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM idp
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM idp
+         |), nds AS (
+         |  SELECT DISTINCT src AS node FROM sym
+         |), reach(node, lab) AS (
+         |  SELECT node, node FROM nds
+         |  UNION
+         |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
+         |), cl AS (
+         |  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
          |)
-         |SELECT url_a, url_b FROM pairs
-         |WHERE levenshtein(url_a, url_b) = 1""".stripMargin,
+         |SELECT un.url, uc.url AS canonical_url
+         |FROM cl JOIN u un ON cl.doc_id = un.doc_id
+         |JOIN u uc ON cl.cluster_id = uc.doc_id""".stripMargin,
 
     // doc-graph PageRank: the fuzzy-pair CTEs verbatim, then the shared
     // iteration SQL (RelationalQueries.prIterSql — n computed in SQL)
