@@ -65,8 +65,49 @@ object Graph {
                broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
     val n = nodes.count() // one metadata-sized action, node count only
     require(n > 0, "pageRank needs a non-empty node set")
+    val nodeBase = nodes.select(col("node"),
+      lit((1.0 - damping) / n).as("base"), lit(1.0 / n).as("pr"))
+    powerIterate(edges, nodeBase, n, iters, damping, checkpointEvery,
+      broadcastRanksMax)
+  }
+
+  /** PERSONALIZED PageRank: teleport mass goes only to `seeds` (a
+    * `node` column — a topic's trusted pages, a user's liked docs), so
+    * ranks measure proximity TO THE SEED SET instead of global
+    * importance — the random-walk-with-restart family behind
+    * topic-sensitive ranking and graph-based recommendation. Same
+    * iteration core, exchange shape, determinism protocol, and
+    * broadcast gate as [[pageRank]]; only the per-node base/init
+    * column differs (seeds get (1−d)/|S| and 1/|S|, others 0).
+    */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                           iters: Int, damping: Double = 0.85,
+                           checkpointEvery: Int = 10,
+                           broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "personalizedPageRank needs a non-empty node set")
+    val s = seeds.select(col("node")).distinct()
+    val nS = s.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    val nodeBase = nodes
+      .join(s.withColumn("_s", lit(1)), Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("_s").isNotNull, lit((1.0 - damping) / nS))
+          .otherwise(lit(0.0)).as("base"),
+        when(col("_s").isNotNull, lit(1.0 / nS))
+          .otherwise(lit(0.0)).as("pr"))
+    powerIterate(edges, nodeBase, n, iters, damping, checkpointEvery,
+      broadcastRanksMax)
+  }
+
+  /** The shared power-iteration core. `nodeBase`: (node, base, pr) —
+    * per-node teleport mass and initial rank, node-sized by contract
+    * (one row per node; referenced once per iteration like the ranks).
+    */
+  private def powerIterate(edges: DataFrame, nodeBase: DataFrame, n: Long,
+                           iters: Int, damping: Double, checkpointEvery: Int,
+                           broadcastRanksMax: Long): DataFrame = {
     require(iters >= 0 && checkpointEvery > 0)
-    val base = (1.0 - damping) / n
     // gate decided ONCE from the driver-known node count — the hinted
     // relation is exactly node-sized by construction (one row per node)
     val broadcastRanks = n <= broadcastRanksMax
@@ -80,16 +121,16 @@ object Graph {
     val e = edges.join(outw, "src")
       .repartition(col(if (broadcastRanks) "dst" else "src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    var ranks = nodeBase.select("node", "pr")
     for (i <- 1 to iters) {
       val inflow = e.join(hint(ranks), col("src") === col("node"))
         .select(col("dst"),
           (col("pr") * col("w") / col("outw")).cast(DecimalType(27, 12)).as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).cast("double").as("inflow"))
-      ranks = nodes.join(hint(inflow), col("node") === col("dst"), "left_outer")
+      ranks = nodeBase.join(hint(inflow), col("node") === col("dst"), "left_outer")
         .select(col("node"),
-          round(lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
+          round(col("base") + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
             .as("pr"))
       if (i % checkpointEvery == 0 && i < iters)
         ranks = Dedup.materializeOnce(ranks)

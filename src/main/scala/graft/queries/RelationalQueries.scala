@@ -106,12 +106,15 @@ object RelationalQueries {
     }
   }
 
-  /** One micro-batch's edge-delta contribution: the q_pagerank join
-    * chain over the batch's lineitem slice only.
+  /** The nation trade graph's edge relation (supplier nation →
+    * customer nation, w = lineitem count) over an optional lineitem
+    * slice — the full relation for q_pagerank/q_ppr, the mod-3 slices
+    * for the streamed twin's delta batches.
     */
-  private def nationEdgeContribs(s: SparkSession, dir: String, b: Int): DataFrame = {
-    val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      .filter(col("l_orderkey") % 3 === b)
+  private def nationTradeEdges(s: SparkSession, dir: String,
+                               slice: Option[Int] = None): DataFrame = {
+    val liAll = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val li = slice.fold(liAll)(b => liAll.filter(col("l_orderkey") % 3 === b))
     val sup = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
     val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
     val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
@@ -121,6 +124,9 @@ object RelationalQueries {
       .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
   }
+
+  private def nationEdgeContribs(s: SparkSession, dir: String, b: Int): DataFrame =
+    nationTradeEdges(s, dir, Some(b))
 
   /** The streamed nation-graph fixpoint (node, pr) — shared by the
     * registered query and Bench's untimed store-build warm.
@@ -197,6 +203,21 @@ object RelationalQueries {
        |  SELECT count(*) AS cnt FROM nodes
        |), r0 AS (
        |  SELECT node, CAST('1' AS DOUBLE) / cnt AS pr FROM nodes CROSS JOIN nn
+       |)""".stripMargin
+
+  /** Personalized variant of [[prIterSql]]: the per-node teleport base
+    * comes from the `nb(node, base)` CTE (seeds get (1−d)/|S|, others
+    * 0) instead of the uniform scalar.
+    */
+  private def pprIterSql(i: Int): String =
+    s"""inf$i AS (
+       |  SELECT e.dst AS node,
+       |         CAST(SUM(CAST(r.pr * e.w / e.outw AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+       |  FROM e JOIN r$i r ON e.src = r.node GROUP BY e.dst
+       |), r${i + 1} AS (
+       |  SELECT n.node,
+       |         round(n.base + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 6) AS pr
+       |  FROM nb n LEFT JOIN inf$i USING (node)
        |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -312,18 +333,27 @@ object RelationalQueries {
     // graph-analytics family. Edge build is the q5-style join chain;
     // 8 power iterations with DECIMAL-summed inflows (operators/Graph).
     "q_pagerank" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-      val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val cust = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
-      val edges = li
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
       val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
-      graft.operators.Graph.pageRank(edges, nodes, iters = 8)
+      graft.operators.Graph.pageRank(nationTradeEdges(s, dir), nodes, iters = 8)
+        .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("pr"))
+        .orderBy(col("pr").desc, col("n_name"))
+    }),
+
+    // PERSONALIZED PageRank on the same graph: teleport restricted to
+    // the ASIA-region nations, so ranks measure trade-flow proximity to
+    // that seed set (random-walk-with-restart — the topic-sensitive /
+    // recommendation flavor of the iterative family). Same iteration
+    // core and determinism protocol; the oracle mirrors the per-node
+    // base column with |S| computed in SQL.
+    "q_ppr" -> ((s, dir) => {
+      val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
+      val seeds = tbl(s, dir, "nation")
+        .join(broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("node"))
+      graft.operators.Graph.personalizedPageRank(
+          nationTradeEdges(s, dir), nodes, seeds, iters = 8)
         .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr"))
         .orderBy(col("pr").desc, col("n_name"))
@@ -809,6 +839,40 @@ object RelationalQueries {
     "q_pagerank_streamed" -> pagerankOracleSql,
 
     "q_pagerank" -> pagerankOracleSql,
+
+    "q_ppr" ->
+      s"""WITH e0 AS (
+         |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2
+         |), ow AS (
+         |  SELECT src, sum(w) AS outw FROM e0 GROUP BY src
+         |), e AS (
+         |  SELECT e0.src, dst, w, outw FROM e0 JOIN ow USING (src)
+         |), nodes AS (
+         |  SELECT n_nationkey AS node FROM nation
+         |), seeds AS (
+         |  SELECT n_nationkey AS node FROM nation
+         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+         |), ns AS (
+         |  SELECT count(*) AS cnt FROM seeds
+         |), nb AS (
+         |  SELECT n.node,
+         |         CASE WHEN s.node IS NOT NULL
+         |              THEN (CAST('1' AS DOUBLE) - CAST('0.85' AS DOUBLE)) / ns.cnt
+         |              ELSE CAST(0 AS DOUBLE) END AS base,
+         |         CASE WHEN s.node IS NOT NULL
+         |              THEN CAST('1' AS DOUBLE) / ns.cnt
+         |              ELSE CAST(0 AS DOUBLE) END AS pr
+         |  FROM nodes n LEFT JOIN seeds s USING (node) CROSS JOIN ns
+         |), r0 AS (
+         |  SELECT node, pr FROM nb
+         |), ${(0 until 8).map(pprIterSql).mkString(", ")}
+         |SELECT n_name, pr FROM r8 JOIN nation ON node = n_nationkey
+         |ORDER BY pr DESC, n_name""".stripMargin,
 
     "q_not_in" ->
       """WITH ek AS (

@@ -84,6 +84,39 @@ class GraphSpec extends AnyFunSuite {
     assert(sec < 120.0, s"30-iteration pagerank took $sec s")
   }
 
+  test("personalized pagerank: all-nodes seed set degenerates to pagerank") {
+    val edges = (0L until 40L).map(i => (i % 8, (i * 3) % 8, 1L + i % 5))
+      .toDF("src", "dst", "w")
+    val nodes = (0L until 8L).toDF("node")
+    val ppr = Graph.personalizedPageRank(edges, nodes, nodes, iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val pr = Graph.pageRank(edges, nodes, iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(ppr === pr)
+  }
+
+  test("personalized pagerank: mass stays in the seed's reachable set") {
+    // two disconnected 2-cycles; seeding {0} must leave component {2,3}
+    // at exactly 0 and split all mass over {0,1}
+    val edges = Seq((0L, 1L, 1L), (1L, 0L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val seeds = Seq(0L).toDF("node")
+    val pr = Graph.personalizedPageRank(edges, nodes, seeds, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(2L) === 0.0 && pr(3L) === 0.0)
+    assert(pr(0L) > pr(1L)) // the restart favors the seed
+    assert(math.abs(pr(0L) + pr(1L) - 1.0) < 1e-4)
+  }
+
+  test("personalized pagerank rejects an empty seed set") {
+    val edges = Seq((0L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(0L, 1L).toDF("node")
+    val empty = Seq.empty[Long].toDF("node")
+    assertThrows[IllegalArgumentException](
+      Graph.personalizedPageRank(edges, nodes, empty, iters = 1))
+  }
+
   test("pagerank is deterministic across partitionings") {
     val edges = (0L until 40L).map(i => (i % 8, (i * 3) % 8, 1L + i % 5))
       .toDF("src", "dst", "w")
