@@ -91,7 +91,10 @@ object Dedup {
     val keep = sh0.groupBy("sh").agg(count(lit(1)).as("ns"))
       .filter(col("ns") <= maxSourcesPerShingle)
       .select("sh")
-    val sh = sh0.join(keep, Seq("sh"), "left_semi")
+    // materialized ONCE behind a plan boundary: the pruned relation is
+    // referenced three times (sizes + both pair-join sides) and the
+    // tokenize→distinct→prune subtree would otherwise run per reference
+    val sh = materializeOnce(sh0.join(keep, Seq("sh"), "left_semi"))
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     sh.select(col("source").as("source_a"), col("sh"))
       .join(sh.select(col("source").as("source_b"), col("sh")), "sh")

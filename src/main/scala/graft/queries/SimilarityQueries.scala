@@ -35,6 +35,29 @@ object SimilarityQueries {
     // MMR diversity re-rank: greedy relevance-minus-redundancy over a
     // distributed top-30 pool; only the pool-sized matrix lifts
     "q_mmr" -> ((s, dir) => VectorStore.mmrRerank(s, dir)),
+
+    // Exact kNN JOIN (the batch-retrieval shape: top-k neighbors for
+    // EVERY query in a query set, one pass): the 10-vector query set
+    // broadcasts against the store's prepared vectors — O(|Q|·N)
+    // scored rows, the exact baseline whose approximate scale path is
+    // the IVF ladder above — and the per-query top-5 plans as
+    // WindowGroupLimit bounded heaps (partial+final), never a global
+    // sort of the scored mass.
+    "q_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val vs = VectorStore.vectors(s, dir).select("vec_id", "v", "norm")
+      val qs = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      val scored = vs.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          graft.operators.Similarity.cosine(
+            col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    }),
     // SemDeDup: trained-IVF cells bound the quadratic term; discard =
     // has a smaller-id cluster-mate with cosine >= threshold
     "q_semdedup" -> ((s, dir) => VectorStore.semDedup(s, dir)),
@@ -317,6 +340,19 @@ object SimilarityQueries {
        |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_knn_join" ->
+      s"""$prepCte, qs AS (
+         |  SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id < 10
+         |), scored AS (
+         |  SELECT q.qid, c.vec_id,
+         |         round(list_sum(list_transform(range(1, len(c.v)+1), k -> c.v[k]*q.qv[k]))
+         |               / (c.norm * q.qn), 6) AS sim
+         |  FROM n c CROSS JOIN qs q WHERE c.vec_id <> q.qid
+         |)
+         |SELECT qid, vec_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 5""".stripMargin,
+
     "q_sim_topk" ->
       s"""$prepCte, q AS (
          |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0
