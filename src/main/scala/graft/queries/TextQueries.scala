@@ -222,6 +222,31 @@ object TextQueries {
         .select(col("node").as("url"), col("pr"))
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau '04): PageRank over
+    // the word CO-OCCURRENCE graph — nodes are stopword-filtered terms,
+    // edges are adjacent-token pairs (both directions, count-weighted),
+    // top-20 terms by rank are the corpus keywords. The graph family
+    // composed with the text stack: bigrams come from the same
+    // shingling kernel as the dedup/gram queries, the fixpoint from the
+    // shared power-iteration core (vocab-sized nodes ≪ broadcast gate).
+    "q_textrank" -> ((s, dir) => {
+      val bg = docs(s, dir).select(explode(
+          Text.shinglesFromTokens(Text.tokensNoStop(col("text")), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("a"),
+          split(col("bg"), " ").getItem(1).as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = bg.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      graft.operators.Graph.pageRank(edges, nodes, iters = 8)
+        .select(col("node").as("term"), col("pr"))
+        .orderBy(col("pr").desc, col("term"))
+        .limit(20)
+    }),
+
     // Prefix search over the persisted index (autocomplete shape): the
     // range form of LIKE 's%' pushes BOTH bounds to the parquet scan,
     // and because the stored postings are SORTED BY term inside each
@@ -454,6 +479,36 @@ object TextQueries {
          |  SELECT url AS node FROM u
          |), ${RelationalQueries.prInitSql}, ${(0 until 8).map(RelationalQueries.prIterSql).mkString(", ")}
          |SELECT node AS url, pr FROM r8""".stripMargin,
+
+    // TextRank: ordered stopword-filtered token list → adjacent pairs →
+    // symmetric count-weighted edges → the shared PR iteration CTEs
+    "q_textrank" ->
+      s"""WITH toksl AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |                     t -> t <> '') AS ts
+         |  FROM documents
+         |), filt AS (
+         |  SELECT doc_id, list_filter(ts, t -> t NOT IN ($stopList)) AS fs FROM toksl
+         |), bg AS (
+         |  SELECT fs[i] AS a, fs[i+1] AS b
+         |  FROM filt, unnest(range(1, len(fs))) AS t(i)
+         |  WHERE fs[i] <> fs[i+1]
+         |), e0 AS (
+         |  SELECT a AS src, b AS dst, count(*) AS w FROM bg GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst, count(*) AS w FROM bg GROUP BY 1, 2
+         |), e1 AS (
+         |  SELECT src, dst, sum(w) AS w FROM e0 GROUP BY 1, 2
+         |), ow AS (
+         |  SELECT src, sum(w) AS outw FROM e1 GROUP BY src
+         |), e AS (
+         |  SELECT e1.src, dst, w, outw FROM e1 JOIN ow USING (src)
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM e1
+         |), ${RelationalQueries.prInitSql}, ${(0 until 8).map(RelationalQueries.prIterSql).mkString(", ")}
+         |SELECT node AS term, pr FROM r8
+         |ORDER BY pr DESC, term LIMIT 20""".stripMargin,
 
     "q_prefix_terms" ->
       s"""$termsCte SELECT term, count(*) AS df FROM terms
