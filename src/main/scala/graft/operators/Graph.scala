@@ -100,6 +100,69 @@ object Graph {
       broadcastRanksMax)
   }
 
+  /** HITS hubs & authorities (Kleinberg '99): the two-sided fixpoint —
+    * a node's AUTHORITY is the (L1-normalized) sum of the hub scores
+    * pointing at it, its HUB score the normalized sum of the authority
+    * scores it points at. Unweighted edges (the classical formulation;
+    * `distinct` applied defensively). Returns (node, hub, auth).
+    *
+    * Same engineering protocol as [[pageRank]]: edge relation persisted
+    * once and released after the fixpoint materializes; node-sized
+    * score relations broadcast under the same gate; per-node sums AND
+    * the L1 norm go through DECIMAL(27,12) (order-independent) with
+    * 6-dp rounding each half-step, so the fixpoint is bit-reproducible
+    * cross-engine. Per-iteration normalization keeps every score ≤ 1,
+    * inside the DECIMAL cast's range — an unnormalized power iteration
+    * overflows DECIMAL(27,12) within a few steps on weighted graphs.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int,
+           broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "hits needs a non-empty node set")
+    require(iters >= 0)
+    val hint: DataFrame => DataFrame =
+      if (n <= broadcastRanksMax) broadcast else identity
+    val e = edges.select("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var hubs = nodes.select(col("node"), lit(1.0).as("h"))
+    var auths = nodes.select(col("node"), lit(1.0).as("a"))
+    // UNLIKE pageRank's linear chain, each HITS half-step references
+    // its raw-sum relation TWICE (the per-node join AND the L1 norm)
+    // and the other side's scores once more — left lazy, the lineage
+    // fans out exponentially in the iteration count (measured: 4
+    // nation-graph iterations = 118 s of re-computed subtrees). Every
+    // half-step therefore materializes behind a plan boundary; the
+    // score relations are node-sized, so each cut is metadata-cheap.
+    for (_ <- 1 to iters) {
+      val ar = Dedup.materializeOnce(
+        e.join(hint(hubs), col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(col("h").cast(DecimalType(27, 12))).cast("double").as("ar")))
+      val an = ar.agg(coalesce(
+        sum(col("ar").cast(DecimalType(27, 12))).cast("double"), lit(1.0)).as("an"))
+      auths = Dedup.materializeOnce(
+        nodes.join(hint(ar), col("node") === col("dst"), "left_outer")
+          .crossJoin(hint(an))
+          .select(col("node"),
+            round(coalesce(col("ar"), lit(0.0)) / col("an"), 6).as("a")))
+      val hr = Dedup.materializeOnce(
+        e.join(hint(auths), col("dst") === col("node"))
+          .groupBy("src")
+          .agg(sum(col("a").cast(DecimalType(27, 12))).cast("double").as("hr")))
+      val hn = hr.agg(coalesce(
+        sum(col("hr").cast(DecimalType(27, 12))).cast("double"), lit(1.0)).as("hn"))
+      hubs = Dedup.materializeOnce(
+        nodes.join(hint(hr), col("node") === col("src"), "left_outer")
+          .crossJoin(hint(hn))
+          .select(col("node"),
+            round(coalesce(col("hr"), lit(0.0)) / col("hn"), 6).as("h")))
+    }
+    val out = Dedup.materializeOnce(
+      hubs.join(auths, "node").select(col("node"), col("h").as("hub"), col("a").as("auth")))
+    e.unpersist()
+    out
+  }
+
   /** The shared power-iteration core. `nodeBase`: (node, base, pr) —
     * per-node teleport mass and initial rank, node-sized by contract
     * (one row per node; referenced once per iteration like the ranks).

@@ -205,6 +205,37 @@ object RelationalQueries {
        |  SELECT node, CAST('1' AS DOUBLE) / cnt AS pr FROM nodes CROSS JOIN nn
        |)""".stripMargin
 
+  /** One HITS iteration as CTEs (mirror of `Graph.hits`): auth
+    * half-step from h$i, then hub half-step from the fresh a${i+1};
+    * per-node sums and L1 norms through DECIMAL(27,12), 6-dp rounds,
+    * identical coalesce/divide op order. Expects `e(src,dst)`,
+    * `nodes(node)`, `h$i(node,h)` in scope.
+    */
+  private def hitsIterSql(i: Int): String =
+    s"""ar$i AS (
+       |  SELECT e.dst AS node,
+       |         CAST(SUM(CAST(h.h AS DECIMAL(27,12))) AS DOUBLE) AS ar
+       |  FROM e JOIN h$i h ON e.src = h.node GROUP BY e.dst
+       |), an$i AS (
+       |  SELECT coalesce(CAST(SUM(CAST(ar AS DECIMAL(27,12))) AS DOUBLE),
+       |                  CAST(1 AS DOUBLE)) AS an FROM ar$i
+       |), a${i + 1} AS (
+       |  SELECT n.node,
+       |         round(coalesce(ar, CAST(0 AS DOUBLE)) / an, 6) AS a
+       |  FROM nodes n LEFT JOIN ar$i USING (node) CROSS JOIN an$i
+       |), hr$i AS (
+       |  SELECT e.src AS node,
+       |         CAST(SUM(CAST(a.a AS DECIMAL(27,12))) AS DOUBLE) AS hr
+       |  FROM e JOIN a${i + 1} a ON e.dst = a.node GROUP BY e.src
+       |), hn$i AS (
+       |  SELECT coalesce(CAST(SUM(CAST(hr AS DECIMAL(27,12))) AS DOUBLE),
+       |                  CAST(1 AS DOUBLE)) AS hn FROM hr$i
+       |), h${i + 1} AS (
+       |  SELECT n.node,
+       |         round(coalesce(hr, CAST(0 AS DOUBLE)) / hn, 6) AS h
+       |  FROM nodes n LEFT JOIN hr$i USING (node) CROSS JOIN hn$i
+       |)""".stripMargin
+
   /** Personalized variant of [[prIterSql]]: the per-node teleport base
     * comes from the `nb(node, base)` CTE (seeds get (1−d)/|S|, others
     * 0) instead of the uniform scalar.
@@ -357,6 +388,21 @@ object RelationalQueries {
         .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr"))
         .orderBy(col("pr").desc, col("n_name"))
+    }),
+
+    // HITS hubs & authorities on the nation trade graph (unweighted —
+    // the classical formulation): which nations are hubs (their
+    // suppliers ship to authoritative customer nations) vs authorities
+    // (shipped to by hub nations) — the two-sided fixpoint family
+    // beside PageRank's one-sided one. 4 iterations, per-half-step L1
+    // normalization under the DECIMAL determinism protocol.
+    "q_hits" -> ((s, dir) => {
+      val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
+      graft.operators.Graph.hits(
+          nationTradeEdges(s, dir).select("src", "dst"), nodes, iters = 4)
+        .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("hub"), col("auth"))
+        .orderBy(col("hub").desc, col("n_name"))
     }),
 
     // Streamed twin of q_pagerank: the SAME nation trade graph, but the
@@ -839,6 +885,22 @@ object RelationalQueries {
     "q_pagerank_streamed" -> pagerankOracleSql,
 
     "q_pagerank" -> pagerankOracleSql,
+
+    "q_hits" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |), nodes AS (
+         |  SELECT n_nationkey AS node FROM nation
+         |), h0 AS (
+         |  SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes
+         |), ${(0 until 4).map(hitsIterSql).mkString(", ")}
+         |SELECT n_name, h4.h AS hub, a4.a AS auth
+         |FROM h4 JOIN a4 USING (node) JOIN nation ON node = n_nationkey
+         |ORDER BY hub DESC, n_name""".stripMargin,
 
     "q_ppr" ->
       s"""WITH e0 AS (

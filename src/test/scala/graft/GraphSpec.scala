@@ -117,6 +117,29 @@ class GraphSpec extends AnyFunSuite {
       Graph.personalizedPageRank(edges, nodes, empty, iters = 1))
   }
 
+  test("hits: a directed star yields one pure hub and uniform authorities") {
+    val edges = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = (0L until 4L).toDF("node")
+    val r = Graph.hits(edges, nodes, iters = 2)
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(0L)._1 === 1.0)            // the only hub gets all hub mass
+    assert(r(0L)._2 === 0.0)            // nothing points at it
+    assert(r(1L)._1 === 0.0)            // leaves point at nothing
+    assert(r(1L) === r(2L) && r(2L) === r(3L)) // symmetric authorities
+    assert(math.abs(r(1L)._2 + r(2L)._2 + r(3L)._2 - 1.0) < 1e-4) // L1 norm
+  }
+
+  test("hits is deterministic across partitionings") {
+    val edges = (0L until 40L).map(i => (i % 8, (i * 3 + 1) % 8, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = (0L until 8L).toDF("node")
+    val a = Graph.hits(edges, nodes, iters = 4)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = Graph.hits(edges.repartition(7), nodes.repartition(3), iters = 4)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("pagerank is deterministic across partitionings") {
     val edges = (0L until 40L).map(i => (i % 8, (i * 3) % 8, 1L + i % 5))
       .toDF("src", "dst", "w")
