@@ -163,6 +163,47 @@ object Graph {
     out
   }
 
+  /** Single-source shortest HOPS (BFS levels) by iterative
+    * min-relaxation: after k rounds every node holds its exact
+    * shortest hop count if it is ≤ k (unreachable-within-k nodes are
+    * absent from the output). Integer arithmetic throughout — no
+    * float determinism protocol needed. Returns (node, hops) for
+    * reached nodes only.
+    *
+    * Same lineage discipline as [[hits]]: the distance relation is
+    * referenced twice per round (the frontier join and the outer
+    * merge), so each round materializes behind a node-sized plan
+    * boundary; edges distinct + persisted once + released.
+    */
+  def shortestHops(edges: DataFrame, nodes: DataFrame, source: Long,
+                   maxHops: Int,
+                   broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "shortestHops needs a non-empty node set")
+    require(maxHops >= 0)
+    val hint: DataFrame => DataFrame =
+      if (n <= broadcastRanksMax) broadcast else identity
+    val e = edges.select("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = nodes.select(col("node"),
+      when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long"))
+        .as("hops"))
+    for (_ <- 1 to maxHops) {
+      val relax = e.join(hint(dist.filter(col("hops").isNotNull)),
+          col("src") === col("node"))
+        .groupBy("dst").agg(min(col("hops") + lit(1L)).as("nh"))
+      dist = Dedup.materializeOnce(
+        dist.join(hint(relax), col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            when(col("hops").isNull, col("nh"))
+              .when(col("nh").isNull, col("hops"))
+              .otherwise(least(col("hops"), col("nh"))).as("hops")))
+    }
+    val out = Dedup.materializeOnce(dist.filter(col("hops").isNotNull))
+    e.unpersist()
+    out
+  }
+
   /** The shared power-iteration core. `nodeBase`: (node, base, pr) —
     * per-node teleport mass and initial rank, node-sized by contract
     * (one row per node; referenced once per iteration like the ranks).

@@ -390,6 +390,21 @@ object RelationalQueries {
         .orderBy(col("pr").desc, col("n_name"))
     }),
 
+    // Single-source shortest hops over the nation trade graph (BFS
+    // levels from nation 0): the reachability family beside the rank
+    // fixpoints — how many trade-relationship hops from ALGERIA to
+    // every other nation. Integer-exact; recursive-CTE oracle with the
+    // identical ≤6-hop horizon.
+    "q_bfs" -> ((s, dir) => {
+      val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
+      graft.operators.Graph.shortestHops(
+          nationTradeEdges(s, dir).select("src", "dst"), nodes,
+          source = 0L, maxHops = 6)
+        .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("hops"))
+        .orderBy(col("hops"), col("n_name"))
+    }),
+
     // HITS hubs & authorities on the nation trade graph (unweighted —
     // the classical formulation): which nations are hubs (their
     // suppliers ship to authoritative customer nations) vs authorities
@@ -885,6 +900,27 @@ object RelationalQueries {
     "q_pagerank_streamed" -> pagerankOracleSql,
 
     "q_pagerank" -> pagerankOracleSql,
+
+    // BFS levels: UNION-dedup recursion with the same ≤6-hop horizon
+    // as the engine's 6 relaxation rounds — both sides compute "exact
+    // shortest hops if ≤ 6, absent otherwise"
+    "q_bfs" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |), walk(node, hops) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON w.node = e.src
+         |  WHERE w.hops < 6
+         |), d AS (
+         |  SELECT node, min(hops) AS hops FROM walk GROUP BY node
+         |)
+         |SELECT n_name, hops FROM d JOIN nation ON node = n_nationkey
+         |ORDER BY hops, n_name""".stripMargin,
 
     "q_hits" ->
       s"""WITH e AS (

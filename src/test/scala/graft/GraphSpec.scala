@@ -140,6 +140,20 @@ class GraphSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("shortestHops: exact BFS levels on a path graph, horizon respected") {
+    // path 0→1→2→3→4 plus a shortcut 0→3
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (0L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = (0L until 6L).toDF("node") // 5 is disconnected
+    val d = Graph.shortestHops(edges, nodes, source = 0L, maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+    // horizon: with maxHops = 1 only the direct neighbors appear
+    val d1 = Graph.shortestHops(edges, nodes, source = 0L, maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 === Map(0L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
+
   test("pagerank is deterministic across partitionings") {
     val edges = (0L until 40L).map(i => (i % 8, (i * 3) % 8, 1L + i % 5))
       .toDF("src", "dst", "w")

@@ -297,7 +297,7 @@ class PlanSpec extends AnyFunSuite {
     // fails if a refactor (e.g. an expression wrapper around the rank
     // column) breaks the pattern match and silently restores the
     // sort-everything plan.
-    for (q <- Seq("q_top_terms_per_source", "q_sample_per_source")) {
+    for (q <- Seq("q_top_terms_per_source", "q_sample_per_source", "q_knn_join")) {
       val p = plan(q)
       assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
         s"$q lost the map-side (Partial) group limit:\n$p")
