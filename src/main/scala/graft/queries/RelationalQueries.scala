@@ -359,6 +359,51 @@ object RelationalQueries {
         .select(explode(array(rows: _*)).as("e")).select(col("e.*"))
     }),
 
+    // Simple linear regression (OLS fit per measure pair) from the
+    // SAME shared moments row as q_profile/q_corr — zero additional
+    // scans: slope/intercept/r² are closed-form in the exact DECIMAL
+    // moment sums, and the formulas are the identical double-op
+    // sequence on both engines (never the engine's REGR_* aggregates,
+    // whose accumulation is implementation-specific).
+    "q_linreg" -> ((s, dir) => {
+      val rows = LineitemMoments.pairs.zipWithIndex.map { case ((x, y), i) =>
+        val (sx, sy, qx, qy, sxy) =
+          (col(s"s_$x"), col(s"s_$y"), col(s"q_$x"), col(s"q_$y"), col(s"sxy_$i"))
+        val nn = col("n")
+        val slope = (nn * sxy - sx * sy) / (nn * qx - sx * sx)
+        val r = (nn * sxy - sx * sy) /
+          (sqrt(nn * qx - sx * sx) * sqrt(nn * qy - sy * sy))
+        struct(lit(s"$y ~ $x").as("fit"),
+          round(slope, 6).as("slope"),
+          round((sy - slope * sx) / nn, 6).as("intercept"),
+          round(r * r, 6).as("r2"))
+      }
+      LineitemMoments.of(s, dir)
+        .select(explode(array(rows: _*)).as("e")).select(col("e.*"))
+    }),
+
+    // z-score outlier counts per measure (the anomaly-detection gate a
+    // validation suite runs after profiling): ONE lineitem scan joined
+    // with the broadcast 1-row moments relation, counting rows beyond
+    // 3 sample standard deviations. Mean/std derive from the shared
+    // moments with the identical arithmetic as q_profile.
+    "q_outliers" -> ((s, dir) => {
+      val aggs = LineitemMoments.cols.map { c =>
+        val nn = col(s"nn_$c"); val sm = col(s"s_$c"); val sq = col(s"q_$c")
+        val mean = sm / nn
+        val std = sqrt((sq - sm * sm / nn) / (nn - lit(1)))
+        sum(when(abs(col(c) - mean) > lit(3.0) * std, 1L).otherwise(0L))
+          .as(s"o_$c")
+      }
+      val one = tbl(s, dir, "lineitem")
+        .crossJoin(broadcast(LineitemMoments.of(s, dir)))
+        .agg(aggs.head, aggs.tail: _*)
+      val rows = LineitemMoments.cols.map { c =>
+        struct(lit(c).as("column_name"), col(s"o_$c").as("n_outliers"))
+      }
+      one.select(explode(array(rows: _*)).as("e")).select(col("e.*"))
+    }),
+
     // Weighted PageRank over the nation trade graph (supplier nation →
     // customer nation, edge weight = lineitem count): the iterative
     // graph-analytics family. Edge build is the q5-style join chain;
@@ -893,6 +938,59 @@ object RelationalQueries {
          |  FROM lineitem
          |)
          |${cols.map(profileRowSql).mkString("\nUNION ALL ")}""".stripMargin
+    },
+
+    // OLS per pair from the same exact moments; slope's expression is
+    // repeated inside intercept (identical double ops → identical value)
+    "q_linreg" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_extendedprice", "l_discount"),
+        ("l_discount", "l_tax"))
+      val aggSql = (cols.map { c =>
+        s"""CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS s_$c,
+           |         CAST(SUM(CAST($c*$c AS DECIMAL(18,4))) AS DOUBLE) AS q_$c""".stripMargin
+      } ++ pairs.zipWithIndex.map { case ((x, y), i) =>
+        s"CAST(SUM(CAST($x*$y AS DECIMAL(18,4))) AS DOUBLE) AS sxy_$i"
+      }).mkString(",\n         ")
+      val rowSql = pairs.zipWithIndex.map { case ((x, y), i) =>
+        val slope = s"(n * sxy_$i - s_$x * s_$y) / (n * q_$x - s_$x * s_$x)"
+        val r = s"""(n * sxy_$i - s_$x * s_$y)
+                   |             / (sqrt(n * q_$x - s_$x * s_$x)
+                   |                * sqrt(n * q_$y - s_$y * s_$y))""".stripMargin
+        s"""SELECT '$y ~ $x' AS fit,
+           |       round($slope, 6) AS slope,
+           |       round((s_$y - ($slope) * s_$x) / n, 6) AS intercept,
+           |       round(($r) * ($r), 6) AS r2
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH m AS (
+         |  SELECT count(*) AS n,
+         |         $aggSql
+         |  FROM lineitem
+         |)
+         |$rowSql""".stripMargin
+    },
+
+    // one filtered count per column over lineitem × the 1-row moments,
+    // mean/std arithmetic identical to q_profile's
+    "q_outliers" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rowSql = cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |       CAST(count(*) FILTER (
+           |         abs($c - s_$c / nn_$c)
+           |         > 3.0 * sqrt((q_$c - s_$c * s_$c / nn_$c) / (nn_$c - 1))
+           |       ) AS BIGINT) AS n_outliers
+           |FROM lineitem CROSS JOIN m""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH m AS (
+         |  SELECT count(*) AS n,
+         |         ${cols.map(profileAggSql).mkString(",\n         ")}
+         |  FROM lineitem
+         |)
+         |$rowSql""".stripMargin
     },
 
     // streamed twin: identical SQL — the accumulated delta store must
