@@ -53,6 +53,23 @@ class FuzzyStreamSpec extends AnyFunSuite {
     assert(StreamingFuzzy.urls(spark, store).count() === batches(0).length.toLong)
   }
 
+  test("sinkFuzzyPairs end-to-end: MemoryStream micro-batches accumulate the batch pair set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_sink").toString
+    val input = MemoryStream[String]
+    val q = StreamingFuzzy.sinkFuzzyPairs(
+      input.toDF().toDF("url"), s"$dir/store", s"$dir/ckpt")
+    try {
+      batches.foreach { urls =>
+        input.addData(urls)
+        q.processAllAvailable()
+      }
+      val got = pairSet(StreamingFuzzy.pairs(spark, s"$dir/store"))
+      assert(got === pairSet(FuzzyJoin.ed1Pairs(allUrls.toDF("url"), "url")))
+    } finally q.stop()
+  }
+
   test("compaction preserves served pairs and urls") {
     val store = freshStore("compact")
     batches.zipWithIndex.foreach { case (urls, b) =>

@@ -72,6 +72,23 @@ class GraphStreamSpec extends AnyFunSuite {
     assert(r1 === expect)
   }
 
+  test("sinkEdges end-to-end: MemoryStream delta batches accumulate the batch edges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_sink").toString
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamingGraph.sinkEdges(
+      input.toDF().toDF("src", "dst", "w"), s"$dir/store", s"$dir/ckpt")
+    try {
+      (0 until 3).foreach { b =>
+        input.addData(facts.filter(col("src") % 3 === b)
+          .as[(Long, Long, Long)].collect().toSeq)
+        q.processAllAvailable()
+      }
+      assert(edgeSet(StreamingGraph.edges(spark, s"$dir/store")) === edgeSet(batchEdges))
+    } finally q.stop()
+  }
+
   test("compaction preserves served edges and the rebuilt fixpoint") {
     val store = freshStore("compact")
     for (b <- 0 until 3)
