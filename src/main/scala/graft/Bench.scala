@@ -188,8 +188,11 @@ object Bench {
         // r13: streamed edge-delta store + its version-keyed rank
         // derivation (q_pagerank_streamed) — same build-once attribution
         graft.queries.RelationalQueries.streamedRanks(spark, sfDir).count()
-        // r13: streamed fuzzy-pair store (q_fuzzy_urls_streamed)
+        // r13: streamed fuzzy-pair store (q_fuzzy_urls_streamed) + the
+        // batch pair store shared by q_fuzzy_urls / q_url_clusters /
+        // q_pagerank_docs
         graft.queries.TextQueries.FuzzyStores.streamedStore(spark, sfDir): Unit
+        graft.queries.TextQueries.FuzzyStores.batchPairs(spark, sfDir).count()
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 

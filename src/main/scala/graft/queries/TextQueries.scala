@@ -125,6 +125,21 @@ object TextQueries {
         path
       })
     }
+
+    /** The BATCH corpus-wide ED-1 pair relation, persisted once per
+      * (process, corpus) — the `DedupStore.pairs` discipline applied
+      * to the fuzzy family: q_fuzzy_urls, the URL component clustering,
+      * and the doc-graph PageRank all consume this relation, so the
+      * variant self-join runs once, not once per consuming query.
+      */
+    def batchPairs(s: SparkSession, dir: String): DataFrame = {
+      val path = graft.sources.SessionStores.scopedPath("graft_fuzzystream",
+        "batch_pairs_" + graft.sources.SessionStores.tagOf(dir))
+      graft.sources.SessionStores.servedPath(s, path) {
+        graft.operators.FuzzyJoin.ed1Pairs(docs(s, dir), "url")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -168,9 +183,11 @@ object TextQueries {
     // The identity variant is what catches pure insert/delete pairs
     // (lengths n vs n+1 — trailing-slash twins); deletions alone can
     // never collide across the length gap (the r12 recall hole).
-    // Variant fan is |url|+1, so the join stays flat at any corpus size.
-    "q_fuzzy_urls" -> ((s, dir) =>
-      graft.operators.FuzzyJoin.ed1Pairs(docs(s, dir), "url")),
+    // Variant fan is |url|+1, so the join stays flat at any corpus
+    // size. Served from the session-scoped batch pair store (the
+    // DedupStore.pairs discipline — three queries consume this
+    // relation; the variant self-join runs once at store build).
+    "q_fuzzy_urls" -> ((s, dir) => FuzzyStores.batchPairs(s, dir)),
 
     // Streamed twin: the crawl frontier arriving incrementally — three
     // doc_id-mod-3 url micro-batches through StreamingFuzzy.processBatch
@@ -189,7 +206,7 @@ object TextQueries {
     // pair appear (isolated URLs need no canonicalization).
     "q_url_clusters" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("url"))
-      val pairs = graft.operators.FuzzyJoin.ed1Pairs(d, "url")
+      val pairs = FuzzyStores.batchPairs(s, dir)
       val idPairs = pairs
         .join(d.select(col("url").as("url_a"), col("doc_id").as("doc_a")), "url_a")
         .join(d.select(col("url").as("url_b"), col("doc_id").as("doc_b")), "url_b")
@@ -211,7 +228,7 @@ object TextQueries {
     // covers. Both directions come from one posexplode-free explode of
     // the pair relation (a union would plan the fuzzy join twice).
     "q_pagerank_docs" -> ((s, dir) => {
-      val pairs = graft.operators.FuzzyJoin.ed1Pairs(docs(s, dir), "url")
+      val pairs = FuzzyStores.batchPairs(s, dir)
       val edges = pairs.select(explode(array(
         struct(col("url_a").as("src"), col("url_b").as("dst")),
         struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
