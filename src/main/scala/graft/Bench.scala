@@ -195,6 +195,8 @@ object Bench {
         graft.queries.TextQueries.FuzzyStores.batchPairs(spark, sfDir).count()
         // r13: nation trade edge relation shared by the five graph queries
         graft.queries.RelationalQueries.nationEdgesStore(spark, sfDir).count()
+        // r13: TextRank co-occurrence edge relation
+        graft.queries.TextQueries.FuzzyStores.cooccurrenceEdges(spark, sfDir).count()
         (System.nanoTime() - tStores) / 1e9
       } catch { case _: Throwable => -1.0 }
 

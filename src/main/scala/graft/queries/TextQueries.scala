@@ -126,6 +126,29 @@ object TextQueries {
       })
     }
 
+    /** The word co-occurrence edge relation for TextRank, persisted
+      * once per (process, corpus): symmetric count-weighted
+      * adjacent-term pairs — bigram-vocab-sized, the corpus tokenize
+      * runs at store build, not per query.
+      */
+    def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+      val path = graft.sources.SessionStores.scopedPath("graft_fuzzystream",
+        "cooc_edges_" + graft.sources.SessionStores.tagOf(dir))
+      graft.sources.SessionStores.servedPath(s, path) {
+        val bg = docs(s, dir).select(explode(
+            Text.shinglesFromTokens(Text.tokensNoStop(col("text")), 2)).as("bg"))
+          .select(split(col("bg"), " ").getItem(0).as("a"),
+            split(col("bg"), " ").getItem(1).as("b"))
+          .filter(col("a") =!= col("b"))
+        bg.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src"), col("e.dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+    }
+
     /** The BATCH corpus-wide ED-1 pair relation, persisted once per
       * (process, corpus) — the `DedupStore.pairs` discipline applied
       * to the fuzzy family: q_fuzzy_urls, the URL component clustering,
@@ -247,16 +270,7 @@ object TextQueries {
     // shingling kernel as the dedup/gram queries, the fixpoint from the
     // shared power-iteration core (vocab-sized nodes ≪ broadcast gate).
     "q_textrank" -> ((s, dir) => {
-      val bg = docs(s, dir).select(explode(
-          Text.shinglesFromTokens(Text.tokensNoStop(col("text")), 2)).as("bg"))
-        .select(split(col("bg"), " ").getItem(0).as("a"),
-          split(col("bg"), " ").getItem(1).as("b"))
-        .filter(col("a") =!= col("b"))
-      val edges = bg.select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = FuzzyStores.cooccurrenceEdges(s, dir)
       val nodes = edges.select(col("src").as("node")).distinct()
       graft.operators.Graph.pageRank(edges, nodes, iters = 8)
         .select(col("node").as("term"), col("pr"))
