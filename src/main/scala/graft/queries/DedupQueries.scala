@@ -40,6 +40,26 @@ object DedupQueries {
       curateStreamed(docs(s, dir).select("doc_id", "text"),
         DedupStore.streamedStorePath(s, dir))),
 
+    // N-gram NOVELTY scoring (the memorization/staleness curation
+    // signal): per document, the fraction of its distinct 3-gram
+    // shingles FIRST seen in that document (by doc_id ingest order) —
+    // boilerplate-heavy late documents score near 0, fresh content near
+    // 1. Served from the shared hash store's shingle sets (no corpus
+    // re-tokenize); the first-seen relation is one vocab-sized min
+    // aggregate, the join is shingle-keyed (AQE-splittable).
+    "q_novelty" -> ((s, dir) => {
+      val sh = DedupStore.hashes(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+    }),
+
     // Pins the minSharedRare=1 vs =2 recall divergence IN the correctness
     // artifact (not only in DedupSpec): pair counts under both settings
     // plus the pairs the =2 opt-in drops, oracle-checked — a corpus or
@@ -517,6 +537,21 @@ object DedupQueries {
 
 
     "q_simhash" -> simhashSql,
+
+    // novelty: first-seen = min doc_id per shingle over the same
+    // distinct shingle sets the hash store holds
+    "q_novelty" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.shingle FROM shs, unnest(sh) AS t(shingle)
+         |), fst AS (
+         |  SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY shingle
+         |)
+         |SELECT e.doc_id, count(*) AS n_shingles,
+         |       CAST(count(*) FILTER (e.doc_id = f.first_doc) AS BIGINT) AS n_novel,
+         |       round(CAST(count(*) FILTER (e.doc_id = f.first_doc) AS DOUBLE)
+         |             / count(*), 6) AS novelty
+         |FROM ex e JOIN fst f USING (shingle)
+         |GROUP BY e.doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""$shingleCte, ex AS (
