@@ -28,8 +28,19 @@ import org.apache.spark.sql.types._
   * persisted node-sized rank relation with zero iteration work.
   *
   * STORE LAYOUT under `storePath`:
-  *   - `edges/` (src, dst, w, ingest_ms): per-batch contribution rows
-  *     (batch-locally pre-summed — map-side combine before the write);
+  *   - `edges/` (src, dst, w, ingest_ms, batch): per-batch contribution
+  *     rows (batch-locally pre-summed — map-side combine before the
+  *     write), stamped with the owning batchId AND the append stamp.
+  *     Contributions are ADDITIVE and therefore NOT collapsible by key
+  *     the way the dedup/embed stores' rows are — a naive re-append in
+  *     the at-least-once residual window (crash after the append,
+  *     before the marker) would DOUBLE-COUNT weights. Every read and
+  *     compaction therefore keeps, per batchId, only the rows carrying
+  *     that batch's LATEST append stamp (all rows of one append share
+  *     one stamp), so a replayed append SUPERSEDES its crashed
+  *     predecessor instead of adding to it — the latest-wins version
+  *     rule of `StreamingDedup.canonicalByDoc`, applied at batch
+  *     granularity;
   *   - `_graft_commits/<scope>/<batchId>`: idempotent-replay markers.
   */
 object StreamingGraph {
@@ -40,7 +51,8 @@ object StreamingGraph {
     StructField("src", LongType),
     StructField("dst", LongType),
     StructField("w", LongType),
-    StructField("ingest_ms", LongType)))
+    StructField("ingest_ms", LongType),
+    StructField("batch", LongType)))
 
   /** Start the incremental edge-delta sink: `contribs` must stream
     * (src, dst, w) rows.
@@ -74,20 +86,42 @@ object StreamingGraph {
           col("w").cast("long"))
         .groupBy("src", "dst").agg(sum(col("w")).as("w"))
         .withColumn("ingest_ms", lit(stamp))
+        .withColumn("batch", lit(batchId))
         .coalesce(1) // small per-batch appends: one file, not one per task
         .write.mode(SaveMode.Append).parquet(edgesPath(storePath))
     }
   }
 
-  /** The accumulated edge relation: per-(src, dst) delta sum. */
+  /** The accumulated edge relation: per-(src, dst) delta sum over the
+    * latest-stamp rows of every batch.
+    */
   def edges(spark: SparkSession, storePath: String): DataFrame =
     collapse(StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema))
       .select("src", "dst", "w")
 
+  /** Per batchId, only the rows of the LATEST append survive (a
+    * residual-window replay supersedes its crashed predecessor — see
+    * the layout doc); the keep relation is batch-count-sized.
+    */
+  private def latestPerBatch(e: DataFrame): DataFrame = {
+    val ms = coalesce(col("ingest_ms"), lit(Long.MinValue))
+    val keep = e.groupBy("batch").agg(max(ms).as("_keep_ms"))
+      .withColumnRenamed("batch", "_keep_batch")
+    e.join(keep, col("batch") <=> col("_keep_batch") && ms === col("_keep_ms"))
+      .select("src", "dst", "w", "ingest_ms", "batch")
+  }
+
+  /** The deterministic collapse rule shared by reads and compaction.
+    * Compaction writes this relation back, so the collapsed rows form
+    * ONE synthetic batch (-1 is no real batchId, so it can never be
+    * superseded by a replay) sharing ONE stamp — per-key stamps would
+    * make a later latest-per-batch pass drop all but the newest row.
+    */
   private def collapse(e: DataFrame): DataFrame =
-    e.groupBy("src", "dst")
-      .agg(sum(col("w")).as("w"),
-        max(coalesce(col("ingest_ms"), lit(Long.MinValue))).as("ingest_ms"))
+    latestPerBatch(e).groupBy("src", "dst")
+      .agg(sum(col("w")).as("w"))
+      .withColumn("ingest_ms", lit(0L))
+      .withColumn("batch", lit(-1L))
 
   /** Change witness for structures DERIVED from this store: (raw row
     * count, latest ingest stamp) over the un-collapsed edge relation —

@@ -72,6 +72,23 @@ class GraphStreamSpec extends AnyFunSuite {
     assert(r1 === expect)
   }
 
+  test("residual-window replay supersedes, never double-counts deltas") {
+    // crash AFTER the append but BEFORE the marker (simulated by
+    // deleting the marker): the re-run must REPLACE the crashed
+    // append's contribution — additive deltas cannot be deduped by
+    // key, so a naive re-append would double every weight
+    val store = freshStore("residual")
+    assert(StreamingGraph.processBatch(facts, 0L, store))
+    val committed = edgeSet(StreamingGraph.edges(spark, store))
+    val marker = new java.io.File(s"$store/_graft_commits/default/0")
+    assert(marker.exists && marker.delete())
+    assert(StreamingGraph.processBatch(facts, 0L, store)) // replay re-runs
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === committed)
+    // and the superseded rows are physically dropped by compaction
+    StreamingGraph.compactStore(spark, store)
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === committed)
+  }
+
   test("sinkEdges end-to-end: MemoryStream delta batches accumulate the batch edges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
