@@ -185,9 +185,12 @@ object Bench {
         // r13: the shared one-row moments relation q_profile + q_corr
         // both project from — one lineitem scan, built once here
         graft.queries.RelationalQueries.LineitemMoments.of(spark, sfDir).count()
-        // r13: streamed edge-delta store + its version-keyed rank
-        // derivation (q_pagerank_streamed) — same build-once attribution
+        // r13: streamed edge-delta store + its version-keyed fixpoint
+        // derivations (q_pagerank/q_hits/q_bfs streamed twins) — same
+        // build-once attribution
         graft.queries.RelationalQueries.streamedRanks(spark, sfDir).count()
+        graft.queries.RelationalQueries.streamedHits(spark, sfDir).count()
+        graft.queries.RelationalQueries.streamedBfs(spark, sfDir).count()
         // r13: streamed fuzzy-pair store (q_fuzzy_urls_streamed) + the
         // batch pair store shared by q_fuzzy_urls / q_url_clusters /
         // q_pagerank_docs

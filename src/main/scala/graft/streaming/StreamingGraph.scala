@@ -135,6 +135,23 @@ object StreamingGraph {
     (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
   }
 
+  /** A version-keyed DERIVED structure over the accumulated edges:
+    * `compute` runs only when the store's change witness moves; an
+    * unchanged store serves the persisted result. The whole iterative
+    * graph family snapshots a live edge stream this way — the
+    * `streamedIvf` memo protocol with the edge store as the base.
+    */
+  def derived(spark: SparkSession, storePath: String, name: String)
+             (compute: DataFrame => DataFrame): DataFrame = {
+    val ver = storeVersion(spark, storePath)
+    val root = graft.sources.SessionStores.scopedPath("graft_graphstream",
+      s"${name}_v${ver._1}_${ver._2}_" + graft.sources.SessionStores.tagOf(storePath))
+    graft.sources.SessionStores.servedPath(spark, s"$root/out") {
+      compute(edges(spark, storePath))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/out")
+    }
+  }
+
   /** The version-keyed rank store: PageRank over the accumulated edges,
     * recomputed only when the store version moves, served from the
     * persisted node-sized relation otherwise. Deterministic by the
@@ -143,15 +160,10 @@ object StreamingGraph {
     * serve the identical fixpoint.
     */
   def ranks(spark: SparkSession, storePath: String, nodes: DataFrame,
-            iters: Int = 8, damping: Double = 0.85): DataFrame = {
-    val ver = storeVersion(spark, storePath)
-    val root = graft.sources.SessionStores.scopedPath("graft_graphstream",
-      s"pr_v${ver._1}_${ver._2}_" + graft.sources.SessionStores.tagOf(storePath))
-    graft.sources.SessionStores.servedPath(spark, s"$root/ranks") {
-      graft.operators.Graph.pageRank(edges(spark, storePath), nodes, iters, damping)
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/ranks")
+            iters: Int = 8, damping: Double = 0.85): DataFrame =
+    derived(spark, storePath, "pr") { e =>
+      graft.operators.Graph.pageRank(e, nodes, iters, damping)
     }
-  }
 
   /** Collapse replay-residual duplicates and per-batch small files —
     * the collapse IS the accessor's sum rule, so served edges never
