@@ -905,6 +905,28 @@ object RelationalQueries {
         tbl(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))),
 
+    // Median absolute deviation per group — the ROBUST dispersion
+    // statistic (outlier-insensitive where q_profile's stddev is not):
+    // two exact-percentile passes through the same range-rank machinery
+    // as q_percentiles (median of x, then median of |x − median|), the
+    // group-median relation broadcast between them. Both medians are
+    // 6-dp rounded at the boundary so the deviation inputs are
+    // identical doubles on both engines.
+    "q_mad" -> ((s, dir) => {
+      val med = graft.operators.Percentiles.exactQuantiles(
+          tbl(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          Seq("median" -> 0.5))
+        .select(col("l_returnflag"), col("median"))
+      val dev = tbl(s, dir, "lineitem")
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("median")).as("d"))
+      graft.operators.Percentiles.exactQuantiles(dev, "l_returnflag", "d",
+          Seq("mad" -> 0.5))
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("median"), col("mad"), col("n"))
+    }),
+
     // Analytic window over event time: each event with the user's
     // previous value (lag) and running event number.
     "q_user_lag" -> ((s, dir) => {
@@ -1291,6 +1313,21 @@ object RelationalQueries {
         |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
         |       COUNT(l_extendedprice) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_extendedprice, 0.5), 6) AS median
+        |  FROM lineitem GROUP BY 1
+        |), dev AS (
+        |  SELECT l.l_returnflag, abs(l.l_extendedprice - m.median) AS d
+        |  FROM lineitem l JOIN med m USING (l_returnflag)
+        |)
+        |SELECT d.l_returnflag, m.median,
+        |       round(quantile_cont(d.d, 0.5), 6) AS mad,
+        |       COUNT(d.d) AS n
+        |FROM dev d JOIN med m USING (l_returnflag)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_user_lag" ->
       """SELECT event_id, user_id, value,
