@@ -927,6 +927,28 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("median"), col("mad"), col("n"))
     }),
 
+    // Winsorized mean per group — the robust-mean preprocessing step
+    // (clamp to [p05, p95], then average): one exact-percentile pass
+    // broadcasts the 3-row bounds relation, the clamp is a map-side
+    // least/greatest projection, and the mean goes through a DECIMAL
+    // sum (clamped values are either the raw 2-dp measures or the
+    // 6-dp-rounded bounds — both exact in DECIMAL(18,6)).
+    "q_winsorized" -> ((s, dir) => {
+      val bounds = graft.operators.Percentiles.exactQuantiles(
+          tbl(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          Seq("p05" -> 0.05, "p95" -> 0.95))
+        .select("l_returnflag", "p05", "p95")
+      tbl(s, dir, "lineitem")
+        .join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"), col("p05"), col("p95"),
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95")).as("cl"))
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+          round(sum(col("cl").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 6).as("wmean"),
+          count(lit(1)).as("n"))
+    }),
+
     // Analytic window over event time: each event with the user's
     // previous value (lag) and running event number.
     "q_user_lag" -> ((s, dir) => {
@@ -1313,6 +1335,21 @@ object RelationalQueries {
         |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
         |       COUNT(l_extendedprice) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_winsorized" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+        |         round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_returnflag, b.p05, b.p95,
+        |       round(CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95)
+        |                           AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS wmean,
+        |       count(*) AS n
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_mad" ->
       """WITH med AS (
