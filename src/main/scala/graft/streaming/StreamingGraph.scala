@@ -41,11 +41,33 @@ import org.apache.spark.sql.types._
   *     predecessor instead of adding to it — the latest-wins version
   *     rule of `StreamingDedup.canonicalByDoc`, applied at batch
   *     granularity;
-  *   - `_graft_commits/<scope>/<batchId>`: idempotent-replay markers.
+  *   - `_graft_commits/<scope>/<batchId>`: idempotent-replay markers;
+  *   - `_graft_hwm`: the compaction HIGH-WATER MARK — the largest real
+  *     batchId whose rows were absorbed into the collapsed store. The
+  *     value stores (dedup/embed/fuzzy) may drop their markers at
+  *     compaction because a replayed re-append collapses by key; here
+  *     the collapsed rows live under synthetic batch -1, where the
+  *     latest-stamp-per-batch rule can no longer supersede a replay of
+  *     the original batchId — without the mark, a batch in the
+  *     at-least-once residual window (append committed, marker write
+  *     crashed) or the checkpoint-commit window (marker written,
+  *     stream checkpoint commit crashed) replayed after a compact
+  *     would ADD its deltas to the collapsed sums. `processBatch`
+  *     therefore skips every batchId at or below the mark, which is
+  *     sound because a visible append is a COMPLETE append (the file-
+  *     commit protocol exposes nothing mid-job), so everything at or
+  *     below the mark is fully in the store by construction.
+  *
+  * RETRACTIONS are supported: deltas may be negative, and a key whose
+  * deltas net to zero is DROPPED from the served edge relation (and
+  * from the compacted store) so the accumulated edge SET — which
+  * `q_hits_streamed`/`q_bfs_streamed` consume bare — always equals the
+  * batch edge relation built from the same surviving facts.
   */
 object StreamingGraph {
 
   private[graft] def edgesPath(store: String) = s"$store/edges"
+  private[graft] def hwmPath(store: String) = s"$store/_graft_hwm"
 
   private val edgeSchema = StructType(Seq(
     StructField("src", LongType),
@@ -79,7 +101,12 @@ object StreamingGraph {
   private[graft] def processBatch(batch: DataFrame, batchId: Long, storePath: String,
                                   scope: String = "default"): Boolean = {
     val spark = batch.sparkSession
-    StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
+    val conf = spark.sparkContext.hadoopConfiguration
+    // compaction high-water mark: everything at or below is already in
+    // the collapsed store (batch -1), where a re-append could no longer
+    // be superseded — skip the replay outright
+    if (batchId <= readHwm(conf, storePath)) return false
+    StoreMaintenance.runOnce(conf,
       storePath, scope, batchId) {
       val stamp = StoreMaintenance.nextStamp()
       batch.select(col("src").cast("long"), col("dst").cast("long"),
@@ -116,10 +143,15 @@ object StreamingGraph {
     * ONE synthetic batch (-1 is no real batchId, so it can never be
     * superseded by a replay) sharing ONE stamp — per-key stamps would
     * make a later latest-per-batch pass drop all but the newest row.
+    * Keys whose deltas net to ZERO are dropped: a retraction that
+    * cancels a weight removes the edge from the served SET, keeping
+    * the bare-edge consumers (HITS/BFS) equal to the batch relation
+    * over the surviving facts.
     */
   private def collapse(e: DataFrame): DataFrame =
     latestPerBatch(e).groupBy("src", "dst")
       .agg(sum(col("w")).as("w"))
+      .filter(col("w") =!= 0)
       .withColumn("ingest_ms", lit(0L))
       .withColumn("batch", lit(-1L))
 
@@ -165,18 +197,74 @@ object StreamingGraph {
       graft.operators.Graph.pageRank(e, nodes, iters, damping)
     }
 
+  /** The largest batchId absorbed by a compaction (Long.MinValue if
+    * never compacted) — `processBatch` skips replays at or below it.
+    */
+  private[graft] def readHwm(conf: org.apache.hadoop.conf.Configuration,
+                             storePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(hwmPath(storePath))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    }
+  }
+
+  private def writeHwm(conf: org.apache.hadoop.conf.Configuration,
+                       storePath: String, hwm: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(hwmPath(storePath))
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(hwm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Collapse replay-residual duplicates and per-batch small files —
     * the collapse IS the accessor's sum rule, so served edges never
     * flip across a compact (`compactSubWith` contract). NOTE the
     * collapse changes the raw row count, so the store version moves
     * and the next `ranks` read rebuilds once — to the same fixpoint,
     * since the collapsed edges are equal by construction.
+    *
+    * ORDER matters for crash safety: the high-water mark (max over the
+    * previous mark, every committed marker, and every batchId visible
+    * in the store — a visible append is a complete one) is persisted
+    * BEFORE the collapse rewrite. Advancing the mark early is sound —
+    * everything at or below it is already fully in the store, so
+    * skipping its replay is correct whether or not the collapse then
+    * lands; writing it late would leave a crash window in which the
+    * store is collapsed but replays at the mark still re-append.
+    * Markers are deleted last (value semantics never depended on them
+    * post-compact here either — the mark subsumes them).
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
-    StoreMaintenance.assertIngestStopped(spark.sparkContext.hadoopConfiguration, storePath)
-    StoreMaintenance.compactSubWith(spark, edgesPath(storePath), edgeSchema, collapse)
+    val conf = spark.sparkContext.hadoopConfiguration
+    StoreMaintenance.assertIngestStopped(conf, storePath)
+    StoreMaintenance.recoverSub(spark, edgesPath(storePath))
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
-    commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
+    val fs = commits.getFileSystem(conf)
+    val markerMax =
+      if (!fs.exists(commits)) Long.MinValue
+      else {
+        val it = fs.listFiles(commits, true)
+        var m = Long.MinValue
+        while (it.hasNext) {
+          val name = it.next().getPath.getName
+          try m = math.max(m, name.toLong) catch { case _: NumberFormatException => () }
+        }
+        m
+      }
+    val storedMax = {
+      val r = StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema)
+        .filter(col("batch") >= 0).agg(max(col("batch"))).collect()(0)
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    }
+    val hwm = Seq(readHwm(conf, storePath), markerMax, storedMax).max
+    if (hwm > Long.MinValue) writeHwm(conf, storePath, hwm)
+    StoreMaintenance.compactSubWith(spark, edgesPath(storePath), edgeSchema, collapse)
+    fs.delete(commits, true): Unit
   }
 
   def recoverStore(spark: SparkSession, storePath: String): Unit =

@@ -89,6 +89,47 @@ class GraphStreamSpec extends AnyFunSuite {
     assert(edgeSet(StreamingGraph.edges(spark, store)) === committed)
   }
 
+  test("a residual-window batch replayed AFTER compaction is skipped by the high-water mark") {
+    // append committed, marker write crashed, THEN the operator
+    // compacted: the original rows now live under synthetic batch -1
+    // where latest-stamp supersede can no longer catch the replay —
+    // the persisted max-absorbed-batch mark must skip it outright
+    val store = freshStore("hwm")
+    for (b <- 0 until 2)
+      assert(StreamingGraph.processBatch(facts.filter(col("src") % 2 === b), b, store))
+    val committed = edgeSet(StreamingGraph.edges(spark, store))
+    val marker = new java.io.File(s"$store/_graft_commits/default/1")
+    assert(marker.exists && marker.delete()) // crash window: rows in, marker gone
+    StreamingGraph.compactStore(spark, store)
+    assert(!StreamingGraph.processBatch(facts.filter(col("src") % 2 === 1), 1L, store))
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === committed)
+  }
+
+  test("a checkpoint-commit-window batch replayed after compaction is skipped too") {
+    // marker written, but the STREAM's own checkpoint commit crashed:
+    // restart replays the batchId, and compaction deleted the marker —
+    // only the high-water mark stands between the replay and a double
+    val store = freshStore("ckptwin")
+    assert(StreamingGraph.processBatch(facts, 0L, store))
+    val committed = edgeSet(StreamingGraph.edges(spark, store))
+    StreamingGraph.compactStore(spark, store) // deletes markers, records hwm=0
+    assert(!StreamingGraph.processBatch(facts, 0L, store))
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === committed)
+    // genuinely NEW batches above the mark still land
+    assert(StreamingGraph.processBatch(facts.limit(6), 1L, store))
+  }
+
+  test("retractions: a key whose deltas net to zero leaves the served edge set") {
+    val store = freshStore("retract")
+    assert(StreamingGraph.processBatch(
+      Seq((1L, 2L, 5L), (3L, 4L, 2L)).toDF("src", "dst", "w"), 0L, store))
+    assert(StreamingGraph.processBatch(
+      Seq((1L, 2L, -5L)).toDF("src", "dst", "w"), 1L, store)) // full retraction
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === Set((3L, 4L, 2L)))
+    StreamingGraph.compactStore(spark, store) // zero-sum key physically dropped
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === Set((3L, 4L, 2L)))
+  }
+
   test("sinkEdges end-to-end: MemoryStream delta batches accumulate the batch edges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
