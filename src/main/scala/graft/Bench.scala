@@ -151,57 +151,77 @@ object Bench {
     // same build-once-query-many attribution as the index and dedup
     // stores: left inside the timed pass, the full-table rewrites land in
     // q_zorder_box/q_colocated_join's pass-A samples and permanently trip
-    // the >2× re-measure heuristic even on a quiet host
-    val tStores = System.nanoTime()
+    // the >2× re-measure heuristic even on a quiet host.
+    // Since r14 every store is a NAMED sub-build (the dedup_build_parts
+    // discipline): ~40 s of unnamed untimed build is where a store
+    // regression would otherwise hide. `store_build_sec` stays the sum
+    // for round-over-round continuity; a failed part records -1 and the
+    // later parts still build.
+    val storeParts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def storePart(name: String)(f: => Unit): Unit = storeParts(name) = subBuild(f)
+    storePart("layout_z") {
+      graft.sources.LayoutStore.lineitemZ(spark, sfDir).count(): Unit }
+    storePart("colocated") {
+      val (li, ord) = graft.sources.ColocatedStore.orderJoinTables(spark, sfDir)
+      li.count(); ord.count(): Unit }
+    // ANN/IVF structures (prepared+bucketed vectors, cell-partitioned
+    // IVF, Lloyd-trained IVF) — the trained build is ~2 s of k-means
+    // that used to run INSIDE every q_ann_ivf_trained execution
+    storePart("vectors") {
+      graft.sources.VectorStore.vectors(spark, sfDir).count()
+      graft.sources.VectorStore.ivf(spark, sfDir)._1.count()
+      graft.sources.VectorStore.ivf(spark, sfDir, iters = 2)._1.count(): Unit }
+    // term-statistics store serving the tf-idf/LM/BM25 scoring
+    // family: stats() builds the bucketed tf table first, scalars()
+    // builds doclen; the filtered read warms the bucket-pruned path
+    // the ranked/BM25 point queries measure
+    storePart("termstats") {
+      graft.sources.TermStatsStore.stats(spark, sfDir).count()
+      graft.sources.TermStatsStore.scalars(spark, sfDir).count()
+      materialize(graft.sources.TermStatsStore.tf(spark, sfDir)
+        .filter(col("term") === "spark")) }
+    // streamed MG sketch store serving q_heavy_hitters_streamed —
+    // same build-once attribution as the dedup streamed store
+    storePart("stream_mg") {
+      graft.queries.AnalysisQueries.SketchStores.streamedMgStore(spark, sfDir): Unit }
+    // r12 streamed-twin stores: embedding ingest (q_embed_dup_streamed /
+    // q_semdedup_streamed) and the incrementally-built index table
+    // (q_term_lookup_streamed / q_index_stats_streamed) — same
+    // build-once attribution
+    storePart("stream_embed") {
+      graft.queries.SimilarityQueries.EmbedStores.streamedStore(spark, sfDir): Unit
+      graft.queries.SimilarityQueries.streamedIvf(spark, sfDir).count(): Unit }
+    storePart("stream_index") {
+      graft.queries.TextQueries.StreamedIndex.table(spark, sfDir): Unit }
+    // r13: the shared one-row moments relation q_profile + q_corr
+    // both project from — one lineitem scan, built once here
+    storePart("moments") {
+      graft.queries.RelationalQueries.LineitemMoments.of(spark, sfDir).count(): Unit }
+    // r14: the shared 3-row quantile relation (ONE range-rank pass)
+    // serving q_percentiles / q_winsorized / q_mad's median anchor
+    storePart("quantiles") {
+      graft.queries.RelationalQueries.PriceQuantiles.of(spark, sfDir).count(): Unit }
+    // r13: streamed edge-delta store + its version-keyed fixpoint
+    // derivations (q_pagerank/q_hits/q_bfs streamed twins) — same
+    // build-once attribution
+    storePart("stream_graph") {
+      graft.queries.RelationalQueries.streamedRanks(spark, sfDir).count()
+      graft.queries.RelationalQueries.streamedHits(spark, sfDir).count()
+      graft.queries.RelationalQueries.streamedBfs(spark, sfDir).count(): Unit }
+    // r13: streamed fuzzy-pair store (q_fuzzy_urls_streamed) + the
+    // batch pair store shared by q_fuzzy_urls / q_url_clusters /
+    // q_pagerank_docs
+    storePart("fuzzy") {
+      graft.queries.TextQueries.FuzzyStores.streamedStore(spark, sfDir): Unit
+      graft.queries.TextQueries.FuzzyStores.batchPairs(spark, sfDir).count(): Unit }
+    // r13: nation trade edge relation shared by the five graph queries
+    storePart("nation_edges") {
+      graft.queries.RelationalQueries.nationEdgesStore(spark, sfDir).count(): Unit }
+    // r13: TextRank co-occurrence edge relation
+    storePart("cooccur") {
+      graft.queries.TextQueries.FuzzyStores.cooccurrenceEdges(spark, sfDir).count(): Unit }
     val storeBuildSec =
-      try {
-        graft.sources.LayoutStore.lineitemZ(spark, sfDir).count()
-        val (li, ord) = graft.sources.ColocatedStore.orderJoinTables(spark, sfDir)
-        li.count(); ord.count()
-        // ANN/IVF structures (prepared+bucketed vectors, cell-partitioned
-        // IVF, Lloyd-trained IVF) — the trained build is ~2 s of k-means
-        // that used to run INSIDE every q_ann_ivf_trained execution
-        graft.sources.VectorStore.vectors(spark, sfDir).count()
-        graft.sources.VectorStore.ivf(spark, sfDir)._1.count()
-        graft.sources.VectorStore.ivf(spark, sfDir, iters = 2)._1.count()
-        // term-statistics store serving the tf-idf/LM/BM25 scoring
-        // family: stats() builds the bucketed tf table first, scalars()
-        // builds doclen; the filtered read warms the bucket-pruned path
-        // the ranked/BM25 point queries measure
-        graft.sources.TermStatsStore.stats(spark, sfDir).count()
-        graft.sources.TermStatsStore.scalars(spark, sfDir).count()
-        materialize(graft.sources.TermStatsStore.tf(spark, sfDir)
-          .filter(col("term") === "spark"))
-        // streamed MG sketch store serving q_heavy_hitters_streamed —
-        // same build-once attribution as the dedup streamed store
-        graft.queries.AnalysisQueries.SketchStores.streamedMgStore(spark, sfDir): Unit
-        // r12 streamed-twin stores: embedding ingest (q_embed_dup_streamed /
-        // q_semdedup_streamed) and the incrementally-built index table
-        // (q_term_lookup_streamed / q_index_stats_streamed) — same
-        // build-once attribution
-        graft.queries.SimilarityQueries.EmbedStores.streamedStore(spark, sfDir): Unit
-        graft.queries.SimilarityQueries.streamedIvf(spark, sfDir).count()
-        graft.queries.TextQueries.StreamedIndex.table(spark, sfDir): Unit
-        // r13: the shared one-row moments relation q_profile + q_corr
-        // both project from — one lineitem scan, built once here
-        graft.queries.RelationalQueries.LineitemMoments.of(spark, sfDir).count()
-        // r13: streamed edge-delta store + its version-keyed fixpoint
-        // derivations (q_pagerank/q_hits/q_bfs streamed twins) — same
-        // build-once attribution
-        graft.queries.RelationalQueries.streamedRanks(spark, sfDir).count()
-        graft.queries.RelationalQueries.streamedHits(spark, sfDir).count()
-        graft.queries.RelationalQueries.streamedBfs(spark, sfDir).count()
-        // r13: streamed fuzzy-pair store (q_fuzzy_urls_streamed) + the
-        // batch pair store shared by q_fuzzy_urls / q_url_clusters /
-        // q_pagerank_docs
-        graft.queries.TextQueries.FuzzyStores.streamedStore(spark, sfDir): Unit
-        graft.queries.TextQueries.FuzzyStores.batchPairs(spark, sfDir).count()
-        // r13: nation trade edge relation shared by the five graph queries
-        graft.queries.RelationalQueries.nationEdgesStore(spark, sfDir).count()
-        // r13: TextRank co-occurrence edge relation
-        graft.queries.TextQueries.FuzzyStores.cooccurrenceEdges(spark, sfDir).count()
-        (System.nanoTime() - tStores) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      if (storeParts.values.exists(_ < 0)) -1.0 else storeParts.values.sum
 
     // one untimed warm call first: the sentinel's OWN first execution pays
     // its codegen/JIT, which the end-of-run call never does — without the
@@ -289,7 +309,29 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => esc(k) + ":" + esc(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
+    // SELF-IDENTIFYING host-health verdict (the r13 judge ask): a
+    // contended run must say so in its own JSON instead of relying on a
+    // reader to cross-check sentinels against BASELINE.md. Checks mirror
+    // the documented protocol: the re-measure count (29 on the r13
+    // contended driver run vs ≤5 on every healthy anchor), the
+    // identically-planned cube/rollup ratio (healthy ≈1.1; 3.24
+    // contended), start/end drift of the fixed CPU microbench, and the
+    // end-of-run rollup re-time vs its mid-run minimum.
+    val healthFailures = Seq(
+      (contended.length > 8) -> s"remeasured=${contended.length}>8",
+      (cubeRollupRatio > 2.0) -> ("cube_rollup_ratio=" + f4(cubeRollupRatio)),
+      (cpuStart > 0 && cpuEnd > 0 &&
+        math.max(cpuStart, cpuEnd) > 1.6 * math.min(cpuStart, cpuEnd)) ->
+        ("sentinel_drift=" + f4(math.max(cpuStart, cpuEnd) / math.min(cpuStart, cpuEnd))),
+      timed.get("q_rollup_revenue").exists(r => rollupEnd > 0 && r > 0 &&
+        math.max(rollupEnd, r) > 2.0 * math.min(rollupEnd, r)) ->
+        ("rollup_end_vs_mid=" + f4(rollupEnd / timed.getOrElse("q_rollup_revenue", 1.0)))
+    ).collect { case (true, reason) => reason }
+    val hostHealth =
+      if (healthFailures.isEmpty) "ok" else "contended:" + healthFailures.mkString(",")
+    val storePartsJson = storeParts.map { case (k, v) => esc(k) + ":" + f2(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"store_build_parts":$storePartsJson,"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
     println(line)
     // sidecar copy for any consumer whose stdout capture truncates
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),

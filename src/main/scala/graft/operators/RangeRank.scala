@@ -57,6 +57,21 @@ object RangeRank {
     require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
       "RangeRank.ranked requires spark.sql.exchange.reuse=true " +
         "(rank offsets are only valid against a single materialization of the range exchange)")
+    // A CACHED relation anywhere in the input lineage silently defeats
+    // that reuse: the two branch subtrees containing an
+    // InMemoryTableScan stop canonicalizing equal, TWO range exchanges
+    // materialize with independently sampled boundaries, and the
+    // offsets describe the wrong layout (observed: duplicate ranks,
+    // max rank > group size, 944 order violations on a 60k-row input).
+    // Refuse loudly — serve cached state through a parquet store
+    // (`SessionStores.servedPath`), whose scan canonicalizes stably.
+    require(!df.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+        case _ => false
+      },
+      "RangeRank.ranked input lineage contains a cached (persisted) relation, " +
+        "which breaks range-exchange reuse and corrupts ranks — materialize it " +
+        "to a parquet store (SessionStores.servedPath) or unpersist it first")
     val inputCols = df.columns.toSeq
     require(sortCols.forall(inputCols.contains),
       s"sort columns must be materialized on the input: ${sortCols.mkString(", ")}")

@@ -108,6 +108,30 @@ class PercentilesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("cached-lineage input is refused — exchange reuse silently breaks under InMemoryRelation") {
+    // an InMemoryTableScan under the range exchange stops the stats and
+    // rank branches canonicalizing equal: two exchanges materialize with
+    // independently sampled boundaries and the offsets describe the
+    // wrong layout (observed: duplicate ranks, max rank > group size).
+    // The operator must fail loudly, not serve corrupted ranks.
+    val base = spark.range(1000).selectExpr("CAST(id % 3 AS STRING) AS k", "CAST(id AS DOUBLE) AS v")
+    val cachedDim = spark.range(3).selectExpr("CAST(id AS STRING) AS k", "id AS w").cache()
+    try {
+      cachedDim.count() // materialize
+      val withCached = base.join(cachedDim, "k").select($"k", ($"v" + $"w").as("v"))
+      val e = intercept[IllegalArgumentException] {
+        Percentiles.exactQuantiles(withCached, "k", "v", Seq("p50" -> 0.5))
+      }
+      assert(e.getMessage.contains("cached"))
+      // the same relation through a parquet round-trip is accepted
+      val dir = java.nio.file.Files.createTempDirectory("graft_rr_store").toString
+      withCached.write.mode("overwrite").parquet(dir)
+      val ok = Percentiles.exactQuantiles(
+        spark.read.parquet(dir), "k", "v", Seq("p50" -> 0.5))
+      assert(ok.count() === 3)
+    } finally cachedDim.unpersist(): Unit
+  }
+
   test("one hot key spreads across more than one task (parallelism is data-sized)") {
     // 20k rows of a SINGLE key: the old per-key window ranked these in
     // exactly one task; range repartitioning must use several. AQE's
