@@ -177,7 +177,16 @@ object Graph {
     */
   def shortestHops(edges: DataFrame, nodes: DataFrame, source: Long,
                    maxHops: Int,
-                   broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
+                   broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame =
+    shortestHopsAt(edges, nodes, lit(source), maxHops, broadcastRanksMax)
+
+  /** [[shortestHops]] for any node-key type (the doc graph's nodes are
+    * URLs, the nation graph's are Long keys): `source` is a literal
+    * column compared against the node key.
+    */
+  def shortestHopsAt(edges: DataFrame, nodes: DataFrame,
+                     source: org.apache.spark.sql.Column, maxHops: Int,
+                     broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
     val n = nodes.count()
     require(n > 0, "shortestHops needs a non-empty node set")
     require(maxHops >= 0)

@@ -318,7 +318,7 @@ object RelationalQueries {
     * identical coalesce/divide op order. Expects `e(src,dst)`,
     * `nodes(node)`, `h$i(node,h)` in scope.
     */
-  private def hitsIterSql(i: Int): String =
+  private[queries] def hitsIterSql(i: Int): String =
     s"""ar$i AS (
        |  SELECT e.dst AS node,
        |         CAST(SUM(CAST(h.h AS DECIMAL(27,12))) AS DOUBLE) AS ar

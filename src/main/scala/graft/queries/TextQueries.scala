@@ -262,6 +262,42 @@ object TextQueries {
         .select(col("node").as("url"), col("pr"))
     }),
 
+    // HITS over the document graph — the two-sided fixpoint exercised
+    // where node count is CORPUS-SIZED on the non-broadcast path
+    // (broadcastRanksMax = 0), completing the per-family shuffle-path
+    // oracle coverage q_pagerank_docs started: every half-step joins
+    // the node-sized score relation onto the edge relation without a
+    // hint, the plan that runs at web-scale node counts.
+    "q_hits_docs" -> ((s, dir) => {
+      val pairs = FuzzyStores.batchPairs(s, dir)
+      val edges = pairs.select(explode(array(
+        struct(col("url_a").as("src"), col("url_b").as("dst")),
+        struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      val nodes = docs(s, dir).select(col("url").as("node")).distinct()
+      graft.operators.Graph.hits(edges, nodes, iters = 4, broadcastRanksMax = 0)
+        .select(col("node").as("url"), col("hub"), col("auth"))
+    }),
+
+    // BFS levels over the document graph from a DETERMINISTIC source
+    // (the lexicographically-first URL appearing in any fuzzy pair —
+    // a 1-row bounded driver lift, computed identically in the
+    // oracle's scalar subquery), shuffle path per q_hits_docs. Only
+    // the source's ED-1 component is reached — the expected shape of
+    // near-dup URL families.
+    "q_bfs_docs" -> ((s, dir) => {
+      val pairs = FuzzyStores.batchPairs(s, dir)
+      val src = pairs.agg(min(least(col("url_a"), col("url_b")))).head.getString(0)
+      val edges = pairs.select(explode(array(
+        struct(col("url_a").as("src"), col("url_b").as("dst")),
+        struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      val nodes = docs(s, dir).select(col("url").as("node")).distinct()
+      graft.operators.Graph.shortestHopsAt(edges, nodes, lit(src),
+          maxHops = 6, broadcastRanksMax = 0)
+        .select(col("node").as("url"), col("hops"))
+    }),
+
     // TextRank keyword extraction (Mihalcea & Tarau '04): PageRank over
     // the word CO-OCCURRENCE graph — nodes are stopword-filtered terms,
     // edges are adjacent-token pairs (both directions, count-weighted),
@@ -510,6 +546,61 @@ object TextQueries {
          |  SELECT url AS node FROM u
          |), ${RelationalQueries.prInitSql}, ${(0 until 8).map(RelationalQueries.prIterSql).mkString(", ")}
          |SELECT node AS url, pr FROM r8""".stripMargin,
+
+    // doc-graph HITS: the fuzzy-pair CTEs verbatim, then the shared
+    // HITS half-step CTEs (RelationalQueries.hitsIterSql)
+    "q_hits_docs" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT $urlSql AS url FROM documents
+         |), dels AS (
+         |  SELECT url,
+         |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
+         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
+         |  FROM u
+         |), cand AS (
+         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+         |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+         |), prs AS (
+         |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
+         |), e AS (
+         |  SELECT url_a AS src, url_b AS dst FROM prs
+         |  UNION ALL
+         |  SELECT url_b AS src, url_a AS dst FROM prs
+         |), nodes AS (
+         |  SELECT url AS node FROM u
+         |), h0 AS (
+         |  SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes
+         |), ${(0 until 4).map(RelationalQueries.hitsIterSql).mkString(", ")}
+         |SELECT node AS url, h4.h AS hub, a4.a AS auth
+         |FROM h4 JOIN a4 USING (node)""".stripMargin,
+
+    // doc-graph BFS: the fuzzy-pair CTEs, a recursive ≤6-hop walk from
+    // the lexicographically-first paired URL (scalar subquery — the
+    // engine's 1-row driver lift computed in SQL)
+    "q_bfs_docs" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT DISTINCT $urlSql AS url FROM documents
+         |), dels AS (
+         |  SELECT url,
+         |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
+         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
+         |  FROM u
+         |), cand AS (
+         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+         |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+         |), prs AS (
+         |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
+         |), sym AS (
+         |  SELECT url_a AS src, url_b AS dst FROM prs
+         |  UNION ALL
+         |  SELECT url_b AS src, url_a AS dst FROM prs
+         |), walk(node, hops) AS (
+         |  SELECT (SELECT min(least(url_a, url_b)) FROM prs), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT s.dst, w.hops + 1 FROM walk w JOIN sym s ON w.node = s.src
+         |  WHERE w.hops < 6
+         |)
+         |SELECT node AS url, min(hops) AS hops FROM walk GROUP BY node""".stripMargin,
 
     // TextRank: ordered stopword-filtered token list → adjacent pairs →
     // symmetric count-weighted edges → the shared PR iteration CTEs
