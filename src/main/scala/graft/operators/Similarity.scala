@@ -77,6 +77,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-nearest-neighbor JOIN: top-`k` cosine neighbors for EVERY
+    * row of `queries` (qid, qv, qn) against `vectors` (vec_id, v,
+    * norm) in one pass — the batch-retrieval baseline whose
+    * approximate scale path is the IVF ladder. O(|Q|·N) scored rows;
+    * the per-query top-k plans as WindowGroupLimit bounded heaps
+    * (partial + final), never a global sort of the scored mass.
+    *
+    * The query side is broadcast ONLY while its driver-known row count
+    * stays under `broadcastQueriesMax` (the `Graph.pageRank` gate
+    * discipline: an explicit hint is honored REGARDLESS of size, so an
+    * ungated broadcast of an unbounded query set — vector rows are
+    * KB-sized, not the 16-byte rank rows — would push a table through
+    * the driver at exactly the scale this operator targets). Past the
+    * gate the cross product follows stats/AQE; at a genuinely large
+    * |Q| the right plan is the ANN ladder, not this baseline.
+    * Self-matches (vec_id == qid) are excluded.
+    */
+  def knnJoin(vectors: DataFrame, queries: DataFrame, k: Int,
+              broadcastQueriesMax: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hint: DataFrame => DataFrame =
+      if (queries.count() <= broadcastQueriesMax) broadcast else identity
+    val scored = vectors.crossJoin(hint(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic LSH bucket: the sign bits of the first `bits` dimensions
     * as a bit string. Vectors in different buckets are never compared.
     */

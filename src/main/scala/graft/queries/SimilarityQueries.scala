@@ -37,26 +37,19 @@ object SimilarityQueries {
     "q_mmr" -> ((s, dir) => VectorStore.mmrRerank(s, dir)),
 
     // Exact kNN JOIN (the batch-retrieval shape: top-k neighbors for
-    // EVERY query in a query set, one pass): the 10-vector query set
-    // broadcasts against the store's prepared vectors — O(|Q|·N)
-    // scored rows, the exact baseline whose approximate scale path is
-    // the IVF ladder above — and the per-query top-5 plans as
-    // WindowGroupLimit bounded heaps (partial+final), never a global
-    // sort of the scored mass.
+    // EVERY query in a query set, one pass) — the `Similarity.knnJoin`
+    // operator: the 10-vector query set rides under the operator's
+    // count-gated broadcast (10 ≤ the 10k gate; an UNBOUNDED query set
+    // would follow stats/AQE instead of force-broadcasting), scoring
+    // is O(|Q|·N) against the store's prepared vectors, and the
+    // per-query top-5 plans as WindowGroupLimit bounded heaps
+    // (partial+final), never a global sort of the scored mass.
     "q_knn_join" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val vs = VectorStore.vectors(s, dir).select("vec_id", "v", "norm")
       val qs = vs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-      val scored = vs.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          graft.operators.Similarity.cosine(
-            col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
+      graft.operators.Similarity.knnJoin(vs, qs, k = 5)
     }),
     // SemDeDup: trained-IVF cells bound the quadratic term; discard =
     // has a smaller-id cluster-mate with cosine >= threshold

@@ -233,6 +233,23 @@ class SimilaritySpec extends AnyFunSuite {
       === Similarity.ivfTopKTrained(corpus, 0L, 10).as[(Long, Double)].collect().toSeq)
   }
 
+  test("knnJoin: past the query-count gate the query side is NOT a forced broadcast") {
+    // an explicit broadcast() is honored regardless of size, so an
+    // ungated hint would force an unbounded KB-per-row query set
+    // through the driver; above the gate no hint may survive in the
+    // optimized plan (stats/AQE stay free to choose), and the gated
+    // plan must score identically to the hinted one
+    val p = Similarity.prepared(emb)
+    val qs = p.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"))
+    val gated = Similarity.knnJoin(p, qs, k = 2, broadcastQueriesMax = 0)
+    assert(!gated.queryExecution.optimizedPlan.toString.contains("broadcast"))
+    val hinted = Similarity.knnJoin(p, qs, k = 2)
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("broadcast"))
+    assert(gated.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      === hinted.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("IVF probe over the persisted store prunes cell partitions at planning time") {
     val dir = "/root/testdata/sf0.001"
     val probe = graft.sources.VectorStore.ivfTopK(spark, dir, queryId = 0L, k = 10)
