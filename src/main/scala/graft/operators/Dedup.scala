@@ -82,7 +82,20 @@ object Dedup {
     * shingle-keyed (AQE-splittable); output is source-pairs-sized.
     */
   def sourceOverlap(docs: DataFrame, n: Int = 3,
-                    maxSourcesPerShingle: Int = 12): DataFrame = {
+                    maxSourcesPerShingle: Int = 12): DataFrame =
+    // materialized ONCE behind a plan boundary: the pruned relation is
+    // referenced three times (sizes + both pair-join sides) and the
+    // tokenize→distinct→prune subtree would otherwise run per reference
+    sourceOverlapFromShingles(
+      materializeOnce(prunedSourceShingles(docs, n, maxSourcesPerShingle)))
+
+  /** The pruned distinct (source, sh) relation [[sourceOverlap]] is
+    * defined over — exposed so a pipeline (or the session store) can
+    * persist it once per corpus and run the pair join many times; the
+    * vocab aggregate + semi-join is the data-proportional part.
+    */
+  def prunedSourceShingles(docs: DataFrame, n: Int = 3,
+                           maxSourcesPerShingle: Int = 12): DataFrame = {
     val sh0 = docs
       .select(col("source"),
         explode(graft.functions.Text.shinglesFromTokens(
@@ -91,10 +104,13 @@ object Dedup {
     val keep = sh0.groupBy("sh").agg(count(lit(1)).as("ns"))
       .filter(col("ns") <= maxSourcesPerShingle)
       .select("sh")
-    // materialized ONCE behind a plan boundary: the pruned relation is
-    // referenced three times (sizes + both pair-join sides) and the
-    // tokenize→distinct→prune subtree would otherwise run per reference
-    val sh = materializeOnce(sh0.join(keep, Seq("sh"), "left_semi"))
+    sh0.join(keep, Seq("sh"), "left_semi")
+  }
+
+  /** [[sourceOverlap]]'s pair join + Jaccard over an already-built
+    * pruned (source, sh) relation.
+    */
+  def sourceOverlapFromShingles(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     sh.select(col("source").as("source_a"), col("sh"))
       .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
