@@ -214,6 +214,10 @@ object Bench {
     storePart("fuzzy") {
       graft.queries.TextQueries.FuzzyStores.streamedStore(spark, sfDir): Unit
       graft.queries.TextQueries.FuzzyStores.batchPairs(spark, sfDir).count(): Unit }
+    // r14: q_img_dedup's dHash fingerprints — the corpus-proportional
+    // stub-decode pass runs once; the timed query is the banded pair join
+    storePart("dhash") {
+      graft.queries.DedupQueries.dHashStore(spark, sfDir).count(): Unit }
     // r14: q_source_overlap's pruned (source, shingle) relation — the
     // tokenize/prune build runs once; the timed query is the pair join
     storePart("overlap") {

@@ -775,20 +775,40 @@ object Dedup {
     * verify step needs no join back to the fingerprint relation.
     */
   def simhashPairs(docs: DataFrame, maxDistance: Int = 3,
+                   maxAggBucket: Int = MaxAggBucketSize): DataFrame =
+    hammingPairs(simhash(docs), "simhash", maxDistance, maxAggBucket)
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit (16-hex-char)
+    * fingerprint relation `(doc_id, <hashCol>)` — the machinery behind
+    * [[simhashPairs]] (text fingerprints) and the perceptual
+    * image-dedup query (dHash fingerprints): pigeonhole banding into
+    * `maxDistance + 1` chunks (a pair at distance ≤ d differs in at
+    * most d chunks, so it must AGREE on ≥ 1 of d+1 — exact recall,
+    * never all-pairs), capped within-bucket expansion via
+    * `bucketPairs`, codegen'd `hamming_hex` verify. The chunk count is
+    * sized TO the distance for selectivity, not just recall: at d = 1
+    * two 32-bit chunks make bucket agreement far rarer than the d = 3
+    * scheme's 16-bit chunks over similar fingerprints (DedupSpec pins
+    * recall and the candidate-mass gap per distance).
+    */
+  def hammingPairs(fp: DataFrame, hashCol: String, maxDistance: Int = 3,
                    maxAggBucket: Int = MaxAggBucketSize): DataFrame = {
-    require(maxDistance <= 3, "4-chunk banding only guarantees recall for distance <= 3")
-    val fp = simhash(docs)
+    require(maxDistance >= 0 && maxDistance <= 3,
+      "banding supports distances 0..3 (larger distances degrade to corpus-wide buckets)")
+    val n = maxDistance + 1
+    val bounds = (0 to n).map(i => 16 * i / n) // split points in hex chars
     val chunks = fp.select(
-      posexplode(array((0 until 4).map(c => substring(col("simhash"), c * 4 + 1, 4)): _*))
+      posexplode(array((0 until n).map(c =>
+        substring(col(hashCol), bounds(c) + 1, bounds(c + 1) - bounds(c))): _*))
         .as(Seq("ci", "chunk")),
-      struct(col("doc_id"), col("simhash")).as("v"))
+      struct(col("doc_id"), col(hashCol).as("fp")).as("v"))
     // fingerprints ride along inside the payload struct so the verify
     // step needs no join back to the fingerprint relation; the struct's
     // FIRST field is doc_id, so bucketPairs' x < y ordering is the
     // doc_a < doc_b canonicalization
     bucketPairs(chunks, Seq("ci", "chunk"), "v", maxAggBucket)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        graft.plans.HammingHex.hammingHex(col("x.simhash"), col("y.simhash")).as("hamming"))
+        graft.plans.HammingHex.hammingHex(col("x.fp"), col("y.fp")).as("hamming"))
       // verify BEFORE dedup: hamming is a cheap codegen'd scalar, so
       // filtering first shrinks the distinct's shuffle to the matches
       // (a pair re-found via several chunks costs re-evaluation, not I/O)

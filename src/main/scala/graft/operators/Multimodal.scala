@@ -222,6 +222,69 @@ object Multimodal {
                          batchSize: Int = 64): DataFrame =
     resizeWith(df, "stub", w, h, batchSize)
 
+  /** Perceptual difference-hash (dHash) fingerprints: thumbnail the
+    * payload to a w×h grid through the batched resize pipeline (same
+    * conf-gated codec, same once-per-partition init — a real pipeline
+    * hashes in the decode pass rather than shuffling thumbnails), then
+    * per grid row compare horizontally adjacent cells: bit k = 1 iff
+    * cell (y, x) is brighter than cell (y, x+1) (unsigned bytes). The
+    * classic 9×8 grid yields h·(w−1) = 64 bits, emitted as a 16-char
+    * hex string so the banded `Dedup.hammingPairs` machinery applies
+    * unchanged — gradient SIGNS survive brightness/contrast shifts and
+    * re-encodes, which is what makes the hash perceptual rather than
+    * cryptographic. Quarantined payloads (empty resize) hash to all
+    * zeros. Returns (doc_id, dhash).
+    */
+  def dHashes(df: DataFrame, w: Int = 9, h: Int = 8,
+              batchSize: Int = 64): DataFrame = {
+    val codecName = df.sparkSession.conf.get(CodecConfKey, "stub")
+    makeResizer(codecName): Unit // unknown name fails fast, on the driver
+    dHashWith(df, codecName, w, h, batchSize)
+  }
+
+  /** The stub path explicitly (CI determinism regardless of session conf). */
+  def dHashesStub(df: DataFrame, w: Int = 9, h: Int = 8,
+                  batchSize: Int = 64): DataFrame =
+    dHashWith(df, "stub", w, h, batchSize)
+
+  private def dHashWith(df: DataFrame, codecName: String, w: Int, h: Int,
+                        batchSize: Int): DataFrame = {
+    require(h * (w - 1) == 64,
+      s"dHash emits a 64-bit fingerprint: need h*(w-1) == 64, got ${h * (w - 1)}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val resizer = makeResizer(codecName) // once per partition
+        it.grouped(batchSize).flatMap { batch =>
+          val thumbs = resizer.resizeBatch(
+            batch.map(b => Option(b._2).getOrElse(Array.empty[Byte])), w, h)
+          batch.map(_._1).zip(thumbs.map(dHashOf(_, w, h)))
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Bit k = y·(w−1)+x set iff thumb(y·w+x) > thumb(y·w+x+1) unsigned;
+    * bit 0 is the hex string's MOST significant bit (`%016x`).
+    */
+  private[graft] def dHashOf(thumb: Array[Byte], w: Int, h: Int): String = {
+    var v = 0L
+    var k = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        if ((thumb(y * w + x) & 0xff) > (thumb(y * w + x + 1) & 0xff))
+          v |= 1L << (63 - k)
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    f"$v%016x"
+  }
+
   private[graft] def resizeWith(df: DataFrame, codecName: String, w: Int,
                                 h: Int, batchSize: Int): DataFrame = {
     val spark = df.sparkSession

