@@ -214,6 +214,12 @@ object Bench {
     storePart("fuzzy") {
       graft.queries.TextQueries.FuzzyStores.streamedStore(spark, sfDir): Unit
       graft.queries.TextQueries.FuzzyStores.batchPairs(spark, sfDir).count(): Unit }
+    // r14: string-keyed streamed graph stores + their derived fixpoint
+    // memos (q_textrank_streamed / q_pagerank_docs_streamed) — the
+    // shuffle-path doc PageRank runs here ONCE, untimed and named
+    storePart("stream_graph_docs") {
+      SparkEntry.queries("q_textrank_streamed")(spark, sfDir).count()
+      SparkEntry.queries("q_pagerank_docs_streamed")(spark, sfDir).count(): Unit }
     // r14: q_img_dedup's dHash fingerprints — the corpus-proportional
     // stub-decode pass runs once; the timed query is the banded pair join
     storePart("dhash") {

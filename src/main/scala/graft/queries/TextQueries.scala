@@ -149,6 +149,73 @@ object TextQueries {
       }
     }
 
+    /** The b-th of three doc_id-mod-3 co-occurrence edge CONTRIBUTION
+      * slices: bigram counts are additive over any partition of the
+      * doc set, so the three slices' deltas accumulate to
+      * `cooccurrenceEdges` bit-for-bit — the StreamingGraph additive
+      * contract, now on STRING (term) keys.
+      */
+    private def coocContribs(s: SparkSession, dir: String, b: Int): DataFrame = {
+      val bg = docs(s, dir).filter(col("doc_id") % 3 === b)
+        .select(explode(
+          Text.shinglesFromTokens(Text.tokensNoStop(col("text")), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("a"),
+          split(col("bg"), " ").getItem(1).as("b"))
+        .filter(col("a") =!= col("b"))
+      bg.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"), lit(1L).as("w"))
+    }
+
+    /** String-keyed StreamingGraph store accumulating the TextRank
+      * co-occurrence edge deltas (three mod-3 micro-batches through
+      * `processBatch`) — the `GraphStores.streamedStore` pattern at
+      * term keys. Built once per (session, dir).
+      */
+    def streamedCoocStore(s: SparkSession, dir: String): String = lock.synchronized {
+      coocCache = coocCache.filter(!_._1._1.sparkContext.isStopped)
+      coocCache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_graphstream",
+          "cooc_store_" + graft.sources.SessionStores.tagOf(dir))
+        for (b <- 0 until 3)
+          graft.streaming.StreamingGraph.processBatch(
+            coocContribs(s, dir, b), b.toLong, path,
+            keyType = org.apache.spark.sql.types.StringType): Unit
+        coocCache += (s, dir) -> path
+        path
+      })
+    }
+
+    /** String-keyed StreamingGraph store accumulating the DOC-graph
+      * edge deltas: the ED-1 fuzzy pair relation sliced three ways on
+      * a url hash (each pair lands in exactly one slice, so the unit
+      * weights are additive), exploded both directions. Feeds the
+      * streamed twin of the SHUFFLE-path q_pagerank_docs.
+      */
+    def streamedDocGraphStore(s: SparkSession, dir: String): String = lock.synchronized {
+      docGraphCache = docGraphCache.filter(!_._1._1.sparkContext.isStopped)
+      docGraphCache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_graphstream",
+          "docgraph_store_" + graft.sources.SessionStores.tagOf(dir))
+        val pairs = batchPairs(s, dir)
+        for (b <- 0 until 3) {
+          val slice = pairs.filter(pmod(xxhash64(col("url_a")), lit(3)) === b)
+          val contribs = slice.select(explode(array(
+            struct(col("url_a").as("src"), col("url_b").as("dst")),
+            struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
+            .select(col("e.src"), col("e.dst"), lit(1L).as("w"))
+          graft.streaming.StreamingGraph.processBatch(
+            contribs, b.toLong, path,
+            keyType = org.apache.spark.sql.types.StringType): Unit
+        }
+        docGraphCache += (s, dir) -> path
+        path
+      })
+    }
+    private var coocCache = Map.empty[(SparkSession, String), String]
+    private var docGraphCache = Map.empty[(SparkSession, String), String]
+
     /** The BATCH corpus-wide ED-1 pair relation, persisted once per
       * (process, corpus) — the `DedupStore.pairs` discipline applied
       * to the fuzzy family: q_fuzzy_urls, the URL component clustering,
@@ -314,6 +381,37 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Streamed twin of q_textrank: the co-occurrence edges accumulated
+    // as three additive delta micro-batches in the STRING-keyed
+    // StreamingGraph store, the fixpoint served from the version-keyed
+    // `derived` memo (recomputed only when the edge store moves) —
+    // hash-checks under q_textrank's identical oracle.
+    "q_textrank_streamed" -> ((s, dir) =>
+      graft.streaming.StreamingGraph.derived(
+          s, FuzzyStores.streamedCoocStore(s, dir), "textrank",
+          org.apache.spark.sql.types.StringType) { e =>
+        val nodes = e.select(col("src").as("node")).distinct()
+        graft.operators.Graph.pageRank(e, nodes, iters = 8)
+      }
+        .select(col("node").as("term"), col("pr"))
+        .orderBy(col("pr").desc, col("term"))
+        .limit(20)),
+
+    // Streamed twin of q_pagerank_docs — the SHUFFLE-path fixpoint
+    // (broadcastRanksMax = 0) over the accumulated doc-graph delta
+    // store, served from the derived memo under the identical oracle:
+    // the corpus-node-count iteration the r13 verdict asked to see
+    // streamed, not just batch.
+    "q_pagerank_docs_streamed" -> ((s, dir) =>
+      graft.streaming.StreamingGraph.derived(
+          s, FuzzyStores.streamedDocGraphStore(s, dir), "pr_docs",
+          org.apache.spark.sql.types.StringType) { e =>
+        val nodes = docs(s, dir).select(col("url").as("node")).distinct()
+        graft.operators.Graph.pageRank(e, nodes, iters = 8,
+          broadcastRanksMax = 0)
+      }
+        .select(col("node").as("url"), col("pr"))),
+
     // Prefix search over the persisted index (autocomplete shape): the
     // range form of LIKE 's%' pushes BOTH bounds to the parquet scan,
     // and because the stored postings are SORTED BY term inside each
@@ -440,6 +538,65 @@ object TextQueries {
     }),
   )
 
+  /** q_pagerank_docs oracle, shared verbatim by the streamed twin
+    * (the accumulated doc-graph delta store must serve the identical
+    * shuffle-path fixpoint).
+    */
+  private lazy val pagerankDocsOracleSql: String =
+      s"""WITH u AS (
+         |  SELECT DISTINCT $urlSql AS url FROM documents
+         |), dels AS (
+         |  SELECT url,
+         |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
+         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
+         |  FROM u
+         |), cand AS (
+         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+         |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+         |), prs AS (
+         |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
+         |), e0 AS (
+         |  SELECT url_a AS src, url_b AS dst, 1 AS w FROM prs
+         |  UNION ALL
+         |  SELECT url_b AS src, url_a AS dst, 1 AS w FROM prs
+         |), ow AS (
+         |  SELECT src, sum(w) AS outw FROM e0 GROUP BY src
+         |), e AS (
+         |  SELECT e0.src, dst, w, outw FROM e0 JOIN ow USING (src)
+         |), nodes AS (
+         |  SELECT url AS node FROM u
+         |), ${RelationalQueries.prInitSql}, ${(0 until 8).map(RelationalQueries.prIterSql).mkString(", ")}
+         |SELECT node AS url, pr FROM r8""".stripMargin
+
+  /** q_textrank oracle, shared verbatim by the streamed twin. */
+  private lazy val textrankOracleSql: String =
+      s"""WITH toksl AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |                     t -> t <> '') AS ts
+         |  FROM documents
+         |), filt AS (
+         |  SELECT doc_id, list_filter(ts, t -> t NOT IN ($stopList)) AS fs FROM toksl
+         |), bg AS (
+         |  SELECT fs[i] AS a, fs[i+1] AS b
+         |  FROM filt, unnest(range(1, len(fs))) AS t(i)
+         |  WHERE fs[i] <> fs[i+1]
+         |), e0 AS (
+         |  SELECT a AS src, b AS dst, count(*) AS w FROM bg GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst, count(*) AS w FROM bg GROUP BY 1, 2
+         |), e1 AS (
+         |  SELECT src, dst, sum(w) AS w FROM e0 GROUP BY 1, 2
+         |), ow AS (
+         |  SELECT src, sum(w) AS outw FROM e1 GROUP BY src
+         |), e AS (
+         |  SELECT e1.src, dst, w, outw FROM e1 JOIN ow USING (src)
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM e1
+         |), ${RelationalQueries.prInitSql}, ${(0 until 8).map(RelationalQueries.prIterSql).mkString(", ")}
+         |SELECT node AS term, pr FROM r8
+         |ORDER BY pr DESC, term LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_postings" ->
       s"""$termsCte SELECT term, doc_id, $urlSql AS url FROM terms""",
@@ -521,31 +678,8 @@ object TextQueries {
 
     // doc-graph PageRank: the fuzzy-pair CTEs verbatim, then the shared
     // iteration SQL (RelationalQueries.prIterSql — n computed in SQL)
-    "q_pagerank_docs" ->
-      s"""WITH u AS (
-         |  SELECT DISTINCT $urlSql AS url FROM documents
-         |), dels AS (
-         |  SELECT url,
-         |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
-         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
-         |  FROM u
-         |), cand AS (
-         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
-         |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
-         |), prs AS (
-         |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
-         |), e0 AS (
-         |  SELECT url_a AS src, url_b AS dst, 1 AS w FROM prs
-         |  UNION ALL
-         |  SELECT url_b AS src, url_a AS dst, 1 AS w FROM prs
-         |), ow AS (
-         |  SELECT src, sum(w) AS outw FROM e0 GROUP BY src
-         |), e AS (
-         |  SELECT e0.src, dst, w, outw FROM e0 JOIN ow USING (src)
-         |), nodes AS (
-         |  SELECT url AS node FROM u
-         |), ${RelationalQueries.prInitSql}, ${(0 until 8).map(RelationalQueries.prIterSql).mkString(", ")}
-         |SELECT node AS url, pr FROM r8""".stripMargin,
+    "q_pagerank_docs" -> pagerankDocsOracleSql,
+    "q_pagerank_docs_streamed" -> pagerankDocsOracleSql,
 
     // doc-graph HITS: the fuzzy-pair CTEs verbatim, then the shared
     // HITS half-step CTEs (RelationalQueries.hitsIterSql)
@@ -604,33 +738,8 @@ object TextQueries {
 
     // TextRank: ordered stopword-filtered token list → adjacent pairs →
     // symmetric count-weighted edges → the shared PR iteration CTEs
-    "q_textrank" ->
-      s"""WITH toksl AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
-         |                     t -> t <> '') AS ts
-         |  FROM documents
-         |), filt AS (
-         |  SELECT doc_id, list_filter(ts, t -> t NOT IN ($stopList)) AS fs FROM toksl
-         |), bg AS (
-         |  SELECT fs[i] AS a, fs[i+1] AS b
-         |  FROM filt, unnest(range(1, len(fs))) AS t(i)
-         |  WHERE fs[i] <> fs[i+1]
-         |), e0 AS (
-         |  SELECT a AS src, b AS dst, count(*) AS w FROM bg GROUP BY 1, 2
-         |  UNION ALL
-         |  SELECT b AS src, a AS dst, count(*) AS w FROM bg GROUP BY 1, 2
-         |), e1 AS (
-         |  SELECT src, dst, sum(w) AS w FROM e0 GROUP BY 1, 2
-         |), ow AS (
-         |  SELECT src, sum(w) AS outw FROM e1 GROUP BY src
-         |), e AS (
-         |  SELECT e1.src, dst, w, outw FROM e1 JOIN ow USING (src)
-         |), nodes AS (
-         |  SELECT DISTINCT src AS node FROM e1
-         |), ${RelationalQueries.prInitSql}, ${(0 until 8).map(RelationalQueries.prIterSql).mkString(", ")}
-         |SELECT node AS term, pr FROM r8
-         |ORDER BY pr DESC, term LIMIT 20""".stripMargin,
+    "q_textrank" -> textrankOracleSql,
+    "q_textrank_streamed" -> textrankOracleSql,
 
     "q_prefix_terms" ->
       s"""$termsCte SELECT term, count(*) AS df FROM terms

@@ -69,9 +69,16 @@ object StreamingGraph {
   private[graft] def edgesPath(store: String) = s"$store/edges"
   private[graft] def hwmPath(store: String) = s"$store/_graft_hwm"
 
-  private val edgeSchema = StructType(Seq(
-    StructField("src", LongType),
-    StructField("dst", LongType),
+  /** Node keys are Long by default (the nation graph); the doc/term
+    * graphs key on STRINGS (URLs, terms) — every accessor takes the
+    * store's key type, which must be consistent across a store's
+    * lifetime (an existing store's files carry the authoritative
+    * schema; the parameter only matters for the empty-store read and
+    * the ingest cast).
+    */
+  private def edgeSchema(keyType: DataType) = StructType(Seq(
+    StructField("src", keyType),
+    StructField("dst", keyType),
     StructField("w", LongType),
     StructField("ingest_ms", LongType),
     StructField("batch", LongType)))
@@ -80,7 +87,8 @@ object StreamingGraph {
     * (src, dst, w) rows.
     */
   def sinkEdges(contribs: DataFrame, storePath: String,
-                checkpointDir: String): StreamingQuery = {
+                checkpointDir: String,
+                keyType: DataType = LongType): StreamingQuery = {
     val conf = contribs.sparkSession.sparkContext.hadoopConfiguration
     val scope = StreamingIndex.commitScope(checkpointDir, conf)
     StoreMaintenance.registeredStart(conf, storePath) {
@@ -88,7 +96,7 @@ object StreamingGraph {
         .outputMode("append")
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val appended = processBatch(batch, batchId, storePath, scope)
+          val appended = processBatch(batch, batchId, storePath, scope, keyType)
           if (!appended) StoreMaintenance.noopExecute(batch)
         }
         .start()
@@ -99,7 +107,8 @@ object StreamingGraph {
     * @return false = replay of a committed batchId, skipped.
     */
   private[graft] def processBatch(batch: DataFrame, batchId: Long, storePath: String,
-                                  scope: String = "default"): Boolean = {
+                                  scope: String = "default",
+                                  keyType: DataType = LongType): Boolean = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     // compaction high-water mark: everything at or below is already in
@@ -109,7 +118,7 @@ object StreamingGraph {
     StoreMaintenance.runOnce(conf,
       storePath, scope, batchId) {
       val stamp = StoreMaintenance.nextStamp()
-      batch.select(col("src").cast("long"), col("dst").cast("long"),
+      batch.select(col("src").cast(keyType), col("dst").cast(keyType),
           col("w").cast("long"))
         .groupBy("src", "dst").agg(sum(col("w")).as("w"))
         .withColumn("ingest_ms", lit(stamp))
@@ -122,8 +131,9 @@ object StreamingGraph {
   /** The accumulated edge relation: per-(src, dst) delta sum over the
     * latest-stamp rows of every batch.
     */
-  def edges(spark: SparkSession, storePath: String): DataFrame =
-    collapse(StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema))
+  def edges(spark: SparkSession, storePath: String,
+            keyType: DataType = LongType): DataFrame =
+    collapse(StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema(keyType)))
       .select("src", "dst", "w")
 
   /** Per batchId, only the rows of the LATEST append survive (a
@@ -160,8 +170,9 @@ object StreamingGraph {
     * any append moves at least one of the two (`storeVersion`
     * protocol shared with `StreamingEmbed`).
     */
-  private[graft] def storeVersion(spark: SparkSession, storePath: String): (Long, Long) = {
-    val r = StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema)
+  private[graft] def storeVersion(spark: SparkSession, storePath: String,
+                                  keyType: DataType = LongType): (Long, Long) = {
+    val r = StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema(keyType))
       .agg(count(lit(1)), max(coalesce(col("ingest_ms"), lit(Long.MinValue))))
       .collect()(0)
     (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
@@ -173,13 +184,14 @@ object StreamingGraph {
     * graph family snapshots a live edge stream this way — the
     * `streamedIvf` memo protocol with the edge store as the base.
     */
-  def derived(spark: SparkSession, storePath: String, name: String)
+  def derived(spark: SparkSession, storePath: String, name: String,
+              keyType: DataType = LongType)
              (compute: DataFrame => DataFrame): DataFrame = {
-    val ver = storeVersion(spark, storePath)
+    val ver = storeVersion(spark, storePath, keyType)
     val root = graft.sources.SessionStores.scopedPath("graft_graphstream",
       s"${name}_v${ver._1}_${ver._2}_" + graft.sources.SessionStores.tagOf(storePath))
     graft.sources.SessionStores.servedPath(spark, s"$root/out") {
-      compute(edges(spark, storePath))
+      compute(edges(spark, storePath, keyType))
         .write.mode(SaveMode.Overwrite).parquet(s"$root/out")
     }
   }
@@ -239,7 +251,8 @@ object StreamingGraph {
     * Markers are deleted last (value semantics never depended on them
     * post-compact here either — the mark subsumes them).
     */
-  def compactStore(spark: SparkSession, storePath: String): Unit = {
+  def compactStore(spark: SparkSession, storePath: String,
+                   keyType: DataType = LongType): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     StoreMaintenance.assertIngestStopped(conf, storePath)
     StoreMaintenance.recoverSub(spark, edgesPath(storePath))
@@ -257,13 +270,13 @@ object StreamingGraph {
         m
       }
     val storedMax = {
-      val r = StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema)
+      val r = StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema(keyType))
         .filter(col("batch") >= 0).agg(max(col("batch"))).collect()(0)
       if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
     }
     val hwm = Seq(readHwm(conf, storePath), markerMax, storedMax).max
     if (hwm > Long.MinValue) writeHwm(conf, storePath, hwm)
-    StoreMaintenance.compactSubWith(spark, edgesPath(storePath), edgeSchema, collapse)
+    StoreMaintenance.compactSubWith(spark, edgesPath(storePath), edgeSchema(keyType), collapse)
     fs.delete(commits, true): Unit
   }
 

@@ -130,6 +130,46 @@ class GraphStreamSpec extends AnyFunSuite {
     assert(edgeSet(StreamingGraph.edges(spark, store)) === Set((3L, 4L, 2L)))
   }
 
+  test("string-keyed store: accumulation, residual supersede, and post-compact hwm skip") {
+    import org.apache.spark.sql.types.StringType
+    // term-keyed edge deltas (the q_textrank_streamed shape)
+    val sfacts = (0L until 60L)
+      .map(i => (s"t${i % 6}", s"t${(i * 7 + 1) % 6}", 1L + i % 3))
+      .toDF("src", "dst", "w")
+    val sBatch = sfacts.groupBy("src", "dst").agg(sum("w").as("w"))
+      .as[(String, String, Long)].collect().toSet
+    val store = freshStore("strkey")
+    for (b <- 0 until 3)
+      assert(StreamingGraph.processBatch(
+        sfacts.filter(col("w") % 3 === b), b, store,
+        keyType = StringType))
+    def served: Set[(String, String, Long)] =
+      StreamingGraph.edges(spark, store, StringType)
+        .as[(String, String, Long)].collect().toSet
+    assert(served === sBatch)
+    // residual window: marker deleted, replay supersedes (string keys)
+    val marker = new java.io.File(s"$store/_graft_commits/default/2")
+    assert(marker.exists && marker.delete())
+    assert(StreamingGraph.processBatch(
+      sfacts.filter(col("w") % 3 === 2), 2L, store, keyType = StringType))
+    assert(served === sBatch)
+    // compaction records the hwm; a post-compact replay is skipped
+    StreamingGraph.compactStore(spark, store, StringType)
+    assert(served === sBatch)
+    assert(!StreamingGraph.processBatch(
+      sfacts.filter(col("w") % 3 === 2), 2L, store, keyType = StringType))
+    assert(served === sBatch)
+    // and the derived memo serves a fixpoint over string nodes
+    val nodes = (0 until 6).map(i => s"t$i").toDF("node")
+    val streamed = StreamingGraph.derived(spark, store, "pr_test", StringType) { e =>
+      graft.operators.Graph.pageRank(e, nodes, iters = 4)
+    }.as[(String, Double)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Graph.pageRank(
+      sfacts.groupBy("src", "dst").agg(sum("w").as("w")), nodes, iters = 4)
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch)
+  }
+
   test("sinkEdges end-to-end: MemoryStream delta batches accumulate the batch edges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
