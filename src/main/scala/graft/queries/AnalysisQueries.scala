@@ -619,6 +619,28 @@ object AnalysisQueries {
     // unlike the image codecs it is oracle-expressible): this hash-checks
     // the per-partition batch path itself — batching, null-payload guard,
     // row alignment — not just a column expression.
+    // Welch's unequal-variance t-test between the click and view event
+    // cohorts (Stats.welchTTest): the A/B-experiment readout — one
+    // aggregate pass computes both cohorts' DECIMAL moments, the
+    // t statistic + Welch–Satterthwaite df are a two-row projection.
+    "q_ab_test" -> ((s, dir) =>
+      graft.operators.Stats.welchTTest(
+        Tables.events(s, dir), "event_type", "value", "click", "view")),
+
+    // Pairwise Jensen–Shannon divergence between per-source term
+    // distributions (Stats.jsDivergence): the corpus-DRIFT matrix
+    // beside q_source_overlap's shingle Jaccard — inner-join-only
+    // decomposition (one-sided vocabulary mass reduces to the shared-
+    // mass complement, so no per-pair full outer join ever plans),
+    // 12-dp contributions summed exactly in DECIMAL.
+    "q_source_drift" -> ((s, dir) =>
+      graft.operators.Stats.jsDivergence(
+        docs(s, dir)
+          .select(col("source"),
+            explode(graft.functions.Text.tokenize(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("c")),
+        "source", "term", "c")),
+
     "q_resize" -> ((s, dir) => {
       val payload = docs(s, dir).select(
         col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -828,6 +850,57 @@ object AnalysisQueries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
          |       round(CAST(sum(w) AS DOUBLE) / sum(tf), 6) AS avg_logp
          |FROM w GROUP BY doc_id""".stripMargin,
+
+    // identical DECIMAL-moment + double-op sequence as the engine
+    // (the q1_agg/q_profile parity rules) — sub-expressions spelled out
+    // so both engines evaluate the same parenthesization
+    "q_ab_test" ->
+      """WITH m AS (
+        |  SELECT event_type, count(value) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(value*value AS DECIMAL(18,4))) AS DOUBLE) AS q
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        |), a AS (SELECT n AS na, s AS sa, q AS qa FROM m WHERE event_type = 'click'),
+        |b AS (SELECT n AS nb, s AS sb, q AS qb FROM m WHERE event_type = 'view')
+        |SELECT 'click' AS cohort_a, 'view' AS cohort_b, na AS n_a, nb AS n_b,
+        |  round(sa/na, 6) AS mean_a, round(sb/nb, 6) AS mean_b,
+        |  round((sa/na - sb/nb)
+        |        / sqrt((qa - sa*sa/na)/(na-1)/na + (qb - sb*sb/nb)/(nb-1)/nb), 6) AS t_stat,
+        |  round(((qa - sa*sa/na)/(na-1)/na + (qb - sb*sb/nb)/(nb-1)/nb)
+        |        * ((qa - sa*sa/na)/(na-1)/na + (qb - sb*sb/nb)/(nb-1)/nb)
+        |        / (((qa - sa*sa/na)/(na-1)/na) * ((qa - sa*sa/na)/(na-1)/na) / (na-1)
+        |           + ((qb - sb*sb/nb)/(nb-1)/nb) * ((qb - sb*sb/nb)/(nb-1)/nb) / (nb-1)),
+        |        6) AS df_welch
+        |FROM a, b""".stripMargin,
+
+    // mirror of Stats.jsDivergence: identical tokenize, identical
+    // inner-join decomposition, identical contribution parenthesization,
+    // 12-dp rounds before the exact DECIMAL sums
+    "q_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                t -> t <> '')) AS term
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, sum(c) AS t FROM cnt GROUP BY 1
+        |), p AS (
+        |  SELECT cnt.source AS g, term, CAST(c AS DOUBLE)/t AS p
+        |  FROM cnt JOIN tot USING (source)
+        |), j AS (
+        |  SELECT a.g AS source_a, b.g AS source_b,
+        |         round(a.p*ln(2*a.p/(a.p+b.p)) + b.p*ln(2*b.p/(a.p+b.p)), 12) AS contrib,
+        |         round(a.p, 12) AS pa12, round(b.p, 12) AS pb12
+        |  FROM p a JOIN p b ON a.term = b.term AND a.g < b.g
+        |)
+        |SELECT source_a, source_b, count(*) AS shared_terms,
+        |  round((CAST(SUM(CAST(contrib AS DECIMAL(27,12))) AS DOUBLE)
+        |         + (1.0 - CAST(SUM(CAST(pa12 AS DECIMAL(27,12))) AS DOUBLE)) * ln(2.0)
+        |         + (1.0 - CAST(SUM(CAST(pb12 AS DECIMAL(27,12))) AS DOUBLE)) * ln(2.0)) / 2,
+        |        6) AS jsd
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     "q_pmi" ->
       s"""$toksCte, g2 AS (

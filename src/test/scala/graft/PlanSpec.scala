@@ -239,25 +239,35 @@ class PlanSpec extends AnyFunSuite {
     assert(anti.contains("EqualTo(o_orderpriority,1-URGENT)"), "orders filter not pushed to scan")
   }
 
-  test("q_percentiles: one full-data range exchange, rank join never re-shuffles ranked data") {
-    // r5 shape: the stats relation carries NO broadcast hint (a
-    // high-cardinality key would make a forced broadcast a driver OOM) —
-    // the planner/AQE picks the strategy by size. What stays pinned:
-    // the stats branch and the rank branch both reference the range
-    // repartition (two static nodes) that AQE dedupes into ONE
-    // materialized shuffle (ReusedExchange on the runtime plan), and the
-    // rank join resolves as a broadcast join at runtime — the ranked
-    // data is never hash-re-shuffled for the join. (At toy scale the
-    // planner may broadcast the small fact side; at 100 TB that side
-    // exceeds the threshold and AQE broadcasts the tiny stats side —
-    // size-driven either way, which is the point of dropping the hint.)
+  test("q_percentiles serves the shared quantile store; the ONE range pass lives at store build") {
+    // r14: the timed q_percentiles plan is a bare store-file projection
+    // — NO exchange of any kind (the whole point of sharing one
+    // range-rank pass across the percentile family)
     val df = SparkEntry.queries("q_percentiles")(spark, dir)
-    val p = df.queryExecution.executedPlan.toString
+    df.collect()
+    val served = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(served.contains("FileScan parquet"), s"expected a store read:\n$served")
+    assert(shuffles(served) === 0 && !served.contains("rangepartitioning"),
+      s"the served plan must not shuffle at all:\n$served")
+    // the r5 exchange-shape pins move to the store's BUILD plan: the
+    // stats relation carries NO broadcast hint (a high-cardinality key
+    // would make a forced broadcast a driver OOM) — the stats branch
+    // and the rank branch both reference the range repartition (two
+    // static nodes) that AQE dedupes into ONE materialized shuffle
+    // (ReusedExchange at runtime), and the rank join resolves as a
+    // broadcast join — the ranked data is never hash-re-shuffled. (At
+    // toy scale the planner may broadcast the small fact side; at
+    // 100 TB that side exceeds the threshold and AQE broadcasts the
+    // tiny stats side — size-driven either way, which is the point of
+    // dropping the hint.)
+    val build = graft.operators.Percentiles.exactQuantiles(
+      graft.sources.Tables.tbl(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+    val p = build.queryExecution.executedPlan.toString
     assert("Exchange rangepartitioning".r.findAllIn(p).length === 2,
       s"expected the two branch references to one range exchange:\n$p")
-    df.collect()
-    // slice off AQE's "== Initial Plan ==" echo — assertions pin the FINAL plan
-    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    build.collect()
+    val fin = build.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(fin.contains("ReusedExchange"),
       s"range exchange must materialize once at runtime:\n$fin")
     assert(fin.contains("BroadcastHashJoin") && !fin.contains("SortMergeJoin"),
