@@ -325,18 +325,20 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     // SELF-IDENTIFYING host-health verdict (the r13 judge ask): a
     // contended run must say so in its own JSON instead of relying on a
-    // reader to cross-check sentinels against BASELINE.md. Checks mirror
-    // the documented protocol: the re-measure count (29 on the r13
+    // reader to cross-check sentinels against BASELINE.md. The verdict
+    // keys on REAL-PLAN evidence — the re-measure count (29 on the r13
     // contended driver run vs ≤5 on every healthy anchor), the
     // identically-planned cube/rollup ratio (healthy ≈1.1; 3.24
-    // contended), start/end drift of the fixed CPU microbench, and the
-    // end-of-run rollup re-time vs its mid-run minimum.
+    // contended), and the end-of-run rollup re-time vs its mid-run
+    // minimum. The raw CPU-microbench sentinels stay in the artifact
+    // as data but do NOT enter the verdict: their start/end asymmetry
+    // is bimodal with host frequency/JIT state (measured 0.17/0.38 on
+    // two consecutive runs whose rollup mid-vs-end agreed within 4%
+    // and remeasured ≤ 1 — the microbench shifted, the real plans did
+    // not), so a verdict keyed on them cries wolf on healthy runs.
     val healthFailures = Seq(
       (contended.length > 8) -> s"remeasured=${contended.length}>8",
       (cubeRollupRatio > 2.0) -> ("cube_rollup_ratio=" + f4(cubeRollupRatio)),
-      (cpuStart > 0 && cpuEnd > 0 &&
-        math.max(cpuStart, cpuEnd) > 1.6 * math.min(cpuStart, cpuEnd)) ->
-        ("sentinel_drift=" + f4(math.max(cpuStart, cpuEnd) / math.min(cpuStart, cpuEnd))),
       timed.get("q_rollup_revenue").exists(r => rollupEnd > 0 && r > 0 &&
         math.max(rollupEnd, r) > 2.0 * math.min(rollupEnd, r)) ->
         ("rollup_end_vs_mid=" + f4(rollupEnd / timed.getOrElse("q_rollup_revenue", 1.0)))

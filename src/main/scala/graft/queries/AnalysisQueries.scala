@@ -334,6 +334,51 @@ object AnalysisQueries {
           unix_micros(col("click_t")).as("click_us"))
     }),
 
+    // LEFT-OUTER interval join, batch instantiation: EVERY click with
+    // its following-hour purchase or NULL — the outer flavor of
+    // q_attributed, same declared plan StreamingSpec drives under
+    // MemoryStream (where null rows emit only once both watermarks
+    // pass — output EXISTENCE is watermark-gated, the semantics this
+    // oracle row pins in batch).
+    "q_attributed_left" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventPipeline.attributedClicksLeftOuter(
+        clicks = ev.filter(col("event_type") === "click"),
+        purchases = ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("click_t")).as("click_us"),
+          unix_micros(col("purchase_t")).as("purchase_us"),
+          col("value"))
+    }),
+
+    // SCD2 (slowly-changing dimension, type 2) built from the change
+    // stream + a POINT-IN-TIME join: each user's signup events become
+    // versioned dimension rows (valid_from = the event, valid_to = the
+    // next version's start via lead(), NULL = current), and every
+    // purchase joins the version valid AT ITS TIME — the standard
+    // warehouse temporal-dimension shape beside the as-of join (which
+    // resolves the same question via union+window instead of interval
+    // predicates). The join is user-keyed (SMJ/BHJ-anchored equality;
+    // the validity interval rides as a post-join filter), versions
+    // partition time so at most one matches.
+    "q_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("t")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("dim_user"), col("value").as("attr"),
+          col("us").as("valid_from"),
+          lead(col("us"), 1).over(w).as("valid_to"))
+      ev.filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("dim_user") &&
+          col("us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("us") < col("valid_to")))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("purchase_value"), col("attr"), col("valid_from"))
+    }),
+
     // Ordered-funnel analysis: users progressing view → click →
     // purchase, each later stage strictly after the previous one and
     // within 24 h of the first view. All three stages are user-keyed
@@ -1203,6 +1248,35 @@ object AnalysisQueries {
         |FROM p JOIN c ON user_id = click_user
         |  AND click_us >= purchase_us - 3600000000
         |  AND click_us <= purchase_us""".stripMargin,
+
+    "q_attributed_left" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id AS purchase_user, epoch_ns(ts)//1000 AS purchase_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, click_us, purchase_us, value
+        |FROM c LEFT JOIN p ON c.user_id = purchase_user
+        |  AND purchase_us >= click_us
+        |  AND purchase_us <= click_us + 3600000000""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000 AS us
+        |  FROM events
+        |), dim AS (
+        |  SELECT user_id AS dim_user, value AS attr, us AS valid_from,
+        |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+        |  FROM e WHERE event_type = 'signup'
+        |), f AS (
+        |  SELECT event_id, user_id, value, us FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT f.event_id, f.user_id, f.value AS purchase_value, d.attr, d.valid_from
+        |FROM f JOIN dim d ON f.user_id = d.dim_user
+        |  AND f.us >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.us < d.valid_to)""".stripMargin,
 
     "q_props_extract" ->
       """SELECT event_id, event_type,

@@ -89,6 +89,32 @@ object EventPipeline {
       .select("user_id", "purchase_t", "value", "click_t")
   }
 
+  /** LEFT-OUTER stream-stream interval join — the attribution AUDIT
+    * shape: EVERY click, with its following-hour purchase or NULL once
+    * the watermark proves none can arrive. The outer flavor of
+    * [[attributedPurchases]]: matched rows emit eagerly; an unmatched
+    * click is held in state until BOTH watermarks pass its join bound,
+    * then emits null-padded (the one streaming shape where output
+    * EXISTENCE, not just content, depends on the watermark). In batch
+    * execution the same declared plan is a plain left outer join, so
+    * the `q_attributed_left` oracle row checks the operator's
+    * semantics exactly.
+    */
+  def attributedClicksLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("t").as("click_t"))
+      .withWatermark("click_t", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("purchase_user"), col("t").as("purchase_t"),
+        col("value"))
+      .withWatermark("purchase_t", "10 minutes")
+    c.join(p, expr(
+      """user_id = purchase_user AND
+        |purchase_t >= click_t AND
+        |purchase_t <= click_t + INTERVAL 1 HOUR""".stripMargin), "left_outer")
+      .select("user_id", "click_t", "purchase_t", "value")
+  }
+
   /** Custom streaming state (SURVEY §2.2 "stateful"): sessionization via
     * `flatMapGroupsWithState` with an EVENT-TIME timeout — a session is
     * the run of a user's events with gaps < `gapMinutes`, emitted once

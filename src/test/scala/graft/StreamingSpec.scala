@@ -187,6 +187,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: matches emit eagerly, null rows only after both watermarks pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventPipeline.attributedClicksLeftOuter(
+        clicks.toDF().toDF("t", "user_id"),
+        purchases.toDF().toDF("t", "user_id", "value"))
+      .writeStream.format("memory").queryName("attr_left").outputMode("append").start()
+    try {
+      // user 7's click converts within the hour; user 9's never does;
+      // user 8 purchases WITHOUT a click (must not appear — clicks are
+      // the preserved side)
+      clicks.addData((ts("10:00"), 7L), (ts("10:10"), 9L))
+      purchases.addData((ts("10:45"), 7L, 99.0), (ts("10:30"), 8L, 5.0))
+      q.processAllAvailable()
+      def rows = spark.table("attr_left")
+        .as[(Long, Timestamp, Option[Timestamp], Option[Double])].collect().toSet
+      // matched row eager; user 9's null row must NOT exist yet — the
+      // watermark cannot prove no purchase will arrive
+      assert(rows === Set((7L, ts("10:00"), Some(ts("10:45")), Some(99.0))))
+      // advance BOTH watermarks past 10:10 + 1 h + 10 min delay → the
+      // unmatched click flushes null-padded
+      clicks.addData((ts("23:00"), 50L))
+      purchases.addData((ts("23:00"), 51L, 1.0))
+      q.processAllAvailable()
+      assert(rows === Set(
+        (7L, ts("10:00"), Some(ts("10:45")), Some(99.0)),
+        (9L, ts("10:10"), None, None)))
+    } finally q.stop()
+  }
+
   test("streaming index sink: micro-batches append to the bucketed table, lookups bucket-prune") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
