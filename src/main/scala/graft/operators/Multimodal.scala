@@ -223,16 +223,18 @@ object Multimodal {
     resizeWith(df, "stub", w, h, batchSize)
 
   /** Perceptual difference-hash (dHash) fingerprints: thumbnail the
-    * payload to a w×h grid through the batched resize pipeline (same
-    * conf-gated codec, same once-per-partition init — a real pipeline
-    * hashes in the decode pass rather than shuffling thumbnails), then
-    * per grid row compare horizontally adjacent cells: bit k = 1 iff
-    * cell (y, x) is brighter than cell (y, x+1) (unsigned bytes). The
-    * classic 9×8 grid yields h·(w−1) = 64 bits, emitted as a 16-char
-    * hex string so the banded `Dedup.hammingPairs` machinery applies
-    * unchanged — gradient SIGNS survive brightness/contrast shifts and
-    * re-encodes, which is what makes the hash perceptual rather than
-    * cryptographic. Quarantined payloads (empty resize) hash to all
+    * payload to a w×h GRAYSCALE PIXEL grid (conf-gated codec,
+    * batched per partition — a real pipeline hashes in the decode pass
+    * rather than shuffling thumbnails), then per grid row compare
+    * horizontally adjacent cells: bit k = 1 iff cell (y, x) is
+    * brighter than cell (y, x+1) (unsigned bytes). The classic 9×8
+    * grid yields h·(w−1) = 64 bits, emitted as a 16-char hex string so
+    * the banded `Dedup.hammingPairs` machinery applies unchanged —
+    * gradient SIGNS survive brightness/contrast shifts and re-encodes,
+    * which is what makes the hash perceptual rather than
+    * cryptographic. Hashing happens over DECODED pixels, never over a
+    * re-encoded payload (see `thumbnailPixels` — file bytes would
+    * fingerprint the compressor). Quarantined payloads hash to all
     * zeros. Returns (doc_id, dhash).
     */
   def dHashes(df: DataFrame, w: Int = 9, h: Int = 8,
@@ -247,17 +249,63 @@ object Multimodal {
                   batchSize: Int = 64): DataFrame =
     dHashWith(df, "stub", w, h, batchSize)
 
+  /** w×h GRAYSCALE PIXEL thumbnails — the decode-side input dHash is
+    * defined over. NOT `BatchResizer`: that contract re-encodes to a
+    * payload (PNG for the real codec), and hashing encoded FILE bytes
+    * would fingerprint the compressor's artifacts instead of the
+    * image. Stub: the deterministic grid sample of the payload bytes
+    * (the byte-level pseudo-pixel convention `StubResizer` set);
+    * imageio: decode → bilinear scale to w×h → ITU-R 601 luminance
+    * bytes, no re-encode. Undecodable payloads quarantine as all-zero
+    * pixels (hashing to the all-zero fingerprint).
+    */
+  private def thumbnailPixels(codecName: String, payloads: Seq[Array[Byte]],
+                              w: Int, h: Int): Seq[Array[Byte]] = codecName match {
+    case "stub" => new StubResizer().resizeBatch(payloads, w, h)
+    case "imageio" => payloads.map { bytes =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      val out = new Array[Byte](w * h)
+      if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null): Unit
+        } finally g.dispose()
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = dst.getRGB(x, y)
+            out(y * w + x) = ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      out
+    }
+    case other => throw new IllegalArgumentException(
+      s"unknown multimodal codec '$other' ($CodecConfKey): stub | imageio")
+  }
+
   private def dHashWith(df: DataFrame, codecName: String, w: Int, h: Int,
                         batchSize: Int): DataFrame = {
     require(h * (w - 1) == 64,
       s"dHash emits a 64-bit fingerprint: need h*(w-1) == 64, got ${h * (w - 1)}")
+    thumbnailPixels(codecName, Nil, w, h): Unit // unknown name fails fast, on the driver
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val resizer = makeResizer(codecName) // once per partition
         it.grouped(batchSize).flatMap { batch =>
-          val thumbs = resizer.resizeBatch(
+          val thumbs = thumbnailPixels(codecName,
             batch.map(b => Option(b._2).getOrElse(Array.empty[Byte])), w, h)
           batch.map(_._1).zip(thumbs.map(dHashOf(_, w, h)))
         }

@@ -137,4 +137,38 @@ class MultimodalSpec extends AnyFunSuite {
     val flat = Seq((9L, Array.tabulate(72)(_.toByte))).toDF("doc_id", "payload")
     assert(Multimodal.dHashesStub(flat).as[(Long, String)].head()._2 === "0000000000000000")
   }
+
+  test("dHash imageio path: hashes decoded PIXELS — brightness-shifted re-encode collides, distinct image doesn't") {
+    import org.apache.spark.sql.functions._
+    // 18×16 source → 9×8 thumb is an exact 2× downsample, so a uniform
+    // +40 brightness shift survives the bilinear average EXACTLY and
+    // the gradient signs must be identical — but only because the hash
+    // reads the DECODED luminance grid; hashing the re-encoded PNG
+    // bytes would scatter the shift through the compressor
+    def png(shift: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val base = if (invert) 200 - (x * 11) else x * 11 + (y % 3) * 7
+        val v = math.min(215, math.max(0, base)) + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val df = Seq((1L, png(0, invert = false)), (2L, png(40, invert = false)),
+      (3L, png(0, invert = true)), (4L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val prev = spark.conf.getOption(Multimodal.CodecConfKey)
+    spark.conf.set(Multimodal.CodecConfKey, "imageio")
+    try {
+      val h = Multimodal.dHashes(df).as[(Long, String)].collect().toMap
+      def dist(a: String, b: String): Int = java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^ java.lang.Long.parseUnsignedLong(b, 16))
+      assert(dist(h(1L), h(2L)) <= 1, s"brightness shift moved the hash: ${h(1L)} vs ${h(2L)}")
+      assert(dist(h(1L), h(3L)) >= 10, s"distinct image too close: ${h(1L)} vs ${h(3L)}")
+      assert(h(4L) === "0000000000000000") // undecodable → quarantine fingerprint
+    } finally prev.fold(spark.conf.unset(Multimodal.CodecConfKey))(
+      spark.conf.set(Multimodal.CodecConfKey, _))
+  }
 }
