@@ -220,6 +220,10 @@ object Bench {
     storePart("stream_graph_docs") {
       SparkEntry.queries("q_textrank_streamed")(spark, sfDir).count()
       SparkEntry.queries("q_pagerank_docs_streamed")(spark, sfDir).count(): Unit }
+    // r14: the StreamingEvents fact store serving the six behavioral
+    // *_streamed twins — three idempotent micro-batches, build-once
+    storePart("stream_events") {
+      graft.queries.AnalysisQueries.EventStores.streamedEvents(spark, sfDir).count(): Unit }
     // r14: q_img_dedup's dHash fingerprints — the corpus-proportional
     // stub-decode pass runs once; the timed query is the banded pair join
     storePart("dhash") {

@@ -76,6 +76,166 @@ object AnalysisQueries {
     }
   }
 
+  /** Session-scoped StreamingEvents fact store: `dir`'s events
+    * ingested incrementally (three deterministic event_id-mod-3
+    * micro-batches through `processBatch` — the EmbedStores pattern);
+    * facts are idempotent by event_id, so the accumulated relation
+    * equals `Tables.events` under any batching. Built once per
+    * (session, dir); serves every `*_streamed` behavioral twin.
+    */
+  private[graft] object EventStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def streamedStore(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_eventstream",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val ev = Tables.events(s, dir)
+        for (b <- 0 until 3)
+          graft.streaming.StreamingEvents.processBatch(
+            ev.filter(col("event_id") % 3 === b), b.toLong, path): Unit
+        cache += (s, dir) -> path
+        path
+      })
+    }
+
+    def streamedEvents(s: SparkSession, dir: String): DataFrame =
+      graft.streaming.StreamingEvents.events(s, streamedStore(s, dir))
+  }
+
+  /** The behavioral-analytics family parameterized over the event
+    * relation — each body is shared verbatim by the batch query (over
+    * `Tables.events`) and its streamed twin (over the accumulated
+    * `StreamingEvents` store), so the twins hash-check under the batch
+    * oracles by construction.
+    */
+  private def sessionsOf(events: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val gapMs = 30L * 60L * 1000L
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      events
+        .select(col("user_id"), col("t"), col("event_id"), col("value"))
+        .withColumn("prev_ms", lag(unix_millis(col("t")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("t")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_no",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+          date_format(min("t"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max("t"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+    }
+
+  private def funnelOf(events: DataFrame): DataFrame = {
+      val horizonUs = 24L * 3600L * 1000000L
+      val ev = events
+        .select(col("user_id"), col("event_type"), unix_micros(col("t")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t_view"))
+      val vc = v
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("c_us")), "user_id")
+        .filter(col("c_us") > col("t_view") &&
+          col("c_us") <= col("t_view") + horizonUs)
+        .groupBy("user_id", "t_view").agg(min(col("c_us")).as("t_click"))
+      val vcp = vc
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p_us")), "user_id")
+        .filter(col("p_us") > col("t_click") &&
+          col("p_us") <= col("t_view") + horizonUs)
+        .groupBy("user_id").agg(min(col("p_us")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(vc.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(vcp.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+    }
+
+  private def retentionOf(events: DataFrame): DataFrame = {
+      val weekUs = 7L * 24L * 3600L * 1000000L
+      val ev = events
+        .select(col("user_id"), date_trunc("week", col("t")).as("wk"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          ((unix_micros(col("wk")) - unix_micros(col("cohort"))) / lit(weekUs))
+            .cast("long").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }
+
+  private def growthOf(events: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val wk = events
+        .select(col("user_id"),
+          unix_micros(date_trunc("week", col("t"))).as("wk"))
+        .distinct()
+      val weekUs = 7L * 24L * 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val lab = wk
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("state",
+          when(col("prev").isNull, "new")
+            .when(col("wk") - col("prev") === weekUs, "retained")
+            .otherwise("resurrected"))
+      val active = lab.groupBy(col("wk"), col("state"))
+        .agg(count(lit(1)).as("n_users"))
+      // churned at week T+1: active at T, not at T+1 (only for weeks
+      // that exist in the data)
+      val weeks = wk.select(col("wk")).distinct()
+      val churned = wk
+        .select(col("user_id"), (col("wk") + weekUs).as("wk"))
+        .join(weeks, "wk")
+        .join(wk, Seq("user_id", "wk"), "left_anti")
+        .groupBy("wk")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("state", lit("churned"))
+        .select("wk", "state", "n_users")
+      active.unionByName(churned)
+        .select((col("wk") / lit(1000000L)).cast("long").as("wk_s"),
+          col("state"), col("n_users"))
+    }
+
+  private def transitionsOf(events: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("t")), col("event_id"))
+      events
+        .select(col("user_id"), col("t"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("prev_type")), 6))
+    }
+
+  private def scd2Of(events: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events.select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("t")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("dim_user"), col("value").as("attr"),
+          col("us").as("valid_from"),
+          lead(col("us"), 1).over(w).as("valid_to"))
+      ev.filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("dim_user") &&
+          col("us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("us") < col("valid_to")))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("purchase_value"), col("attr"), col("valid_from"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> ((s, dir) => {
       val toks = Text.tokenize(col("text"))
@@ -282,26 +442,7 @@ object AnalysisQueries {
     // so the stateful operator's semantics get a CORRECTNESS row, not
     // just a spec. One shuffle (the per-user window); the session-number
     // aggregation reuses the window's partitioning.
-    "q_sessions" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
-      val gapMs = 30L * 60L * 1000L
-      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
-      Tables.events(s, dir)
-        .select(col("user_id"), col("t"), col("event_id"), col("value"))
-        .withColumn("prev_ms", lag(unix_millis(col("t")), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_ms").isNull ||
-            unix_millis(col("t")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
-        .withColumn("session_no",
-          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_no")
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
-          date_format(min("t"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-          date_format(max("t"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
-    }),
+    "q_sessions" -> ((s, dir) => sessionsOf(Tables.events(s, dir))),
 
     // As-of join (operator Spark lacks natively — union+window, one
     // shuffle): each event with the user's latest signup at-or-before it.
@@ -361,53 +502,26 @@ object AnalysisQueries {
     // predicates). The join is user-keyed (SMJ/BHJ-anchored equality;
     // the validity interval rides as a post-join filter), versions
     // partition time so at most one matches.
-    "q_scd2" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir).select(
-        col("event_id"), col("user_id"), col("event_type"), col("value"),
-        unix_micros(col("t")).as("us"))
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val dim = ev.filter(col("event_type") === "signup")
-        .select(col("user_id").as("dim_user"), col("value").as("attr"),
-          col("us").as("valid_from"),
-          lead(col("us"), 1).over(w).as("valid_to"))
-      ev.filter(col("event_type") === "purchase")
-        .join(dim, col("user_id") === col("dim_user") &&
-          col("us") >= col("valid_from") &&
-          (col("valid_to").isNull || col("us") < col("valid_to")))
-        .select(col("event_id"), col("user_id"),
-          col("value").as("purchase_value"), col("attr"), col("valid_from"))
-    }),
+    "q_scd2" -> ((s, dir) => scd2Of(Tables.events(s, dir))),
+
+    // Streamed twins of the behavioral family: the IDENTICAL shared
+    // bodies over the accumulated StreamingEvents fact store (facts
+    // idempotent by event_id => the store equals the batch relation
+    // under any batching), each hash-checked under the batch query's
+    // verbatim oracle.
+    "q_sessions_streamed" -> ((s, dir) => sessionsOf(EventStores.streamedEvents(s, dir))),
+    "q_funnel_streamed" -> ((s, dir) => funnelOf(EventStores.streamedEvents(s, dir))),
+    "q_retention_streamed" -> ((s, dir) => retentionOf(EventStores.streamedEvents(s, dir))),
+    "q_growth_streamed" -> ((s, dir) => growthOf(EventStores.streamedEvents(s, dir))),
+    "q_transitions_streamed" -> ((s, dir) => transitionsOf(EventStores.streamedEvents(s, dir))),
+    "q_scd2_streamed" -> ((s, dir) => scd2Of(EventStores.streamedEvents(s, dir))),
 
     // Ordered-funnel analysis: users progressing view → click →
     // purchase, each later stage strictly after the previous one and
     // within 24 h of the first view. All three stages are user-keyed
     // aggregates/joins (one key distribution throughout); time keys are
     // the events table's engine-portable epoch-µs.
-    "q_funnel" -> ((s, dir) => {
-      val horizonUs = 24L * 3600L * 1000000L
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), unix_micros(col("t")).as("us"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("us")).as("t_view"))
-      val vc = v
-        .join(ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("us").as("c_us")), "user_id")
-        .filter(col("c_us") > col("t_view") &&
-          col("c_us") <= col("t_view") + horizonUs)
-        .groupBy("user_id", "t_view").agg(min(col("c_us")).as("t_click"))
-      val vcp = vc
-        .join(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("us").as("p_us")), "user_id")
-        .filter(col("p_us") > col("t_click") &&
-          col("p_us") <= col("t_view") + horizonUs)
-        .groupBy("user_id").agg(min(col("p_us")).as("t_purchase"))
-      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
-        .unionAll(vc.agg(count(lit(1)).as("n_users"))
-          .select(lit("2_click").as("stage"), col("n_users")))
-        .unionAll(vcp.agg(count(lit(1)).as("n_users"))
-          .select(lit("3_purchase").as("stage"), col("n_users")))
-    }),
+    "q_funnel" -> ((s, dir) => funnelOf(Tables.events(s, dir))),
 
     // Retention cohorts: users bucketed by the week of their first
     // event; each cell counts users active `week_offset` weeks later.
@@ -415,20 +529,7 @@ object AnalysisQueries {
     // the cohort-cell aggregate's key space is weeks² (tiny at any
     // scale). Offsets are exact integer arithmetic on µs-truncated
     // weeks, not calendar subtraction.
-    "q_retention" -> ((s, dir) => {
-      val weekUs = 7L * 24L * 3600L * 1000000L
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), date_trunc("week", col("t")).as("wk"))
-        .distinct()
-      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
-      ev.join(first, "user_id")
-        .select(
-          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
-          ((unix_micros(col("wk")) - unix_micros(col("cohort"))) / lit(weekUs))
-            .cast("long").as("week_offset"))
-        .groupBy("cohort_week", "week_offset")
-        .agg(count(lit(1)).as("n_users"))
-    }),
+    "q_retention" -> ((s, dir) => retentionOf(Tables.events(s, dir))),
 
     // Time-series resample + forward fill: each user's last reading per
     // day, re-gridded onto a dense daily spine (their own [min, max]
@@ -462,56 +563,14 @@ object AnalysisQueries {
     // week's churned count (active last week, not this). One distinct
     // (user, week) projection + one user-partitioned lag window; counts
     // per (week, state) — weeks×4 key space at any scale.
-    "q_growth" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wk = Tables.events(s, dir)
-        .select(col("user_id"),
-          unix_micros(date_trunc("week", col("t"))).as("wk"))
-        .distinct()
-      val weekUs = 7L * 24L * 3600L * 1000000L
-      val w = Window.partitionBy("user_id").orderBy("wk")
-      val lab = wk
-        .withColumn("prev", lag(col("wk"), 1).over(w))
-        .withColumn("state",
-          when(col("prev").isNull, "new")
-            .when(col("wk") - col("prev") === weekUs, "retained")
-            .otherwise("resurrected"))
-      val active = lab.groupBy(col("wk"), col("state"))
-        .agg(count(lit(1)).as("n_users"))
-      // churned at week T+1: active at T, not at T+1 (only for weeks
-      // that exist in the data)
-      val weeks = wk.select(col("wk")).distinct()
-      val churned = wk
-        .select(col("user_id"), (col("wk") + weekUs).as("wk"))
-        .join(weeks, "wk")
-        .join(wk, Seq("user_id", "wk"), "left_anti")
-        .groupBy("wk")
-        .agg(count(lit(1)).as("n_users"))
-        .withColumn("state", lit("churned"))
-        .select("wk", "state", "n_users")
-      active.unionByName(churned)
-        .select((col("wk") / lit(1000000L)).cast("long").as("wk_s"),
-          col("state"), col("n_users"))
-    }),
+    "q_growth" -> ((s, dir) => growthOf(Tables.events(s, dir))),
 
     // Event-sequence transition matrix: per-user consecutive event-type
     // pairs (the first-order Markov structure funnels and session
     // models start from). One user-partitioned lag window (data-sized
     // partitions) + a transitions² aggregate; probabilities are exact
     // count ratios.
-    "q_transitions" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id")
-        .orderBy(unix_micros(col("t")), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("user_id"), col("t"), col("event_id"), col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("event_type").as("next_type"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p", round(col("n").cast("double") /
-          sum(col("n")).over(Window.partitionBy("prev_type")), 6))
-    }),
+    "q_transitions" -> ((s, dir) => transitionsOf(Tables.events(s, dir))),
 
     // Fixed-width histogram of order totals: bucket = floor(x / width) —
     // the one-pass distribution diagnostic (integer bucket keys, exact
@@ -754,7 +813,7 @@ object AnalysisQueries {
        |     ELSE 'es' END""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // HLL relative-error guarantee: per-source exact distinct terms with
     // the deterministically-true bound flag (the engine re-derives the
     // flag from its own estimate; the oracle states the registration
@@ -1447,4 +1506,11 @@ object AnalysisQueries {
         |       ELSE 'unknown' END AS format
         |FROM documents""".stripMargin,
   )
+
+  /** Streamed behavioral twins share the batch oracles verbatim — the
+    * accumulated fact store must serve identical analytics.
+    */
+  val oracles: Map[String, String] = baseOracles ++
+    Seq("q_sessions", "q_funnel", "q_retention", "q_growth",
+      "q_transitions", "q_scd2").map(q => s"${q}_streamed" -> baseOracles(q))
 }
