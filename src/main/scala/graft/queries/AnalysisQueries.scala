@@ -105,6 +105,76 @@ object AnalysisQueries {
       graft.streaming.StreamingEvents.events(s, streamedStore(s, dir))
   }
 
+  private def asofSignupOf(events: DataFrame): DataFrame = {
+      val ev = events
+      graft.operators.AsOf.joinAsOf(
+        left = ev.select(col("event_id"), col("user_id"), col("t")),
+        right = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("t"), col("event_id")),
+        key = "user_id", time = "t", rightValue = "event_id",
+        as = "signup_event_id")
+        .select("event_id", "user_id", "signup_event_id")
+    }
+
+  private def attributedOf(events: DataFrame): DataFrame = {
+      val ev = events
+      graft.streaming.EventPipeline.attributedPurchases(
+        clicks = ev.filter(col("event_type") === "click"),
+        purchases = ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("purchase_t")).as("purchase_us"),
+          col("value"),
+          unix_micros(col("click_t")).as("click_us"))
+    }
+
+  private def attributedLeftOf(events: DataFrame): DataFrame = {
+      val ev = events
+      graft.streaming.EventPipeline.attributedClicksLeftOuter(
+        clicks = ev.filter(col("event_type") === "click"),
+        purchases = ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("click_t")).as("click_us"),
+          unix_micros(col("purchase_t")).as("purchase_us"),
+          col("value"))
+    }
+
+  private def gapfillOf(events: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events.select(
+        col("user_id"), to_date(col("t")).as("day"),
+        unix_micros(col("t")).as("us"), col("event_id"), col("value"))
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1).select("user_id", "day", "value")
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("value"), ignoreNulls = true).over(wFill).as("reading"),
+          col("value").isNull.as("filled"))
+    }
+
+  private def trailingDauOf(events: DataFrame): DataFrame = {
+      val du = events
+        .select(to_date(col("t")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("wday")).distinct()
+      val contrib = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+          col("user_id"))
+        .join(days, "wday") // windows that exist in the data range only
+        .distinct()
+      val wau = contrib.groupBy("wday").agg(count(lit(1)).as("wau"))
+      du.groupBy("day").agg(count(lit(1)).as("dau"))
+        .join(wau, col("day") === col("wday"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"))
+    }
+
   /** The behavioral-analytics family parameterized over the event
     * relation — each body is shared verbatim by the batch query (over
     * `Tables.events`) and its streamed twin (over the accumulated
@@ -446,16 +516,7 @@ object AnalysisQueries {
 
     // As-of join (operator Spark lacks natively — union+window, one
     // shuffle): each event with the user's latest signup at-or-before it.
-    "q_asof_signup" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      graft.operators.AsOf.joinAsOf(
-        left = ev.select(col("event_id"), col("user_id"), col("t")),
-        right = ev.filter(col("event_type") === "signup")
-          .select(col("user_id"), col("t"), col("event_id")),
-        key = "user_id", time = "t", rightValue = "event_id",
-        as = "signup_event_id")
-        .select("event_id", "user_id", "signup_event_id")
-    }),
+    "q_asof_signup" -> ((s, dir) => asofSignupOf(Tables.events(s, dir))),
 
     // Stream-stream interval join, batch instantiation: each purchase
     // attributed to the same user's clicks within the preceding hour —
@@ -464,16 +525,7 @@ object AnalysisQueries {
     // operator's semantics get a CORRECTNESS row, not just a spec.
     // Output time keys as unix µs (the engine-portable precision of the
     // nanos-backed events table) rather than raw timestamps.
-    "q_attributed" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      graft.streaming.EventPipeline.attributedPurchases(
-        clicks = ev.filter(col("event_type") === "click"),
-        purchases = ev.filter(col("event_type") === "purchase"))
-        .select(col("user_id"),
-          unix_micros(col("purchase_t")).as("purchase_us"),
-          col("value"),
-          unix_micros(col("click_t")).as("click_us"))
-    }),
+    "q_attributed" -> ((s, dir) => attributedOf(Tables.events(s, dir))),
 
     // LEFT-OUTER interval join, batch instantiation: EVERY click with
     // its following-hour purchase or NULL — the outer flavor of
@@ -481,16 +533,7 @@ object AnalysisQueries {
     // MemoryStream (where null rows emit only once both watermarks
     // pass — output EXISTENCE is watermark-gated, the semantics this
     // oracle row pins in batch).
-    "q_attributed_left" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      graft.streaming.EventPipeline.attributedClicksLeftOuter(
-        clicks = ev.filter(col("event_type") === "click"),
-        purchases = ev.filter(col("event_type") === "purchase"))
-        .select(col("user_id"),
-          unix_micros(col("click_t")).as("click_us"),
-          unix_micros(col("purchase_t")).as("purchase_us"),
-          col("value"))
-    }),
+    "q_attributed_left" -> ((s, dir) => attributedLeftOf(Tables.events(s, dir))),
 
     // SCD2 (slowly-changing dimension, type 2) built from the change
     // stream + a POINT-IN-TIME join: each user's signup events become
@@ -515,6 +558,11 @@ object AnalysisQueries {
     "q_growth_streamed" -> ((s, dir) => growthOf(EventStores.streamedEvents(s, dir))),
     "q_transitions_streamed" -> ((s, dir) => transitionsOf(EventStores.streamedEvents(s, dir))),
     "q_scd2_streamed" -> ((s, dir) => scd2Of(EventStores.streamedEvents(s, dir))),
+    "q_asof_signup_streamed" -> ((s, dir) => asofSignupOf(EventStores.streamedEvents(s, dir))),
+    "q_attributed_streamed" -> ((s, dir) => attributedOf(EventStores.streamedEvents(s, dir))),
+    "q_attributed_left_streamed" -> ((s, dir) => attributedLeftOf(EventStores.streamedEvents(s, dir))),
+    "q_gapfill_streamed" -> ((s, dir) => gapfillOf(EventStores.streamedEvents(s, dir))),
+    "q_trailing_dau_streamed" -> ((s, dir) => trailingDauOf(EventStores.streamedEvents(s, dir))),
 
     // Ordered-funnel analysis: users progressing view → click →
     // purchase, each later stage strictly after the previous one and
@@ -537,26 +585,7 @@ object AnalysisQueries {
     // sensor/metrics regularization pass. The spine explode is
     // per-user-bounded; the fill is one user-partitioned window (never
     // a global sort).
-    "q_gapfill" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir).select(
-        col("user_id"), to_date(col("t")).as("day"),
-        unix_micros(col("t")).as("us"), col("event_id"), col("value"))
-      val wLast = Window.partitionBy("user_id", "day")
-        .orderBy(col("us").desc, col("event_id").desc)
-      val daily = ev.withColumn("rn", row_number().over(wLast))
-        .filter(col("rn") === 1).select("user_id", "day", "value")
-      val spine = daily.groupBy("user_id")
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
-      val wFill = Window.partitionBy("user_id").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(daily, Seq("user_id", "day"), "left_outer")
-        .select(col("user_id"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          last(col("value"), ignoreNulls = true).over(wFill).as("reading"),
-          col("value").isNull.as("filled"))
-    }),
+    "q_gapfill" -> ((s, dir) => gapfillOf(Tables.events(s, dir))),
 
     // Growth accounting: per week, users classified new / retained /
     // resurrected (active now, inactive last week, seen before) plus the
@@ -587,21 +616,7 @@ object AnalysisQueries {
     // engagement-rollup shape. Exact trailing distinct via contribution
     // explode (a day of activity feeds 7 window days) + one distinct —
     // never a per-window re-scan; key spaces are days × users.
-    "q_trailing_dau" -> ((s, dir) => {
-      val du = Tables.events(s, dir)
-        .select(to_date(col("t")).as("day"), col("user_id")).distinct()
-      val days = du.select(col("day").as("wday")).distinct()
-      val contrib = du
-        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
-          col("user_id"))
-        .join(days, "wday") // windows that exist in the data range only
-        .distinct()
-      val wau = contrib.groupBy("wday").agg(count(lit(1)).as("wau"))
-      du.groupBy("day").agg(count(lit(1)).as("dau"))
-        .join(wau, col("day") === col("wday"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("dau"), col("wau"))
-    }),
+    "q_trailing_dau" -> ((s, dir) => trailingDauOf(Tables.events(s, dir))),
 
     // Cross-source overlap matrix (Dedup.sourceOverlap): shingle-level
     // Jaccard between every source pair over the DISCRIMINATING
@@ -1512,5 +1527,7 @@ object AnalysisQueries {
     */
   val oracles: Map[String, String] = baseOracles ++
     Seq("q_sessions", "q_funnel", "q_retention", "q_growth",
-      "q_transitions", "q_scd2").map(q => s"${q}_streamed" -> baseOracles(q))
+      "q_transitions", "q_scd2", "q_asof_signup", "q_attributed",
+      "q_attributed_left", "q_gapfill", "q_trailing_dau")
+      .map(q => s"${q}_streamed" -> baseOracles(q))
 }

@@ -358,6 +358,24 @@ object RelationalQueries {
        |  FROM nb n LEFT JOIN inf$i USING (node)
        |)""".stripMargin
 
+  /** Analytic window over event time — shared by q_user_lag and its
+    * streamed twin (the `AnalysisQueries` behavioral-family pattern).
+    */
+  private def userLagOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      lag("value", 1).over(w).as("prev_value"),
+      row_number().over(w).cast("long").as("event_no"))
+  }
+
+  private val userLagOracleSql: String =
+    """SELECT event_id, user_id, value,
+      |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_no
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1-style pricing summary: the canonical partial-agg benchmark.
@@ -988,14 +1006,14 @@ object RelationalQueries {
 
     // Analytic window over event time: each event with the user's
     // previous value (lag) and running event number.
-    "q_user_lag" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
-      graft.sources.Tables.events(s, dir).select(
-        col("event_id"), col("user_id"), col("value"),
-        lag("value", 1).over(w).as("prev_value"),
-        row_number().over(w).cast("long").as("event_no"))
-    }),
+    "q_user_lag" -> ((s, dir) =>
+      userLagOf(graft.sources.Tables.events(s, dir))),
+
+    // Streamed twin over the accumulated StreamingEvents fact store
+    // (facts idempotent by event_id — AnalysisQueries.EventStores) —
+    // same shared body, batch oracle verbatim.
+    "q_user_lag_streamed" -> ((s, dir) =>
+      userLagOf(AnalysisQueries.EventStores.streamedEvents(s, dir))),
 
     // RANGE window frame (value-based, vs the ROWS frames above): per
     // customer, trailing-30-day order revenue. Ordered on epoch MICROS
@@ -1403,11 +1421,8 @@ object RelationalQueries {
         |FROM dev d JOIN med m USING (l_returnflag)
         |GROUP BY 1, 2""".stripMargin,
 
-    "q_user_lag" ->
-      """SELECT event_id, user_id, value,
-        |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_no
-        |FROM events""".stripMargin,
+    "q_user_lag" -> userLagOracleSql,
+    "q_user_lag_streamed" -> userLagOracleSql,
 
     // epoch-µs RANGE bound ≡ INTERVAL 30 DAY on the µs-resolution
     // timestamps (both are exact 30·86400·10^6 µs arithmetic — no tz/DST
