@@ -224,6 +224,10 @@ object Bench {
     // *_streamed twins — three idempotent micro-batches, build-once
     storePart("stream_events") {
       graft.queries.AnalysisQueries.EventStores.streamedEvents(spark, sfDir).count(): Unit }
+    // r14: the additive per-source term-count delta store serving
+    // q_source_drift_streamed (StreamingGraph generalized past graphs)
+    storePart("stream_drift") {
+      graft.queries.AnalysisQueries.DriftStores.counts(spark, sfDir).count(): Unit }
     // r14: q_img_dedup's dHash fingerprints — the corpus-proportional
     // stub-decode pass runs once; the timed query is the banded pair join
     storePart("dhash") {

@@ -175,6 +175,42 @@ object AnalysisQueries {
           col("dau"), col("wau"))
     }
 
+  /** Session-scoped string-keyed StreamingGraph store accumulating the
+    * per-source TERM-COUNT deltas q_source_drift is defined over —
+    * counts are additive under any doc partition, so the accumulated
+    * (source, term, c) relation equals the batch one and the streamed
+    * twin hash-checks under the identical oracle. The additive-delta
+    * store generalizes past graphs: src = source, dst = term, w =
+    * count is just an additive keyed relation.
+    */
+  private[graft] object DriftStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def streamedStore(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_graphstream",
+          "drift_store_" + graft.sources.SessionStores.tagOf(dir))
+        for (b <- 0 until 3) {
+          val contribs = docs(s, dir).filter(col("doc_id") % 3 === b)
+            .select(col("source").as("src"),
+              explode(graft.functions.Text.tokenize(col("text"))).as("dst"),
+              lit(1L).as("w"))
+          graft.streaming.StreamingGraph.processBatch(contribs, b.toLong, path,
+            keyType = org.apache.spark.sql.types.StringType): Unit
+        }
+        cache += (s, dir) -> path
+        path
+      })
+    }
+
+    def counts(s: SparkSession, dir: String): DataFrame =
+      graft.streaming.StreamingGraph.edges(s, streamedStore(s, dir),
+          org.apache.spark.sql.types.StringType)
+        .select(col("src").as("source"), col("dst").as("term"), col("w").as("c"))
+  }
+
   /** The behavioral-analytics family parameterized over the event
     * relation — each body is shared verbatim by the batch query (over
     * `Tables.events`) and its streamed twin (over the accumulated
@@ -759,6 +795,20 @@ object AnalysisQueries {
             explode(graft.functions.Text.tokenize(col("text"))).as("term"))
           .groupBy("source", "term").agg(count(lit(1)).as("c")),
         "source", "term", "c")),
+
+    // Streamed twin: term counts are ADDITIVE deltas, so the
+    // string-keyed StreamingGraph store (src = source, dst = term,
+    // w = count — the additive-relation store generalized past graphs)
+    // accumulates the exact batch count relation; identical oracle.
+    "q_source_drift_streamed" -> ((s, dir) =>
+      graft.operators.Stats.jsDivergence(
+        DriftStores.counts(s, dir), "source", "term", "c")),
+
+    // Streamed twin of q_ab_test over the accumulated event-fact store.
+    "q_ab_test_streamed" -> ((s, dir) =>
+      graft.operators.Stats.welchTTest(
+        EventStores.streamedEvents(s, dir), "event_type", "value",
+        "click", "view")),
 
     "q_resize" -> ((s, dir) => {
       val payload = docs(s, dir).select(
@@ -1528,6 +1578,7 @@ object AnalysisQueries {
   val oracles: Map[String, String] = baseOracles ++
     Seq("q_sessions", "q_funnel", "q_retention", "q_growth",
       "q_transitions", "q_scd2", "q_asof_signup", "q_attributed",
-      "q_attributed_left", "q_gapfill", "q_trailing_dau")
+      "q_attributed_left", "q_gapfill", "q_trailing_dau",
+      "q_source_drift", "q_ab_test")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }
