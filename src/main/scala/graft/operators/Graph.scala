@@ -213,6 +213,44 @@ object Graph {
     out
   }
 
+  /** Weighted single-source shortest PATHS (SSSP) by iterative
+    * min-relaxation — the weighted sibling of [[shortestHops]]: after
+    * k rounds every node holds the exact minimum path WEIGHT over
+    * paths of at most k edges (distributed Bellman-Ford; nodes
+    * unreachable within k edges are absent). Long weights, integer
+    * arithmetic throughout — no float protocol needed. Same lineage,
+    * hint-gate, and edge-cache discipline as [[shortestHops]].
+    * Returns (node, dist) for reached nodes.
+    */
+  def shortestPaths(edges: DataFrame, nodes: DataFrame,
+                    source: org.apache.spark.sql.Column, maxRounds: Int,
+                    broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "shortestPaths needs a non-empty node set")
+    require(maxRounds >= 0)
+    val hint: DataFrame => DataFrame =
+      if (n <= broadcastRanksMax) broadcast else identity
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = nodes.select(col("node"),
+      when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long"))
+        .as("dist"))
+    for (_ <- 1 to maxRounds) {
+      val relax = e.join(hint(dist.filter(col("dist").isNotNull)),
+          col("src") === col("node"))
+        .groupBy("dst").agg(min(col("dist") + col("w")).as("nd"))
+      dist = Dedup.materializeOnce(
+        dist.join(hint(relax), col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            when(col("dist").isNull, col("nd"))
+              .when(col("nd").isNull, col("dist"))
+              .otherwise(least(col("dist"), col("nd"))).as("dist")))
+    }
+    val out = Dedup.materializeOnce(dist.filter(col("dist").isNotNull))
+    e.unpersist()
+    out
+  }
+
   /** The shared power-iteration core. `nodeBase`: (node, base, pr) —
     * per-node teleport mass and initial rank, node-sized by contract
     * (one row per node; referenced once per iteration like the ranks).

@@ -207,6 +207,36 @@ object RelationalQueries {
   /** q_pagerank's oracle — shared verbatim by the streamed twin (the
     * accumulated delta store must serve the batch fixpoint).
     */
+  /** One Bellman-Ford relaxation round as CTEs (mirror of
+    * `Graph.shortestPaths`): relax every known distance across the
+    * edges, then merge min per node. Expects `e(src,dst,w)` and
+    * `d$i(node,dist)` in scope. Integer arithmetic — no float
+    * protocol needed.
+    */
+  private def ssspIterSql(i: Int): String =
+    s"""r$i AS (
+       |  SELECT e.dst AS node, min(d$i.dist + e.w) AS dist
+       |  FROM d$i JOIN e ON d$i.node = e.src GROUP BY e.dst
+       |), d${i + 1} AS (
+       |  SELECT node, min(dist) AS dist FROM (
+       |    SELECT node, dist FROM d$i UNION ALL SELECT node, dist FROM r$i
+       |  ) u$i GROUP BY node
+       |)""".stripMargin
+
+  private lazy val ssspOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2
+       |), d0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |), ${(0 until 6).map(ssspIterSql).mkString(", ")}
+       |SELECT n_name, dist FROM d6 JOIN nation ON node = n_nationkey
+       |ORDER BY dist, n_name""".stripMargin
+
   /** q_bfs' oracle — shared verbatim by the streamed twin. */
   private val bfsOracleSql: String =
     s"""WITH RECURSIVE e AS (
@@ -573,6 +603,21 @@ object RelationalQueries {
         .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("hops"))
         .orderBy(col("hops"), col("n_name"))
+    }),
+
+    // Weighted single-source shortest PATHS over the nation trade
+    // graph (distributed Bellman-Ford — the weighted sibling of
+    // q_bfs): minimum total edge weight from ALGERIA over paths of at
+    // most 6 edges. Integer-exact; the oracle is the same relaxation
+    // unrolled as CTEs (the prIterSql discipline — a recursive walk
+    // would enumerate path SUMS, exponential in rounds).
+    "q_sssp" -> ((s, dir) => {
+      val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("node"))
+      graft.operators.Graph.shortestPaths(
+          nationEdgesStore(s, dir), nodes, lit(0L), maxRounds = 6)
+        .join(broadcast(tbl(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("dist"))
+        .orderBy(col("dist"), col("n_name"))
     }),
 
     // HITS hubs & authorities on the nation trade graph (unweighted —
@@ -1185,6 +1230,7 @@ object RelationalQueries {
     // as the engine's 6 relaxation rounds — both sides compute "exact
     // shortest hops if ≤ 6, absent otherwise"
     "q_bfs" -> bfsOracleSql,
+    "q_sssp" -> ssspOracleSql,
     // streamed twin: identical SQL (the accumulated delta store's edge
     // SET equals the batch relation's)
     "q_bfs_streamed" -> bfsOracleSql,

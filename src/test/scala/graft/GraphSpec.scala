@@ -49,6 +49,34 @@ class GraphSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Graph.pageRank(e, n, iters = 1))
   }
 
+  test("shortestPaths: weighted min-relaxation equals plain-Scala Bellman-Ford") {
+    // a graph where the cheapest path is NOT the fewest-hops path:
+    // 0→3 direct costs 10, 0→1→2→3 costs 3
+    val edgeList = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 2L), (4L, 0L, 1L), (1L, 3L, 5L))
+    val nodes = (0L to 5L).toDF("node") // node 5 unreachable
+    val maxRounds = 4
+    def ref: Map[Long, Long] = {
+      var d = Map(0L -> 0L)
+      for (_ <- 1 to maxRounds)
+        d = (d.toSeq ++ edgeList.collect {
+          case (s, t, w) if d.contains(s) => t -> (d(s) + w)
+        }).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      d
+    }
+    val got = graft.operators.Graph.shortestPaths(
+        edgeList.toDF("src", "dst", "w"), nodes, org.apache.spark.sql.functions.lit(0L), maxRounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    assert(got(3L) === 3L) // min-weight, not min-hops
+    assert(!got.contains(5L)) // unreachable absent
+    // gated run equals the hinted one
+    assert(graft.operators.Graph.shortestPaths(
+        edgeList.toDF("src", "dst", "w"), nodes, org.apache.spark.sql.functions.lit(0L), maxRounds,
+        broadcastRanksMax = 0)
+      .as[(Long, Long)].collect().toMap === ref)
+  }
+
   test("past the broadcast gate the rank join is NOT a forced broadcast") {
     // the docstring's "stats/AQE fall back to a src-keyed shuffle" can
     // only happen if no explicit hint survives — an explicit broadcast()
