@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Bench main: times every registered query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Protocol:
+  * prints the full JSON artifact (also written to `target/bench.json`)
+  * followed by a COMPACT final JSON line sized to survive a ~2 KB stdout
+  * tail capture. Protocol:
   *   - a warm-up pass (JVM/codegen/parquet reader, including the TPC-H
   *     join-chain tables) runs before timing, reported as `warmup_sec`;
   *   - the two one-time builds run untimed and are reported separately —
@@ -198,9 +200,11 @@ object Bench {
     storePart("moments") {
       graft.queries.RelationalQueries.LineitemMoments.of(spark, sfDir).count(): Unit }
     // r14: the shared 3-row quantile relation (ONE range-rank pass)
-    // serving q_percentiles / q_winsorized / q_mad's median anchor
+    // serving q_percentiles / q_winsorized / q_mad's median anchor;
+    // r15: plus the deviation-median part, making q_mad a store read
     storePart("quantiles") {
-      graft.queries.RelationalQueries.PriceQuantiles.of(spark, sfDir).count(): Unit }
+      graft.queries.RelationalQueries.PriceQuantiles.of(spark, sfDir).count()
+      graft.queries.RelationalQueries.PriceQuantiles.mad(spark, sfDir).count(): Unit }
     // r13: streamed edge-delta store + its version-keyed fixpoint
     // derivations (q_pagerank/q_hits/q_bfs streamed twins) — same
     // build-once attribution
@@ -357,11 +361,29 @@ object Bench {
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"store_build_parts":$storePartsJson,"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
     println(line)
-    // sidecar copy for any consumer whose stdout capture truncates
+    // sidecar copy: the FULL artifact at a fixed path (committed per-round
+    // as BENCH_r{N}_builder.json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       (line + "\n").getBytes("UTF-8")): Unit
     catch { case _: Throwable => }
+    // COMPACT final stdout line: the driver retains only the last ~2000
+    // bytes of stdout (BENCH_r13/r14 both recorded parsed:null because the
+    // full line above is >4 KB — its HEAD fell outside the window, so no
+    // tail-side parse could succeed, and the driver never reads the
+    // sidecar). This line carries the headline metric, the health verdict,
+    // and a FIXED representative query subset; with sbt's trailing
+    // "[success] Total time…" line it stays well inside the window. It
+    // must be the LAST thing this program writes to stdout.
+    val headline = Seq("q1_agg", "q3_join", "q5_multijoin", "q_index_stats",
+      "q_term_lookup", "q_dedup_near", "q_ann_ivf", "q_tfidf", "q_bm25",
+      "q_events_window", "q_pagerank_docs", "q_rollup_revenue",
+      "q_cube_revenue", "q_topk_df", "q_knn_join", "q_semdedup")
+    val qsCompact = headline.flatMap(n => timed.get(n).map(t => esc(n) + ":" + f2(t)))
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","n_queries":${timed.size},"n_errors":${results.count(_._3.isDefined)},"host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"queries_full":"target/bench.json"}"""
     spark.stop()
+    // printed AFTER spark.stop() so no late Spark output can follow it
+    println(compact)
     // a query that regresses into an error must FAIL the run, not shrink
     // the headline total past the gate: the smaller error-free total is
     // only meaningful alongside rc == 0

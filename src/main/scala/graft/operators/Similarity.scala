@@ -93,12 +93,21 @@ object Similarity {
     * gate the cross product follows stats/AQE; at a genuinely large
     * |Q| the right plan is the ANN ladder, not this baseline.
     * Self-matches (vec_id == qid) are excluded.
+    *
+    * `knownQueryCount`: a caller-supplied BOUND on |Q| (any upper
+    * bound the caller can vouch for, e.g. the selectivity of its own
+    * vec_id filter). When provided the gate decides on it with ZERO
+    * extra jobs; when absent the operator falls back to counting —
+    * an eager extra job that also materializes the query lineage
+    * twice, so serving callers should always pass the bound.
     */
   def knnJoin(vectors: DataFrame, queries: DataFrame, k: Int,
-              broadcastQueriesMax: Long = 10000L): DataFrame = {
+              broadcastQueriesMax: Long = 10000L,
+              knownQueryCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hint: DataFrame => DataFrame =
-      if (queries.count() <= broadcastQueriesMax) broadcast else identity
+      if (knownQueryCount.getOrElse(queries.count()) <= broadcastQueriesMax)
+        broadcast else identity
     val scored = vectors.crossJoin(hint(queries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),

@@ -28,8 +28,10 @@ object Stats {
     * Welch–Satterthwaite degrees of freedom are a projection over the
     * two-row result (bounded by contract: two 1-row relations cross-
     * joined). Values must be ≤2-dp with |v| < 1e6 — the corpus measure
-    * contract that keeps the DECIMAL(18,6)/(18,4) sums exact and
-    * Long-backed.
+    * contract that keeps each value exactly representable in
+    * DECIMAL(8,2), so the squared sum (decimal product of the decimal
+    * value — never a double square cast after the fact) and the
+    * DECIMAL(18,6) value sum are both exact and order-independent.
     *
     * Output (one row): cohort_a, cohort_b, n_a, n_b, mean_a, mean_b,
     * t_stat, df_welch — all float outputs 6-dp rounded.
@@ -40,7 +42,14 @@ object Stats {
       .groupBy(groupCol).agg(
         count(col(valueCol)).as("n"),
         sum(col(valueCol).cast(DecimalType(18, 6))).cast("double").as("s"),
-        sum((col(valueCol) * col(valueCol)).cast(DecimalType(18, 4)))
+        // square IN DECIMAL: a ≤2-dp value fits DECIMAL(8,2) exactly and
+        // the decimal product is exact by construction. Squaring in
+        // double first and casting after is NOT exact near the 1e6
+        // bound: the double product's absolute error (~3e-16·v²,
+        // up to ~3e-4) exceeds the 4-dp grid's 0.5e-4 half-ulp, and
+        // Spark's HALF_UP vs the oracle engine's cast rounding could
+        // then diverge on the recovered square.
+        sum(col(valueCol).cast(DecimalType(8, 2)) * col(valueCol).cast(DecimalType(8, 2)))
           .cast("double").as("q"))
     val ma = m.filter(col(groupCol) === a)
       .select(col("n").as("na"), col("s").as("sa"), col("q").as("qa"))

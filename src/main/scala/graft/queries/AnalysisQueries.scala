@@ -1027,7 +1027,7 @@ object AnalysisQueries {
       """WITH m AS (
         |  SELECT event_type, count(value) AS n,
         |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
-        |         CAST(SUM(CAST(value*value AS DECIMAL(18,4))) AS DOUBLE) AS q
+        |         CAST(SUM(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS q
         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
         |), a AS (SELECT n AS na, s AS sa, q AS qa FROM m WHERE event_type = 'click'),
         |b AS (SELECT n AS nb, s AS sb, q AS qb FROM m WHERE event_type = 'view')

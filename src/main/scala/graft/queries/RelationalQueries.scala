@@ -118,6 +118,31 @@ object RelationalQueries {
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
       }
     }
+
+    /** The DEVIATION median per group (the MAD), one more named part of
+      * the quantile store: the deviation relation depends only on
+      * (corpus, group medians) — both store-known — so its range-rank
+      * pass belongs in the build beside the price pass, and q_mad
+      * becomes a 3-row store read like q_percentiles (r15 ask #5;
+      * 2.0 s quiet → store-read cost). Anchored on the SERVED p50
+      * (parquet read, never cached lineage — the RangeRank refusal
+      * contract `of` documents).
+      */
+    def mad(s: SparkSession, dir: String): DataFrame = {
+      val path = graft.sources.SessionStores.scopedPath("graft_quantiles",
+        "mad_" + graft.sources.SessionStores.tagOf(dir))
+      graft.sources.SessionStores.servedPath(s, path) {
+        val med = of(s, dir).select(col("l_returnflag"), col("p50").as("median"))
+        val dev = tbl(s, dir, "lineitem")
+          .join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"),
+            abs(col("l_extendedprice") - col("median")).as("d"))
+        graft.operators.Percentiles.exactQuantiles(dev, "l_returnflag", "d",
+            Seq("mad" -> 0.5))
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+    }
   }
 
   /** Session-scoped StreamingGraph store holding the nation trade
@@ -1009,21 +1034,16 @@ object RelationalQueries {
 
     // Median absolute deviation per group — the ROBUST dispersion
     // statistic (outlier-insensitive where q_profile's stddev is not):
-    // the group median comes from the SHARED quantile relation (one
-    // range-rank pass serving the whole percentile family), and only
-    // the second pass — ranking |x − median|, genuinely this query's
-    // own data — runs here. Both medians are 6-dp rounded at the
-    // boundary so the deviation inputs are identical doubles on both
-    // engines.
+    // BOTH passes now live in the shared quantile store (the price
+    // median from the family pass, the deviation median from its own
+    // store-build pass — deviation depends only on store-known state),
+    // so the query itself is a 3-row join of two store reads. Both
+    // medians are 6-dp rounded at the boundary so the deviation inputs
+    // are identical doubles on both engines.
     "q_mad" -> ((s, dir) => {
       val med = PriceQuantiles.of(s, dir)
         .select(col("l_returnflag"), col("p50").as("median"))
-      val dev = tbl(s, dir, "lineitem")
-        .join(broadcast(med), "l_returnflag")
-        .select(col("l_returnflag"),
-          abs(col("l_extendedprice") - col("median")).as("d"))
-      graft.operators.Percentiles.exactQuantiles(dev, "l_returnflag", "d",
-          Seq("mad" -> 0.5))
+      PriceQuantiles.mad(s, dir)
         .join(broadcast(med), "l_returnflag")
         .select(col("l_returnflag"), col("median"), col("mad"), col("n"))
     }),

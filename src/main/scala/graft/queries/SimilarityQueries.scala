@@ -49,7 +49,10 @@ object SimilarityQueries {
       val vs = VectorStore.vectors(s, dir).select("vec_id", "v", "norm")
       val qs = vs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-      graft.operators.Similarity.knnJoin(vs, qs, k = 5)
+      // the vec_id < 10 filter bounds |Q| ≤ 10 by construction — passed
+      // as the gate bound so no eager count job rides the timed plan
+      graft.operators.Similarity.knnJoin(vs, qs, k = 5,
+        knownQueryCount = Some(10L))
     }),
     // SemDeDup: trained-IVF cells bound the quadratic term; discard =
     // has a smaller-id cluster-mate with cosine >= threshold

@@ -354,15 +354,22 @@ object TextQueries {
     // near-dup URL families.
     "q_bfs_docs" -> ((s, dir) => {
       val pairs = FuzzyStores.batchPairs(s, dir)
-      val src = pairs.agg(min(least(col("url_a"), col("url_b")))).head.getString(0)
-      val edges = pairs.select(explode(array(
-        struct(col("url_a").as("src"), col("url_b").as("dst")),
-        struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
+      val srcRow = pairs.agg(min(least(col("url_a"), col("url_b")))).head
       val nodes = docs(s, dir).select(col("url").as("node")).distinct()
-      graft.operators.Graph.shortestHopsAt(edges, nodes, lit(src),
-          maxHops = 6, broadcastRanksMax = 0)
-        .select(col("node").as("url"), col("hops"))
+      // zero ED-1 pairs → no source → an EMPTY (url, hops) frame, never
+      // a walk seeded at NULL (the oracle's seed row is conditional on
+      // the same scalar being non-null, so both sides agree on empty)
+      if (srcRow.isNullAt(0))
+        nodes.select(col("node").as("url"), lit(0L).as("hops")).limit(0)
+      else {
+        val edges = pairs.select(explode(array(
+          struct(col("url_a").as("src"), col("url_b").as("dst")),
+          struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
+          .select(col("e.src"), col("e.dst"))
+        graft.operators.Graph.shortestHopsAt(edges, nodes, lit(srcRow.getString(0)),
+            maxHops = 6, broadcastRanksMax = 0)
+          .select(col("node").as("url"), col("hops"))
+      }
     }),
 
     // TextRank keyword extraction (Mihalcea & Tarau '04): PageRank over
@@ -729,7 +736,9 @@ object TextQueries {
          |  UNION ALL
          |  SELECT url_b AS src, url_a AS dst FROM prs
          |), walk(node, hops) AS (
-         |  SELECT (SELECT min(least(url_a, url_b)) FROM prs), CAST(0 AS BIGINT)
+         |  SELECT seed, CAST(0 AS BIGINT)
+         |  FROM (SELECT min(least(url_a, url_b)) AS seed FROM prs)
+         |  WHERE seed IS NOT NULL
          |  UNION
          |  SELECT s.dst, w.hops + 1 FROM walk w JOIN sym s ON w.node = s.src
          |  WHERE w.hops < 6

@@ -42,21 +42,31 @@ import org.apache.spark.sql.types._
   *     rule of `StreamingDedup.canonicalByDoc`, applied at batch
   *     granularity;
   *   - `_graft_commits/<scope>/<batchId>`: idempotent-replay markers;
-  *   - `_graft_hwm`: the compaction HIGH-WATER MARK — the largest real
-  *     batchId whose rows were absorbed into the collapsed store. The
-  *     value stores (dedup/embed/fuzzy) may drop their markers at
-  *     compaction because a replayed re-append collapses by key; here
-  *     the collapsed rows live under synthetic batch -1, where the
-  *     latest-stamp-per-batch rule can no longer supersede a replay of
-  *     the original batchId — without the mark, a batch in the
-  *     at-least-once residual window (append committed, marker write
-  *     crashed) or the checkpoint-commit window (marker written,
-  *     stream checkpoint commit crashed) replayed after a compact
-  *     would ADD its deltas to the collapsed sums. `processBatch`
-  *     therefore skips every batchId at or below the mark, which is
-  *     sound because a visible append is a COMPLETE append (the file-
-  *     commit protocol exposes nothing mid-job), so everything at or
-  *     below the mark is fully in the store by construction.
+  *   - `_graft_hwm/<scope>`: the compaction HIGH-WATER MARK, PER
+  *     COMMIT SCOPE — the largest real batchId of that scope whose rows
+  *     were absorbed into the collapsed store. The value stores
+  *     (dedup/embed/fuzzy) may drop their markers at compaction because
+  *     a replayed re-append collapses by key; here the collapsed rows
+  *     live under synthetic batch -1, where the latest-stamp-per-batch
+  *     rule can no longer supersede a replay of the original batchId —
+  *     without the mark, a batch in the at-least-once residual window
+  *     (append committed, marker write crashed) or the checkpoint-
+  *     commit window (marker written, stream checkpoint commit crashed)
+  *     replayed after a compact would ADD its deltas to the collapsed
+  *     sums. `processBatch` therefore skips every batchId at or below
+  *     ITS OWN SCOPE's mark, which is sound because a visible append is
+  *     a COMPLETE append (the file-commit protocol exposes nothing
+  *     mid-job), so everything at or below the mark is fully in the
+  *     store by construction. The mark is per scope because batchIds
+  *     are per CHECKPOINT: a stream restarted post-compact with a new
+  *     checkpoint dir gets a new scope whose batchIds restart at 0, and
+  *     a scope-blind mark would silently drop all of its early batches
+  *     (the r14 ADVICE hole). An unknown scope has no mark and ingests
+  *     from batch 0;
+  *   - `_graft_schema`: the store's node-key type (catalog string,
+  *     e.g. `bigint` / `string`), written by the first append and read
+  *     back by every accessor — the key type is STORE state, not a
+  *     per-call parameter a later caller can get wrong.
   *
   * RETRACTIONS are supported: deltas may be negative, and a key whose
   * deltas net to zero is DROPPED from the served edge relation (and
@@ -67,21 +77,52 @@ import org.apache.spark.sql.types._
 object StreamingGraph {
 
   private[graft] def edgesPath(store: String) = s"$store/edges"
-  private[graft] def hwmPath(store: String) = s"$store/_graft_hwm"
+  private[graft] def hwmPath(store: String, scope: String) = s"$store/_graft_hwm/$scope"
+  private[graft] def schemaPath(store: String) = s"$store/_graft_schema"
+
+  /** Synthetic scope of compaction-collapsed rows (batch -1). Real
+    * scopes come from `StreamingIndex.commitScope` / the "default"
+    * fallback and are never empty.
+    */
+  private val CollapsedScope = ""
 
   /** Node keys are Long by default (the nation graph); the doc/term
-    * graphs key on STRINGS (URLs, terms) — every accessor takes the
-    * store's key type, which must be consistent across a store's
-    * lifetime (an existing store's files carry the authoritative
-    * schema; the parameter only matters for the empty-store read and
-    * the ingest cast).
+    * graphs key on STRINGS (URLs, terms). The store's key type is
+    * persisted in the `_graft_schema` sidecar by the first append;
+    * accessors resolve it from there and use the parameter only for a
+    * never-written store (empty read) or the first ingest cast.
     */
   private def edgeSchema(keyType: DataType) = StructType(Seq(
     StructField("src", keyType),
     StructField("dst", keyType),
     StructField("w", LongType),
     StructField("ingest_ms", LongType),
-    StructField("batch", LongType)))
+    StructField("batch", LongType),
+    StructField("scope", StringType)))
+
+  /** The authoritative key type: the persisted sidecar if the store has
+    * ever been written, the caller's parameter otherwise.
+    */
+  private[graft] def resolveKeyType(conf: org.apache.hadoop.conf.Configuration,
+                                    storePath: String, fallback: DataType): DataType = {
+    val p = new org.apache.hadoop.fs.Path(schemaPath(storePath))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) fallback
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      DataType.fromDDL(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
+    }
+  }
+
+  private def writeSidecar(conf: org.apache.hadoop.conf.Configuration,
+                           path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Start the incremental edge-delta sink: `contribs` must stream
     * (src, dst, w) rows.
@@ -111,18 +152,28 @@ object StreamingGraph {
                                   keyType: DataType = LongType): Boolean = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    // compaction high-water mark: everything at or below is already in
-    // the collapsed store (batch -1), where a re-append could no longer
-    // be superseded — skip the replay outright
-    if (batchId <= readHwm(conf, storePath)) return false
+    // compaction high-water mark FOR THIS SCOPE: everything at or below
+    // is already in the collapsed store (batch -1), where a re-append
+    // could no longer be superseded — skip the replay outright. Other
+    // scopes' marks are irrelevant: batchIds are per checkpoint, so a
+    // fresh-checkpoint restart (new scope, batch 0) must ingest.
+    if (batchId <= readHwm(conf, storePath, scope)) return false
+    // the sidecar, not the parameter, is authoritative on an existing
+    // store — a caller's stale default can no longer force a mistyped
+    // cast onto established data
+    val kt = resolveKeyType(conf, storePath, keyType)
     StoreMaintenance.runOnce(conf,
       storePath, scope, batchId) {
+      // sidecar first: idempotent content, and a crash between sidecar
+      // and append leaves only a correct type record behind
+      writeSidecar(conf, schemaPath(storePath), kt.catalogString)
       val stamp = StoreMaintenance.nextStamp()
-      batch.select(col("src").cast(keyType), col("dst").cast(keyType),
+      batch.select(col("src").cast(kt), col("dst").cast(kt),
           col("w").cast("long"))
         .groupBy("src", "dst").agg(sum(col("w")).as("w"))
         .withColumn("ingest_ms", lit(stamp))
         .withColumn("batch", lit(batchId))
+        .withColumn("scope", lit(scope))
         .coalesce(1) // small per-batch appends: one file, not one per task
         .write.mode(SaveMode.Append).parquet(edgesPath(storePath))
     }
@@ -132,20 +183,27 @@ object StreamingGraph {
     * latest-stamp rows of every batch.
     */
   def edges(spark: SparkSession, storePath: String,
-            keyType: DataType = LongType): DataFrame =
-    collapse(StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema(keyType)))
+            keyType: DataType = LongType): DataFrame = {
+    val kt = resolveKeyType(spark.sparkContext.hadoopConfiguration, storePath, keyType)
+    collapse(StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema(kt)))
       .select("src", "dst", "w")
+  }
 
-  /** Per batchId, only the rows of the LATEST append survive (a
-    * residual-window replay supersedes its crashed predecessor — see
-    * the layout doc); the keep relation is batch-count-sized.
+  /** Per (scope, batchId), only the rows of the LATEST append survive
+    * (a residual-window replay supersedes its crashed predecessor — see
+    * the layout doc); the keep relation is batch-count-sized. Keyed on
+    * the PAIR because batchIds are per checkpoint: two scopes both
+    * carry a batch 0, and a batch-only rule would let the newer scope's
+    * append silently supersede the older scope's rows.
     */
   private def latestPerBatch(e: DataFrame): DataFrame = {
     val ms = coalesce(col("ingest_ms"), lit(Long.MinValue))
-    val keep = e.groupBy("batch").agg(max(ms).as("_keep_ms"))
+    val keep = e.groupBy("scope", "batch").agg(max(ms).as("_keep_ms"))
       .withColumnRenamed("batch", "_keep_batch")
-    e.join(keep, col("batch") <=> col("_keep_batch") && ms === col("_keep_ms"))
-      .select("src", "dst", "w", "ingest_ms", "batch")
+      .withColumnRenamed("scope", "_keep_scope")
+    e.join(keep, col("batch") <=> col("_keep_batch") &&
+        col("scope") <=> col("_keep_scope") && ms === col("_keep_ms"))
+      .select("src", "dst", "w", "ingest_ms", "batch", "scope")
   }
 
   /** The deterministic collapse rule shared by reads and compaction.
@@ -164,6 +222,7 @@ object StreamingGraph {
       .filter(col("w") =!= 0)
       .withColumn("ingest_ms", lit(0L))
       .withColumn("batch", lit(-1L))
+      .withColumn("scope", lit(CollapsedScope))
 
   /** Change witness for structures DERIVED from this store: (raw row
     * count, latest ingest stamp) over the un-collapsed edge relation —
@@ -172,7 +231,8 @@ object StreamingGraph {
     */
   private[graft] def storeVersion(spark: SparkSession, storePath: String,
                                   keyType: DataType = LongType): (Long, Long) = {
-    val r = StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema(keyType))
+    val kt = resolveKeyType(spark.sparkContext.hadoopConfiguration, storePath, keyType)
+    val r = StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema(kt))
       .agg(count(lit(1)), max(coalesce(col("ingest_ms"), lit(Long.MinValue))))
       .collect()(0)
     (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
@@ -209,14 +269,15 @@ object StreamingGraph {
       graft.operators.Graph.pageRank(e, nodes, iters, damping)
     }
 
-  /** The largest batchId absorbed by a compaction (Long.MinValue if
-    * never compacted) — `processBatch` skips replays at or below it.
+  /** The largest batchId OF THIS SCOPE absorbed by a compaction
+    * (Long.MinValue if never compacted, or if this scope is new) —
+    * `processBatch` skips replays at or below it.
     */
   private[graft] def readHwm(conf: org.apache.hadoop.conf.Configuration,
-                             storePath: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(hwmPath(storePath))
+                             storePath: String, scope: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(hwmPath(storePath, scope))
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Long.MinValue
+    if (!fs.exists(p) || fs.getFileStatus(p).isDirectory) Long.MinValue
     else {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       val in = fs.open(p)
@@ -226,12 +287,8 @@ object StreamingGraph {
   }
 
   private def writeHwm(conf: org.apache.hadoop.conf.Configuration,
-                       storePath: String, hwm: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(hwmPath(storePath))
-    val out = p.getFileSystem(conf).create(p, true)
-    try out.write(hwm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                       storePath: String, scope: String, hwm: Long): Unit =
+    writeSidecar(conf, hwmPath(storePath, scope), hwm.toString)
 
   /** Collapse replay-residual duplicates and per-batch small files —
     * the collapse IS the accessor's sum rule, so served edges never
@@ -254,29 +311,42 @@ object StreamingGraph {
   def compactStore(spark: SparkSession, storePath: String,
                    keyType: DataType = LongType): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val kt = resolveKeyType(conf, storePath, keyType)
     StoreMaintenance.assertIngestStopped(conf, storePath)
     StoreMaintenance.recoverSub(spark, edgesPath(storePath))
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     val fs = commits.getFileSystem(conf)
-    val markerMax =
-      if (!fs.exists(commits)) Long.MinValue
-      else {
-        val it = fs.listFiles(commits, true)
-        var m = Long.MinValue
-        while (it.hasNext) {
-          val name = it.next().getPath.getName
-          try m = math.max(m, name.toLong) catch { case _: NumberFormatException => () }
-        }
-        m
+    // per-scope marker maxima: markers live under <scope>/<batchId>
+    val markerMax = scala.collection.mutable.Map[String, Long]()
+    if (fs.exists(commits)) {
+      val it = fs.listFiles(commits, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        val (scope, name) = (p.getParent.getName, p.getName)
+        try markerMax(scope) = math.max(markerMax.getOrElse(scope, Long.MinValue), name.toLong)
+        catch { case _: NumberFormatException => () }
       }
-    val storedMax = {
-      val r = StoreMaintenance.readOrEmpty(spark, edgesPath(storePath), edgeSchema(keyType))
-        .filter(col("batch") >= 0).agg(max(col("batch"))).collect()(0)
-      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
     }
-    val hwm = Seq(readHwm(conf, storePath), markerMax, storedMax).max
-    if (hwm > Long.MinValue) writeHwm(conf, storePath, hwm)
-    StoreMaintenance.compactSubWith(spark, edgesPath(storePath), edgeSchema(keyType), collapse)
+    // per-scope stored maxima: a residual-window batch (append visible,
+    // marker crashed) has rows but no marker — its scope rides the rows
+    val storedMax = StoreMaintenance
+      .readOrEmpty(spark, edgesPath(storePath), edgeSchema(kt))
+      .filter(col("batch") >= 0 && col("scope").isNotNull)
+      .groupBy("scope").agg(max(col("batch")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scopes with an existing mark must not regress it
+    val hwmDir = new org.apache.hadoop.fs.Path(s"$storePath/_graft_hwm")
+    val marked =
+      if (!fs.exists(hwmDir)) Seq.empty[String]
+      else fs.listStatus(hwmDir).toSeq.map(_.getPath.getName)
+    val scopes = (markerMax.keySet ++ storedMax.keySet ++ marked) - CollapsedScope
+    for (scope <- scopes) {
+      val hwm = Seq(readHwm(conf, storePath, scope),
+        markerMax.getOrElse(scope, Long.MinValue),
+        storedMax.getOrElse(scope, Long.MinValue)).max
+      if (hwm > Long.MinValue) writeHwm(conf, storePath, scope, hwm)
+    }
+    StoreMaintenance.compactSubWith(spark, edgesPath(storePath), edgeSchema(kt), collapse)
     fs.delete(commits, true): Unit
   }
 

@@ -187,6 +187,63 @@ class GraphStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("post-compact ingest from a FRESH scope is not dropped by the high-water mark") {
+    // the r15 ADVICE hole: batchIds are per checkpoint, so a stream
+    // restarted post-compact with a NEW checkpoint dir (new scope)
+    // restarts at batch 0 — a scope-blind mark would silently drop it
+    val store = freshStore("freshscope")
+    for (b <- 0 until 2)
+      assert(StreamingGraph.processBatch(
+        facts.filter(col("src") % 2 === b), b, store, scope = "ckpt1"))
+    StreamingGraph.compactStore(spark, store) // records ckpt1's hwm = 1
+    // same scope, replayed batch: skipped by its own mark
+    assert(!StreamingGraph.processBatch(facts, 1L, store, scope = "ckpt1"))
+    // NEW scope, batch 0, genuinely new facts: must land
+    val extra = Seq((0L, 5L, 9L)).toDF("src", "dst", "w")
+    assert(StreamingGraph.processBatch(extra, 0L, store, scope = "ckpt2"))
+    val expect = edgeSet(facts.unionByName(extra)
+      .groupBy("src", "dst").agg(sum("w").as("w")))
+    assert(edgeSet(StreamingGraph.edges(spark, store)) === expect)
+  }
+
+  test("colliding batchIds from two scopes both survive latest-wins") {
+    // two checkpoints both carry a batch 0; the latest-per-batch
+    // supersede rule must key on (scope, batch) or the newer scope's
+    // append silently replaces the older scope's rows
+    val store = freshStore("scopecollide")
+    val a = Seq((1L, 2L, 3L)).toDF("src", "dst", "w")
+    val b = Seq((4L, 5L, 7L)).toDF("src", "dst", "w")
+    assert(StreamingGraph.processBatch(a, 0L, store, scope = "ckptA"))
+    assert(StreamingGraph.processBatch(b, 0L, store, scope = "ckptB"))
+    assert(edgeSet(StreamingGraph.edges(spark, store)) ===
+      Set((1L, 2L, 3L), (4L, 5L, 7L)))
+    // and per-scope hwm marks survive a compact independently
+    StreamingGraph.compactStore(spark, store)
+    assert(!StreamingGraph.processBatch(a, 0L, store, scope = "ckptA"))
+    assert(!StreamingGraph.processBatch(b, 0L, store, scope = "ckptB"))
+    assert(StreamingGraph.processBatch(a, 1L, store, scope = "ckptA"))
+  }
+
+  test("the key type is store state: accessors resolve the sidecar, not the caller's default") {
+    import org.apache.spark.sql.types.StringType
+    val store = freshStore("sidecar")
+    val sfacts = Seq(("a", "b", 2L), ("b", "c", 3L)).toDF("src", "dst", "w")
+    assert(StreamingGraph.processBatch(sfacts, 0L, store, keyType = StringType))
+    // no keyType passed anywhere below — the persisted sidecar must win
+    // over the LongType defaults (the r15 ADVICE corruption scenario)
+    assert(StreamingGraph.edges(spark, store)
+      .as[(String, String, Long)].collect().toSet === Set(("a", "b", 2L), ("b", "c", 3L)))
+    StreamingGraph.compactStore(spark, store)
+    assert(StreamingGraph.edges(spark, store)
+      .as[(String, String, Long)].collect().toSet === Set(("a", "b", 2L), ("b", "c", 3L)))
+    // a later default-typed ingest cast is corrected by the sidecar too
+    assert(StreamingGraph.processBatch(Seq(("c", "d", 1L)).toDF("src", "dst", "w"),
+      1L, store))
+    assert(StreamingGraph.edges(spark, store)
+      .as[(String, String, Long)].collect().toSet ===
+      Set(("a", "b", 2L), ("b", "c", 3L), ("c", "d", 1L)))
+  }
+
   test("compaction preserves served edges and the rebuilt fixpoint") {
     val store = freshStore("compact")
     for (b <- 0 until 3)

@@ -250,6 +250,23 @@ class SimilaritySpec extends AnyFunSuite {
       === hinted.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq)
   }
 
+  test("knnJoin: a caller-supplied query bound decides the gate with no count job") {
+    val p = Similarity.prepared(emb)
+    val qs = p.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"))
+    // a 2-row query set declared ABOVE the gate must NOT broadcast:
+    // observable proof the operator trusted the hint and never ran its
+    // own count (a count of 2 would have passed the 10k gate)
+    val declared = Similarity.knnJoin(p, qs, k = 2,
+      knownQueryCount = Some(20000L))
+    assert(!declared.queryExecution.optimizedPlan.toString.contains("broadcast"))
+    // declared under the gate: broadcast, same results as the counted path
+    val bounded = Similarity.knnJoin(p, qs, k = 2, knownQueryCount = Some(2L))
+    assert(bounded.queryExecution.optimizedPlan.toString.contains("broadcast"))
+    assert(bounded.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      === declared.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("IVF probe over the persisted store prunes cell partitions at planning time") {
     val dir = "/root/testdata/sf0.001"
     val probe = graft.sources.VectorStore.ivfTopK(spark, dir, queryId = 0L, k = 10)
