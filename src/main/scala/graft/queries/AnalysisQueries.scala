@@ -391,6 +391,23 @@ object AnalysisQueries {
         TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // REAL BPE merge-rule training (operators/Bpe — where q_token_bpe
+    // only counts pairs under a toy vocab, this LEARNS the merges):
+    // 8 rounds of corpus-wide pair frequency → rank-1 merge, over the
+    // vocab-sized word-frequency state. Corpus-proportional work runs
+    // once (the word count); each round is one vocab-sized exchange, a
+    // 1-row argmax lift, and a map-side fold merge. Deterministic
+    // (count desc, left, right) tie-break — BpeSpec pins the learned
+    // table under repartitioning. Oracle: independent ROW-BASED
+    // formulation (position tables + window islands), unrolled per
+    // round — not the engine's array fold.
+    "q_bpe_train" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(Text.tokenize(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      graft.operators.Bpe.train(words, rounds = 8)
+    }),
+
     // Hash-mod-sampled shingle fingerprints (winnowing-style 1/16 sample):
     // a compact, mergeable document sketch for copy detection.
     "q_fingerprint" -> ((s, dir) =>
@@ -862,6 +879,40 @@ object AnalysisQueries {
       |  FROM documents
       |)""".stripMargin
 
+  /** One unrolled BPE training round (the `prIterSql` discipline):
+    * pair counts via lead() over the position table, the deterministic
+    * argmax, island-parity match selection, and the merged next state.
+    */
+  private def bpeRoundSql(round: Int): String = {
+    val p = s"s${round - 1}"
+    s"""a$round AS MATERIALIZED (
+       |  SELECT w, wc, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+       |  FROM $p
+       |), p$round AS (
+       |  SELECT sym AS l, nxt AS r, CAST(sum(wc) AS BIGINT) AS n
+       |  FROM a$round WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |), b$round AS (
+       |  SELECT l, r, n FROM p$round ORDER BY n DESC, l, r LIMIT 1
+       |), kp$round AS MATERIALIZED (
+       |  SELECT w, pos FROM (
+       |    SELECT w, pos, row_number() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+       |    FROM (
+       |      SELECT m.w, m.pos,
+       |             m.pos - row_number() OVER (PARTITION BY m.w ORDER BY m.pos) AS isl
+       |      FROM a$round m, b$round b WHERE m.sym = b.l AND m.nxt = b.r
+       |    )
+       |  ) WHERE rn % 2 = 1
+       |), s$round AS MATERIALIZED (
+       |  SELECT a.w, a.wc,
+       |         row_number() OVER (PARTITION BY a.w ORDER BY a.pos) AS pos,
+       |         CASE WHEN k.pos IS NOT NULL THEN a.sym || a.nxt ELSE a.sym END AS sym
+       |  FROM a$round a
+       |  LEFT JOIN kp$round k ON a.w = k.w AND a.pos = k.pos
+       |  LEFT JOIN kp$round kd ON a.w = kd.w AND a.pos = kd.pos + 1
+       |  WHERE kd.pos IS NULL
+       |)""".stripMargin
+  }
+
   private def ratioSql(listExpr: String): String =
     s"round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE CAST($listExpr AS DOUBLE) / len(ts) END, 6)"
 
@@ -1189,6 +1240,28 @@ object AnalysisQueries {
         |           t -> t <> '')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+
+    // BPE training oracle: independent row-based formulation. State s{r}
+    // is a POSITION TABLE (w, wc, pos, sym); each unrolled round counts
+    // adjacent pairs with a lead() window, picks the (n desc, l, r)
+    // argmax, and applies the greedy merge by keeping the ODD-indexed
+    // match positions of each consecutive-position island (overlapping
+    // matches only arise in same-symbol runs — sym[i+1] must be both R
+    // and L — and greedy left-to-right keeps every other one), merging
+    // at kept positions and dropping the absorbed right symbols.
+    "q_bpe_train" ->
+      s"""$toksCte, words AS (
+         |  SELECT t AS w, count(*) AS wc FROM toks, unnest(ts) AS u(t) GROUP BY 1
+         |), s0 AS MATERIALIZED (
+         |  SELECT w, wc, i AS pos, substr(w, CAST(i AS INTEGER), 1) AS sym
+         |  FROM words, unnest(range(1, len(w)+1)) AS g(i)
+         |), ${(1 to 8).map(bpeRoundSql).mkString(", ")}
+         |SELECT * FROM (
+         |  ${(1 to 8).map(r =>
+              s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r AS "right",
+                 |         l || r AS merged, n AS pair_count FROM b$r""".stripMargin)
+             .mkString("\n  UNION ALL\n  ")}
+         |) ORDER BY round""".stripMargin,
 
     "q_fingerprint" ->
       s"""$toksCte, sh AS (

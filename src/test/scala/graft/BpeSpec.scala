@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mergeOf(word: String, l: String, r: String): Seq[String] =
+    Seq(word).toDF("w")
+      .select(Bpe.applyMerge(Bpe.charSyms(col("w")), l, r).as("m"))
+      .as[Seq[String]].head()
+
+  test("applyMerge is the greedy left-to-right scan, incl. same-symbol runs") {
+    // same-symbol runs are where a naive pair-replace diverges: greedy
+    // keeps every other match of the run
+    assert(mergeOf("aaaa", "a", "a") === Seq("aa", "aa"))
+    assert(mergeOf("aaa", "a", "a") === Seq("aa", "a"))
+    assert(mergeOf("aaaaa", "a", "a") === Seq("aa", "aa", "a"))
+    assert(mergeOf("abab", "a", "b") === Seq("ab", "ab"))
+    assert(mergeOf("aab", "a", "b") === Seq("a", "ab"))
+    assert(mergeOf("xyz", "a", "b") === Seq("x", "y", "z"))
+    assert(mergeOf("a", "a", "a") === Seq("a"))
+  }
+
+  // the Sennrich toy corpus shape: merges hand-computed, ties broken
+  // lexicographically ((e,s) beats (s,t) at count 9; (l,o) beats (o,w)
+  // at count 7)
+  private lazy val words = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    .toDF("word", "wc")
+  private val expect3 = Seq(
+    (1L, "e", "s", "es", 9L),
+    (2L, "es", "t", "est", 9L),
+    (3L, "l", "o", "lo", 7L))
+
+  test("train learns the hand-computed merge table with deterministic tie-breaks") {
+    assert(Bpe.train(words, 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq === expect3)
+  }
+
+  test("the learned table is identical under repartitioning") {
+    assert(Bpe.train(words.repartition(7), 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq === expect3)
+  }
+
+  test("training stops early when the pair mass dries up") {
+    val singles = Seq(("a", 3L), ("b", 2L)).toDF("word", "wc")
+    assert(Bpe.train(singles, 5).count() === 0)
+    // two-char vocab dries after every word is one symbol
+    val tiny = Seq(("ab", 2L)).toDF("word", "wc")
+    assert(Bpe.train(tiny, 5)
+      .as[(Long, String, String, String, Long)].collect().toSeq ===
+      Seq((1L, "a", "b", "ab", 2L)))
+  }
+}
