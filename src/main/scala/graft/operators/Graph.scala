@@ -251,6 +251,59 @@ object Graph {
     out
   }
 
+  /** Synchronous weighted LABEL PROPAGATION (Raghavan et al. '07) —
+    * community detection, the graph-family member between connected
+    * components (`Dedup.duplicateClusters`' pointer-jumping) and the
+    * rank fixpoints: label_0(v) = v; each round every node adopts the
+    * label with the greatest incoming edge-weight mass among its
+    * neighbors' current labels (its own label kept when it has no
+    * in-edges). DETERMINISTIC throughout — the argmax tie-break is the
+    * MINIMUM label, and weight sums are integer — so a fixed-round run
+    * oracles exactly (async/randomized LPA variants do not). Callers
+    * pass a symmetric edge relation for undirected graphs (the
+    * `q_hits_docs` shape). Returns (node, label).
+    *
+    * Exchange shape per round: one src-keyed join moving only the
+    * node-sized label relation onto the persisted src-partitioned
+    * edges, then the vote aggregate — map-side partials collapse the
+    * edge-sized stream to ≤ |dst|·labels-per-dst rows. The per-node
+    * argmax is AGGREGATION-only (max weight per dst, then min label
+    * achieving it): unlike a row_number window it stays AQE-splittable
+    * under degree skew — a celebrity node's votes never serialize onto
+    * one task. Same lineage/materialize/hint-gate/edge-release
+    * discipline as [[hits]].
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame, iters: Int,
+                       broadcastRanksMax: Long = BroadcastRanksMaxDefault): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "labelPropagation needs a non-empty node set")
+    require(iters >= 0)
+    val hint: DataFrame => DataFrame =
+      if (n <= broadcastRanksMax) broadcast else identity
+    val e = edges.groupBy("src", "dst").agg(sum(col("w").cast("long")).as("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      // votes is referenced twice (the max and the argmax join) — one
+      // materialized cut per round, per the HITS lineage rule
+      val votes = Dedup.materializeOnce(
+        e.join(hint(labels), col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(sum(col("w")).as("vw")))
+      val best = votes.groupBy("dst").agg(max(col("vw")).as("mv"))
+      val winner = votes.join(hint(best.withColumnRenamed("dst", "bdst")),
+          col("dst") === col("bdst") && col("vw") === col("mv"))
+        .groupBy("dst").agg(min(col("label")).as("nl"))
+      labels = Dedup.materializeOnce(
+        labels.join(hint(winner), col("node") === col("dst"), "left_outer")
+          .select(col("node"), coalesce(col("nl"), col("label")).as("label")))
+    }
+    val out = Dedup.materializeOnce(labels)
+    e.unpersist()
+    out
+  }
+
   /** The shared power-iteration core. `nodeBase`: (node, base, pr) —
     * per-node teleport mass and initial rank, node-sized by contract
     * (one row per node; referenced once per iteration like the ranks).

@@ -34,6 +34,27 @@ object TextQueries {
 
   private val urlSql = "'doc://' || source || '/' || CAST(doc_id AS VARCHAR)"
 
+  /** One unrolled synchronous label-propagation round over `sym`
+    * (src, dst, w) from state lab{r-1}: weighted neighbor-label votes,
+    * max weight per node, MIN label among the tied winners, own label
+    * kept when no in-edges — Graph.labelPropagation's exact rule.
+    */
+  private def lpaIterSql(r: Int): String = {
+    val p = s"lab${r - 1}"
+    s"""v$r AS MATERIALIZED (
+       |  SELECT e.dst, l.label, CAST(sum(e.w) AS BIGINT) AS vw
+       |  FROM sym e JOIN $p l ON e.src = l.node GROUP BY 1, 2
+       |), m$r AS (
+       |  SELECT dst, max(vw) AS mv FROM v$r GROUP BY 1
+       |), w$r AS (
+       |  SELECT v.dst, min(v.label) AS nl
+       |  FROM v$r v JOIN m$r m ON v.dst = m.dst AND v.vw = m.mv GROUP BY 1
+       |), lab$r AS MATERIALIZED (
+       |  SELECT l.node, coalesce(w.nl, l.label) AS label
+       |  FROM $p l LEFT JOIN w$r w ON l.node = w.dst
+       |)""".stripMargin
+  }
+
   /** q_fuzzy_urls' oracle — shared verbatim by the streamed twin (the
     * accumulated pair store must equal the batch ED-1 pair relation).
     */
@@ -327,6 +348,26 @@ object TextQueries {
       graft.operators.Graph.pageRank(edges, nodes, iters = 8,
         broadcastRanksMax = 0)
         .select(col("node").as("url"), col("pr"))
+    }),
+
+    // COMMUNITY DETECTION over the document graph: synchronous min-label
+    // label propagation (Graph.labelPropagation) on the SHUFFLE path
+    // (broadcastRanksMax = 0) over the ED-1 fuzzy pairs — the graph-
+    // family member between components (q_url_clusters) and the rank
+    // fixpoints. 4 fixed rounds, deterministic max-weight/min-label
+    // votes, so the unrolled-iteration oracle hash-checks. Unlike
+    // components' transitive closure, LPA communities respect local
+    // edge density — a long chain splits where closure would not.
+    "q_communities" -> ((s, dir) => {
+      val pairs = FuzzyStores.batchPairs(s, dir)
+      val edges = pairs.select(explode(array(
+        struct(col("url_a").as("src"), col("url_b").as("dst")),
+        struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"), lit(1L).as("w"))
+      val nodes = docs(s, dir).select(col("url").as("node")).distinct()
+      graft.operators.Graph.labelPropagation(edges, nodes, iters = 4,
+          broadcastRanksMax = 0)
+        .select(col("node").as("url"), col("label").as("community"))
     }),
 
     // HITS over the document graph — the two-sided fixpoint exercised
@@ -682,6 +723,34 @@ object TextQueries {
          |SELECT un.url, uc.url AS canonical_url
          |FROM cl JOIN u un ON cl.doc_id = un.doc_id
          |JOIN u uc ON cl.cluster_id = uc.doc_id""".stripMargin,
+
+    // communities: the fuzzy-pair CTEs verbatim, then 4 unrolled
+    // synchronous LPA rounds — votes (dst, label, weight), max weight
+    // per dst, min label achieving it, coalesce onto the previous
+    // labels. MATERIALIZED state CTEs (each round references its
+    // predecessor twice; inlined, the tree re-expands geometrically —
+    // the q_bpe_train lesson)
+    "q_communities" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT $urlSql AS url FROM documents
+         |), dels AS (
+         |  SELECT url,
+         |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
+         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
+         |  FROM u
+         |), cand AS (
+         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+         |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+         |), prs AS (
+         |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
+         |), sym AS MATERIALIZED (
+         |  SELECT url_a AS src, url_b AS dst, 1 AS w FROM prs
+         |  UNION ALL
+         |  SELECT url_b AS src, url_a AS dst, 1 AS w FROM prs
+         |), lab0 AS MATERIALIZED (
+         |  SELECT url AS node, url AS label FROM u
+         |), ${(1 to 4).map(lpaIterSql).mkString(", ")}
+         |SELECT node AS url, label AS community FROM lab4""".stripMargin,
 
     // doc-graph PageRank: the fuzzy-pair CTEs verbatim, then the shared
     // iteration SQL (RelationalQueries.prIterSql — n computed in SQL)

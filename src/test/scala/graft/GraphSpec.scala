@@ -192,4 +192,40 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  // two unit-weight triangles joined by one bridge edge, plus an isolate —
+  // the crafted case where communities differ from components: transitive
+  // closure would merge everything reachable into ONE cluster; density-
+  // respecting LPA splits at the bridge
+  private lazy val lpaEdges = {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    (und ++ und.map(_.swap)).map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "w")
+  }
+  private lazy val lpaNodes = (1L to 7L).toDF("node")
+  // hand-run of 4 synchronous min-tie-break rounds (round-by-round:
+  // r1 = [2,1,1,3,4,4], r2 = [1,1,1,4,3,3], r3 = [1,1,1,3,3,3], stable)
+  private val lpaExpect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+    4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L)
+
+  test("label propagation splits bridged triangles; isolates keep their own label") {
+    val got = Graph.labelPropagation(lpaEdges, lpaNodes, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === lpaExpect)
+    // components for contrast: every connected node would share a label
+    val cc = graft.operators.Dedup.clusters(
+      lpaEdges.filter($"src" < $"dst").select($"src".as("doc_a"), $"dst".as("doc_b")))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).map(cc).toSet.size === 1)
+  }
+
+  test("label propagation: shuffle path equals broadcast path, deterministic under repartition") {
+    val a = Graph.labelPropagation(lpaEdges, lpaNodes, iters = 4,
+      broadcastRanksMax = 0).as[(Long, Long)].collect().toMap
+    assert(a === lpaExpect)
+    val b = Graph.labelPropagation(lpaEdges.repartition(7), lpaNodes.repartition(3),
+      iters = 4).as[(Long, Long)].collect().toMap
+    assert(b === lpaExpect)
+  }
 }
