@@ -236,6 +236,11 @@ object Bench {
     // stub-decode pass runs once; the timed query is the banded pair join
     storePart("dhash") {
       graft.queries.DedupQueries.dHashStore(spark, sfDir).count(): Unit }
+    // r15: q_clip_dedup's per-frame fingerprints — the payload-
+    // proportional slice+hash pass runs once; the timed query is the
+    // per-(frame, chunk) banded join + majority verify
+    storePart("clip_dhash") {
+      graft.queries.DedupQueries.clipHashStore(spark, sfDir).count(): Unit }
     // r14: q_source_overlap's pruned (source, shingle) relation — the
     // tokenize/prune build runs once; the timed query is the pair join
     storePart("overlap") {

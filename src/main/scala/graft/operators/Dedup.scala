@@ -816,6 +816,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Frame-SEQUENCE perceptual near-dup pairs — the video-shaped
+    * extension of [[hammingPairs]] (r15 ask #4): input is one 64-bit
+    * perceptual hash PER SAMPLED FRAME, `(clip_id, frame, <hashCol>)`
+    * (the `Multimodal.frameSample` × `dHashes` composition), and two
+    * clips are near-dups when a MAJORITY of their positionally-aligned
+    * frames match within `maxDistance` bits — tolerant to a locally
+    * edited frame, which whole-payload hashing is not.
+    *
+    * Never all-pairs, at either stage: CANDIDATES band each frame's
+    * hash into `maxDistance + 1` pigeonhole chunks keyed by
+    * (frame, chunk-index, chunk) — any pair whose frame f matches
+    * within the distance collides on ≥ 1 of f's chunks, and a pair
+    * needs `minMatchedFrames` matching frames, so per-frame recall
+    * already over-covers the sequence rule — then expand through the
+    * capped [[bucketPairs]] (mega-bucket safe). VERIFY re-joins the
+    * k frame hashes of both clips positionally (clip-keyed equi-joins,
+    * AQE-splittable), scores each frame with the codegen'd
+    * `hamming_hex`, and keeps pairs with ≥ `minMatchedFrames` matches.
+    * Returns (clip_a, clip_b, matched_frames).
+    */
+  def clipPairs(fp: DataFrame, hashCol: String, maxDistance: Int = 3,
+                minMatchedFrames: Int = 3,
+                maxAggBucket: Int = MaxAggBucketSize): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 3,
+      "banding supports distances 0..3 (larger distances degrade to corpus-wide buckets)")
+    require(minMatchedFrames >= 1)
+    val n = maxDistance + 1
+    val bounds = (0 to n).map(i => 16 * i / n)
+    val chunks = fp.select(col("frame"),
+      posexplode(array((0 until n).map(c =>
+        substring(col(hashCol), bounds(c) + 1, bounds(c + 1) - bounds(c))): _*))
+        .as(Seq("ci", "chunk")),
+      col("clip_id").as("v"))
+    // distinct BEFORE the verify joins: a pair re-found via several
+    // (frame, chunk) buckets must not multiply the join mass
+    val cands = bucketPairs(chunks, Seq("frame", "ci", "chunk"), "v", maxAggBucket)
+      .select(col("x").as("clip_a"), col("y").as("clip_b"))
+      .distinct()
+    val fa = fp.select(col("clip_id").as("clip_a"), col("frame"),
+      col(hashCol).as("ha"))
+    val fb = fp.select(col("clip_id").as("clip_b"), col("frame"),
+      col(hashCol).as("hb"))
+    cands.join(fa, "clip_a").join(fb, Seq("clip_b", "frame"))
+      .select(col("clip_a"), col("clip_b"),
+        when(graft.plans.HammingHex.hammingHex(col("ha"), col("hb"))
+          <= maxDistance, 1L).otherwise(0L).as("m"))
+      .groupBy("clip_a", "clip_b")
+      .agg(sum(col("m")).as("matched_frames"))
+      .filter(col("matched_frames") >= minMatchedFrames)
+  }
+
   /** 64-bit SimHash fingerprint per document as a 16-char hex string.
     *
     * Per distinct term: take the first 16 hex nibbles of md5(term) (64

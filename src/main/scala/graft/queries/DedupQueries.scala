@@ -54,6 +54,38 @@ object DedupQueries {
     }
   }
 
+  /** q_clip_dedup's per-frame fingerprint relation: every payload of
+    * the [[dHashStore]] set (corpus + shifted re-encodes) sampled into
+    * 4 evenly-spaced 96-byte frames (`Multimodal.frameSample` — the
+    * q_frame_sample kernel), each frame pixel-dHashed through the same
+    * batched stub pipeline. Frames ride the hash pass packed as
+    * clip_id·8+frame and are unpacked on store write. Same build-once
+    * discipline: the payload-proportional slice+hash pass runs at store
+    * build; the timed query is the banded pair join + majority verify.
+    */
+  private val ClipFrames = 4
+  private val ClipFrameBytes = 96
+  private[graft] def clipHashStore(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.SessionStores.scopedPath("graft_clipdedup",
+      "clipdhash_" + graft.sources.SessionStores.tagOf(dir))
+    graft.sources.SessionStores.servedPath(s, path) {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        translate(col("text"), shiftFrom, shiftTo).as("text"))
+      val frames = base.unionByName(variants)
+        .select(col("doc_id"),
+          posexplode(graft.operators.Multimodal.frameSample(
+            encode(col("text"), "utf-8"), ClipFrames, ClipFrameBytes))
+            .as(Seq("frame", "fpay")))
+        .select((col("doc_id") * 8 + col("frame")).as("doc_id"),
+          col("fpay").as("payload"))
+      graft.operators.Multimodal.dHashesStub(frames)
+        .select(expr("doc_id DIV 8").as("clip_id"), (col("doc_id") % 8).as("frame"),
+          col("dhash"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_dedup_near" -> ((s, dir) => DedupStore.pairs(s, dir)),
@@ -139,6 +171,19 @@ object DedupQueries {
     // recall claim is itself under test.
     "q_img_dedup" -> ((s, dir) =>
       Dedup.hammingPairs(dHashStore(s, dir), "dhash", maxDistance = 3)),
+
+    // FRAME-SEQUENCE (video-shaped) perceptual dedup — q_frame_sample's
+    // evenly-spaced slices × q_img_dedup's pixel dHash, sequence-level
+    // near-dup via per-(frame, chunk) pigeonhole banding + a 3-of-4
+    // aligned-frame majority vote (Dedup.clipPairs) — never all-pairs,
+    // tolerant to one edited frame where whole-payload hashing is not.
+    // Every (original, re-encode) pair matches 4/4 (gradient signs are
+    // shift-invariant per frame). Oracle: INDEPENDENT brute-force —
+    // all clip pairs, per-frame bit disagreement, no banding to mirror,
+    // so the per-frame pigeonhole recall claim is itself under test.
+    "q_clip_dedup" -> ((s, dir) =>
+      Dedup.clipPairs(clipHashStore(s, dir), "dhash", maxDistance = 3,
+        minMatchedFrames = 3)),
     // shares the session-cached shingle+hash frame with the LSH build —
     // the tokenize→shingle→md5 pass runs once per corpus, not per query
     // opts into minSharedRare=2 (verify-mass cut; the library default
@@ -773,6 +818,49 @@ object DedupQueries {
          |  GROUP BY 1, 2
          |)
          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // INDEPENDENT formulation: same clip set (corpus + shifted
+    // re-encodes), the q_frame_sample float-step slice arithmetic
+    // (engine `/` is double division; positions floor at the cast),
+    // the stub-resize 72-cell grid per FRAME, gradient-sign bits, then
+    // BRUTE-FORCE per-frame bit disagreement over ALL clip pairs and
+    // the 3-of-4 majority — no banding to mirror, so the per-frame
+    // pigeonhole recall claim is itself under test.
+    "q_clip_dedup" ->
+      s"""WITH allp AS (
+         |  SELECT doc_id AS clip_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $VariantIdOffset,
+         |         translate(text, ${sqlQuote(shiftFrom)}, ${sqlQuote(shiftTo)})
+         |  FROM documents
+         |), fr AS MATERIALIZED (
+         |  SELECT clip_id, f AS frame,
+         |         substr(text,
+         |                CAST(floor(f * greatest((len(text) - 96) / 3.0, 0) + 1) AS INT),
+         |                96) AS ftext
+         |  FROM allp, range(0, 4) t(f)
+         |), g AS MATERIALIZED (
+         |  SELECT clip_id, frame, i,
+         |         ascii(substr(ftext, CAST((i*len(ftext))//72 AS INT)+1, 1)) AS b
+         |  FROM fr, range(0, 72) t(i)
+         |), bits AS MATERIALIZED (
+         |  SELECT a.clip_id, a.frame, y*8 + x AS k,
+         |         CASE WHEN a.b > c.b THEN 1 ELSE 0 END AS bit
+         |  FROM range(0, 8) ty(y), range(0, 8) tx(x), g a, g c
+         |  WHERE a.i = y*9 + x AND c.i = y*9 + x + 1
+         |    AND a.clip_id = c.clip_id AND a.frame = c.frame
+         |), fham AS (
+         |  SELECT a.clip_id AS clip_a, b.clip_id AS clip_b, a.frame,
+         |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+         |  FROM bits a JOIN bits b
+         |    ON a.k = b.k AND a.frame = b.frame AND a.clip_id < b.clip_id
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT clip_a, clip_b,
+         |       CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS matched_frames
+         |FROM fham GROUP BY 1, 2
+         |HAVING sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) >= 3""".stripMargin,
   )
 
   /** The rare-shingle candidate + verify + threshold pipeline at

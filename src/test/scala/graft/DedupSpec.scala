@@ -368,4 +368,31 @@ class DedupSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(eval === Set(0L, 97L), "only sub-cap multiples of 97 are eval docs")
   }
+
+  test("clipPairs: 3-of-4 aligned-frame majority, per-frame distance tolerance") {
+    import spark.implicits._
+    val h0 = "0123456789abcdef"
+    val h1bit = "0123456789abcdee" // 1 bit off h0 — inside the distance
+    val far = "5555555555555555"
+    val fp = Seq(
+      (1L, 0L, h0), (1L, 1L, h0), (1L, 2L, h0), (1L, 3L, "ffffffffffffffff"),
+      (2L, 0L, h0), (2L, 1L, h1bit), (2L, 2L, h0), (2L, 3L, "0000000000000000"),
+      (3L, 0L, far), (3L, 1L, far), (3L, 2L, far), (3L, 3L, far))
+      .toDF("clip_id", "frame", "dhash")
+    // clips 1,2 match on frames 0 (exact), 1 (1 bit), 2 (exact) and
+    // diverge on frame 3 (64 bits) → 3-of-4 majority passes; clip 3
+    // never collides on any frame chunk → not even a candidate
+    val got = graft.operators.Dedup.clipPairs(fp, "dhash",
+      maxDistance = 3, minMatchedFrames = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L)))
+    // a stricter 4-of-4 vote drops the pair (frame 3 is the edit)
+    assert(graft.operators.Dedup.clipPairs(fp, "dhash",
+      maxDistance = 3, minMatchedFrames = 4).count() === 0)
+    // cap-invariance: routing every bucket through the equi-join path
+    // (cap = 2) yields the identical pair set
+    assert(graft.operators.Dedup.clipPairs(fp, "dhash",
+      maxDistance = 3, minMatchedFrames = 3, maxAggBucket = 2)
+      .as[(Long, Long, Long)].collect().toSeq === Seq((1L, 2L, 3L)))
+  }
 }
