@@ -232,6 +232,18 @@ object Bench {
     // q_source_drift_streamed (StreamingGraph generalized past graphs)
     storePart("stream_drift") {
       graft.queries.AnalysisQueries.DriftStores.counts(spark, sfDir).count(): Unit }
+    // r15: the four new twin stores — PMI's namespaced count deltas,
+    // the histogram bucket deltas, the per-(source, term) df deltas,
+    // and the doc-fact store (q_quality_gate_streamed) — built once,
+    // untimed, named
+    storePart("stream_pmi") {
+      SparkEntry.queries("q_pmi_streamed")(spark, sfDir).count(): Unit }
+    storePart("stream_hist") {
+      SparkEntry.queries("q_histogram_streamed")(spark, sfDir).count(): Unit }
+    storePart("stream_termdf") {
+      SparkEntry.queries("q_top_terms_per_source_streamed")(spark, sfDir).count(): Unit }
+    storePart("stream_docs") {
+      SparkEntry.queries("q_quality_gate_streamed")(spark, sfDir).count(): Unit }
     // r14: q_img_dedup's dHash fingerprints — the corpus-proportional
     // stub-decode pass runs once; the timed query is the banded pair join
     storePart("dhash") {

@@ -105,6 +105,40 @@ object AnalysisQueries {
       graft.streaming.StreamingEvents.events(s, streamedStore(s, dir))
   }
 
+  /** q_quality_gate's body, shared verbatim by the batch query and the
+    * doc-fact-store streamed twin.
+    */
+  private def qualityGateOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = d.select(col("source"), col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    scored.withColumn("pr", percent_rank().over(w))
+      .groupBy("source")
+      .agg(
+        count(when(col("pr") >= 0.25, lit(1))).as("n_kept"),
+        count(lit(1)).as("n_total"),
+        min(when(col("pr") >= 0.25, col("quality"))).as("min_kept_quality"))
+  }
+
+  /** q_pmi's final projection over (term, n1) / (gram, n2) / 1-row
+    * (tt, bb) relations — shared verbatim by the batch query and the
+    * delta-store streamed twin so the ln parenthesization cannot drift.
+    */
+  private def pmiProject(uni: DataFrame, bi: DataFrame, tot: DataFrame): DataFrame =
+    bi
+      .withColumn("wa", split(col("gram"), " ").getItem(0))
+      .withColumn("wb", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("term").as("wa"), col("n1").as("na")), "wa")
+      .join(uni.select(col("term").as("wb"), col("n1").as("nb")), "wb")
+      .crossJoin(broadcast(tot))
+      .select(col("gram"),
+        round(log((col("n2").cast("double") * col("tt") * col("tt")) /
+          (col("bb").cast("double") * col("na") * col("nb"))), 6).as("pmi"),
+        col("n2"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(20)
+
   private def asofSignupOf(events: DataFrame): DataFrame = {
       val ev = events
       graft.operators.AsOf.joinAsOf(
@@ -209,6 +243,106 @@ object AnalysisQueries {
       graft.streaming.StreamingGraph.edges(s, streamedStore(s, dir),
           org.apache.spark.sql.types.StringType)
         .select(col("src").as("source"), col("dst").as("term"), col("w").as("c"))
+  }
+
+  /** q_pmi_streamed's namespaced additive count store: unigram counts
+    * (term, "u"), bigram counts (gram, "g" — grams carry a space, so
+    * the key spaces are disjoint), and the two scalar totals
+    * (("", "tt") token mass, ("", "bb") bigram mass) — every one
+    * additive over doc slices, so ONE string-keyed StreamingGraph
+    * store accumulates the whole PMI input (the DriftStores pattern).
+    */
+  private[graft] object PmiStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def store(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_graphstream",
+          "pmi_store_" + graft.sources.SessionStores.tagOf(dir))
+        for (b <- 0 until 3) {
+          val toks = docs(s, dir).filter(col("doc_id") % 3 === b)
+            .select(Text.tokenize(col("text")).as("ts"))
+          val uni = toks.select(explode(col("ts")).as("src"),
+            lit("u").as("dst"), lit(1L).as("w"))
+          val bi = toks.select(
+            explode(Text.shinglesFromTokens(col("ts"), 2)).as("src"),
+            lit("g").as("dst"), lit(1L).as("w"))
+          val tot = toks.select(explode(array(
+            struct(lit("").as("src"), lit("tt").as("dst"),
+              size(col("ts")).cast("long").as("w")),
+            struct(lit("").as("src"), lit("bb").as("dst"),
+              greatest(size(col("ts")) - 1, lit(0)).cast("long").as("w")))).as("e"))
+            .select(col("e.src"), col("e.dst"), col("e.w"))
+          graft.streaming.StreamingGraph.processBatch(
+            uni.unionByName(bi).unionByName(tot), b.toLong, path,
+            keyType = org.apache.spark.sql.types.StringType): Unit
+        }
+        cache += (s, dir) -> path
+        path
+      })
+    }
+  }
+
+  /** q_histogram_streamed's additive bucket-count store: Long-keyed
+    * StreamingGraph deltas (src = bucket, sentinel dst = 0) over
+    * o_orderkey-mod-3 order slices.
+    */
+  private[graft] object HistStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def store(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_graphstream",
+          "hist_store_" + graft.sources.SessionStores.tagOf(dir))
+        for (b <- 0 until 3) {
+          val contribs = Tables.tbl(s, dir, "orders")
+            .filter(col("o_orderkey") % 3 === b)
+            .select(floor(col("o_totalprice") / 25000.0).cast("long").as("src"),
+              lit(0L).as("dst"), lit(1L).as("w"))
+          graft.streaming.StreamingGraph.processBatch(contribs, b.toLong, path): Unit
+        }
+        cache += (s, dir) -> path
+        path
+      })
+    }
+  }
+
+  /** q_quality_gate_streamed's accumulated DOC-fact store: the corpus
+    * ingested as three doc_id-mod-3 micro-batches through the generic
+    * `StreamingFacts` keyed-fact machinery (immutable rows, idempotent
+    * by doc_id).
+    */
+  private[graft] object DocStores {
+    import org.apache.spark.sql.types._
+    private val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def streamedStore(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_docstream",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val d = docs(s, dir).select("doc_id", "source", "text")
+        for (b <- 0 until 3)
+          graft.streaming.StreamingFacts.processBatch(
+            d.filter(col("doc_id") % 3 === b), b.toLong, path,
+            "doc_id", docSchema): Unit
+        cache += (s, dir) -> path
+        path
+      })
+    }
+
+    def streamedDocs(s: SparkSession, dir: String): DataFrame =
+      graft.streaming.StreamingFacts.facts(s, streamedStore(s, dir),
+        "doc_id", docSchema)
   }
 
   /** The behavioral-analytics family parameterized over the event
@@ -372,18 +506,14 @@ object AnalysisQueries {
     // sources. percent_rank over (quality, doc_id) is a deterministic
     // total order; the window partitions by source (data-sized, never a
     // single global sort).
-    "q_quality_gate" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = docs(s, dir).select(col("source"), col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      val w = Window.partitionBy("source").orderBy("quality", "doc_id")
-      scored.withColumn("pr", percent_rank().over(w))
-        .groupBy("source")
-        .agg(
-          count(when(col("pr") >= 0.25, lit(1))).as("n_kept"),
-          count(lit(1)).as("n_total"),
-          min(when(col("pr") >= 0.25, col("quality"))).as("min_kept_quality"))
-    }),
+    "q_quality_gate" -> ((s, dir) => qualityGateOf(docs(s, dir))),
+
+    // Streamed twin over the accumulated DOC-fact store (immutable
+    // facts idempotent by doc_id — StreamingFacts, the StreamingEvents
+    // contract generalized to the corpus): identical batch body, batch
+    // oracle verbatim.
+    "q_quality_gate_streamed" -> ((s, dir) =>
+      qualityGateOf(DocStores.streamedDocs(s, dir))),
 
     "q_token_bpe" -> ((s, dir) =>
       docs(s, dir).select(
@@ -478,18 +608,26 @@ object AnalysisQueries {
       val tot = toks.agg(
         sum(size(col("ts"))).as("tt"),
         sum(greatest(size(col("ts")) - 1, lit(0))).as("bb"))
-      bi
-        .withColumn("wa", split(col("gram"), " ").getItem(0))
-        .withColumn("wb", split(col("gram"), " ").getItem(1))
-        .join(uni.select(col("term").as("wa"), col("n1").as("na")), "wa")
-        .join(uni.select(col("term").as("wb"), col("n1").as("nb")), "wb")
-        .crossJoin(broadcast(tot))
-        .select(col("gram"),
-          round(log((col("n2").cast("double") * col("tt") * col("tt")) /
-            (col("bb").cast("double") * col("na") * col("nb"))), 6).as("pmi"),
-          col("n2"))
-        .orderBy(col("pmi").desc, col("gram"))
-        .limit(20)
+      pmiProject(uni, bi, tot)
+    }),
+
+    // Streamed twin: unigram/bigram/total counts are all ADDITIVE over
+    // doc slices, so they accumulate in ONE namespaced string-keyed
+    // StreamingGraph delta store (dst = "u"/"g"/"tt"/"bb" — the
+    // DriftStores generalization); the projection is the shared batch
+    // body under the identical oracle.
+    "q_pmi_streamed" -> ((s, dir) => {
+      val e = graft.streaming.StreamingGraph.edges(s, PmiStores.store(s, dir),
+        org.apache.spark.sql.types.StringType)
+      val uni = e.filter(col("dst") === "u")
+        .select(col("src").as("term"), col("w").as("n1"))
+      val bi = e.filter(col("dst") === "g")
+        .select(col("src").as("gram"), col("w").as("n2"))
+        .filter(col("n2") >= 5)
+      val tot = e.filter(col("dst").isin("tt", "bb")).agg(
+        sum(when(col("dst") === "tt", col("w"))).as("tt"),
+        sum(when(col("dst") === "bb", col("w"))).as("bb"))
+      pmiProject(uni, bi, tot)
     }),
 
     // Rolling-hash (Rabin-Karp) fingerprints via the native
@@ -662,6 +800,15 @@ object AnalysisQueries {
         .select(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // Streamed twin: bucket counts are additive deltas, so the
+    // histogram rides a Long-keyed StreamingGraph store (src = bucket,
+    // sentinel dst) — the accumulated sums ARE the batch histogram
+    // under the identical oracle.
+    "q_histogram_streamed" -> ((s, dir) =>
+      graft.streaming.StreamingGraph.edges(s, HistStores.store(s, dir))
+        .select(col("src").as("bucket"), col("w").as("n"))
         .orderBy("bucket")),
 
     // Trailing active-user windows: per day, the distinct users active
@@ -1652,6 +1799,7 @@ object AnalysisQueries {
     Seq("q_sessions", "q_funnel", "q_retention", "q_growth",
       "q_transitions", "q_scd2", "q_asof_signup", "q_attributed",
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
-      "q_source_drift", "q_ab_test")
+      "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
+      "q_quality_gate")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

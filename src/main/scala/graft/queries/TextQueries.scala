@@ -574,17 +574,60 @@ object TextQueries {
 
     // Window function (SURVEY §2.2): top-3 terms by document frequency per
     // source, rank via row_number with a deterministic term tie-break.
-    "q_top_terms_per_source" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val perSource = docs(s, dir)
+    "q_top_terms_per_source" -> ((s, dir) =>
+      topTermsOf(docs(s, dir)
         .select(col("source"), col("doc_id"), explode(Text.terms(col("text"))).as("term"))
-        .groupBy("source", "term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("source").orderBy(col("df").desc, col("term"))
-      perSource
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-    }),
+        .groupBy("source", "term").agg(count(lit(1)).as("df")))),
+
+    // Streamed twin: DOCUMENT frequency per (source, term) is additive
+    // over doc slices (each doc contributes 1 per distinct term), so
+    // the df relation accumulates in a string-keyed StreamingGraph
+    // delta store (the DriftStores pattern with Text.terms' doc-
+    // distinct, stopword-filtered tokens); the window body is shared,
+    // the batch oracle verbatim.
+    "q_top_terms_per_source_streamed" -> ((s, dir) =>
+      topTermsOf(graft.streaming.StreamingGraph
+        .edges(s, TermDfStores.store(s, dir), org.apache.spark.sql.types.StringType)
+        .select(col("src").as("source"), col("dst").as("term"), col("w").as("df")))),
   )
+
+  /** q_top_terms_per_source's window body over a (source, term, df)
+    * relation — shared by the batch query and the delta-store twin.
+    */
+  private def topTermsOf(perSource: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("df").desc, col("term"))
+    perSource
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** Per-(source, term) DOC-FREQUENCY delta store: doc-distinct
+    * stopword-filtered terms (Text.terms) per doc slice, additive under
+    * any doc partition.
+    */
+  private[graft] object TermDfStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def store(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_graphstream",
+          "termdf_store_" + graft.sources.SessionStores.tagOf(dir))
+        for (b <- 0 until 3) {
+          val contribs = docs(s, dir).filter(col("doc_id") % 3 === b)
+            .select(col("source").as("src"),
+              explode(graft.functions.Text.terms(col("text"))).as("dst"),
+              lit(1L).as("w"))
+          graft.streaming.StreamingGraph.processBatch(contribs, b.toLong, path,
+            keyType = org.apache.spark.sql.types.StringType): Unit
+        }
+        cache += (s, dir) -> path
+        path
+      })
+    }
+  }
 
   /** q_pagerank_docs oracle, shared verbatim by the streamed twin
     * (the accumulated doc-graph delta store must serve the identical
@@ -1017,12 +1060,17 @@ object TextQueries {
          |       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
          |FROM tf JOIN df USING (term) CROSS JOIN n""".stripMargin,
 
-    "q_top_terms_per_source" ->
-      s"""$termsCte, per_source AS (
-         |  SELECT source, term, count(*) AS df FROM terms GROUP BY source, term
-         |)
-         |SELECT source, term, df,
-         |       CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, term) AS BIGINT) AS rank
-         |FROM per_source QUALIFY rank <= 3""".stripMargin,
+    "q_top_terms_per_source" -> topTermsOracleSql,
+    // streamed twin: identical SQL — the accumulated df delta store
+    // must equal the batch document-frequency relation
+    "q_top_terms_per_source_streamed" -> topTermsOracleSql,
   )
+
+  private lazy val topTermsOracleSql: String =
+    s"""$termsCte, per_source AS (
+       |  SELECT source, term, count(*) AS df FROM terms GROUP BY source, term
+       |)
+       |SELECT source, term, df,
+       |       CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, term) AS BIGINT) AS rank
+       |FROM per_source QUALIFY rank <= 3""".stripMargin
 }
