@@ -105,6 +105,33 @@ object AnalysisQueries {
       graft.streaming.StreamingEvents.events(s, streamedStore(s, dir))
   }
 
+  /** q_lang_id's body, shared verbatim by the batch query and the
+    * doc-fact-store streamed twin.
+    */
+  private def langIdOf(d: DataFrame): DataFrame = {
+    val toks = Text.tokenize(col("text"))
+    val scored = d.select(
+      col("doc_id") +:
+        TextAnalysis.FunctionWords.map { case (l, ws) =>
+          TextAnalysis.langScore(toks, ws).as(s"score_$l")
+        }: _*)
+    val g = greatest(TextAnalysis.FunctionWords.map(lw => col(s"score_${lw._1}")): _*)
+    val predicted = TextAnalysis.FunctionWords.foldLeft(when(g === 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"score_$l") === g, l)
+    }
+    scored.withColumn("predicted", predicted)
+  }
+
+  /** q_quality's body, shared by batch and the doc-fact-store twin. */
+  private def qualityOf(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
   /** q_quality_gate's body, shared verbatim by the batch query and the
     * doc-fact-store streamed twin.
     */
@@ -477,28 +504,18 @@ object AnalysisQueries {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_lang_id" -> ((s, dir) => {
-      val toks = Text.tokenize(col("text"))
-      val scored = docs(s, dir).select(
-        col("doc_id") +:
-          TextAnalysis.FunctionWords.map { case (l, ws) =>
-            TextAnalysis.langScore(toks, ws).as(s"score_$l")
-          }: _*)
-      val g = greatest(TextAnalysis.FunctionWords.map(lw => col(s"score_${lw._1}")): _*)
-      val predicted = TextAnalysis.FunctionWords.foldLeft(when(g === 0, "und")) {
-        case (acc, (l, _)) => acc.when(col(s"score_$l") === g, l)
-      }
-      scored.withColumn("predicted", predicted)
-    }),
+    "q_lang_id" -> ((s, dir) => langIdOf(docs(s, dir))),
 
-    "q_quality" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
-        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))),
+    // Streamed twin over the accumulated doc-fact store: a stateless
+    // per-doc projection is trivially stream-equal to batch ONCE the
+    // fact relation is (the store contract FactsStreamSpec pins) —
+    // registering it hash-checks that composition end to end.
+    "q_lang_id_streamed" -> ((s, dir) => langIdOf(DocStores.streamedDocs(s, dir))),
+
+    "q_quality" -> ((s, dir) => qualityOf(docs(s, dir))),
+
+    // Streamed twin (doc-fact store; see q_lang_id_streamed).
+    "q_quality_streamed" -> ((s, dir) => qualityOf(DocStores.streamedDocs(s, dir))),
 
     // Quality-percentile curation gate: keep every document at or above
     // its source's 25th quality percentile — the threshold adapts per
@@ -587,6 +604,16 @@ object AnalysisQueries {
         .select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
         .select(explode(Text.shinglesFromTokens(col("ts"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(20)),
+
+    // Streamed twin: bigram counts are additive, and the PMI store's
+    // "g" namespace already accumulates exactly them — the top-k is a
+    // TakeOrdered over the store read, batch oracle verbatim.
+    "q_gram_topk_streamed" -> ((s, dir) =>
+      graft.streaming.StreamingGraph.edges(s, PmiStores.store(s, dir),
+          org.apache.spark.sql.types.StringType)
+        .filter(col("dst") === "g")
+        .select(col("src").as("gram"), col("w").as("n"))
         .orderBy(col("n").desc, col("gram")).limit(20)),
 
     // Collocation extraction by pointwise mutual information: bigrams
@@ -1800,6 +1827,6 @@ object AnalysisQueries {
       "q_transitions", "q_scd2", "q_asof_signup", "q_attributed",
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
-      "q_quality_gate")
+      "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }
