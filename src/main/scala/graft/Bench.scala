@@ -253,6 +253,14 @@ object Bench {
     // per-(frame, chunk) banded join + majority verify
     storePart("clip_dhash") {
       graft.queries.DedupQueries.clipHashStore(spark, sfDir).count(): Unit }
+    // r15: the learned BPE merge table q_bpe_encode serves from
+    // (q_bpe_train itself stays the timed live training loop)
+    storePart("bpe_merges") {
+      graft.queries.AnalysisQueries.BpeStores.merges(spark, sfDir).count(): Unit }
+    // r15: the LPA label partition q_modularity scores
+    // (q_communities stays the timed live fixpoint)
+    storePart("community_labels") {
+      graft.queries.TextQueries.CommunityStores.labels(spark, sfDir).count(): Unit }
     // r14: q_source_overlap's pruned (source, shingle) relation — the
     // tokenize/prune build runs once; the timed query is the pair join
     storePart("overlap") {

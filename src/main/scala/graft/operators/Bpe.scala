@@ -52,6 +52,17 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** ENCODE a word under an ordered learned merge list: apply each
+    * rule's greedy fold in training order to the character split. Per
+    * word this is exactly the sequence of transformations the training
+    * state went through, so for any word in the training corpus the
+    * encoded symbols equal the final training state's row set for that
+    * word — which is what lets the oracle read the encode answer
+    * straight off its unrolled round-8 state table.
+    */
+  def encodeSyms(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSyms(word)) { case (c, (l, r)) => applyMerge(c, l, r) }
+
   /** Train `rounds` BPE merge rules over a (word, wc) word-frequency
     * relation. Returns the learned merge table: one row per round —
     * (round, left, right, merged, pair_count) — fewer rows if the pair

@@ -105,6 +105,32 @@ object AnalysisQueries {
       graft.streaming.StreamingEvents.events(s, streamedStore(s, dir))
   }
 
+  /** The BPE training input: corpus word frequencies (all tokens, the
+    * raw stream a tokenizer trains on).
+    */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(Text.tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Session-scoped learned-merge store: `Bpe.train` runs ONCE per
+    * (process, corpus) and q_bpe_encode reads the 8-row table — the
+    * centroid-store discipline (training is input state for serving).
+    * q_bpe_train itself stays the TIMED live training loop: the
+    * operator under measure is training, not a store read.
+    */
+  private[graft] object BpeStores {
+    def merges(s: SparkSession, dir: String): DataFrame = {
+      val path = graft.sources.SessionStores.scopedPath("graft_bpe",
+        "merges_" + graft.sources.SessionStores.tagOf(dir))
+      graft.sources.SessionStores.servedPath(s, path) {
+        graft.operators.Bpe.train(bpeWords(s, dir), rounds = 8)
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+    }
+  }
+
   /** q_lang_id's body, shared verbatim by the batch query and the
     * doc-fact-store streamed twin.
     */
@@ -548,11 +574,29 @@ object AnalysisQueries {
     // table under repartitioning. Oracle: independent ROW-BASED
     // formulation (position tables + window islands), unrolled per
     // round — not the engine's array fold.
-    "q_bpe_train" -> ((s, dir) => {
-      val words = docs(s, dir)
-        .select(explode(Text.tokenize(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("wc"))
-      graft.operators.Bpe.train(words, rounds = 8)
+    "q_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.train(bpeWords(s, dir), rounds = 8)),
+
+    // ENCODE under the learned vocabulary — the serving half of BPE
+    // (train once, tokenize the corpus forever): the 8 learned merges
+    // (an 8-row bounded lift from the session merge store, trained once
+    // beside the other derived stores) fold map-side over the DISTINCT
+    // word set (vocab-sized — never per occurrence), and per-doc token
+    // counts join back word-keyed (AQE-splittable). Oracle: the encode
+    // answer reads straight off the unrolled training chain's final
+    // state table (encoding ≡ the state trajectory, see Bpe.encodeSyms).
+    "q_bpe_encode" -> ((s, dir) => {
+      val ms = BpeStores.merges(s, dir).orderBy("round")
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val wordToks = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("word"))
+      val encoded = wordToks.select("word").distinct()
+        .select(col("word"),
+          size(graft.operators.Bpe.encodeSyms(col("word"), ms)).cast("long").as("n_sub"))
+      wordToks.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
     }),
 
     // Hash-mod-sampled shingle fingerprints (winnowing-style 1/16 sample):
@@ -1053,6 +1097,19 @@ object AnalysisQueries {
       |  FROM documents
       |)""".stripMargin
 
+  /** The shared BPE training-state CTE chain: word frequencies →
+    * char-position state s0 → 8 unrolled rounds (argmaxes b1..b8,
+    * states s1..s8). Shared by the q_bpe_train and q_bpe_encode
+    * oracles.
+    */
+  private lazy val bpeStateCte: String =
+    s"""$toksCte, words AS (
+       |  SELECT t AS w, count(*) AS wc FROM toks, unnest(ts) AS u(t) GROUP BY 1
+       |), s0 AS MATERIALIZED (
+       |  SELECT w, wc, i AS pos, substr(w, CAST(i AS INTEGER), 1) AS sym
+       |  FROM words, unnest(range(1, len(w)+1)) AS g(i)
+       |), ${(1 to 8).map(bpeRoundSql).mkString(", ")}""".stripMargin
+
   /** One unrolled BPE training round (the `prIterSql` discipline):
     * pair counts via lead() over the position table, the deterministic
     * argmax, island-parity match selection, and the merged next state.
@@ -1424,18 +1481,26 @@ object AnalysisQueries {
     // and L — and greedy left-to-right keeps every other one), merging
     // at kept positions and dropping the absorbed right symbols.
     "q_bpe_train" ->
-      s"""$toksCte, words AS (
-         |  SELECT t AS w, count(*) AS wc FROM toks, unnest(ts) AS u(t) GROUP BY 1
-         |), s0 AS MATERIALIZED (
-         |  SELECT w, wc, i AS pos, substr(w, CAST(i AS INTEGER), 1) AS sym
-         |  FROM words, unnest(range(1, len(w)+1)) AS g(i)
-         |), ${(1 to 8).map(bpeRoundSql).mkString(", ")}
+      s"""$bpeStateCte
          |SELECT * FROM (
          |  ${(1 to 8).map(r =>
               s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r AS "right",
                  |         l || r AS merged, n AS pair_count FROM b$r""".stripMargin)
              .mkString("\n  UNION ALL\n  ")}
          |) ORDER BY round""".stripMargin,
+
+    // encode ≡ the training-state trajectory: per-word token counts are
+    // the round-8 state's row counts, joined back onto the doc token
+    // stream
+    "q_bpe_encode" ->
+      s"""$bpeStateCte, wc8 AS (
+         |  SELECT w, count(*) AS n_sub FROM s8 GROUP BY w
+         |), dt AS (
+         |  SELECT doc_id, t AS w FROM toks, unnest(ts) AS u(t)
+         |)
+         |SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sub) AS BIGINT) AS n_bpe
+         |FROM dt JOIN wc8 USING (w) GROUP BY dt.doc_id""".stripMargin,
 
     "q_fingerprint" ->
       s"""$toksCte, sh AS (

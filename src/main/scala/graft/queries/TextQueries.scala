@@ -34,6 +34,31 @@ object TextQueries {
 
   private val urlSql = "'doc://' || source || '/' || CAST(doc_id AS VARCHAR)"
 
+  /** The shared LPA state chain over the fuzzy URL graph: pair CTEs,
+    * symmetric unit edges, 4 unrolled rounds ending in `lab4`. Shared
+    * by the q_communities and q_modularity oracles.
+    */
+  private lazy val lpaStateCte: String =
+    s"""WITH u AS (
+       |  SELECT DISTINCT $urlSql AS url FROM documents
+       |), dels AS (
+       |  SELECT url,
+       |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
+       |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
+       |  FROM u
+       |), cand AS (
+       |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+       |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
+       |), prs AS (
+       |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
+       |), sym AS MATERIALIZED (
+       |  SELECT url_a AS src, url_b AS dst, 1 AS w FROM prs
+       |  UNION ALL
+       |  SELECT url_b AS src, url_a AS dst, 1 AS w FROM prs
+       |), lab0 AS MATERIALIZED (
+       |  SELECT url AS node, url AS label FROM u
+       |), ${(1 to 4).map(lpaIterSql).mkString(", ")}""".stripMargin
+
   /** One unrolled synchronous label-propagation round over `sym`
     * (src, dst, w) from state lab{r-1}: weighted neighbor-label votes,
     * max weight per node, MIN label among the tied winners, own label
@@ -370,6 +395,44 @@ object TextQueries {
         .select(col("node").as("url"), col("label").as("community"))
     }),
 
+    // MODULARITY of the LPA partition — the quality score community
+    // detection is judged by (Newman's Q, the objective Louvain climbs):
+    // per community c, dq = W_in(c)/2m − (K(c)/2m)², all masses exact
+    // integer sums (directed-double-counted convention), the division
+    // spelled once and mirrored. Labels come from the session label
+    // store (LPA trained once beside the other derived stores — labels
+    // are input state for scoring; q_communities stays the timed live
+    // fixpoint); the timed work is the edge-sized label joins + three
+    // aggregates, every join key-equi and AQE-splittable.
+    "q_modularity" -> ((s, dir) => {
+      val pairs = FuzzyStores.batchPairs(s, dir)
+      val edges = pairs.select(explode(array(
+        struct(col("url_a").as("src"), col("url_b").as("dst")),
+        struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"), lit(1L).as("w"))
+      val lab = CommunityStores.labels(s, dir)
+      val deg = edges.groupBy("src").agg(sum(col("w")).cast("long").as("k"))
+      val tot2 = edges.agg(sum(col("w")).cast("long").as("m2"))
+      val el = edges
+        .join(lab.select(col("node").as("src"), col("label").as("cla")), "src")
+        .join(lab.select(col("node").as("dst"), col("label").as("clb")), "dst")
+      val win = el.filter(col("cla") === col("clb"))
+        .groupBy(col("cla").as("community"))
+        .agg(sum(col("w")).cast("long").as("w_in"))
+      val kc = lab.join(deg, col("node") === col("src"), "left_outer")
+        .groupBy(col("label").as("community"))
+        .agg(coalesce(sum(col("k")), lit(0L)).cast("long").as("k_tot"))
+      kc.join(win.withColumnRenamed("community", "wc_community"),
+          col("community") === col("wc_community"), "left_outer")
+        .crossJoin(broadcast(tot2))
+        .select(col("community"),
+          coalesce(col("w_in"), lit(0L)).as("w_in"),
+          col("k_tot"),
+          round(coalesce(col("w_in"), lit(0L)).cast("double") / col("m2")
+            - (col("k_tot").cast("double") / col("m2"))
+              * (col("k_tot").cast("double") / col("m2")), 6).as("dq"))
+    }),
+
     // HITS over the document graph — the two-sided fixpoint exercised
     // where node count is CORPUS-SIZED on the non-broadcast path
     // (broadcastRanksMax = 0), completing the per-family shuffle-path
@@ -602,6 +665,30 @@ object TextQueries {
       .filter(col("rank") <= 3)
   }
 
+  /** Session-scoped community-label store: the shuffle-path LPA over
+    * the fuzzy URL graph runs ONCE per (process, corpus); q_modularity
+    * scores the persisted partition (labels are input state, the
+    * centroid-store discipline).
+    */
+  private[graft] object CommunityStores {
+    def labels(s: SparkSession, dir: String): DataFrame = {
+      val path = graft.sources.SessionStores.scopedPath("graft_communities",
+        "labels_" + graft.sources.SessionStores.tagOf(dir))
+      graft.sources.SessionStores.servedPath(s, path) {
+        val pairs = FuzzyStores.batchPairs(s, dir)
+        val edges = pairs.select(explode(array(
+          struct(col("url_a").as("src"), col("url_b").as("dst")),
+          struct(col("url_b").as("src"), col("url_a").as("dst")))).as("e"))
+          .select(col("e.src"), col("e.dst"), lit(1L).as("w"))
+        val nodes = docs(s, dir).select(col("url").as("node")).distinct()
+        graft.operators.Graph.labelPropagation(edges, nodes, iters = 4,
+            broadcastRanksMax = 0)
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+    }
+  }
+
   /** Per-(source, term) DOC-FREQUENCY delta store: doc-distinct
     * stopword-filtered terms (Text.terms) per doc slice, additive under
     * any doc partition.
@@ -774,26 +861,32 @@ object TextQueries {
     // predecessor twice; inlined, the tree re-expands geometrically —
     // the q_bpe_train lesson)
     "q_communities" ->
-      s"""WITH u AS (
-         |  SELECT DISTINCT $urlSql AS url FROM documents
-         |), dels AS (
-         |  SELECT url,
-         |         unnest(list_concat([url], list_transform(range(1, len(url)+1),
-         |                i -> substr(url, 1, i-1) || substr(url, i+1, len(url))))) AS v
-         |  FROM u
-         |), cand AS (
-         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
-         |  FROM dels a JOIN dels b ON a.v = b.v AND a.url < b.url
-         |), prs AS (
-         |  SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) = 1
-         |), sym AS MATERIALIZED (
-         |  SELECT url_a AS src, url_b AS dst, 1 AS w FROM prs
-         |  UNION ALL
-         |  SELECT url_b AS src, url_a AS dst, 1 AS w FROM prs
-         |), lab0 AS MATERIALIZED (
-         |  SELECT url AS node, url AS label FROM u
-         |), ${(1 to 4).map(lpaIterSql).mkString(", ")}
+      s"""$lpaStateCte
          |SELECT node AS url, label AS community FROM lab4""".stripMargin,
+
+    // modularity over the SAME labels (lab4) and edge relation:
+    // per-community internal mass and degree mass, dq spelled with the
+    // identical double-op sequence as the engine
+    "q_modularity" ->
+      s"""$lpaStateCte, deg AS (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS k FROM sym GROUP BY 1
+         |), tot2 AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS m2 FROM sym
+         |), el AS (
+         |  SELECT la.label AS cla, lb.label AS clb, e.w
+         |  FROM sym e JOIN lab4 la ON e.src = la.node JOIN lab4 lb ON e.dst = lb.node
+         |), win AS (
+         |  SELECT cla AS community, CAST(sum(w) AS BIGINT) AS w_in
+         |  FROM el WHERE cla = clb GROUP BY 1
+         |), kc AS (
+         |  SELECT label AS community, CAST(coalesce(sum(k), 0) AS BIGINT) AS k_tot
+         |  FROM lab4 LEFT JOIN deg ON lab4.node = deg.src GROUP BY 1
+         |)
+         |SELECT kc.community, coalesce(w_in, 0) AS w_in, k_tot,
+         |       round(CAST(coalesce(w_in, 0) AS DOUBLE) / m2
+         |             - (CAST(k_tot AS DOUBLE) / m2) * (CAST(k_tot AS DOUBLE) / m2),
+         |             6) AS dq
+         |FROM kc LEFT JOIN win ON kc.community = win.community, tot2""".stripMargin,
 
     // doc-graph PageRank: the fuzzy-pair CTEs verbatim, then the shared
     // iteration SQL (RelationalQueries.prIterSql — n computed in SQL)
