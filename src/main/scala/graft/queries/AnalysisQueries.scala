@@ -638,6 +638,39 @@ object AnalysisQueries {
     // direct twin; TermStatsSpec pins stored ≡ direct bit-for-bit.)
     "q_lm_score" -> ((s, dir) => graft.sources.TermStatsStore.lmScore(s, dir)),
 
+    // BIGRAM-LM quality score (one level up from q_lm_score's unigram
+    // model — the perplexity-filter shape): per doc, the average
+    // add-one-smoothed conditional log-probability ln((c2(ab)+1)/
+    // (c1(a)+V)) over its bigram stream. Corpus counts are one-exchange
+    // map-side-combined aggregates; the per-doc stream pre-aggregates
+    // to (doc_id, gram, cnt) before the vocab-sized gram/term joins
+    // (AQE-splittable); V is a broadcast scalar. Per-gram ln rounded
+    // 6-dp then cnt-multiplied and summed in DECIMAL — exact and
+    // order-independent (the q_lm_score protocol).
+    "q_bigram_lm" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
+      val uni = toks.select(explode(col("ts")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n1"))
+      val bi = toks
+        .select(explode(Text.shinglesFromTokens(col("ts"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n2"))
+      val vocab = uni.agg(count(lit(1)).cast("double").as("vv"))
+      val dg = toks
+        .select(col("doc_id"), explode(Text.shinglesFromTokens(col("ts"), 2)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      dg.join(bi, "gram")
+        .withColumn("wa", split(col("gram"), " ").getItem(0))
+        .join(uni.select(col("term").as("wa"), col("n1")), "wa")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("cnt"),
+          (round(log((col("n2") + lit(1.0)) / (col("n1") + col("vv"))), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)) * col("cnt")).as("w"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          round(sum(col("w")).cast("double") / sum(col("cnt")), 6).as("lm2"))
+    }),
+
     // Corpus-wide top word-2-grams by occurrence count (⊕ LLM-pipeline):
     // the pair-statistics pass BPE/WordPiece tokenizer training runs over
     // the corpus. Map-side shingle + partial count absorb the corpus mass
@@ -1285,6 +1318,33 @@ object AnalysisQueries {
     // order only; like q_tfidf/q_bm25 this still assumes JVM Math.log
     // and DuckDB's libm ln agree after round(·,6) — the established
     // cross-engine recipe here (zero divergence observed at any sf)
+    // bigram LM: identical float-op order — ln((n2+1.0)/(n1+V)) rounded
+    // 6dp → DECIMAL(20,6) → ×cnt (exact) → exact decimal sum → /n
+    "q_bigram_lm" ->
+      s"""$toksCte, uni AS (
+         |  SELECT t.term, count(*) AS n1 FROM toks, unnest(ts) AS t(term) GROUP BY 1
+         |), g2 AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(ts)-1, 0)+1),
+         |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
+         |  FROM toks
+         |), bi AS (
+         |  SELECT g AS gram, count(*) AS n2 FROM g2, unnest(gs) AS t(g) GROUP BY 1
+         |), vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+         |dg AS (
+         |  SELECT doc_id, g AS gram, count(*) AS cnt
+         |  FROM g2, unnest(gs) AS t(g) GROUP BY 1, 2
+         |), w AS (
+         |  SELECT dg.doc_id, dg.cnt,
+         |         CAST(round(ln((bi.n2 + 1.0) / (uni.n1 + vv.v)), 6)
+         |              AS DECIMAL(20,6)) * dg.cnt AS w
+         |  FROM dg JOIN bi USING (gram)
+         |  JOIN uni ON string_split(dg.gram, ' ')[1] = uni.term
+         |  CROSS JOIN vv
+         |)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |       round(CAST(sum(w) AS DOUBLE) / sum(cnt), 6) AS lm2
+         |FROM w GROUP BY doc_id""".stripMargin,
+
     "q_lm_score" ->
       s"""$toksCte, ex AS (
          |  SELECT doc_id, t.term FROM toks, unnest(ts) AS t(term)

@@ -119,18 +119,16 @@ object DedupQueries {
     // 1. Served from the shared hash store's shingle sets (no corpus
     // re-tokenize); the first-seen relation is one vocab-sized min
     // aggregate, the join is shingle-keyed (AQE-splittable).
-    "q_novelty" -> ((s, dir) => {
-      val sh = DedupStore.hashes(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
-      sh.join(first, "shingle")
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_shingles"),
-          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .withColumn("novelty",
-          round(col("n_novel").cast("double") / col("n_shingles"), 6))
-    }),
+    "q_novelty" -> ((s, dir) => noveltyOf(DedupStore.hashes(s, dir))),
+
+    // Streamed twin: the same body over the ACCUMULATED streaming-
+    // ingest hash store (canonical-by-doc — the q_curate_streamed
+    // surface); first-seen-by-doc_id is a pure function of the
+    // accumulated doc set, so the twin hash-checks under the batch
+    // oracle verbatim.
+    "q_novelty_streamed" -> ((s, dir) =>
+      noveltyOf(graft.streaming.StreamingDedup.hashes(
+        s, DedupStore.streamedStorePath(s, dir)))),
 
     // Pins the minSharedRare=1 vs =2 recall divergence IN the correctness
     // artifact (not only in DedupSpec): pair counts under both settings
@@ -316,6 +314,22 @@ object DedupQueries {
     */
   def curateStreamed(docsDf: DataFrame, storePath: String): DataFrame =
     curate(docsDf, DedupStore.streamedClusters(docsDf.sparkSession, storePath))
+
+  /** q_novelty's body over any (doc_id, sh) shingle-set relation —
+    * shared by the batch query (session hash store) and the streamed
+    * twin (accumulated ingest store).
+    */
+  private def noveltyOf(hashFrame: DataFrame): DataFrame = {
+    val sh = hashFrame.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
 
   /** Session-scoped shared dedup relations (the `IndexStore` pattern,
     * `sources/Sinks.scala`): the MinHash-LSH near-dup PAIR relation and the
@@ -643,6 +657,21 @@ object DedupQueries {
     // novelty: first-seen = min doc_id per shingle over the same
     // distinct shingle sets the hash store holds
     "q_novelty" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.shingle FROM shs, unnest(sh) AS t(shingle)
+         |), fst AS (
+         |  SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY shingle
+         |)
+         |SELECT e.doc_id, count(*) AS n_shingles,
+         |       CAST(count(*) FILTER (e.doc_id = f.first_doc) AS BIGINT) AS n_novel,
+         |       round(CAST(count(*) FILTER (e.doc_id = f.first_doc) AS DOUBLE)
+         |             / count(*), 6) AS novelty
+         |FROM ex e JOIN fst f USING (shingle)
+         |GROUP BY e.doc_id""".stripMargin,
+
+    // streamed twin: identical SQL — the accumulated ingest store's
+    // canonical doc set must equal the batch corpus
+    "q_novelty_streamed" ->
       s"""$shingleCte, ex AS (
          |  SELECT doc_id, t.shingle FROM shs, unnest(sh) AS t(shingle)
          |), fst AS (
