@@ -150,6 +150,51 @@ object DedupQueries {
         .crossJoin(broadcast(p2.agg(count(lit(1)).as("pairs_m2"))))
         .crossJoin(broadcast(p1.except(p2).agg(count(lit(1)).as("dropped_by_m2"))))
     }),
+    // SPARSE document similarity — idf-weighted shingle-set cosine
+    // pairs, the sparse-vector counterpart of the dense ANN family
+    // (mirror detection on weighted shingles; unigrams carry no rarity
+    // on a narrow-vocabulary corpus, 3-gram shingles do). Candidates
+    // share a RARE shingle (2 ≤ df ≤ 10 — the q_jaccard_pairs
+    // discipline: fan ≤ df²/2 per shingle at ANY corpus size, never
+    // all-pairs); verify is an exact cosine over the session hash
+    // store's shingle sets — per-(doc, shingle) weight = idf, dot
+    // products as exact DECIMAL sums (a double dot is association-
+    // order-dependent at doc width), norms sqrt'd once per doc. Both
+    // sides filter on the ROUNDED cosine so the threshold can't flake.
+    "q_sparse_sim" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(13, 6))
+      val ex = DedupStore.hashes(s, dir).filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val dfRel = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val n = ex.agg(countDistinct(col("doc_id")).as("n_docs"))
+      // w feeds the norm pass AND both dot legs — one materialized cut
+      val w = Dedup.materializeOnce(
+        ex.join(dfRel, "shingle").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("shingle"),
+            round(log(col("n_docs").cast("double") / col("df")), 6).as("idf")))
+      val nrm = w.groupBy("doc_id")
+        .agg(sqrt(sum(dec(col("idf")) * dec(col("idf"))).cast("double")).as("nrm"))
+      // the SESSION-CACHED =2 candidate relation (q_jaccard_pairs /
+      // q_containment share it): requiring TWO shared rare shingles is
+      // the verify-mass bound the =1 formulation lacks (measured here:
+      // 7.0 s → in family, the r5 jaccard lesson re-learned)
+      val cand = DedupStore.rareCandidates(s, dir).select("doc_a", "doc_b")
+      val dot = cand
+        .join(w.select(col("doc_id").as("doc_a"), col("shingle"),
+          col("idf").as("wa")), Seq("doc_a"))
+        .join(w.select(col("doc_id").as("doc_b"), col("shingle"),
+          col("idf").as("wb")), Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(dec(col("wa")) * dec(col("wb"))).cast("double").as("dot"))
+      dot
+        .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+        .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+    }),
+
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
@@ -653,6 +698,49 @@ object DedupQueries {
 
 
     "q_simhash" -> simhashSql,
+
+    // sparse cosine pairs: the shingle CTEs verbatim, the rare-shingle
+    // candidate rule mirrored, dot products as exact decimal sums
+    "q_sparse_sim" ->
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.shingle FROM shs, unnest(sh) AS t(shingle)
+         |), dfq AS (
+         |  SELECT shingle, count(*) AS df FROM ex GROUP BY 1
+         |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ex),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, ex.shingle,
+         |         round(ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS idf
+         |  FROM ex JOIN dfq USING (shingle) CROSS JOIN n
+         |), nrm AS (
+         |  SELECT doc_id,
+         |         sqrt(CAST(sum(CAST(idf AS DECIMAL(13,6))
+         |                       * CAST(idf AS DECIMAL(13,6))) AS DOUBLE)) AS nrm
+         |  FROM w GROUP BY 1
+         |), rare AS (
+         |  SELECT shingle FROM dfq WHERE df BETWEEN 2 AND 10
+         |), szq AS (
+         |  SELECT doc_id, len(sh) AS ns FROM shs
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN rare r ON a.shingle = r.shingle
+         |  JOIN szq sa ON sa.doc_id = a.doc_id
+         |  JOIN szq sb ON sb.doc_id = b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= least(2, min(sa.ns), min(sb.ns))
+         |), dot AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(sum(CAST(wa.idf AS DECIMAL(13,6))
+         |                  * CAST(wb.idf AS DECIMAL(13,6))) AS DOUBLE) AS dot
+         |  FROM cand c
+         |  JOIN w wa ON wa.doc_id = c.doc_a
+         |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.shingle = wa.shingle
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d.doc_a, d.doc_b,
+         |       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM dot d JOIN nrm na ON d.doc_a = na.doc_id
+         |JOIN nrm nb ON d.doc_b = nb.doc_id
+         |WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin,
 
     // novelty: first-seen = min doc_id per shingle over the same
     // distinct shingle sets the hash store holds
