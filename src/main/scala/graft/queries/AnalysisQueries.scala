@@ -564,6 +564,18 @@ object AnalysisQueries {
         TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // SEQUENCE PACKING (concat-and-chunk — the pretraining batch-prep
+    // step): global token offsets for every doc in doc_id order and the
+    // fixed-budget chunk range it lands in. The global prefix sum runs
+    // through Packing's RangeRank-shaped two-pass (one range exchange,
+    // per-partition totals, #partitions-sized offset window, parallel
+    // local sums) — never a single-task ORDER BY window over the corpus.
+    "q_pack" -> ((s, dir) =>
+      graft.operators.Packing.packedOffsets(
+        docs(s, dir).select(col("doc_id"),
+          size(Text.tokenize(col("text"))).as("n_tok")),
+        budget = 2048L)),
+
     // REAL BPE merge-rule training (operators/Bpe — where q_token_bpe
     // only counts pairs under a toy vocab, this LEARNS the merges):
     // 8 rounds of corpus-wide pair frequency → rank-1 merge, over the
@@ -1524,6 +1536,26 @@ object AnalysisQueries {
          |       count(*) AS n_total,
          |       min(CASE WHEN pr >= 0.25 THEN quality END) AS min_kept_quality
          |FROM r GROUP BY source""".stripMargin,
+
+    // packing: the trivial single-window formulation is fine as an
+    // oracle (DuckDB, one node); the engine's point is NOT to run it
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                  t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
+        |       CAST(start_tok + n_tok AS BIGINT) AS end_tok,
+        |       CASE WHEN n_tok > 0 THEN CAST(start_tok // 2048 AS BIGINT) END AS first_chunk,
+        |       CASE WHEN n_tok > 0 THEN CAST((start_tok + n_tok - 1) // 2048 AS BIGINT) END AS last_chunk
+        |FROM c""".stripMargin,
 
     "q_token_bpe" ->
       """SELECT doc_id,
