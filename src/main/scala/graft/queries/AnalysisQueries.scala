@@ -105,6 +105,14 @@ object AnalysisQueries {
       graft.streaming.StreamingEvents.events(s, streamedStore(s, dir))
   }
 
+  /** q_pack's body over any (doc_id, …, text) relation — shared by the
+    * batch query, the doc-fact-store twin, and the chunk manifest.
+    */
+  private def packOf(d: DataFrame): DataFrame =
+    graft.operators.Packing.packedOffsets(
+      d.select(col("doc_id"), size(Text.tokenize(col("text"))).as("n_tok")),
+      budget = 2048L)
+
   /** The BPE training input: corpus word frequencies (all tokens, the
     * raw stream a tokenizer trains on).
     */
@@ -570,11 +578,32 @@ object AnalysisQueries {
     // through Packing's RangeRank-shaped two-pass (one range exchange,
     // per-partition totals, #partitions-sized offset window, parallel
     // local sums) — never a single-task ORDER BY window over the corpus.
-    "q_pack" -> ((s, dir) =>
-      graft.operators.Packing.packedOffsets(
-        docs(s, dir).select(col("doc_id"),
-          size(Text.tokenize(col("text"))).as("n_tok")),
-        budget = 2048L)),
+    "q_pack" -> ((s, dir) => packOf(docs(s, dir))),
+
+    // Streamed twin over the accumulated doc-fact store — packing is
+    // ORDER-SENSITIVE (offsets depend on every earlier doc), so this
+    // twin checks more than the per-doc projections do: the store must
+    // reproduce the exact doc SET for any offset to match.
+    "q_pack_streamed" -> ((s, dir) => packOf(DocStores.streamedDocs(s, dir))),
+
+    // The loader-side CHUNK MANIFEST (the inverse view of q_pack):
+    // per training sequence, the docs it spans and its filled token
+    // mass — what a data loader reads to locate sequence boundaries.
+    // The per-doc chunk-range explode is bounded (a doc spans
+    // ⌈n_tok/budget⌉+1 chunks); the aggregate is chunk-keyed.
+    "q_chunks" -> ((s, dir) => {
+      val b = lit(2048L)
+      packOf(docs(s, dir)).filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("start_tok"), col("end_tok"),
+          explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk"))
+        .groupBy("chunk").agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(least(col("end_tok"), (col("chunk") + 1) * b)
+            - greatest(col("start_tok"), col("chunk") * b)).as("n_tokens"))
+        .orderBy("chunk")
+    }),
 
     // REAL BPE merge-rule training (operators/Bpe — where q_token_bpe
     // only counts pairs under a toy vocab, this LEARNS the merges):
@@ -1557,6 +1586,31 @@ object AnalysisQueries {
         |       CASE WHEN n_tok > 0 THEN CAST((start_tok + n_tok - 1) // 2048 AS BIGINT) END AS last_chunk
         |FROM c""".stripMargin,
 
+    // chunk manifest: the same window cumsum, per-doc chunk range
+    // unnested, chunk-keyed aggregate with the filled-token clamp
+    "q_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                  t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, start_tok, start_tok + n_tok AS end_tok,
+        |         unnest(range(CAST(start_tok // 2048 AS BIGINT),
+        |                      CAST((start_tok + n_tok - 1) // 2048 AS BIGINT) + 1)) AS chunk
+        |  FROM c WHERE n_tok > 0
+        |)
+        |SELECT chunk, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |       max(doc_id) AS last_doc,
+        |       CAST(sum(least(end_tok, (chunk + 1) * 2048)
+        |                - greatest(start_tok, chunk * 2048)) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY 1 ORDER BY chunk""".stripMargin,
+
     "q_token_bpe" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
@@ -1984,6 +2038,6 @@ object AnalysisQueries {
       "q_transitions", "q_scd2", "q_asof_signup", "q_attributed",
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
-      "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk")
+      "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }
