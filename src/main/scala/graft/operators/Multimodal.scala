@@ -333,6 +333,54 @@ object Multimodal {
     f"$v%016x"
   }
 
+  /** AUDIO-shaped frame statistics — the audio analogue of the dHash
+    * pass: each payload (an already-sampled frame, or a whole clip) is
+    * read as unsigned 8-bit PCM centered at 128 (the WAV u8
+    * convention; the stub-codec counterpart of a real decoder's sample
+    * stream) and reduced to the quality metrics an audio curation
+    * pipeline gates on — RMS energy, peak amplitude, silence ratio
+    * (|a| ≤ 2) and clipping ratio (|a| ≥ 126). One batched
+    * `mapPartitions` pass, integer sums exact, float math only on the
+    * final per-frame scalars (6-dp HALF_UP — Spark `round` semantics,
+    * oracle-mirrorable). Empty payloads yield the all-zero row
+    * (n_samples 0 — the quarantine convention). Returns
+    * (doc_id, n_samples, rms, peak, silence_ratio, clip_ratio).
+    */
+  def audioStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, payloadOrNull) =>
+            val bytes = Option(payloadOrNull).getOrElse(Array.empty[Byte])
+            var sumSq = 0L
+            var peak = 0L
+            var silent = 0L
+            var clipped = 0L
+            var i = 0
+            while (i < bytes.length) {
+              val a = (bytes(i) & 0xff) - 128
+              val m = math.abs(a)
+              sumSq += a.toLong * a
+              if (m > peak) peak = m
+              if (m <= 2) silent += 1
+              if (m >= 126) clipped += 1
+              i += 1
+            }
+            val n = bytes.length
+            if (n == 0) (id, 0L, 0.0, 0L, 0.0, 0.0)
+            else (id, n.toLong,
+              r6(math.sqrt(sumSq.toDouble / n)), peak,
+              r6(silent.toDouble / n), r6(clipped.toDouble / n))
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "rms", "peak", "silence_ratio", "clip_ratio")
+  }
+
   private[graft] def resizeWith(df: DataFrame, codecName: String, w: Int,
                                 h: Int, batchSize: Int): DataFrame = {
     val spark = df.sparkSession

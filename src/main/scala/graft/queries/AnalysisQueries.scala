@@ -1133,6 +1133,26 @@ object AnalysisQueries {
     // digested — md5 strings make the oracle an exact compare with no
     // float noise. The DuckDB mirror does the same slice arithmetic on
     // the text (corpus is pure ASCII, so char offsets == byte offsets).
+    // AUDIO-shaped frame statistics (Multimodal.audioStats — the audio
+    // analogue of the dHash pass): payloads frame-sampled like
+    // q_clip_dedup's clips, each frame read as centered u8 PCM and
+    // reduced to RMS / peak / silence / clipping — the quality gates an
+    // audio curation pipeline runs. Frames ride the batched pass packed
+    // as doc_id·8+frame (the clip-store convention); integer sums
+    // exact, float math only on final per-frame scalars.
+    "q_audio_stats" -> ((s, dir) => {
+      val frames = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.operators.Multimodal.frameSample(
+            encode(col("text"), "utf-8"), 4, 96)).as(Seq("frame", "fpay")))
+        .select((col("doc_id") * 8 + col("frame")).as("doc_id"),
+          col("fpay").as("payload"))
+      graft.operators.Multimodal.audioStats(frames)
+        .select(expr("doc_id DIV 8").as("doc_id"), (col("doc_id") % 8).as("frame"),
+          col("n_samples"), col("rms"), col("peak"),
+          col("silence_ratio"), col("clip_ratio"))
+    }),
+
     "q_frame_sample" -> ((s, dir) => {
       val payload = docs(s, dir).select(
         col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -1297,6 +1317,29 @@ object AnalysisQueries {
     // start cast truncates (== floor for non-negatives), so the SQL uses
     // /3.0 + floor explicitly. substr clipping beyond the payload matches
     // on both sides; ASCII corpus ⇒ md5(chars) == md5(bytes).
+    // audio stats: the q_clip_dedup float-step frame arithmetic, then
+    // per-byte centered amplitudes aggregated per (doc, frame) with
+    // the engine's exact op order (integer sum → double div → sqrt →
+    // 6-dp round)
+    "q_audio_stats" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f AS frame,
+        |         substr(text,
+        |                CAST(floor(f * greatest((len(text) - 96) / 3.0, 0) + 1) AS INT),
+        |                96) AS ftext
+        |  FROM documents, range(0, 4) t(f)
+        |), a AS (
+        |  SELECT doc_id, frame,
+        |         ascii(substr(ftext, CAST(i AS INT) + 1, 1)) - 128 AS amp
+        |  FROM fr, range(0, 96) t2(i) WHERE i < len(ftext)
+        |)
+        |SELECT doc_id, frame, CAST(count(*) AS BIGINT) AS n_samples,
+        |       round(sqrt(CAST(sum(amp*amp) AS DOUBLE) / count(*)), 6) AS rms,
+        |       CAST(max(abs(amp)) AS BIGINT) AS peak,
+        |       round(CAST(count(*) FILTER (abs(amp) <= 2) AS DOUBLE) / count(*), 6) AS silence_ratio,
+        |       round(CAST(count(*) FILTER (abs(amp) >= 126) AS DOUBLE) / count(*), 6) AS clip_ratio
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
     "q_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text, unnest(range(0, 4)) AS frame_idx,

@@ -171,4 +171,26 @@ class MultimodalSpec extends AnyFunSuite {
     } finally prev.fold(spark.conf.unset(Multimodal.CodecConfKey))(
       spark.conf.set(Multimodal.CodecConfKey, _))
   }
+
+  test("audioStats: hand-computed RMS/peak/silence/clipping on crafted PCM") {
+    import spark.implicits._
+    // 4 samples centered at 128: amplitudes 0, +2, -100, +127
+    val pcm = Array(128, 130, 28, 255).map(_.toByte)
+    val silence = Array.fill(8)(129.toByte) // |a| = 1 throughout
+    val stats = Multimodal.audioStats(
+      Seq((1L, pcm), (2L, silence), (3L, Array.empty[Byte]))
+        .toDF("doc_id", "payload"))
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, rms1, peak1, sil1, clip1) = stats(1L)
+    assert(n1 === 4L)
+    // sumSq = 0 + 4 + 10000 + 16129 = 26133; rms = sqrt(26133/4)
+    assert(rms1 === BigDecimal(math.sqrt(26133.0 / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(peak1 === 127L)
+    assert(sil1 === 0.5)  // amplitudes 0 and +2 are silent
+    assert(clip1 === 0.25) // +127 clips
+    assert(stats(2L) === ((2L, 8L, 1.0, 1L, 1.0, 0.0)))
+    assert(stats(3L) === ((3L, 0L, 0.0, 0L, 0.0, 0.0))) // quarantine row
+  }
 }
