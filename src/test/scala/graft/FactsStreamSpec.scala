@@ -50,6 +50,24 @@ class FactsStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/facts").count() === 30L)
   }
 
+  test("sinkFacts end-to-end: MemoryStream batches accumulate the fact relation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_facts_sink").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingFacts.sinkFacts(
+      input.toDF().toDF("doc_id", "source", "text"),
+      s"$dir/store", s"$dir/ckpt", "doc_id", schema)
+    try {
+      (0 until 3).foreach { b =>
+        input.addData(facts.filter(col("doc_id") % 3 === b)
+          .as[(Long, String, String)].collect().toSeq)
+        q.processAllAvailable()
+      }
+      assert(served(s"$dir/store") === facts.as[(Long, String, String)].collect().toSet)
+    } finally q.stop()
+  }
+
   test("shape is store state: accessors resolve the persisted sidecar over caller defaults") {
     val store = freshStore("sidecar")
     assert(StreamingFacts.processBatch(facts, 0L, store, "doc_id", schema))
