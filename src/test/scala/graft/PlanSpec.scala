@@ -49,7 +49,10 @@ class PlanSpec extends AnyFunSuite {
     // document columns through an encode+mapPartitions pipeline is
     // exactly the waste column pruning exists to stop — and no exchange
     // may appear (posexplode and the batched resize are map-side).
-    Seq("q_frame_sample", "q_resize").foreach { q =>
+    // q_audio_stats joined in r15: frame slicing + the batched PCM
+    // reduction are map-side; the per-(doc, frame) stats come out of
+    // the mapPartitions pass itself, no aggregate exchange
+    Seq("q_frame_sample", "q_resize", "q_audio_stats").foreach { q =>
       val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val p = exec.toString
       assert(shuffles(p) === 0, s"$q gained a shuffle:\n$p")
@@ -228,6 +231,28 @@ class PlanSpec extends AnyFunSuite {
     assert(adaptive.columns.toSeq === plain.columns.toSeq)
     assert(adaptive.count() === plain.count())
     assert(adaptive.except(plain).count() === 0 && plain.except(adaptive).count() === 0)
+  }
+
+  test("q_pack: ONE materialized range exchange, prefix work never re-sorts the corpus") {
+    // static plan: the local-sum branch and the per-partition totals
+    // branch both reference the range repartition (two static nodes)...
+    val df = SparkEntry.queries("q_pack")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(p).length === 2,
+      s"expected the two branch references to one range exchange:\n$p")
+    // ...that AQE dedupes into ONE materialized shuffle at runtime —
+    // the invariant offset correctness depends on (independently
+    // sampled boundaries would describe the wrong partitions)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(fin.contains("ReusedExchange"),
+      s"range exchange must materialize once at runtime:\n$fin")
+    // no single-task corpus window: the only SinglePartition exchange
+    // may carry the #partitions-sized offsets relation (fed by the
+    // partial aggregate), never raw corpus rows
+    assert("Exchange SinglePartition".r.findAllIn(fin).length <= 1 &&
+      fin.contains("partial_sum"),
+      s"per-partition totals must partial-aggregate before the offsets window:\n$fin")
   }
 
   test("semi/anti joins: filter pushed to the build-side scan, no output widening") {
