@@ -113,6 +113,24 @@ object AnalysisQueries {
       d.select(col("doc_id"), size(Text.tokenize(col("text"))).as("n_tok")),
       budget = 2048L)
 
+  /** q_bpe_encode's body (shared with q_fertility): the 8 learned
+    * merges (bounded lift from the session merge store) fold map-side
+    * over the DISTINCT word set, per-doc counts join back word-keyed.
+    */
+  private def bpeEncodeOf(s: SparkSession, dir: String): DataFrame = {
+    val ms = BpeStores.merges(s, dir).orderBy("round")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val wordToks = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("word"))
+    val encoded = wordToks.select("word").distinct()
+      .select(col("word"),
+        size(graft.operators.Bpe.encodeSyms(col("word"), ms)).cast("long").as("n_sub"))
+    wordToks.join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
+  }
+
   /** The BPE training input: corpus word frequencies (all tokens, the
     * raw stream a tokenizer trains on).
     */
@@ -626,19 +644,24 @@ object AnalysisQueries {
     // counts join back word-keyed (AQE-splittable). Oracle: the encode
     // answer reads straight off the unrolled training chain's final
     // state table (encoding ≡ the state trajectory, see Bpe.encodeSyms).
-    "q_bpe_encode" -> ((s, dir) => {
-      val ms = BpeStores.merges(s, dir).orderBy("round")
-        .select("left", "right").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
-      val wordToks = docs(s, dir)
-        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("word"))
-      val encoded = wordToks.select("word").distinct()
-        .select(col("word"),
-          size(graft.operators.Bpe.encodeSyms(col("word"), ms)).cast("long").as("n_sub"))
-      wordToks.join(encoded, "word")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
-    }),
+    "q_bpe_encode" -> ((s, dir) => bpeEncodeOf(s, dir)),
+
+    // TOKENIZER FERTILITY per predicted language — the tokenizer-
+    // fairness audit (how many learned-BPE tokens a word costs in each
+    // language slice): the q_lang_id predictions joined onto the
+    // per-doc encode counts, language-keyed integer sums, one exact
+    // division. Composes three existing kernels (lang-ID, BPE train,
+    // BPE encode) end to end under one oracle.
+    "q_fertility" -> ((s, dir) =>
+      bpeEncodeOf(s, dir)
+        .join(langIdOf(docs(s, dir)).select(col("doc_id"), col("predicted")),
+          "doc_id")
+        .groupBy("predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"))
+        .withColumn("fertility",
+          round(col("n_bpe").cast("double") / col("n_words"), 6))),
 
     // Hash-mod-sampled shingle fingerprints (winnowing-style 1/16 sample):
     // a compact, mergeable document sketch for copy detection.
@@ -1387,6 +1410,29 @@ object AnalysisQueries {
          |       TRUE AS cms_ge_exact
          |FROM (VALUES ('graftabsent'), ('hash'), ('join'), ('spark')) AS w(term)
          |LEFT JOIN cnt ON cnt.term = w.term ORDER BY w.term""".stripMargin,
+
+    // fertility: the BPE state chain's per-word token counts joined to
+    // the language-score CTEs, language-keyed exact integer sums
+    "q_fertility" ->
+      s"""$bpeStateCte, wc8 AS (
+         |  SELECT w, count(*) AS n_sub FROM s8 GROUP BY w
+         |), dt AS (
+         |  SELECT doc_id, t AS w FROM toks, unnest(ts) AS u(t)
+         |), enc AS (
+         |  SELECT dt.doc_id, count(*) AS n_words, sum(n_sub) AS n_bpe
+         |  FROM dt JOIN wc8 USING (w) GROUP BY dt.doc_id
+         |), scored AS (
+         |  SELECT doc_id,
+         |         $langScoreSql
+         |  FROM toks
+         |), pred AS (
+         |  SELECT doc_id, $langPredSql AS predicted FROM scored
+         |)
+         |SELECT predicted, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6) AS fertility
+         |FROM enc JOIN pred USING (doc_id) GROUP BY predicted""".stripMargin,
 
     "q_lang_id" ->
       s"""$toksCte, scored AS (
