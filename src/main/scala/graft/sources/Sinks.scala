@@ -75,6 +75,47 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** TRAINING-SHARD EXPORT — the pipeline's last mile (ingest → curate
+    * → pack → export): the corpus written Hive-partitioned by SHARD,
+    * where shard = first_chunk DIV `chunksPerShard` over the
+    * `Packing.packedOffsets` chunk assignment. Shard count is
+    * total_tokens / (budget · chunksPerShard) — low-cardinality by
+    * construction, the partition-column rule `writePartitioned`
+    * documents. Rows sort by doc_id within shards so a loader streams
+    * each shard in global offset order. A doc straddling a shard
+    * boundary lands in its FIRST shard (docs are atomic; the loader
+    * reads one doc tail past the boundary — the standard packed-corpus
+    * convention); zero-token docs quarantine in shard -1.
+    *
+    * Returns the shard MANIFEST (shard, n_docs, n_tokens, first_chunk,
+    * last_chunk) computed from a READ-BACK of the written files (the
+    * manifest vouches for what landed, not what was planned), and
+    * persists it beside the data under `_graft_manifest/` (underscore-
+    * prefixed — invisible to downstream parquet scans of the shards).
+    */
+  def writeTrainingShards(docs: DataFrame, path: String, budget: Long = 2048L,
+                          chunksPerShard: Long = 16L): DataFrame = {
+    require(chunksPerShard > 0)
+    val off = graft.operators.Packing.packedOffsets(
+      docs.select(col("doc_id"),
+        size(graft.functions.Text.tokenize(col("text"))).as("n_tok")),
+      budget)
+    val withShard = docs.join(off, "doc_id")
+      .withColumn("shard",
+        coalesce(expr(s"first_chunk DIV $chunksPerShard"), lit(-1L)))
+    writePartitioned(withShard, path, "shard", "doc_id")
+    val spark = docs.sparkSession
+    val manifest = spark.read.parquet(path)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("first_chunk")).as("first_chunk"),
+        max(col("last_chunk")).as("last_chunk"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_graft_manifest")
+    spark.read.parquet(s"$path/_graft_manifest")
+  }
+
   /** K1 raw mapper envelope (reference `mapper/src/processor.py:58-68`):
     * `{"metadata": {"timestamp", "mapper_id", "num_terms",
     * "creation_time"}, "terms": [{"term", "doc_id", "url"}, ...]}`.

@@ -150,4 +150,31 @@ class SinksSpec extends AnyFunSuite {
     val plan = p1.filter($"term" === "spark").queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount: 1 out of 32"), s"no pruning in:\n$plan")
   }
+
+  test("training-shard export: shard layout, read-back manifest, pruning, straddle convention") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("graft_shards").toString + "/shards"
+    val corpus = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    val manifest = Sinks.writeTrainingShards(corpus, path,
+      budget = 512L, chunksPerShard = 4L)
+    val back = spark.read.parquet(path)
+    // every doc lands exactly once, in the shard of its FIRST chunk
+    assert(back.count() === corpus.count())
+    assert(back.filter(org.apache.spark.sql.functions.expr("shard <> first_chunk DIV 4"))
+      .count() === 0)
+    // manifest token mass equals the corpus token mass (read-back truth)
+    import org.apache.spark.sql.functions._
+    val totTok = corpus
+      .select(sum(size(graft.functions.Text.tokenize(col("text"))))).head.getLong(0)
+    assert(manifest.agg(sum(col("n_tokens"))).head.getLong(0) === totTok)
+    assert(manifest.agg(sum(col("n_docs"))).head.getLong(0) === corpus.count())
+    // a shard filter prunes directories at planning time
+    val pruned = spark.read.parquet(path).filter(col("shard") === 0L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"), s"no partition pruning:\n$plan")
+    // the persisted manifest is invisible to the shard scan (underscore dir)
+    assert(!back.columns.contains("n_docs"))
+    assert(spark.read.parquet(s"$path/_graft_manifest").count() === manifest.count())
+  }
 }
