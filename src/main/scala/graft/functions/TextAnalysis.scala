@@ -203,4 +203,41 @@ object TextAnalysis {
         closedTop(acc).as("top_chars"),
         closedDup(acc).as("dup_chars")))
   }
+
+  /** Column-only formulation of `EntropyStats` over a PRE-SORTED token
+    * array (caller applies `array_sort`) — an `aggregate()` fold carrying
+    * (prev, run, dl, n_terms, s_micros). CodegenFallback lambda chain:
+    * retained ONLY as the independent bit-identity cross-check for the
+    * native expression (ExpressionProperties), never in a query path.
+    */
+  private[graft] def entropyStatsViaColumns(sorted: Column): Column = {
+    val zero = struct(
+      lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dl"),
+      lit(0L).as("nt"), lit(0L).as("sm"))
+    // Math.round(ln(run)·1e6) — Spark round is HALF_UP, identical to the
+    // JVM half-up for the non-negative ln(run ≥ 1)
+    def micros(run: Column): Column =
+      round(log(run.cast("double")) * lit(1000000.0), 0).cast("long")
+    def closedNt(acc: Column): Column =
+      when(acc.getField("run") > 0, acc.getField("nt") + 1)
+        .otherwise(acc.getField("nt"))
+    def closedSm(acc: Column): Column =
+      when(acc.getField("run") > 0,
+        acc.getField("sm") + acc.getField("run") * micros(acc.getField("run")))
+        .otherwise(acc.getField("sm"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val same = acc.getField("run") > 0 && acc.getField("prev") === x
+        struct(
+          x.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          (acc.getField("dl") + 1).as("dl"),
+          when(same, acc.getField("nt")).otherwise(closedNt(acc)).as("nt"),
+          when(same, acc.getField("sm")).otherwise(closedSm(acc)).as("sm"))
+      },
+      acc => struct(
+        acc.getField("dl").as("dl"),
+        closedNt(acc).as("n_terms"),
+        closedSm(acc).as("s_micros")))
+  }
 }

@@ -117,6 +117,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotF64Descriptor)
     ext.injectFunction(GraftExtensions.runStatsDescriptor)
     ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
+    ext.injectFunction(GraftExtensions.entropyStatsDescriptor)
   }
 }
 
@@ -202,5 +203,14 @@ object GraftExtensions {
       require(children.size == 2,
         "bloom_contains(filter, value) takes exactly two arguments")
       BloomContains(children.head, children(1))
+    })
+
+  private[plans] val entropyStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("entropy_stats"),
+    new ExpressionInfo(classOf[EntropyStats].getName, "entropy_stats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "entropy_stats(toks) takes exactly one argument")
+      EntropyStats(children.head)
     })
 }

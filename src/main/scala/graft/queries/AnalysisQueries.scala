@@ -184,6 +184,34 @@ object AnalysisQueries {
       TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** q_entropy's body, shared by batch and the doc-fact-store twin:
+    * per-doc token Shannon entropy + type-token ratio — the
+    * lexical-diversity curation gate beside the Gopher repetition
+    * filters. The run-length statistics come from the native
+    * `entropy_stats` expression (ONE shuffle-free compiled projection;
+    * the compositional explode → groupBy(doc, term) → groupBy(doc)
+    * route shuffles the corpus-wide token stream twice for a purely
+    * per-row statistic). The expression returns exact integers only
+    * (dl, n_terms, Σ run·round₆µ(ln run)); the float assembly
+    * H = ln(dl) − (s_micros/1e6)/dl is spelled HERE and mirrored
+    * verbatim by the oracle, so the op order is shared text.
+    */
+  private def entropyOf(d: DataFrame): DataFrame = {
+    val es = graft.plans.EntropyStats.entropyStats(Text.tokenize(col("text")))
+    d.select(col("doc_id"), es.as("es"))
+      .select(col("doc_id"),
+        col("es.dl").as("dl"),
+        col("es.n_terms").as("n_terms"),
+        when(col("es.dl") === 0, lit(0.0))
+          .otherwise(round(col("es.n_terms").cast("double") / col("es.dl"), 6))
+          .as("ttr"),
+        when(col("es.dl") === 0, lit(0.0))
+          .otherwise(round(log(col("es.dl").cast("double"))
+            - (col("es.s_micros").cast("double") / lit(1000000.0)) / col("es.dl"),
+            6))
+          .as("entropy"))
+  }
+
   /** q_quality_gate's body, shared verbatim by the batch query and the
     * doc-fact-store streamed twin.
     */
@@ -568,6 +596,14 @@ object AnalysisQueries {
 
     // Streamed twin (doc-fact store; see q_lang_id_streamed).
     "q_quality_streamed" -> ((s, dir) => qualityOf(DocStores.streamedDocs(s, dir))),
+
+    // Token Shannon entropy + type-token ratio per doc — the
+    // lexical-diversity gate; one shuffle-free codegen'd projection
+    // (native entropy_stats, exact integer internals).
+    "q_entropy" -> ((s, dir) => entropyOf(docs(s, dir))),
+
+    // Streamed twin (doc-fact store; see q_lang_id_streamed).
+    "q_entropy_streamed" -> ((s, dir) => entropyOf(DocStores.streamedDocs(s, dir))),
 
     // Quality-percentile curation gate: keep every document at or above
     // its source's 25th quality percentile — the threshold adapts per
@@ -1627,6 +1663,32 @@ object AnalysisQueries {
          |         (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)) / 4.0, 2) AS quality
          |FROM m""".stripMargin,
 
+    // mirrors the engine exactly: the run statistics are EXACT integers
+    // (per-term count c contributes c·round(ln(c)·1e6) micro-nats — the
+    // native expression's Math.round equals round(x·1e6, 0) for the
+    // non-negative ln(c ≥ 1)); the float assembly
+    // ln(dl) − (s_micros/1e6)/dl is the query body's text verbatim.
+    // LEFT JOIN keeps zero-token docs (no tf rows) in the output.
+    "q_entropy" ->
+      s"""$toksCte, ex AS (
+         |  SELECT doc_id, t AS term FROM toks, unnest(ts) AS u(t)
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS c FROM ex GROUP BY 1, 2
+         |), m AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl,
+         |         CAST(count(*) AS BIGINT) AS n_terms,
+         |         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sm
+         |  FROM tf GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(m.dl, 0) AS dl,
+         |       coalesce(m.n_terms, 0) AS n_terms,
+         |       CASE WHEN coalesce(m.dl, 0) = 0 THEN 0.0
+         |            ELSE round(CAST(m.n_terms AS DOUBLE) / m.dl, 6) END AS ttr,
+         |       CASE WHEN coalesce(m.dl, 0) = 0 THEN 0.0
+         |            ELSE round(ln(CAST(m.dl AS DOUBLE)) - (CAST(m.sm AS DOUBLE) / 1000000.0) / m.dl, 6) END AS entropy
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+
     "q_quality_gate" ->
       s"""$toksCte, m AS (
          |  SELECT doc_id, source,
@@ -2127,6 +2189,7 @@ object AnalysisQueries {
       "q_transitions", "q_scd2", "q_asof_signup", "q_attributed",
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
-      "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack")
+      "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
+      "q_entropy")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

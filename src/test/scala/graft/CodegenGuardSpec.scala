@@ -45,6 +45,8 @@ class CodegenGuardSpec extends AnyFunSuite {
       BoundReference(1, ArrayType(DoubleType), nullable = true)),
     "run_stats" -> graft.plans.RunStats(
       BoundReference(0, ArrayType(StringType), nullable = true)),
+    "entropy_stats" -> graft.plans.EntropyStats(
+      BoundReference(0, ArrayType(StringType), nullable = true)),
     "bloom_contains" -> {
       val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.01)
       bf.putString("seed")
@@ -144,6 +146,17 @@ class CodegenGuardSpec extends AnyFunSuite {
         graft.functions.Text.tokenize(col("text")))
       val r = docs.select(top2.as("t"), dup5.as("d"))
       assert(r.agg(sum(col("t") + col("d"))).head().getDouble(0) > 0)
+    }
+  }
+
+  test("entropy_stats compiles and runs CODEGEN_ONLY") {
+    withCodegenOnly {
+      val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+      // the q_entropy projection at real corpus widths
+      val es = graft.plans.EntropyStats.entropyStats(
+        graft.functions.Text.tokenize(col("text"))).as("es")
+      val r = docs.select(es).select(col("es.dl"), col("es.s_micros"))
+      assert(r.agg(sum(col("dl") + col("s_micros"))).head().getLong(0) > 0)
     }
   }
 }

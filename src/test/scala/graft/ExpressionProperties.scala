@@ -98,4 +98,39 @@ object ExpressionProperties extends Properties("Expressions") {
           case (nt, nd, ct, cd) => nt == ct && nd == cd
         }
     }
+
+  // small alphabet ⇒ real repeat runs; the histogram reference computes
+  // the micro-nat sum independently (Map-based, no sorting)
+  private val tokArray = Gen.choose(0, 30)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "bb", "c", "dd", "e", "f")))
+
+  private def refEntropyStats(toks: Seq[String]): (Long, Long, Long) = {
+    val hist = toks.groupBy(identity).map { case (_, occ) => occ.size.toLong }
+    val sm = hist.map(c => c * Math.round(Math.log(c.toDouble) * 1000000.0)).sum
+    (toks.size.toLong, hist.size.toLong, sm)
+  }
+
+  property("entropy_stats ≡ histogram reference on random token arrays") =
+    forAll(tokArray) { toks =>
+      import spark.implicits._
+      val got = Seq(Tuple1(toks)).toDF("ts")
+        .select(graft.plans.EntropyStats.entropyStats($"ts").as("r"))
+        .select($"r.dl", $"r.n_terms", $"r.s_micros")
+        .as[(Long, Long, Long)].head()
+      got == refEntropyStats(toks)
+    }
+
+  property("entropy_stats ≡ retained aggregate() fold (bit identity)") =
+    forAll(tokArray) { toks =>
+      import spark.implicits._
+      val df = Seq(Tuple1(toks)).toDF("ts").select(
+        graft.plans.EntropyStats.entropyStats($"ts").as("n"),
+        graft.functions.TextAnalysis.entropyStatsViaColumns(
+          org.apache.spark.sql.functions.array_sort($"ts")).as("c"))
+      df.select($"n.dl", $"n.n_terms", $"n.s_micros",
+          $"c.dl", $"c.n_terms", $"c.s_micros")
+        .as[(Long, Long, Long, Long, Long, Long)].head() match {
+          case (nd, nt, ns, cd, ct, cs) => nd == cd && nt == ct && ns == cs
+        }
+    }
 }
