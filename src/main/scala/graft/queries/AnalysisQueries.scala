@@ -212,6 +212,62 @@ object AnalysisQueries {
           .as("entropy"))
   }
 
+  // PII patterns shared by the scan counts and the redaction pass —
+  // written in the Java-regex ∩ RE2 common subset (explicit [0-9]
+  // classes, no \b, no backreferences) so Spark and DuckDB compile the
+  // identical automaton. Non-overlapping leftmost matching is the
+  // shared semantics of Spark's regexp_count/regexp_replace and
+  // DuckDB's regexp_extract_all/regexp_replace('g').
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Pat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** q_pii_scan's body, shared by batch and the doc-fact-store twin:
+    * per-source PII exposure audit — the compliance gate a training-data
+    * pipeline runs before export (match counts per PII class, documents
+    * carrying any PII, and the character mass a redaction pass removes).
+    * The synthetic corpus carries no PII, so both engines first apply
+    * the SAME deterministic doc_id-derived enrichment (the stub-codec
+    * discipline of q_resize/q_img_dedup, applied to text): docs at
+    * doc_id ≡ 0 (mod 7 / 11 / 13) gain an email / IPv4 / phone token.
+    * One map-side regex projection (codegen'd RegExp expressions), then
+    * a 20-key source aggregate with map-side partials — nothing here
+    * grows with corpus size except the scan itself.
+    */
+  private def piiScanOf(d: DataFrame): DataFrame = {
+    val t2 = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 250).cast("string"), lit(" up")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" soon")))
+        .otherwise(lit("")))
+    val red = regexp_replace(regexp_replace(regexp_replace(col("t2"),
+      lit(EmailPat), lit("<PII>")), lit(Ipv4Pat), lit("<PII>")),
+      lit(PhonePat), lit("<PII>"))
+    val anyPii = col("ne") + col("ni") + col("np") > 0
+    d.select(col("source"), col("doc_id"), t2.as("t2"))
+      .select(col("source"),
+        regexp_count(col("t2"), lit(EmailPat)).as("ne"),
+        regexp_count(col("t2"), lit(Ipv4Pat)).as("ni"),
+        regexp_count(col("t2"), lit(PhonePat)).as("np"),
+        (length(col("t2")) - length(red)).cast("long").as("dc"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(anyPii, lit(1))).as("n_pii_docs"),
+        sum(col("ne")).cast("long").as("n_emails"),
+        sum(col("ni")).cast("long").as("n_ipv4"),
+        sum(col("np")).cast("long").as("n_phones"),
+        sum(col("dc")).cast("long").as("chars_redacted"),
+        round(count(when(anyPii, lit(1))).cast("double") / count(lit(1)), 6)
+          .as("pii_doc_rate"))
+  }
+
   /** q_quality_gate's body, shared verbatim by the batch query and the
     * doc-fact-store streamed twin.
     */
@@ -604,6 +660,14 @@ object AnalysisQueries {
 
     // Streamed twin (doc-fact store; see q_lang_id_streamed).
     "q_entropy_streamed" -> ((s, dir) => entropyOf(DocStores.streamedDocs(s, dir))),
+
+    // Per-source PII exposure audit (emails / IPv4s / phone numbers +
+    // redaction mass) over deterministically enriched text — one
+    // map-side regex projection, 20-key aggregate.
+    "q_pii_scan" -> ((s, dir) => piiScanOf(docs(s, dir))),
+
+    // Streamed twin (doc-fact store; see q_lang_id_streamed).
+    "q_pii_scan_streamed" -> ((s, dir) => piiScanOf(DocStores.streamedDocs(s, dir))),
 
     // Quality-percentile curation gate: keep every document at or above
     // its source's 25th quality percentile — the threshold adapts per
@@ -1689,6 +1753,37 @@ object AnalysisQueries {
          |            ELSE round(ln(CAST(m.dl AS DOUBLE)) - (CAST(m.sm AS DOUBLE) / 1000000.0) / m.dl, 6) END AS entropy
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
 
+    // identical deterministic enrichment, identical pattern strings
+    // (Java-regex ∩ RE2 subset), identical email→ipv4→phone redaction
+    // order; DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's global-replace default
+    "q_pii_scan" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' up' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon' ELSE '' END AS t2
+         |  FROM documents
+         |), c AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(t2, '$EmailPat')) AS ne,
+         |    len(regexp_extract_all(t2, '$Ipv4Pat')) AS ni,
+         |    len(regexp_extract_all(t2, '$PhonePat')) AS np,
+         |    CAST(len(t2) - len(regexp_replace(regexp_replace(regexp_replace(t2,
+         |         '$EmailPat', '<PII>', 'g'), '$Ipv4Pat', '<PII>', 'g'),
+         |         '$PhonePat', '<PII>', 'g')) AS BIGINT) AS dc
+         |  FROM t
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  count(CASE WHEN ne + ni + np > 0 THEN 1 END) AS n_pii_docs,
+         |  CAST(sum(ne) AS BIGINT) AS n_emails,
+         |  CAST(sum(ni) AS BIGINT) AS n_ipv4,
+         |  CAST(sum(np) AS BIGINT) AS n_phones,
+         |  CAST(sum(dc) AS BIGINT) AS chars_redacted,
+         |  round(CAST(count(CASE WHEN ne + ni + np > 0 THEN 1 END) AS DOUBLE) / count(*), 6) AS pii_doc_rate
+         |FROM c GROUP BY source""".stripMargin,
+
     "q_quality_gate" ->
       s"""$toksCte, m AS (
          |  SELECT doc_id, source,
@@ -2190,6 +2285,6 @@ object AnalysisQueries {
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
-      "q_entropy")
+      "q_entropy", "q_pii_scan")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }
