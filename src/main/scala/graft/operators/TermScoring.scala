@@ -96,6 +96,47 @@ object TermScoring {
       .select(col("doc_id"), col("dl"),
         round(col("sw").cast("double") / col("dl"), 6).as("avg_logp"))
 
+  /** DSIR-style importance weight per document (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * the per-token average log-ratio of an add-one-smoothed TARGET
+    * unigram LM to the corpus LM — the data-selection score a pipeline
+    * resamples against to shift the mixture toward a target domain.
+    * Both log-probabilities are rounded to 6dp and the per-doc sum runs
+    * in DECIMAL (the `lmScore` determinism protocol), so the result is
+    * exact and association-order-independent at corpus width.
+    *
+    * Scale shape: two vocab-sized relations joined onto the (doc, term)
+    * tf relation on term (AQE-skew-splittable, never a term window) +
+    * three broadcast 1-row scalars. Smoothing denominators use the SAME
+    * vocabulary V (corpus distinct-term count) on both sides so
+    * unseen-in-target terms get a finite penalty instead of −∞.
+    *
+    * @param tfAll   (doc_id, term, tf) — ALL tokens, stopwords INCLUDED
+    * @param cRel    (term, c) — corpus occurrences per term
+    * @param nCorpus 1 row, `n_corpus` = corpus token count
+    * @param tgtRel  (term, ct) — TARGET-subset occurrences per term
+    * @param nTarget 1 row, `n_t` = target token count (0 if empty)
+    * @param vocab   1 row, `v` = corpus vocabulary size AS DOUBLE
+    */
+  def dsirWeights(tfAll: DataFrame, cRel: DataFrame, nCorpus: DataFrame,
+                  tgtRel: DataFrame, nTarget: DataFrame,
+                  vocab: DataFrame): DataFrame =
+    tfAll.join(cRel, Seq("term"))
+      .join(tgtRel, Seq("term"), "left_outer")
+      .crossJoin(broadcast(nCorpus))
+      .crossJoin(broadcast(nTarget))
+      .crossJoin(broadcast(vocab))
+      .withColumn("w",
+        (round(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            (col("n_t") + col("v"))), 6).cast("decimal(20,6)")
+          - round(log((col("c") + lit(1.0)) /
+              (col("n_corpus") + col("v"))), 6).cast("decimal(20,6)"))
+          * col("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("dl"), sum(col("w")).as("sw"))
+      .select(col("doc_id"), col("dl"),
+        round(col("sw").cast("double") / col("dl"), 6).as("logratio"))
+
   // ---- direct derivations (tokenize the corpus, no store) ----
   // Each builds the prepared relations with a vocab-sized groupBy
   // partial aggregate — hot terms collapse map-side before the shuffle —

@@ -802,6 +802,19 @@ object AnalysisQueries {
     // direct twin; TermStatsSpec pins stored ≡ direct bit-for-bit.)
     "q_lm_score" -> ((s, dir) => graft.sources.TermStatsStore.lmScore(s, dir)),
 
+    // DSIR importance-resampling weight (⊕ LLM-pipeline data
+    // SELECTION, one level up from the LM quality filters): per-doc
+    // average log-ratio of an add-one-smoothed TARGET-domain unigram
+    // LM (here: the odd-numbered 'src1,3,5,7' slice standing in for a
+    // curated domain) to the corpus LM — resampling against this score
+    // shifts the training mixture toward the target (Xie et al. 2023).
+    // Served from the term-statistics store: stored tf ⋈ vocab-sized
+    // corpus/target count relations, broadcast scalars, DECIMAL-summed
+    // contributions (the q_lm_score protocol) — no corpus
+    // re-tokenization in the timed plan.
+    "q_dsir" -> ((s, dir) => graft.sources.TermStatsStore.dsir(
+      s, dir, Seq("src1", "src3", "src5", "src7"))),
+
     // BIGRAM-LM quality score (one level up from q_lm_score's unigram
     // model — the perplexity-filter shape): per doc, the average
     // add-one-smoothed conditional log-probability ln((c2(ab)+1)/
@@ -1590,6 +1603,34 @@ object AnalysisQueries {
          |)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
          |       round(CAST(sum(w) AS DOUBLE) / sum(tf), 6) AS avg_logp
+         |FROM w GROUP BY doc_id""".stripMargin,
+
+    // mirrors TermScoring.dsirWeights exactly: both smoothed
+    // log-probabilities ln((c+1.0)/(N+V)) rounded 6dp → DECIMAL(20,6),
+    // decimal subtraction (exact) → ×tf → exact decimal sum → /dl →
+    // round 6; the same vocabulary V in both denominators
+    "q_dsir" ->
+      s"""$toksCte, ex AS (
+         |  SELECT doc_id, t.term FROM toks, unnest(ts) AS t(term)
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+         |), c AS (
+         |  SELECT term, sum(tf) AS c FROM tf GROUP BY 1
+         |), n AS (SELECT sum(len(ts)) AS n FROM toks),
+         |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c),
+         |tgt AS (
+         |  SELECT term, sum(tf) AS ct FROM tf JOIN documents USING (doc_id)
+         |  WHERE source IN ('src1', 'src3', 'src5', 'src7') GROUP BY 1
+         |), nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM tgt),
+         |w AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |         (CAST(round(ln((coalesce(tgt.ct, 0) + 1.0) / (nt.nt + v.v)), 6) AS DECIMAL(20,6))
+         |          - CAST(round(ln((c.c + 1.0) / (n.n + v.v)), 6) AS DECIMAL(20,6))) * tf.tf AS w
+         |  FROM tf JOIN c USING (term) LEFT JOIN tgt USING (term)
+         |  CROSS JOIN n CROSS JOIN v CROSS JOIN nt
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+         |       round(CAST(sum(w) AS DOUBLE) / sum(tf), 6) AS logratio
          |FROM w GROUP BY doc_id""".stripMargin,
 
     // identical DECIMAL-moment + double-op sequence as the engine

@@ -125,6 +125,23 @@ object TermStatsStore {
       stats(spark, dir).select("term", "c"),
       scalars(spark, dir).select("n_corpus"))
 
+  /** DSIR importance weights served from the store: target unigram
+    * counts come from the stored tf relation joined (on doc_id) to the
+    * target-source doc set — no corpus re-tokenization; everything else
+    * is vocab-sized or a broadcast scalar (`TermScoring.dsirWeights`).
+    */
+  def dsir(spark: SparkSession, dir: String, targetSources: Seq[String]): DataFrame = {
+    val t = tf(spark, dir)
+    val srcs = Corpus.documents(spark, dir).select(col("doc_id"), col("source"))
+    val tgt = t.join(srcs.filter(col("source").isin(targetSources: _*)), Seq("doc_id"))
+      .groupBy("term").agg(sum(col("tf")).as("ct"))
+    val nT = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("n_t"))
+    val v = stats(spark, dir).agg(count(lit(1)).cast("double").as("v"))
+    TermScoring.dsirWeights(
+      t, stats(spark, dir).select("term", "c"),
+      scalars(spark, dir).select("n_corpus"), tgt, nT, v)
+  }
+
   /** Ranked (tf-idf) retrieval served from the store: the query-term
     * filter prunes the bucketed tf scan to its terms' buckets.
     */
