@@ -661,6 +661,49 @@ object AnalysisQueries {
     // Streamed twin (doc-fact store; see q_lang_id_streamed).
     "q_entropy_streamed" -> ((s, dir) => entropyOf(DocStores.streamedDocs(s, dir))),
 
+    // Per-source vocabulary audit: token mass, distinct terms, hapax
+    // legomena (terms occurring exactly once in the source) and the
+    // hapax share of the vocabulary — the Heaps-law corpus-health
+    // signal (an unusually high hapax ratio flags OCR noise or
+    // boilerplate IDs; unusually low flags template text). One
+    // (source, term) aggregate with map-side combine, then a 20-key
+    // rollup — hot terms collapse before the shuffle.
+    "q_hapax" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("source"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      tf.groupBy("source").agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("c") === 1, lit(1))).as("n_hapax"),
+        round(count(when(col("c") === 1, lit(1))).cast("double") /
+          count(lit(1)), 6).as("hapax_ratio"))
+    }),
+
+    // Temperature-based mixture sampling rates (the multilingual /
+    // multi-source UNIMAX-style schedule): per source, the raw token
+    // share and the α=0.3-temperature share p_s ∝ n_s^α that UPWEIGHTS
+    // low-resource sources, plus the resulting boost factor. Each
+    // pow(n, 0.3) is rounded to 6dp and the normalizer summed in
+    // DECIMAL (exact), so the shares are engine-portable; everything
+    // after the per-source aggregate is 20-row arithmetic.
+    "q_mixture" -> ((s, dir) => {
+      val per = docs(s, dir)
+        .select(col("source"), size(Text.tokenize(col("text"))).as("nt"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("n_tokens"))
+      val pa = per.withColumn("pa",
+        round(pow(col("n_tokens").cast("double"), 0.3), 6).cast("decimal(20,6)"))
+      val tot = pa.agg(sum(col("pa")).as("spa"),
+        sum(col("n_tokens")).cast("long").as("stt"))
+      pa.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("stt"), 6).as("p_raw"),
+          round(col("pa").cast("double") / col("spa").cast("double"), 6)
+            .as("p_temp"))
+        .withColumn("boost", round(col("p_temp") / col("p_raw"), 6))
+    }),
+
     // Per-source PII exposure audit (emails / IPv4s / phone numbers +
     // redaction mass) over deterministically enriched text — one
     // map-side regex projection, 20-key aggregate.
@@ -1793,6 +1836,49 @@ object AnalysisQueries {
          |       CASE WHEN coalesce(m.dl, 0) = 0 THEN 0.0
          |            ELSE round(ln(CAST(m.dl AS DOUBLE)) - (CAST(m.sm AS DOUBLE) / 1000000.0) / m.dl, 6) END AS entropy
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+
+    "q_hapax" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                x -> x <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       count(*) AS vocab,
+        |       count(CASE WHEN c = 1 THEN 1 END) AS n_hapax,
+        |       round(CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE) / count(*), 6) AS hapax_ratio
+        |FROM tf GROUP BY source""".stripMargin,
+
+    // per-source pow(n, 0.3) rounded 6dp → DECIMAL(20,6) → exact
+    // normalizer sum; the shares divide the DOUBLE casts of the same
+    // exact decimals on both sides, then round 6
+    "q_mixture" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |             x -> x <> '')) AS nt
+        |  FROM documents
+        |), per AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1
+        |), pa AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3), 6) AS DECIMAL(20,6)) AS pa
+        |  FROM per
+        |), tot AS (
+        |  SELECT sum(pa) AS spa, CAST(sum(n_tokens) AS BIGINT) AS stt FROM pa
+        |), r AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         round(CAST(n_tokens AS DOUBLE) / stt, 6) AS p_raw,
+        |         round(CAST(pa AS DOUBLE) / CAST(spa AS DOUBLE), 6) AS p_temp
+        |  FROM pa, tot
+        |)
+        |SELECT source, n_docs, n_tokens, p_raw, p_temp,
+        |       round(p_temp / p_raw, 6) AS boost
+        |FROM r""".stripMargin,
 
     // identical deterministic enrichment, identical pattern strings
     // (Java-regex ∩ RE2 subset), identical email→ipv4→phone redaction

@@ -67,6 +67,40 @@ object SimilarityQueries {
     "q_semdedup_streamed" -> ((s, dir) =>
       graft.operators.Similarity.semDedupDiscards(streamedIvf(s, dir),
         threshold = 0.3)),
+
+    // Embedding-space drift between label cohorts — the dense-space
+    // counterpart of q_source_drift's token-distribution JSD: per-label
+    // centroid = per-position mean through an exact DECIMAL(27,12) sum
+    // (the Lloyd determinism protocol: order-independent under Spark's
+    // nondeterministic partition order), then every pairwise 6-dp
+    // cosine between the label centroids. Scale shape: one
+    // (label, pos) aggregate whose post-combine cardinality is
+    // labels × dims, then a label-count-sized self-join — nothing
+    // downstream of the scan grows with corpus size.
+    "q_embed_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val p = graft.sources.Tables.tbl(s, dir, "embeddings")
+        .select(col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cents = p.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("label")
+        // array_sort on struct(pos, m) orders by pos — rebuilds the
+        // vector in position order regardless of aggregation order
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          f => f.getField("m")).as("cv"))
+      val n = cents.select(col("label"), col("cv"),
+        sqrt(graft.plans.DotF64.dotF64(col("cv"), col("cv"))).as("cn"))
+      n.select(col("label").as("label_a"), col("cv").as("ca"), col("cn").as("na"))
+        .join(n.select(col("label").as("label_b"), col("cv").as("cb"),
+          col("cn").as("nb")), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(graft.plans.DotF64.dotF64(col("ca"), col("cb")) /
+            (col("na") * col("nb")), 6).as("sim"))
+    }),
   )
 
   /** Trained-IVF assignment DERIVED from the streamed vector store,
@@ -492,5 +526,27 @@ object SimilarityQueries {
     "q_embed_dup_streamed" -> embedDupSql,
 
     "q_embed_dup" -> embedDupSql,
+
+    // mirror of the engine's Lloyd-protocol centroid means (exact
+    // DECIMAL(27,12) position sums / count, IEEE divide back) and the
+    // sequential left-to-right dot/norm fold (list_sum ≡ the dot_f64
+    // loop order), 6-dp rounded cosines
+    "q_embed_drift" ->
+      """WITH p AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT label, i AS pos,
+        |         CAST(SUM(CAST(v[i] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+        |  FROM p, range(1, 65) t(i) GROUP BY label, i
+        |), c AS (
+        |  SELECT label, list(m ORDER BY pos) AS cv FROM m GROUP BY label
+        |), n AS (
+        |  SELECT label, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn FROM c
+        |)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       round(list_sum(list_transform(range(1, len(a.cv)+1), i -> a.cv[i]*b.cv[i]))
+        |             / (a.cn * b.cn), 6) AS sim
+        |FROM n a JOIN n b ON a.label < b.label""".stripMargin,
   )
 }
