@@ -160,7 +160,7 @@ object AnalysisQueries {
   /** q_lang_id's body, shared verbatim by the batch query and the
     * doc-fact-store streamed twin.
     */
-  private def langIdOf(d: DataFrame): DataFrame = {
+  private[queries] def langIdOf(d: DataFrame): DataFrame = {
     val toks = Text.tokenize(col("text"))
     val scored = d.select(
       col("doc_id") +:
@@ -1420,11 +1420,11 @@ object AnalysisQueries {
   private def ratioSql(listExpr: String): String =
     s"round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE CAST($listExpr AS DOUBLE) / len(ts) END, 6)"
 
-  private val langScoreSql = TextAnalysis.FunctionWords.map { case (l, ws) =>
+  private[queries] val langScoreSql = TextAnalysis.FunctionWords.map { case (l, ws) =>
     s"${ratioSql(s"len(list_filter(ts, t -> list_contains([${wordList(ws)}], t)))")} AS score_$l"
   }.mkString(",\n         ")
 
-  private val langPredSql = {
+  private[queries] val langPredSql = {
     val g = "greatest(score_en, score_de, score_fr, score_es)"
     s"""CASE WHEN $g = 0 THEN 'und'
        |     WHEN score_en = $g THEN 'en'

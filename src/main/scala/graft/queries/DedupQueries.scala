@@ -99,6 +99,47 @@ object DedupQueries {
     // the other dedup queries already materialized it.
     "q_curate" -> ((s, dir) => curate(docs(s, dir), DedupStore.clusters(s, dir))),
 
+    // The curation YIELD FUNNEL — the per-stage survivor report a
+    // pipeline publishes with every corpus release: raw → language gate
+    // (predicted 'en') → quality gate (score ≥ 0.75, q_curate's
+    // threshold) → near-dup canonicalization (corpus-wide cluster
+    // representatives, the shared DedupStore relation) → eval-set
+    // decontamination (flagged-overlap docs dropped). Stages apply
+    // SEQUENTIALLY; each count is one doc_id-keyed semi/anti join on
+    // the previous survivor set, so the whole funnel is a chain of
+    // AQE-splittable equi-joins plus five 1-row aggregates — cluster
+    // and shingle relations come from the session stores, never
+    // re-derived here.
+    "q_yield" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val en = AnalysisQueries.langIdOf(d)
+        .filter(col("predicted") === "en").select("doc_id")
+      val qual = d.select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.75).select("doc_id")
+      val sh = DedupStore.hashes(s, dir).select(col("doc_id"), col("sh"))
+      val decon = Dedup.decontaminateFromShingles(
+        sh.filter(!evalDocPred), sh.filter(evalDocPred)).select("doc_id")
+      val s1 = d.select("doc_id").join(en, "doc_id")
+      val s2 = s1.join(qual, "doc_id")
+      val s3 = s2.join(DedupStore.clusters(s, dir), Seq("doc_id"), "left_outer")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select("doc_id")
+      val s4 = s3.join(decon, Seq("doc_id"), "left_anti")
+      val raw = d.agg(count(lit(1)).as("n_raw"))
+      def cnt(stage: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(stage).as("stage"), col("n_docs"))
+      cnt("0_raw", d)
+        .unionByName(cnt("1_lang", s1))
+        .unionByName(cnt("2_quality", s2))
+        .unionByName(cnt("3_dedup", s3))
+        .unionByName(cnt("4_decontam", s4))
+        .crossJoin(broadcast(raw))
+        .select(col("stage"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_raw"), 6).as("retained"))
+    }),
+
     // The SAME curation but served from the ACCUMULATED streaming-ingest
     // store (`curateStreamed`): the corpus is fed through
     // `StreamingDedup.processBatch` in deterministic micro-batches into a
@@ -663,7 +704,93 @@ object DedupQueries {
          |FROM qscore LEFT JOIN comp ON qscore.doc_id = comp.doc_id
          |WHERE quality >= 0.75 AND (cluster_id IS NULL OR cluster_id = qscore.doc_id)""".stripMargin
 
+  /** q_yield's oracle: the four gate relations re-stated as inner WITH
+    * blocks — each the SAME text as its standalone oracle (lang /
+    * quality / components / decontamination) — then the sequential
+    * survivor chain s1..s4 and the five stage counts.
+    */
+  private lazy val yieldOracleSql: String = {
+    val langInner =
+      s"""$toksCte, scored AS (
+         |  SELECT doc_id,
+         |         ${AnalysisQueries.langScoreSql}
+         |  FROM toks
+         |)
+         |SELECT doc_id, ${AnalysisQueries.langPredSql} AS predicted FROM scored""".stripMargin
+    val qualInner =
+      s"""$toksCte, qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) END, 6) AS mean_token_len,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(ts, t -> list_contains([$stopList], t))) AS DOUBLE) / len(ts) END, 6) AS stopword_ratio,
+         |    round(CASE WHEN len(text) = 0 THEN 0.0
+         |          ELSE CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
+         |  FROM toks JOIN documents USING (doc_id)
+         |)
+         |SELECT doc_id,
+         |  round(((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN mean_token_len BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN stopword_ratio <= 0.6 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)) / 4.0, 2) AS quality
+         |FROM qm""".stripMargin
+    val deconInner =
+      s"""$shingleCte, ex AS (
+         |  SELECT doc_id, t.s AS shingle FROM shs, unnest(sh) AS t(s)
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalDocMod = 0 AND doc_id < $EvalDocCap
+         |)
+         |SELECT e.doc_id, count(*) AS n_overlap
+         |FROM ex e JOIN bench b ON e.shingle = b.shingle
+         |WHERE NOT (e.doc_id % $EvalDocMod = 0 AND e.doc_id < $EvalDocCap)
+         |GROUP BY e.doc_id""".stripMargin
+    s"""WITH RECURSIVE pairs AS (
+       |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
+       |), sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM sym
+       |), reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
+       |), comp AS (
+       |  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+       |), lang AS (
+       |${langInner.linesIterator.map("  " + _).mkString("\n")}
+       |), qual AS (
+       |${qualInner.linesIterator.map("  " + _).mkString("\n")}
+       |), decon AS (
+       |${deconInner.linesIterator.map("  " + _).mkString("\n")}
+       |), s1 AS (
+       |  SELECT d.doc_id FROM documents d JOIN lang USING (doc_id)
+       |  WHERE lang.predicted = 'en'
+       |), s2 AS (
+       |  SELECT s1.doc_id FROM s1 JOIN qual USING (doc_id)
+       |  WHERE qual.quality >= 0.75
+       |), s3 AS (
+       |  SELECT s2.doc_id FROM s2 LEFT JOIN comp USING (doc_id)
+       |  WHERE comp.cluster_id IS NULL OR comp.cluster_id = s2.doc_id
+       |), s4 AS (
+       |  SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM decon)
+       |), r AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM documents),
+       |stages AS (
+       |  SELECT '0_raw' AS stage, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+       |  UNION ALL SELECT '1_lang', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+       |  UNION ALL SELECT '2_quality', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+       |  UNION ALL SELECT '3_dedup', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+       |  UNION ALL SELECT '4_decontam', (SELECT CAST(count(*) AS BIGINT) FROM s4)
+       |)
+       |SELECT stage, n_docs, round(CAST(n_docs AS DOUBLE) / n_raw, 6) AS retained
+       |FROM stages, r""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_yield" -> yieldOracleSql,
+
     "q_dedup_exact" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z\s]', '', 'g')) AS fp
