@@ -268,6 +268,24 @@ object AnalysisQueries {
           .as("pii_doc_rate"))
   }
 
+  /** q_audio_stats' body, shared with q_audio_segments: 4 evenly-spaced
+    * 96-byte frames per doc (the frameSample slicer over the utf-8
+    * payload), centered-u8 PCM statistics from ONE batched
+    * mapPartitions pass — zero exchanges (PlanSpec pins it).
+    */
+  private def audioStatsOf(s: SparkSession, dir: String): DataFrame = {
+    val frames = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.operators.Multimodal.frameSample(
+          encode(col("text"), "utf-8"), 4, 96)).as(Seq("frame", "fpay")))
+      .select((col("doc_id") * 8 + col("frame")).as("doc_id"),
+        col("fpay").as("payload"))
+    graft.operators.Multimodal.audioStats(frames)
+      .select(expr("doc_id DIV 8").as("doc_id"), (col("doc_id") % 8).as("frame"),
+        col("n_samples"), col("rms"), col("peak"),
+        col("silence_ratio"), col("clip_ratio"))
+  }
+
   /** q_quality_gate's body, shared verbatim by the batch query and the
     * doc-fact-store streamed twin.
     */
@@ -1319,17 +1337,24 @@ object AnalysisQueries {
     // audio curation pipeline runs. Frames ride the batched pass packed
     // as doc_id·8+frame (the clip-store convention); integer sums
     // exact, float math only on final per-frame scalars.
-    "q_audio_stats" -> ((s, dir) => {
-      val frames = docs(s, dir)
-        .select(col("doc_id"),
-          posexplode(graft.operators.Multimodal.frameSample(
-            encode(col("text"), "utf-8"), 4, 96)).as(Seq("frame", "fpay")))
-        .select((col("doc_id") * 8 + col("frame")).as("doc_id"),
-          col("fpay").as("payload"))
-      graft.operators.Multimodal.audioStats(frames)
-        .select(expr("doc_id DIV 8").as("doc_id"), (col("doc_id") % 8).as("frame"),
-          col("n_samples"), col("rms"), col("peak"),
-          col("silence_ratio"), col("clip_ratio"))
+    "q_audio_stats" -> ((s, dir) => audioStatsOf(s, dir)),
+
+    // Audio SEGMENTATION (the VAD-shaped step after the frame gates):
+    // contiguous runs of energetic frames (rms ≥ 45, the corpus median
+    // band) per doc — the gaps-and-islands pattern (q_sessions' shape)
+    // applied to the frame axis. One doc-keyed window + one island
+    // aggregate on top of the shuffle-free stats projection.
+    "q_audio_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame")
+      audioStatsOf(s, dir).filter(col("rms") >= 45.0)
+        .select(col("doc_id"), col("frame"))
+        .withColumn("grp", col("frame") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("frame")).as("start_frame"),
+          max(col("frame")).as("end_frame"),
+          count(lit(1)).as("n_frames"))
+        .select("doc_id", "start_frame", "end_frame", "n_frames")
     }),
 
     "q_frame_sample" -> ((s, dir) => {
@@ -1518,6 +1543,32 @@ object AnalysisQueries {
         |       round(CAST(count(*) FILTER (abs(amp) <= 2) AS DOUBLE) / count(*), 6) AS silence_ratio,
         |       round(CAST(count(*) FILTER (abs(amp) >= 126) AS DOUBLE) / count(*), 6) AS clip_ratio
         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // same PCM reconstruction as q_audio_stats' oracle, then the
+    // gaps-and-islands run grouping (frame − row_number per doc)
+    "q_audio_segments" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f AS frame,
+        |         substr(text,
+        |                CAST(floor(f * greatest((len(text) - 96) / 3.0, 0) + 1) AS INT),
+        |                96) AS ftext
+        |  FROM documents, range(0, 4) t(f)
+        |), a AS (
+        |  SELECT doc_id, frame,
+        |         ascii(substr(ftext, CAST(i AS INT) + 1, 1)) - 128 AS amp
+        |  FROM fr, range(0, 96) t2(i) WHERE i < len(ftext)
+        |), st AS (
+        |  SELECT doc_id, frame,
+        |         round(sqrt(CAST(sum(amp*amp) AS DOUBLE) / count(*)), 6) AS rms
+        |  FROM a GROUP BY 1, 2
+        |), act AS (
+        |  SELECT doc_id, frame,
+        |         frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+        |  FROM st WHERE rms >= 45.0
+        |)
+        |SELECT doc_id, min(frame) AS start_frame, max(frame) AS end_frame,
+        |       CAST(count(*) AS BIGINT) AS n_frames
+        |FROM act GROUP BY doc_id, grp""".stripMargin,
 
     "q_frame_sample" ->
       """WITH f AS (

@@ -68,6 +68,33 @@ object SimilarityQueries {
       graft.operators.Similarity.semDedupDiscards(streamedIvf(s, dir),
         threshold = 0.3)),
 
+    // HARD-NEGATIVE MINING (the contrastive-training batch-prep step):
+    // for each query vector, the top-3 most-similar vectors with a
+    // DIFFERENT label — maximally confusable negatives for metric
+    // learning. Same bounded-|Q| broadcast shape as q_knn_join (10
+    // queries by construction, the documented exact baseline); the
+    // label-mismatch predicate rides the join, and the per-query top-3
+    // plans as WindowGroupLimit bounded heaps.
+    "q_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val lab = graft.sources.Tables.tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val vs = VectorStore.vectors(s, dir).select("vec_id", "v", "norm")
+        .join(lab, "vec_id")
+      val qs = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm").as("qn"), col("label").as("qlabel"))
+      val scored = vs.join(broadcast(qs),
+          col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.plans.DotF64.dotF64(col("v"), col("qv")) /
+            (col("norm") * col("qn")), 6).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
     // Embedding-space drift between label cohorts — the dense-space
     // counterpart of q_source_drift's token-distribution JSD: per-label
     // centroid = per-position mean through an exact DECIMAL(27,12) sum
@@ -526,6 +553,27 @@ object SimilarityQueries {
     "q_embed_dup_streamed" -> embedDupSql,
 
     "q_embed_dup" -> embedDupSql,
+
+    // q_knn_join's mirror with the label join and the label-mismatch
+    // predicate; identical 6-dp cosine, identical (sim DESC, vec_id)
+    // tie-break, rank ≤ 3
+    "q_hard_negatives" ->
+      s"""$prepCte, lab AS (
+         |  SELECT vec_id, label FROM embeddings
+         |), qs AS (
+         |  SELECT n.vec_id AS qid, v AS qv, norm AS qn, l.label AS qlabel
+         |  FROM n JOIN lab l USING (vec_id) WHERE n.vec_id < 10
+         |), scored AS (
+         |  SELECT q.qid, c.vec_id,
+         |         round(list_sum(list_transform(range(1, len(c.v)+1), k -> c.v[k]*q.qv[k]))
+         |               / (c.norm * q.qn), 6) AS sim
+         |  FROM n c JOIN lab cl ON c.vec_id = cl.vec_id
+         |  CROSS JOIN qs q
+         |  WHERE c.vec_id <> q.qid AND cl.label <> q.qlabel
+         |)
+         |SELECT qid, vec_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 3""".stripMargin,
 
     // mirror of the engine's Lloyd-protocol centroid means (exact
     // DECIMAL(27,12) position sums / count, IEEE divide back) and the
