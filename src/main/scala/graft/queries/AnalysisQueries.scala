@@ -876,6 +876,27 @@ object AnalysisQueries {
     "q_dsir" -> ((s, dir) => graft.sources.TermStatsStore.dsir(
       s, dir, Seq("src1", "src3", "src5", "src7"))),
 
+    // Streamed twin over the accumulated doc-fact store: the DIRECT
+    // derivation (tokenize the store's doc set, same combinator) — a
+    // stronger store check than the per-doc projections, since every
+    // weight depends on the corpus-wide and target-slice counts of the
+    // exact accumulated doc SET. Batch oracle verbatim.
+    "q_dsir_streamed" -> ((s, dir) => {
+      val d = DocStores.streamedDocs(s, dir)
+      val tfAll = d
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val cRel = tfAll.groupBy("term").agg(sum(col("tf")).as("c"))
+      val n = d.agg(sum(size(Text.tokenize(col("text")))).cast("long").as("n_corpus"))
+      val tgt = tfAll.join(
+          d.select(col("doc_id"), col("source"))
+            .filter(col("source").isin("src1", "src3", "src5", "src7")), "doc_id")
+        .groupBy("term").agg(sum(col("tf")).as("ct"))
+      val nT = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("n_t"))
+      val v = cRel.agg(count(lit(1)).cast("double").as("v"))
+      graft.operators.TermScoring.dsirWeights(tfAll, cRel, n, tgt, nT, v)
+    }),
+
     // BIGRAM-LM quality score (one level up from q_lm_score's unigram
     // model — the perplexity-filter shape): per doc, the average
     // add-one-smoothed conditional log-probability ln((c2(ab)+1)/
@@ -2463,6 +2484,6 @@ object AnalysisQueries {
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
-      "q_entropy", "q_pii_scan")
+      "q_entropy", "q_pii_scan", "q_dsir")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

@@ -68,6 +68,36 @@ object SimilarityQueries {
       graft.operators.Similarity.semDedupDiscards(streamedIvf(s, dir),
         threshold = 0.3)),
 
+    // Scalar INT8 QUANTIZATION audit (the embedding-export step a
+    // vector-serving stack runs: per-vector min/max affine codes à la
+    // FAISS SQ8): code = round((x − mn)/scale), scale = (mx − mn)/255,
+    // and the reconstruction-error report (mean/max absolute error)
+    // that decides whether SQ8 is acceptable for the corpus. Exploded
+    // (vec, dim) relation → per-vec min/max → code/recon arithmetic →
+    // per-vec DECIMAL-summed errors: two vec_id-keyed exchanges, both
+    // AQE-splittable, no higher-order-function folds in the hot path.
+    "q_int8_quant" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val p = graft.sources.Tables.tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val ex = p.select(col("vec_id"), explode(col("v")).as("x"))
+      val mm = ex.groupBy("vec_id").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val scale = (col("mx") - col("mn")) / lit(255.0)
+      val err = ex.join(mm, "vec_id")
+        .withColumn("code", when(scale === 0, lit(0.0))
+          .otherwise(round((col("x") - col("mn")) / scale, 0)))
+        .withColumn("ae",
+          round(abs(col("x") - (col("mn") + col("code") * scale)), 12)
+            .cast(DecimalType(27, 12)))
+      err.groupBy("vec_id").agg(
+        round(min(col("mn")), 6).as("v_min"),
+        round(min(col("mx")), 6).as("v_max"),
+        round(sum(col("ae")).cast("double") / count(lit(1)), 6).as("mae"),
+        round(max(col("ae")).cast("double"), 6).as("max_ae"))
+    }),
+
     // HARD-NEGATIVE MINING (the contrastive-training batch-prep step):
     // for each query vector, the top-3 most-similar vectors with a
     // DIFFERENT label — maximally confusable negatives for metric
@@ -553,6 +583,32 @@ object SimilarityQueries {
     "q_embed_dup_streamed" -> embedDupSql,
 
     "q_embed_dup" -> embedDupSql,
+
+    // identical affine arithmetic text (scale spelled as
+    // (mx − mn)/255.0 at every use), round-to-integer codes, per-dim
+    // absolute errors 12-dp rounded into exact DECIMAL sums
+    "q_int8_quant" ->
+      """WITH p AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT vec_id, u.x FROM p, unnest(v) AS u(x)
+        |), mm AS (
+        |  SELECT vec_id, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1
+        |), e AS (
+        |  SELECT ex.vec_id, x, mn, mx,
+        |         CASE WHEN (mx - mn) / 255.0 = 0 THEN 0.0
+        |              ELSE round((x - mn) / ((mx - mn) / 255.0), 0) END AS code
+        |  FROM ex JOIN mm USING (vec_id)
+        |), r AS (
+        |  SELECT vec_id, mn, mx,
+        |         CAST(round(abs(x - (mn + code * ((mx - mn) / 255.0))), 12) AS DECIMAL(27,12)) AS ae
+        |  FROM e
+        |)
+        |SELECT vec_id, round(min(mn), 6) AS v_min, round(min(mx), 6) AS v_max,
+        |       round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
+        |       round(CAST(max(ae) AS DOUBLE), 6) AS max_ae
+        |FROM r GROUP BY vec_id""".stripMargin,
 
     // q_knn_join's mirror with the label join and the label-mismatch
     // predicate; identical 6-dp cosine, identical (sim DESC, vec_id)
