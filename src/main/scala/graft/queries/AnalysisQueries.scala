@@ -268,6 +268,43 @@ object AnalysisQueries {
           .as("pii_doc_rate"))
   }
 
+  /** q_hapax's body, shared by batch and the doc-fact-store twin:
+    * per-source token mass / vocab / hapax legomena — one (source,
+    * term) aggregate with map-side combine, then a 20-key rollup.
+    */
+  private def hapaxOf(d: DataFrame): DataFrame = {
+    val tf = d
+      .select(col("source"), explode(Text.tokenize(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    tf.groupBy("source").agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      count(when(col("c") === 1, lit(1))).as("n_hapax"),
+      round(count(when(col("c") === 1, lit(1))).cast("double") /
+        count(lit(1)), 6).as("hapax_ratio"))
+  }
+
+  /** q_mixture's body, shared by batch and the doc-fact-store twin:
+    * α=0.3 temperature sampling shares — per-source pow(n, 0.3)
+    * rounded 6dp into a DECIMAL-exact normalizer.
+    */
+  private def mixtureOf(d: DataFrame): DataFrame = {
+    val per = d
+      .select(col("source"), size(Text.tokenize(col("text"))).as("nt"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"))
+    val pa = per.withColumn("pa",
+      round(pow(col("n_tokens").cast("double"), 0.3), 6).cast("decimal(20,6)"))
+    val tot = pa.agg(sum(col("pa")).as("spa"),
+      sum(col("n_tokens")).cast("long").as("stt"))
+    pa.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("stt"), 6).as("p_raw"),
+        round(col("pa").cast("double") / col("spa").cast("double"), 6)
+          .as("p_temp"))
+      .withColumn("boost", round(col("p_temp") / col("p_raw"), 6))
+  }
+
   /** q_audio_stats' body, shared with q_audio_segments: 4 evenly-spaced
     * 96-byte frames per doc (the frameSample slicer over the utf-8
     * payload), centered-u8 PCM statistics from ONE batched
@@ -686,17 +723,12 @@ object AnalysisQueries {
     // boilerplate IDs; unusually low flags template text). One
     // (source, term) aggregate with map-side combine, then a 20-key
     // rollup — hot terms collapse before the shuffle.
-    "q_hapax" -> ((s, dir) => {
-      val tf = docs(s, dir)
-        .select(col("source"), explode(Text.tokenize(col("text"))).as("term"))
-        .groupBy("source", "term").agg(count(lit(1)).as("c"))
-      tf.groupBy("source").agg(
-        sum(col("c")).cast("long").as("n_tokens"),
-        count(lit(1)).as("vocab"),
-        count(when(col("c") === 1, lit(1))).as("n_hapax"),
-        round(count(when(col("c") === 1, lit(1))).cast("double") /
-          count(lit(1)), 6).as("hapax_ratio"))
-    }),
+    "q_hapax" -> ((s, dir) => hapaxOf(docs(s, dir))),
+
+    // Streamed twin (doc-fact store; see q_lang_id_streamed) — hapax
+    // counts depend on the accumulated doc SET per source, so this
+    // checks more than a per-doc projection does.
+    "q_hapax_streamed" -> ((s, dir) => hapaxOf(DocStores.streamedDocs(s, dir))),
 
     // Temperature-based mixture sampling rates (the multilingual /
     // multi-source UNIMAX-style schedule): per source, the raw token
@@ -705,22 +737,11 @@ object AnalysisQueries {
     // pow(n, 0.3) is rounded to 6dp and the normalizer summed in
     // DECIMAL (exact), so the shares are engine-portable; everything
     // after the per-source aggregate is 20-row arithmetic.
-    "q_mixture" -> ((s, dir) => {
-      val per = docs(s, dir)
-        .select(col("source"), size(Text.tokenize(col("text"))).as("nt"))
-        .groupBy("source").agg(count(lit(1)).as("n_docs"),
-          sum(col("nt")).cast("long").as("n_tokens"))
-      val pa = per.withColumn("pa",
-        round(pow(col("n_tokens").cast("double"), 0.3), 6).cast("decimal(20,6)"))
-      val tot = pa.agg(sum(col("pa")).as("spa"),
-        sum(col("n_tokens")).cast("long").as("stt"))
-      pa.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("stt"), 6).as("p_raw"),
-          round(col("pa").cast("double") / col("spa").cast("double"), 6)
-            .as("p_temp"))
-        .withColumn("boost", round(col("p_temp") / col("p_raw"), 6))
-    }),
+    "q_mixture" -> ((s, dir) => mixtureOf(docs(s, dir))),
+
+    // Streamed twin (doc-fact store) — the temperature shares divide
+    // corpus-wide totals of the accumulated doc set.
+    "q_mixture_streamed" -> ((s, dir) => mixtureOf(DocStores.streamedDocs(s, dir))),
 
     // Per-source PII exposure audit (emails / IPv4s / phone numbers +
     // redaction mass) over deterministically enriched text — one
@@ -2484,6 +2505,6 @@ object AnalysisQueries {
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
-      "q_entropy", "q_pii_scan", "q_dsir")
+      "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

@@ -37,8 +37,12 @@ class PlanSpec extends AnyFunSuite {
     // q_repetition joined in r9: word_shingles → run_stats (internal
     // sort) is a pure projection — the run pass replaces the per-doc gram
     // histogram a groupBy(doc, gram) would shuffle the corpus for
+    // q_entropy joined in r15: the native entropy_stats expression
+    // (internal sort + run pass) makes the Shannon-entropy gate a pure
+    // projection — the compositional explode → groupBy(doc, term) →
+    // groupBy(doc) route shuffles the corpus token stream twice
     Seq("q_postings", "q_token_count", "q_quality", "q_lang_id", "q_binary_stats",
-        "q_simhash", "q_repetition").foreach { q =>
+        "q_simhash", "q_repetition", "q_entropy").foreach { q =>
       assert(shuffles(plan(q)) === 0, s"$q gained a shuffle")
     }
   }
