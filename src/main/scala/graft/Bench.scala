@@ -257,6 +257,10 @@ object Bench {
     // (q_bpe_train itself stays the timed live training loop)
     storePart("bpe_merges") {
       graft.queries.AnalysisQueries.BpeStores.merges(spark, sfDir).count(): Unit }
+    // r15 wave 2: the additive word-frequency delta store
+    // q_bpe_train_streamed trains over — ingestion untimed, training timed
+    storePart("stream_bpe") {
+      graft.queries.AnalysisQueries.BpeStreamStores.words(spark, sfDir).count(): Unit }
     // r15: the LPA label partition q_modularity scores
     // (q_communities stays the timed live fixpoint)
     storePart("community_labels") {

@@ -463,6 +463,43 @@ object AnalysisQueries {
         .select(col("src").as("source"), col("dst").as("term"), col("w").as("c"))
   }
 
+  /** q_bpe_train_streamed's additive word-frequency store: (word, "w")
+    * unit deltas per mod-3 doc slice through the string-keyed
+    * `StreamingGraph` (the DriftStores pattern). Word counts are
+    * additive over any doc partition, so the accumulated relation
+    * equals `bpeWords` bit-for-bit — and BPE training is a pure
+    * function of the word-frequency state, so training over the store
+    * reproduces the batch merge table under the batch oracle. This is
+    * STREAMED TOKENIZER TRAINING: the corpus arrives incrementally,
+    * the vocab-sized state accumulates, training runs at any cut.
+    */
+  private[graft] object BpeStreamStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def store(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_graphstream",
+          "bpewords_store_" + graft.sources.SessionStores.tagOf(dir))
+        for (b <- 0 until 3) {
+          val contribs = docs(s, dir).filter(col("doc_id") % 3 === b)
+            .select(explode(Text.tokenize(col("text"))).as("src"),
+              lit("w").as("dst"), lit(1L).as("w"))
+          graft.streaming.StreamingGraph.processBatch(contribs, b.toLong, path,
+            keyType = org.apache.spark.sql.types.StringType): Unit
+        }
+        cache += (s, dir) -> path
+        path
+      })
+    }
+
+    def words(s: SparkSession, dir: String): DataFrame =
+      graft.streaming.StreamingGraph.edges(s, store(s, dir),
+          org.apache.spark.sql.types.StringType)
+        .select(col("src").as("word"), col("w").as("wc"))
+  }
+
   /** q_pmi_streamed's namespaced additive count store: unigram counts
     * (term, "u"), bigram counts (gram, "g" — grams carry a space, so
     * the key spaces are disjoint), and the two scalar totals
@@ -817,6 +854,15 @@ object AnalysisQueries {
     // round — not the engine's array fold.
     "q_bpe_train" -> ((s, dir) =>
       graft.operators.Bpe.train(bpeWords(s, dir), rounds = 8)),
+
+    // STREAMED TOKENIZER TRAINING: the same 8-round training loop over
+    // the ACCUMULATED word-frequency delta store (corpus ingested as
+    // three micro-batches; word counts are additive, training is a pure
+    // function of the vocab-sized state) — batch oracle verbatim. The
+    // timed work is the training loop; ingestion is an untimed named
+    // store build.
+    "q_bpe_train_streamed" -> ((s, dir) =>
+      graft.operators.Bpe.train(BpeStreamStores.words(s, dir), rounds = 8)),
 
     // ENCODE under the learned vocabulary — the serving half of BPE
     // (train once, tokenize the corpus forever): the 8 learned merges
@@ -2505,6 +2551,7 @@ object AnalysisQueries {
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
-      "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture")
+      "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
+      "q_bpe_train")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }
