@@ -753,6 +753,28 @@ object AnalysisQueries {
     // Streamed twin (doc-fact store; see q_lang_id_streamed).
     "q_entropy_streamed" -> ((s, dir) => entropyOf(DocStores.streamedDocs(s, dir))),
 
+    // Corpus-contract validation (the ingest analogue of q_validate's
+    // orders suite): the reference's §1.3 dense gap-free doc_id
+    // invariant (distinct = count, max−min+1 = count, min = 0) plus
+    // empty-text / null-source / url-format compliance and source
+    // cardinality — ONE aggregate pass over the corpus, booleans the
+    // oracle states with the same arithmetic.
+    "q_validate_docs" -> ((s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct_ids"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        (countDistinct(col("doc_id")) === count(lit(1)) &&
+          max(col("doc_id")) - min(col("doc_id")) + 1 === count(lit(1)) &&
+          min(col("doc_id")) === 0).as("ids_dense"),
+        count(when(col("text").isNull || length(col("text")) === 0, lit(1)))
+          .as("n_empty_text"),
+        count(when(col("source").isNull, lit(1))).as("n_null_source"),
+        count(when(!col("url").rlike("^doc://[a-z0-9]+/[0-9]+$"), lit(1)))
+          .as("n_bad_url"),
+        countDistinct(col("source")).as("n_sources"))),
+
     // Per-source vocabulary audit: token mass, distinct terms, hapax
     // legomena (terms occurring exactly once in the source) and the
     // hapax share of the vocabulary — the Heaps-law corpus-health
@@ -1975,6 +1997,19 @@ object AnalysisQueries {
          |       CASE WHEN coalesce(m.dl, 0) = 0 THEN 0.0
          |            ELSE round(ln(CAST(m.dl AS DOUBLE)) - (CAST(m.sm AS DOUBLE) / 1000000.0) / m.dl, 6) END AS entropy
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+
+    "q_validate_docs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  (count(DISTINCT doc_id) = count(*)
+        |   AND max(doc_id) - min(doc_id) + 1 = count(*)
+        |   AND min(doc_id) = 0) AS ids_dense,
+        |  count(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 END) AS n_empty_text,
+        |  count(CASE WHEN source IS NULL THEN 1 END) AS n_null_source,
+        |  count(CASE WHEN NOT regexp_matches('doc://' || source || '/' || CAST(doc_id AS VARCHAR), '^doc://[a-z0-9]+/[0-9]+$') THEN 1 END) AS n_bad_url,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents""".stripMargin,
 
     "q_hapax" ->
       """WITH t AS (

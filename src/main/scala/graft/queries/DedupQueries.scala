@@ -91,6 +91,15 @@ object DedupQueries {
     "q_dedup_near" -> ((s, dir) => DedupStore.pairs(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => DedupStore.clusters(s, dir)),
 
+    // Near-dup cluster-size histogram — the dedup release metric
+    // (how much mass sits in how-big duplicate families): two tiny
+    // aggregates over the shared cluster store; only docs in ≥1 pair
+    // appear, so every size is ≥ 2.
+    "q_cluster_sizes" -> ((s, dir) =>
+      DedupStore.clusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))),
+
     // The end-to-end curation pipeline a training-data stack runs: score
     // quality, cluster near-duplicates, keep high-quality cluster
     // representatives (or unduplicated docs). Composes the quality,
@@ -790,6 +799,29 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_yield" -> yieldOracleSql,
+
+    // the same recursive component CTE as q_dedup_clusters' oracle,
+    // rolled up to the size histogram
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
+         |), sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM sym
+         |), reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
+         |), comp AS (
+         |  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+         |), sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH fp AS (
