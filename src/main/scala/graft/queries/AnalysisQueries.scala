@@ -753,6 +753,41 @@ object AnalysisQueries {
     // Streamed twin (doc-fact store; see q_lang_id_streamed).
     "q_entropy_streamed" -> ((s, dir) => entropyOf(DocStores.streamedDocs(s, dir))),
 
+    // RAG CHUNKING (the retrieval-index prep step beside q_pack's
+    // pretraining packing): fixed 64-token windows at stride 48
+    // (overlap 16) per document, each with its token span and an md5
+    // chunk digest — one map-side explode of bounded fan
+    // (⌈n/stride⌉ chunks), zero exchanges.
+    "q_rag_chunks" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
+        .filter(size(col("ts")) > 0)
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(0),
+            floor((size(col("ts")) - 1) / 48).cast("int"))).as("k"))
+        .select(col("doc_id"),
+          col("k").cast("long").as("chunk_id"),
+          (col("k") * 48).cast("long").as("start_tok"),
+          least(lit(64), size(col("ts")) - col("k") * 48).cast("long").as("n_tok"),
+          md5(concat_ws(" ", slice(col("ts"), col("k") * 48 + 1, lit(64))))
+            .as("digest"))),
+
+    // Deterministic NESTED scaling-law subsets (p10 ⊂ p25 ⊂ p50 by
+    // construction — one md5 threshold per tier over the same salted
+    // key): the reproducible subset ladder a scaling-law study trains
+    // on. Map-side hash + three filtered 1-row aggregates.
+    "q_scaling_subsets" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), size(Text.tokenize(col("text"))).as("nt"),
+          substring(md5(concat(lit("scale:"), col("url"))), 1, 4).as("h"))
+      def tier(label: String, thr: String): DataFrame =
+        base.filter(col("h") < thr).agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("nt")), lit(0L)).cast("long").as("n_tokens"))
+          .select(lit(label).as("subset"), col("n_docs"), col("n_tokens"))
+      tier("p10", "1999").unionByName(tier("p25", "4000"))
+        .unionByName(tier("p50", "8000"))
+    }),
+
     // Corpus-contract validation (the ingest analogue of q_validate's
     // orders suite): the reference's §1.3 dense gap-free doc_id
     // invariant (distinct = count, max−min+1 = count, min = 0) plus
@@ -1997,6 +2032,29 @@ object AnalysisQueries {
          |       CASE WHEN coalesce(m.dl, 0) = 0 THEN 0.0
          |            ELSE round(ln(CAST(m.dl AS DOUBLE)) - (CAST(m.sm AS DOUBLE) / 1000000.0) / m.dl, 6) END AS entropy
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+
+    // identical 1-based slice semantics: Spark slice(ts, start, 64)
+    // and DuckDB list_slice(ts, start, start+63) both truncate at the
+    // end; identical space-joined md5 input
+    "q_rag_chunks" ->
+      s"""$toksCte
+         |SELECT doc_id, k AS chunk_id, k * 48 AS start_tok,
+         |       CAST(least(64, len(ts) - k * 48) AS BIGINT) AS n_tok,
+         |       md5(array_to_string(list_slice(ts, k * 48 + 1, k * 48 + 64), ' ')) AS digest
+         |FROM toks, unnest(range(0, (len(ts) - 1) // 48 + 1)) AS t(k)
+         |WHERE len(ts) > 0""".stripMargin,
+
+    "q_scaling_subsets" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |             x -> x <> '')) AS nt,
+        |         substr(md5('scale:' || 'doc://' || source || '/' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents
+        |)
+        |SELECT 'p10' AS subset, count(*) AS n_docs, CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM b WHERE h < '1999'
+        |UNION ALL SELECT 'p25', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM b WHERE h < '4000'
+        |UNION ALL SELECT 'p50', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM b WHERE h < '8000'""".stripMargin,
 
     "q_validate_docs" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
