@@ -753,6 +753,34 @@ object AnalysisQueries {
     // Streamed twin (doc-fact store; see q_lang_id_streamed).
     "q_entropy_streamed" -> ((s, dir) => entropyOf(DocStores.streamedDocs(s, dir))),
 
+    // The CORPUS CARD — the one-row datasheet a corpus release ships
+    // with: document/token/vocabulary mass, exact-duplicate rate,
+    // English fraction, and mean quality score. Composes the exact-
+    // dedup, lang-ID and quality bodies (each already oracled alone);
+    // every piece is one corpus scan or a vocab-sized aggregate, the
+    // five 1-row relations broadcast into the final projection.
+    "q_corpus_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nd = d.agg(count(lit(1)).as("n_docs"))
+      val tok = d.select(explode(Text.tokenize(col("text"))).as("term"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          countDistinct(col("term")).as("vocab"))
+      val dup = graft.operators.Dedup.exact(d)
+        .agg(count(when(col("is_dup"), lit(1))).as("n_dup"))
+      val en = langIdOf(d)
+        .agg(count(when(col("predicted") === "en", lit(1))).as("n_en"))
+      val q = qualityOf(d)
+        .agg(sum(col("quality").cast("decimal(4,2)")).as("sq"))
+      nd.crossJoin(broadcast(tok)).crossJoin(broadcast(dup))
+        .crossJoin(broadcast(en)).crossJoin(broadcast(q))
+        .select(col("n_docs"), col("n_tokens"), col("vocab"),
+          round(col("n_dup").cast("double") / col("n_docs"), 6)
+            .as("exact_dup_rate"),
+          round(col("n_en").cast("double") / col("n_docs"), 6).as("en_frac"),
+          round(col("sq").cast("double") / col("n_docs"), 6)
+            .as("mean_quality"))
+    }),
+
     // RAG CHUNKING (the retrieval-index prep step beside q_pack's
     // pretraining packing): fixed 64-token windows at stride 48
     // (overlap 16) per document, each with its token span and an md5
@@ -2032,6 +2060,52 @@ object AnalysisQueries {
          |       CASE WHEN coalesce(m.dl, 0) = 0 THEN 0.0
          |            ELSE round(ln(CAST(m.dl AS DOUBLE)) - (CAST(m.sm AS DOUBLE) / 1000000.0) / m.dl, 6) END AS entropy
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+
+    // each field re-stated as its standalone oracle's text: tokenize
+    // CTE, q_dedup_exact's normalized-md5 fingerprint, the lang score/
+    // pred fragments, the quality CTE chain; DECIMAL(4,2)-summed
+    // quality so the mean is exact
+    "q_corpus_card" ->
+      s"""$toksCte, ex AS (
+         |  SELECT doc_id, u.t AS term FROM toks, unnest(ts) AS u(t)
+         |), tokagg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM ex
+         |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |fp AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z\\s]', '', 'g')) AS fp
+         |  FROM documents
+         |), dup AS (
+         |  SELECT count(CASE WHEN doc_id <> mn THEN 1 END) AS n_dup
+         |  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS mn FROM fp)
+         |), scored AS (
+         |  SELECT doc_id,
+         |         $langScoreSql
+         |  FROM toks
+         |), en AS (
+         |  SELECT count(CASE WHEN ($langPredSql) = 'en' THEN 1 END) AS n_en FROM scored
+         |), qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) END, 6) AS mean_token_len,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(ts, t -> list_contains([$stopList], t))) AS DOUBLE) / len(ts) END, 6) AS stopword_ratio,
+         |    round(CASE WHEN len(text) = 0 THEN 0.0
+         |          ELSE CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
+         |  FROM toks JOIN documents USING (doc_id)
+         |), q AS (
+         |  SELECT sum(CAST(round(((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN mean_token_len BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN stopword_ratio <= 0.6 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)) / 4.0, 2) AS DECIMAL(4,2))) AS sq
+         |  FROM qm
+         |)
+         |SELECT n_docs, tokagg.n_tokens, vocab,
+         |       round(CAST(n_dup AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+         |       round(CAST(n_en AS DOUBLE) / n_docs, 6) AS en_frac,
+         |       round(CAST(sq AS DOUBLE) / n_docs, 6) AS mean_quality
+         |FROM nd, tokagg, dup, en, q""".stripMargin,
 
     // identical 1-based slice semantics: Spark slice(ts, start, 64)
     // and DuckDB list_slice(ts, start, start+63) both truncate at the
