@@ -268,6 +268,31 @@ object AnalysisQueries {
           .as("pii_doc_rate"))
   }
 
+  /** q_corpus_card's body, shared by batch and the doc-fact-store twin:
+    * the one-row release datasheet — five 1-row relations broadcast
+    * into one projection.
+    */
+  private def cardOf(d: DataFrame): DataFrame = {
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val tok = d.select(explode(Text.tokenize(col("text"))).as("term"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("term")).as("vocab"))
+    val dup = graft.operators.Dedup.exact(d)
+      .agg(count(when(col("is_dup"), lit(1))).as("n_dup"))
+    val en = langIdOf(d)
+      .agg(count(when(col("predicted") === "en", lit(1))).as("n_en"))
+    val q = qualityOf(d)
+      .agg(sum(col("quality").cast("decimal(4,2)")).as("sq"))
+    nd.crossJoin(broadcast(tok)).crossJoin(broadcast(dup))
+      .crossJoin(broadcast(en)).crossJoin(broadcast(q))
+      .select(col("n_docs"), col("n_tokens"), col("vocab"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_rate"),
+        round(col("n_en").cast("double") / col("n_docs"), 6).as("en_frac"),
+        round(col("sq").cast("double") / col("n_docs"), 6)
+          .as("mean_quality"))
+  }
+
   /** q_hapax's body, shared by batch and the doc-fact-store twin:
     * per-source token mass / vocab / hapax legomena — one (source,
     * term) aggregate with map-side combine, then a 20-key rollup.
@@ -759,27 +784,13 @@ object AnalysisQueries {
     // dedup, lang-ID and quality bodies (each already oracled alone);
     // every piece is one corpus scan or a vocab-sized aggregate, the
     // five 1-row relations broadcast into the final projection.
-    "q_corpus_card" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val nd = d.agg(count(lit(1)).as("n_docs"))
-      val tok = d.select(explode(Text.tokenize(col("text"))).as("term"))
-        .agg(count(lit(1)).cast("long").as("n_tokens"),
-          countDistinct(col("term")).as("vocab"))
-      val dup = graft.operators.Dedup.exact(d)
-        .agg(count(when(col("is_dup"), lit(1))).as("n_dup"))
-      val en = langIdOf(d)
-        .agg(count(when(col("predicted") === "en", lit(1))).as("n_en"))
-      val q = qualityOf(d)
-        .agg(sum(col("quality").cast("decimal(4,2)")).as("sq"))
-      nd.crossJoin(broadcast(tok)).crossJoin(broadcast(dup))
-        .crossJoin(broadcast(en)).crossJoin(broadcast(q))
-        .select(col("n_docs"), col("n_tokens"), col("vocab"),
-          round(col("n_dup").cast("double") / col("n_docs"), 6)
-            .as("exact_dup_rate"),
-          round(col("n_en").cast("double") / col("n_docs"), 6).as("en_frac"),
-          round(col("sq").cast("double") / col("n_docs"), 6)
-            .as("mean_quality"))
-    }),
+    "q_corpus_card" -> ((s, dir) => cardOf(docs(s, dir))),
+
+    // Streamed twin: the datasheet of the ACCUMULATED doc-fact store —
+    // every field depends on corpus-wide totals of the exact
+    // accumulated doc set. Batch oracle verbatim.
+    "q_corpus_card_streamed" -> ((s, dir) =>
+      cardOf(DocStores.streamedDocs(s, dir))),
 
     // RAG CHUNKING (the retrieval-index prep step beside q_pack's
     // pretraining packing): fixed 64-token windows at stride 48
@@ -2719,6 +2730,6 @@ object AnalysisQueries {
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
       "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
-      "q_bpe_train")
+      "q_bpe_train", "q_corpus_card")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

@@ -119,34 +119,21 @@ object DedupQueries {
     // AQE-splittable equi-joins plus five 1-row aggregates — cluster
     // and shingle relations come from the session stores, never
     // re-derived here.
-    "q_yield" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val en = AnalysisQueries.langIdOf(d)
-        .filter(col("predicted") === "en").select("doc_id")
-      val qual = d.select(col("doc_id"),
-          graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
-        .filter(col("quality") >= 0.75).select("doc_id")
-      val sh = DedupStore.hashes(s, dir).select(col("doc_id"), col("sh"))
-      val decon = Dedup.decontaminateFromShingles(
-        sh.filter(!evalDocPred), sh.filter(evalDocPred)).select("doc_id")
-      val s1 = d.select("doc_id").join(en, "doc_id")
-      val s2 = s1.join(qual, "doc_id")
-      val s3 = s2.join(DedupStore.clusters(s, dir), Seq("doc_id"), "left_outer")
-        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-        .select("doc_id")
-      val s4 = s3.join(decon, Seq("doc_id"), "left_anti")
-      val raw = d.agg(count(lit(1)).as("n_raw"))
-      def cnt(stage: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(stage).as("stage"), col("n_docs"))
-      cnt("0_raw", d)
-        .unionByName(cnt("1_lang", s1))
-        .unionByName(cnt("2_quality", s2))
-        .unionByName(cnt("3_dedup", s3))
-        .unionByName(cnt("4_decontam", s4))
-        .crossJoin(broadcast(raw))
-        .select(col("stage"), col("n_docs"),
-          round(col("n_docs").cast("double") / col("n_raw"), 6).as("retained"))
+    "q_yield" -> ((s, dir) => yieldOf(docs(s, dir),
+      DedupStore.clusters(s, dir),
+      DedupStore.hashes(s, dir).select(col("doc_id"), col("sh")))),
+
+    // The WHOLE release funnel over the ACCUMULATED streaming-ingest
+    // state: docs from the doc-fact store, clusters + shingles from
+    // the incremental dedup store — the snapshot-cut release report a
+    // continuously-ingesting stack publishes. Batch oracle verbatim
+    // (every streamed relation is contract-equal to its batch twin).
+    "q_yield_streamed" -> ((s, dir) => {
+      val storePath = DedupStore.streamedStorePath(s, dir)
+      yieldOf(AnalysisQueries.DocStores.streamedDocs(s, dir),
+        DedupStore.streamedClusters(s, storePath),
+        graft.streaming.StreamingDedup.hashes(s, storePath)
+          .select(col("doc_id"), col("sh")))
     }),
 
     // The SAME curation but served from the ACCUMULATED streaming-ingest
@@ -713,6 +700,41 @@ object DedupQueries {
          |FROM qscore LEFT JOIN comp ON qscore.doc_id = comp.doc_id
          |WHERE quality >= 0.75 AND (cluster_id IS NULL OR cluster_id = qscore.doc_id)""".stripMargin
 
+  /** q_yield's body over any (doc, cluster, shingle) relation triple —
+    * shared verbatim by the batch query and the accumulated-store twin:
+    * the sequential lang → quality → dedup-canonical → decontamination
+    * survivor chain with per-stage counts.
+    */
+  private def yieldOf(d: DataFrame, clusters: DataFrame,
+                      shingles: DataFrame): DataFrame = {
+    val en = AnalysisQueries.langIdOf(d)
+      .filter(col("predicted") === "en").select("doc_id")
+    val qual = d.select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 0.75).select("doc_id")
+    val decon = Dedup.decontaminateFromShingles(
+      shingles.filter(!evalDocPred), shingles.filter(evalDocPred))
+      .select("doc_id")
+    val s1 = d.select("doc_id").join(en, "doc_id")
+    val s2 = s1.join(qual, "doc_id")
+    val s3 = s2.join(clusters, Seq("doc_id"), "left_outer")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select("doc_id")
+    val s4 = s3.join(decon, Seq("doc_id"), "left_anti")
+    val raw = d.agg(count(lit(1)).as("n_raw"))
+    def cnt(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt("0_raw", d)
+      .unionByName(cnt("1_lang", s1))
+      .unionByName(cnt("2_quality", s2))
+      .unionByName(cnt("3_dedup", s3))
+      .unionByName(cnt("4_decontam", s4))
+      .crossJoin(broadcast(raw))
+      .select(col("stage"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_raw"), 6).as("retained"))
+  }
+
   /** q_yield's oracle: the four gate relations re-stated as inner WITH
     * blocks — each the SAME text as its standalone oracle (lang /
     * quality / components / decontamination) — then the sequential
@@ -799,6 +821,10 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_yield" -> yieldOracleSql,
+
+    // streamed twin under the batch oracle verbatim: the accumulated
+    // doc-fact / dedup stores are contract-equal to the batch relations
+    "q_yield_streamed" -> yieldOracleSql,
 
     // the same recursive component CTE as q_dedup_clusters' oracle,
     // rolled up to the size histogram
