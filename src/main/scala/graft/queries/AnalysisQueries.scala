@@ -813,18 +813,29 @@ object AnalysisQueries {
     // Deterministic NESTED scaling-law subsets (p10 ⊂ p25 ⊂ p50 by
     // construction — one md5 threshold per tier over the same salted
     // key): the reproducible subset ladder a scaling-law study trains
-    // on. Map-side hash + three filtered 1-row aggregates.
+    // on. ONE corpus pass — all six tier aggregates ride one
+    // conditional aggregation (a filtered-union formulation scans the
+    // corpus once per tier), reshaped to tier rows from the 1-row
+    // result.
     "q_scaling_subsets" -> ((s, dir) => {
       val base = docs(s, dir)
-        .select(col("doc_id"), size(Text.tokenize(col("text"))).as("nt"),
+        .select(size(Text.tokenize(col("text"))).as("nt"),
           substring(md5(concat(lit("scale:"), col("url"))), 1, 4).as("h"))
-      def tier(label: String, thr: String): DataFrame =
-        base.filter(col("h") < thr).agg(
-          count(lit(1)).as("n_docs"),
-          coalesce(sum(col("nt")), lit(0L)).cast("long").as("n_tokens"))
-          .select(lit(label).as("subset"), col("n_docs"), col("n_tokens"))
-      tier("p10", "1999").unionByName(tier("p25", "4000"))
-        .unionByName(tier("p50", "8000"))
+      def nDocs(thr: String) = count(when(col("h") < thr, lit(1)))
+      def nToks(thr: String) =
+        coalesce(sum(when(col("h") < thr, col("nt"))), lit(0)).cast("long")
+      base.agg(
+          nDocs("1999").as("d10"), nToks("1999").as("t10"),
+          nDocs("4000").as("d25"), nToks("4000").as("t25"),
+          nDocs("8000").as("d50"), nToks("8000").as("t50"))
+        .select(explode(array(
+          struct(lit("p10").as("subset"), col("d10").as("n_docs"),
+            col("t10").as("n_tokens")),
+          struct(lit("p25").as("subset"), col("d25").as("n_docs"),
+            col("t25").as("n_tokens")),
+          struct(lit("p50").as("subset"), col("d50").as("n_docs"),
+            col("t50").as("n_tokens")))).as("r"))
+        .select(col("r.subset"), col("r.n_docs"), col("r.n_tokens"))
     }),
 
     // Corpus-contract validation (the ingest analogue of q_validate's
