@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, TextAnalysis}
 import graft.sources.{Corpus, Tables}
@@ -160,13 +160,14 @@ object AnalysisQueries {
   /** q_lang_id's body, shared verbatim by the batch query and the
     * doc-fact-store streamed twin.
     */
-  private[queries] def langIdOf(d: DataFrame): DataFrame = {
+  private[queries] def langIdOf(d: DataFrame,
+                                extra: Seq[Column] = Nil): DataFrame = {
     val toks = Text.tokenize(col("text"))
     val scored = d.select(
-      col("doc_id") +:
+      (col("doc_id") +:
         TextAnalysis.FunctionWords.map { case (l, ws) =>
           TextAnalysis.langScore(toks, ws).as(s"score_$l")
-        }: _*)
+        }) ++ extra: _*)
     val g = greatest(TextAnalysis.FunctionWords.map(lw => col(s"score_${lw._1}")): _*)
     val predicted = TextAnalysis.FunctionWords.foldLeft(when(g === 0, "und")) {
       case (acc, (l, _)) => acc.when(col(s"score_$l") === g, l)
@@ -273,18 +274,24 @@ object AnalysisQueries {
     * into one projection.
     */
   private def cardOf(d: DataFrame): DataFrame = {
-    val nd = d.agg(count(lit(1)).as("n_docs"))
+    // TWO corpus passes (was five — caught in self-review): one fused
+    // per-doc projection (lang scores + quality + exact-dup md5 + token
+    // count in the same select) collapsed by a single aggregate — the
+    // dup-doc count is n − distinct(fp), per-group (k − 1) summed — and
+    // one exploded pass for the term-grain vocabulary.
+    val perDoc = langIdOf(d, Seq(
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        md5(Text.normalize(col("text"))).as("fp"),
+        size(Text.tokenize(col("text"))).cast("long").as("n_tok")))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup"),
+        count(when(col("predicted") === "en", lit(1))).as("n_en"),
+        sum(col("quality").cast("decimal(4,2)")).as("sq"))
     val tok = d.select(explode(Text.tokenize(col("text"))).as("term"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        countDistinct(col("term")).as("vocab"))
-    val dup = graft.operators.Dedup.exact(d)
-      .agg(count(when(col("is_dup"), lit(1))).as("n_dup"))
-    val en = langIdOf(d)
-      .agg(count(when(col("predicted") === "en", lit(1))).as("n_en"))
-    val q = qualityOf(d)
-      .agg(sum(col("quality").cast("decimal(4,2)")).as("sq"))
-    nd.crossJoin(broadcast(tok)).crossJoin(broadcast(dup))
-      .crossJoin(broadcast(en)).crossJoin(broadcast(q))
+      .agg(countDistinct(col("term")).as("vocab"))
+    perDoc.crossJoin(broadcast(tok))
       .select(col("n_docs"), col("n_tokens"), col("vocab"),
         round(col("n_dup").cast("double") / col("n_docs"), 6)
           .as("exact_dup_rate"),

@@ -707,32 +707,41 @@ object DedupQueries {
     */
   private def yieldOf(d: DataFrame, clusters: DataFrame,
                       shingles: DataFrame): DataFrame = {
-    val en = AnalysisQueries.langIdOf(d)
-      .filter(col("predicted") === "en").select("doc_id")
-    val qual = d.select(col("doc_id"),
-        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
-      .filter(col("quality") >= 0.75).select("doc_id")
+    // ONE corpus scan, ONE aggregate (self-review rewrite, twice): the
+    // original chain counted five derived relations — five re-scans of
+    // the gate projection — and the first fusion attempt still
+    // recomputed the fused projection per union branch. All four gate
+    // flags now ride one projection (lang scores + quality in the same
+    // select), the cluster/decon memberships left-join in on doc_id,
+    // and one conditional aggregation produces every stage count,
+    // reshaped to stage rows from the 1-row result.
+    val g = AnalysisQueries.langIdOf(d,
+        Seq(graft.functions.TextAnalysis.qualityScore(col("text")).as("quality")))
+      .select(col("doc_id"), col("predicted"), col("quality"))
     val decon = Dedup.decontaminateFromShingles(
       shingles.filter(!evalDocPred), shingles.filter(evalDocPred))
-      .select("doc_id")
-    val s1 = d.select("doc_id").join(en, "doc_id")
-    val s2 = s1.join(qual, "doc_id")
-    val s3 = s2.join(clusters, Seq("doc_id"), "left_outer")
-      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-      .select("doc_id")
-    val s4 = s3.join(decon, Seq("doc_id"), "left_anti")
-    val raw = d.agg(count(lit(1)).as("n_raw"))
-    def cnt(stage: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(stage).as("stage"), col("n_docs"))
-    cnt("0_raw", d)
-      .unionByName(cnt("1_lang", s1))
-      .unionByName(cnt("2_quality", s2))
-      .unionByName(cnt("3_dedup", s3))
-      .unionByName(cnt("4_decontam", s4))
-      .crossJoin(broadcast(raw))
-      .select(col("stage"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_raw"), 6).as("retained"))
+      .select(col("doc_id"), lit(true).as("hit"))
+    val en = col("predicted") === "en"
+    val qual = col("quality") >= 0.75
+    val canon = col("cluster_id").isNull || col("cluster_id") === col("doc_id")
+    val clean = col("hit").isNull
+    val agg = g
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .join(decon, Seq("doc_id"), "left_outer")
+      .agg(
+        count(lit(1)).as("n0"),
+        count(when(en, lit(1))).as("n1"),
+        count(when(en && qual, lit(1))).as("n2"),
+        count(when(en && qual && canon, lit(1))).as("n3"),
+        count(when(en && qual && canon && clean, lit(1))).as("n4"))
+    agg.select(explode(array(
+        struct(lit("0_raw").as("stage"), col("n0").as("n_docs"), col("n0").as("n_raw")),
+        struct(lit("1_lang").as("stage"), col("n1").as("n_docs"), col("n0").as("n_raw")),
+        struct(lit("2_quality").as("stage"), col("n2").as("n_docs"), col("n0").as("n_raw")),
+        struct(lit("3_dedup").as("stage"), col("n3").as("n_docs"), col("n0").as("n_raw")),
+        struct(lit("4_decontam").as("stage"), col("n4").as("n_docs"), col("n0").as("n_raw")))).as("r"))
+      .select(col("r.stage"), col("r.n_docs"),
+        round(col("r.n_docs").cast("double") / col("r.n_raw"), 6).as("retained"))
   }
 
   /** q_yield's oracle: the four gate relations re-stated as inner WITH
