@@ -91,6 +91,32 @@ object DedupQueries {
     "q_dedup_near" -> ((s, dir) => DedupStore.pairs(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => DedupStore.clusters(s, dir)),
 
+    // EXACT-SUBSTRING span dedup (the Lee et al. 2022 "Deduplicating
+    // Training Data" operator, distinct from the SET-based Jaccard
+    // family): document pairs sharing verbatim 8-token windows, with
+    // the shared-window count — catches copied passages inside
+    // otherwise-different documents that set-similarity dilutes away.
+    // Candidates come from an equi-join on the window STRING itself
+    // (exact by construction — no hash verify step), with the
+    // rare-window df ∈ [2, 16] band bounding per-window fan exactly
+    // like q_jaccard_pairs' rare-shingle discipline; boilerplate
+    // windows above the cap are dropped (a df-16 window at corpus
+    // scale is a template, not a copy).
+    "q_span_dups" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), graft.functions.Text.tokenize(col("text")).as("ts"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.Text.shinglesFromTokens(col("ts"), 8))).as("w"))
+      val rare = sh.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 16)).select("w")
+      val cand = sh.join(rare, "w")
+      cand.select(col("doc_id").as("doc_a"), col("w"))
+        .join(cand.select(col("doc_id").as("doc_b"), col("w")), "w")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared_windows"))
+    }),
+
     // Near-dup cluster-size histogram — the dedup release metric
     // (how much mass sits in how-big duplicate families): two tiny
     // aggregates over the shared cluster store; only docs in ≥1 pair
@@ -834,6 +860,23 @@ object DedupQueries {
     // streamed twin under the batch oracle verbatim: the accumulated
     // doc-fact / dedup stores are contract-equal to the batch relations
     "q_yield_streamed" -> yieldOracleSql,
+
+    // identical window construction (distinct 8-token shingles per
+    // doc), identical df band, identical pair aggregation
+    "q_span_dups" ->
+      s"""$toksCte, w AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, greatest(len(ts)-7, 0)+1),
+         |                i -> ${(0 to 7).map(k => s"ts[i+$k]").mkString(" || ' ' || ")}))) AS w
+         |  FROM toks
+         |), rare AS (
+         |  SELECT w FROM w GROUP BY 1 HAVING count(*) BETWEEN 2 AND 16
+         |), cand AS (
+         |  SELECT doc_id, w.w FROM w JOIN rare USING (w)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
+         |FROM cand a JOIN cand b ON a.w = b.w AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
     // the same recursive component CTE as q_dedup_clusters' oracle,
     // rolled up to the size histogram
