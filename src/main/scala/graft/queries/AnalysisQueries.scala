@@ -443,6 +443,37 @@ object AnalysisQueries {
           col("value").isNull.as("filled"))
     }
 
+  /** q_anomaly's body, shared by batch and the event-store twin:
+    * per-day event volume z-scored against the TRAILING 7-day history
+    * (1–7 days preceding, current day excluded; ≥3 history days
+    * required) — the ingest-volume anomaly monitor an always-on
+    * pipeline alerts from. The window relation is DAY-grain (bounded
+    * by calendar span, never data-sized), so the global RANGE window
+    * is one tiny exchange; moments come from exact integer frame sums
+    * (Σc, Σc²) with the variance/z float text spelled once and
+    * mirrored by the oracle. Zero-variance history → z null,
+    * is_anomaly false (mirrored CASE).
+    */
+  private def anomalyOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(to_date(col("t")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+      .withColumn("d", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.orderBy("d").rangeBetween(-7, -1)
+    val vr = (col("q").cast("double") - col("s").cast("double") * col("s") / col("n")) /
+      (col("n") - 1)
+    val z = round((col("c") - col("s").cast("double") / col("n")) / sqrt(vr), 6)
+    daily
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("s", sum(col("c")).over(w).cast("long"))
+      .withColumn("q", sum(col("c") * col("c")).over(w).cast("long"))
+      .filter(col("n") >= 3)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c").as("n_events"),
+        when(vr > 0, z).as("z"),
+        coalesce(when(vr > 0, abs(z) > 2), lit(false)).as("is_anomaly"))
+  }
+
   private def trailingDauOf(events: DataFrame): DataFrame = {
       val du = events
         .select(to_date(col("t")).as("day"), col("user_id")).distinct()
@@ -1362,6 +1393,13 @@ object AnalysisQueries {
     // never a per-window re-scan; key spaces are days × users.
     "q_trailing_dau" -> ((s, dir) => trailingDauOf(Tables.events(s, dir))),
 
+    // Ingest-volume anomaly monitor: daily counts z-scored against the
+    // trailing 7-day history (day-grain window, exact frame moments).
+    "q_anomaly" -> ((s, dir) => anomalyOf(Tables.events(s, dir))),
+
+    // Streamed twin over the accumulated idempotent event-fact store.
+    "q_anomaly_streamed" -> ((s, dir) => anomalyOf(EventStores.streamedEvents(s, dir))),
+
     // Cross-source overlap matrix (Dedup.sourceOverlap): shingle-level
     // Jaccard between every source pair over the DISCRIMINATING
     // shingles — shingles in > 12 sources are boilerplate (the
@@ -2159,6 +2197,31 @@ object AnalysisQueries {
         |UNION ALL SELECT 'p25', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM b WHERE h < '4000'
         |UNION ALL SELECT 'p50', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM b WHERE h < '8000'""".stripMargin,
 
+    // identical frame (1–7 days preceding on the epoch-day key),
+    // identical exact integer frame sums, identical variance/z text
+    "q_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1
+        |), w AS (
+        |  SELECT day, c,
+        |    count(c) OVER win AS n,
+        |    CAST(sum(c) OVER win AS BIGINT) AS s,
+        |    CAST(sum(c*c) OVER win AS BIGINT) AS q
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, c AS n_events,
+        |  CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) > 0
+        |       THEN round((c - CAST(s AS DOUBLE) / n)
+        |                  / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6)
+        |       END AS z,
+        |  coalesce(CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) > 0
+        |       THEN abs(round((c - CAST(s AS DOUBLE) / n)
+        |                  / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6)) > 2
+        |       END, false) AS is_anomaly
+        |FROM w WHERE n >= 3""".stripMargin,
+
     "q_validate_docs" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
@@ -2748,6 +2811,6 @@ object AnalysisQueries {
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
       "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
-      "q_bpe_train", "q_corpus_card")
+      "q_bpe_train", "q_corpus_card", "q_anomaly")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

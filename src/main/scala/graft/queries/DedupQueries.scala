@@ -117,6 +117,22 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared_windows"))
     }),
 
+    // Duplicate-aware LOSS WEIGHTING (soft dedup — keep every near-dup
+    // but downweight by family size, the alternative to hard removal
+    // when duplicates carry signal): weight = 1/cluster_size for
+    // clustered docs, 1.0 for singletons. One left join against the
+    // session cluster store + a cluster-sized count join.
+    "q_dup_weights" -> ((s, dir) => {
+      val sizes = DedupStore.clusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+      docs(s, dir).select(col("doc_id"))
+        .join(DedupStore.clusters(s, dir), Seq("doc_id"), "left_outer")
+        .join(sizes, Seq("cluster_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("csz"), lit(1L)).as("cluster_size"),
+          round(lit(1.0) / coalesce(col("csz"), lit(1L)), 6).as("weight"))
+    }),
+
     // Near-dup cluster-size histogram — the dedup release metric
     // (how much mass sits in how-big duplicate families): two tiny
     // aggregates over the shared cluster store; only docs in ≥1 pair
@@ -860,6 +876,33 @@ object DedupQueries {
     // streamed twin under the batch oracle verbatim: the accumulated
     // doc-fact / dedup stores are contract-equal to the batch relations
     "q_yield_streamed" -> yieldOracleSql,
+
+    // the component CTE again, rolled to sizes, left-joined onto every
+    // doc; identical 1/size arithmetic
+    "q_dup_weights" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
+         |), sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM sym
+         |), reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON r.node = s.src
+         |), comp AS (
+         |  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+         |), sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csz FROM comp GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(sz.csz, 1) AS cluster_size,
+         |       round(CAST(1.0 AS DOUBLE) / coalesce(sz.csz, 1), 6) AS weight
+         |FROM documents d
+         |LEFT JOIN comp ON d.doc_id = comp.doc_id
+         |LEFT JOIN sz ON comp.cluster_id = sz.cluster_id""".stripMargin,
 
     // identical window construction (distinct 8-token shingles per
     // doc), identical df band, identical pair aggregation
