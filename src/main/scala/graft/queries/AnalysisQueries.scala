@@ -816,6 +816,45 @@ object AnalysisQueries {
     // Streamed twin (doc-fact store; see q_lang_id_streamed).
     "q_entropy_streamed" -> ((s, dir) => entropyOf(DocStores.streamedDocs(s, dir))),
 
+    // TOKEN-BUDGET CURRICULUM SELECTION (data pruning to a fixed token
+    // budget by quality — the "train on the best N tokens" step): keep
+    // documents in (quality DESC, doc_id) order while the exclusive
+    // running token total stays under the budget. The global ordered
+    // prefix sum would serialize the corpus through one window task;
+    // instead it DECOMPOSES on the quality grid (qualityScore emits
+    // quarter-point values — ≤ 5 levels by construction, a
+    // bounded-by-contract driver lift): per-level token totals pick
+    // the boundary level, full levels above it are kept outright, and
+    // only the boundary level runs the distributed `Packing` range
+    // prefix sum (doc_id order = the tie-break order inside a level).
+    "q_curriculum" -> ((s, dir) => {
+      val budget = 16384L
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        size(Text.tokenize(col("text"))).cast("long").as("n_tok"))
+      // ≤ 5 rows by the quality-grid contract
+      val levels = d.groupBy("quality").agg(sum(col("n_tok")).as("lt"))
+        .orderBy(col("quality").desc).collect()
+      var cum = 0L
+      var boundary: Option[Double] = None
+      var base = 0L
+      for (r <- levels if boundary.isEmpty) {
+        val lt = r.getLong(1)
+        if (cum + lt > budget) { boundary = Some(r.getDouble(0)); base = cum }
+        else cum += lt
+      }
+      boundary match {
+        case None => d // the whole corpus fits the budget
+        case Some(b) =>
+          val atBoundary = graft.operators.Packing
+            .packedOffsets(d.filter(col("quality") === b)
+              .select("doc_id", "n_tok"), budget = budget)
+            .filter(col("start_tok") + base < budget)
+            .select(col("doc_id"), lit(b).as("quality"), col("n_tok"))
+          d.filter(col("quality") > b).unionByName(atBoundary)
+      }
+    }),
+
     // The CORPUS CARD — the one-row datasheet a corpus release ships
     // with: document/token/vocabulary mass, exact-duplicate rate,
     // English fraction, and mean quality score. Composes the exact-
@@ -2196,6 +2235,37 @@ object AnalysisQueries {
         |SELECT 'p10' AS subset, count(*) AS n_docs, CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM b WHERE h < '1999'
         |UNION ALL SELECT 'p25', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM b WHERE h < '4000'
         |UNION ALL SELECT 'p50', count(*), CAST(coalesce(sum(nt), 0) AS BIGINT) FROM b WHERE h < '8000'""".stripMargin,
+
+    // the independent formulation: ONE global ordered exclusive prefix
+    // sum over (quality DESC, doc_id) — exactly the semantics the
+    // engine's grid decomposition must reproduce
+    "q_curriculum" ->
+      s"""$toksCte, qm AS (
+         |  SELECT doc_id, len(ts) AS nt,
+         |    CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) END, 6) AS mean_token_len,
+         |    round(CASE WHEN len(ts) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(ts, t -> list_contains([$stopList], t))) AS DOUBLE) / len(ts) END, 6) AS stopword_ratio,
+         |    round(CASE WHEN len(text) = 0 THEN 0.0
+         |          ELSE CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
+         |  FROM toks JOIN documents USING (doc_id)
+         |), perdoc AS (
+         |  SELECT doc_id,
+         |    round(((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN mean_token_len BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN stopword_ratio <= 0.6 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)) / 4.0, 2) AS quality,
+         |    nt
+         |  FROM qm
+         |), sel AS (
+         |  SELECT doc_id, quality, nt,
+         |         coalesce(sum(nt) OVER (ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |  FROM perdoc
+         |)
+         |SELECT doc_id, quality, CAST(nt AS BIGINT) AS n_tok
+         |FROM sel WHERE start < 16384""".stripMargin,
 
     // identical frame (1–7 days preceding on the epoch-day key),
     // identical exact integer frame sums, identical variance/z text
