@@ -321,15 +321,21 @@ object AnalysisQueries {
     * rounded 6dp into a DECIMAL-exact normalizer.
     */
   private def mixtureOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val per = d
       .select(col("source"), size(Text.tokenize(col("text"))).as("nt"))
       .groupBy("source").agg(count(lit(1)).as("n_docs"),
         sum(col("nt")).cast("long").as("n_tokens"))
-    val pa = per.withColumn("pa",
-      round(pow(col("n_tokens").cast("double"), 0.3), 6).cast("decimal(20,6)"))
-    val tot = pa.agg(sum(col("pa")).as("spa"),
-      sum(col("n_tokens")).cast("long").as("stt"))
-    pa.crossJoin(broadcast(tot))
+    // normalizers as a GLOBAL window over the per-source relation
+    // (bounded by source cardinality, never data-sized) — a separate
+    // tot aggregate + crossJoin re-planned the corpus scan (audited:
+    // 2 FileScans, no ReusedExchange under AQE); the window keeps one
+    // lineage, so the corpus aggregate runs once
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.withColumn("pa",
+        round(pow(col("n_tokens").cast("double"), 0.3), 6).cast("decimal(20,6)"))
+      .withColumn("spa", sum(col("pa")).over(w))
+      .withColumn("stt", sum(col("n_tokens")).over(w).cast("long"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("stt"), 6).as("p_raw"),
         round(col("pa").cast("double") / col("spa").cast("double"), 6)
