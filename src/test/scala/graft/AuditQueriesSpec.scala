@@ -121,6 +121,59 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(math.abs(rows.head._3 - 1.0) < 1e-9)
   }
 
+  test("q_curriculum selects exactly the quality-ordered budget prefix") {
+    // independent reference: sort collected (quality desc, doc_id),
+    // walk until the exclusive running total reaches the budget
+    val d = graft.sources.Corpus.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("q"),
+        size(graft.functions.Text.tokenize(col("text"))).cast("long").as("nt"))
+      .as[(Long, Double, Long)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    val budget = 16384L
+    var cum = 0L
+    val ref = d.takeWhile { case (_, _, nt) =>
+      val keep = cum < budget; cum += nt; keep
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q_curriculum")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === ref)
+  }
+
+  test("q_span_dups pairs share a verbatim 8-token window (sampled re-check)") {
+    val pairs = SparkEntry.queries("q_span_dups")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    if (pairs.nonEmpty) {
+      val docs = graft.sources.Corpus.documents(spark, dir)
+        .select(col("doc_id"), graft.functions.Text.tokenize(col("text")).as("ts"))
+        .as[(Long, Seq[String])].collect().toMap
+      def windows(id: Long): Set[String] =
+        docs(id).sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+      pairs.take(5).foreach { case (a, b, n) =>
+        val shared = windows(a) intersect windows(b)
+        assert(shared.nonEmpty, s"pair ($a,$b) shares no verbatim window")
+        assert(n >= 1L && n <= shared.size.toLong,
+          s"pair ($a,$b): reported $n vs ${shared.size} actual (df band may drop some)")
+      }
+    }
+  }
+
+  test("q_dup_weights: weights sum to 1 per cluster, singletons weigh 1") {
+    val rows = SparkEntry.queries("q_dup_weights")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.filter(_._2 === 1L).foreach { case (id, _, w) =>
+      assert(w === 1.0, s"singleton $id weight $w")
+    }
+    // grouped mass: sum of (1/size) over each size-k family = 1 (±6dp grid)
+    rows.filter(_._2 > 1L).groupBy(_._2).foreach { case (sz, fam) =>
+      val mass = fam.map(_._3).sum
+      val nFamilies = fam.length / sz.toDouble
+      assert(math.abs(mass - nFamilies) < 1e-4 * fam.length,
+        s"size-$sz families: mass $mass for $nFamilies families")
+    }
+  }
+
   test("q_hard_negatives never returns the query's own label") {
     val lab = graft.sources.Tables.tbl(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"))
