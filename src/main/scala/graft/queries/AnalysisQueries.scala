@@ -300,6 +300,42 @@ object AnalysisQueries {
           .as("mean_quality"))
   }
 
+  /** q_rag_chunks' body, shared by batch and the doc-fact-store twin:
+    * fixed 64-token windows at stride 48 per document — one map-side
+    * bounded-fan explode, zero exchanges.
+    */
+  private def ragChunksOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0),
+          floor((size(col("ts")) - 1) / 48).cast("int"))).as("k"))
+      .select(col("doc_id"),
+        col("k").cast("long").as("chunk_id"),
+        (col("k") * 48).cast("long").as("start_tok"),
+        least(lit(64), size(col("ts")) - col("k") * 48).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("ts"), col("k") * 48 + 1, lit(64))))
+          .as("digest"))
+
+  /** q_validate_docs' body, shared by batch and the doc-fact-store
+    * twin — ONE aggregate pass; the relation must carry url.
+    */
+  private def validateDocsOf(d: DataFrame): DataFrame =
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("doc_id")).as("n_distinct_ids"),
+      min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"),
+      (countDistinct(col("doc_id")) === count(lit(1)) &&
+        max(col("doc_id")) - min(col("doc_id")) + 1 === count(lit(1)) &&
+        min(col("doc_id")) === 0).as("ids_dense"),
+      count(when(col("text").isNull || length(col("text")) === 0, lit(1)))
+        .as("n_empty_text"),
+      count(when(col("source").isNull, lit(1))).as("n_null_source"),
+      count(when(!col("url").rlike("^doc://[a-z0-9]+/[0-9]+$"), lit(1)))
+        .as("n_bad_url"),
+      countDistinct(col("source")).as("n_sources"))
+
   /** q_hapax's body, shared by batch and the doc-fact-store twin:
     * per-source token mass / vocab / hapax legomena — one (source,
     * term) aggregate with map-side combine, then a 20-key rollup.
@@ -880,18 +916,11 @@ object AnalysisQueries {
     // (overlap 16) per document, each with its token span and an md5
     // chunk digest — one map-side explode of bounded fan
     // (⌈n/stride⌉ chunks), zero exchanges.
-    "q_rag_chunks" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
-        .filter(size(col("ts")) > 0)
-        .select(col("doc_id"), col("ts"),
-          explode(sequence(lit(0),
-            floor((size(col("ts")) - 1) / 48).cast("int"))).as("k"))
-        .select(col("doc_id"),
-          col("k").cast("long").as("chunk_id"),
-          (col("k") * 48).cast("long").as("start_tok"),
-          least(lit(64), size(col("ts")) - col("k") * 48).cast("long").as("n_tok"),
-          md5(concat_ws(" ", slice(col("ts"), col("k") * 48 + 1, lit(64))))
-            .as("digest"))),
+    "q_rag_chunks" -> ((s, dir) => ragChunksOf(docs(s, dir))),
+
+    // Streamed twin (doc-fact store; see q_lang_id_streamed).
+    "q_rag_chunks_streamed" -> ((s, dir) =>
+      ragChunksOf(DocStores.streamedDocs(s, dir))),
 
     // Deterministic NESTED scaling-law subsets (p10 ⊂ p25 ⊂ p50 by
     // construction — one md5 threshold per tier over the same salted
@@ -927,21 +956,17 @@ object AnalysisQueries {
     // empty-text / null-source / url-format compliance and source
     // cardinality — ONE aggregate pass over the corpus, booleans the
     // oracle states with the same arithmetic.
-    "q_validate_docs" -> ((s, dir) =>
-      docs(s, dir).agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("doc_id")).as("n_distinct_ids"),
-        min(col("doc_id")).as("min_id"),
-        max(col("doc_id")).as("max_id"),
-        (countDistinct(col("doc_id")) === count(lit(1)) &&
-          max(col("doc_id")) - min(col("doc_id")) + 1 === count(lit(1)) &&
-          min(col("doc_id")) === 0).as("ids_dense"),
-        count(when(col("text").isNull || length(col("text")) === 0, lit(1)))
-          .as("n_empty_text"),
-        count(when(col("source").isNull, lit(1))).as("n_null_source"),
-        count(when(!col("url").rlike("^doc://[a-z0-9]+/[0-9]+$"), lit(1)))
-          .as("n_bad_url"),
-        countDistinct(col("source")).as("n_sources"))),
+    "q_validate_docs" -> ((s, dir) => validateDocsOf(docs(s, dir))),
+
+    // Streamed twin: the corpus CONTRACT of the accumulated doc-fact
+    // store — the dense gap-free id invariant over the exact
+    // accumulated doc SET (a dropped or doubled micro-batch breaks it),
+    // the strongest cheap store check in the matrix. url re-derived
+    // with the Corpus rule; batch oracle verbatim.
+    "q_validate_docs_streamed" -> ((s, dir) =>
+      validateDocsOf(DocStores.streamedDocs(s, dir)
+        .withColumn("url",
+          concat(lit("doc://"), col("source"), lit("/"), col("doc_id"))))),
 
     // Per-source vocabulary audit: token mass, distinct terms, hapax
     // legomena (terms occurring exactly once in the source) and the
@@ -2887,6 +2912,7 @@ object AnalysisQueries {
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
       "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
-      "q_bpe_train", "q_corpus_card", "q_anomaly")
+      "q_bpe_train", "q_corpus_card", "q_anomaly", "q_rag_chunks",
+      "q_validate_docs")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

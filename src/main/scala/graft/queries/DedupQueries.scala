@@ -102,20 +102,12 @@ object DedupQueries {
     // like q_jaccard_pairs' rare-shingle discipline; boilerplate
     // windows above the cap are dropped (a df-16 window at corpus
     // scale is a template, not a copy).
-    "q_span_dups" -> ((s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), graft.functions.Text.tokenize(col("text")).as("ts"))
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.Text.shinglesFromTokens(col("ts"), 8))).as("w"))
-      val rare = sh.groupBy("w").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 16)).select("w")
-      val cand = sh.join(rare, "w")
-      cand.select(col("doc_id").as("doc_a"), col("w"))
-        .join(cand.select(col("doc_id").as("doc_b"), col("w")), "w")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_shared_windows"))
-    }),
+    "q_span_dups" -> ((s, dir) => spanDupsOf(docs(s, dir))),
+
+    // Streamed twin (doc-fact store; direct derivation — span pairs
+    // depend on the exact accumulated doc set). Batch oracle verbatim.
+    "q_span_dups_streamed" -> ((s, dir) =>
+      spanDupsOf(AnalysisQueries.DocStores.streamedDocs(s, dir))),
 
     // Duplicate-aware LOSS WEIGHTING (soft dedup — keep every near-dup
     // but downweight by family size, the alternative to hard removal
@@ -742,6 +734,24 @@ object DedupQueries {
          |FROM qscore LEFT JOIN comp ON qscore.doc_id = comp.doc_id
          |WHERE quality >= 0.75 AND (cluster_id IS NULL OR cluster_id = qscore.doc_id)""".stripMargin
 
+  /** q_span_dups' body, shared by batch and the doc-fact-store twin:
+    * verbatim 8-token-window pair counts under the rare-window df band.
+    */
+  private def spanDupsOf(d: DataFrame): DataFrame = {
+    val sh = d
+      .select(col("doc_id"), graft.functions.Text.tokenize(col("text")).as("ts"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Text.shinglesFromTokens(col("ts"), 8))).as("w"))
+    val rare = sh.groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 16)).select("w")
+    val cand = sh.join(rare, "w")
+    cand.select(col("doc_id").as("doc_a"), col("w"))
+      .join(cand.select(col("doc_id").as("doc_b"), col("w")), "w")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** q_yield's body over any (doc, cluster, shingle) relation triple —
     * shared verbatim by the batch query and the accumulated-store twin:
     * the sequential lang → quality → dedup-canonical → decontamination
@@ -870,6 +880,25 @@ object DedupQueries {
        |FROM stages, r""".stripMargin
   }
 
+  /** q_span_dups' oracle — identical window construction (distinct
+    * 8-token shingles per doc), identical df band, identical pair
+    * aggregation; shared verbatim by the doc-fact-store streamed twin.
+    */
+  private lazy val spanDupsOracle: String =
+    s"""$toksCte, w AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, greatest(len(ts)-7, 0)+1),
+       |                i -> ${(0 to 7).map(k => s"ts[i+$k]").mkString(" || ' ' || ")}))) AS w
+       |  FROM toks
+       |), rare AS (
+       |  SELECT w FROM w GROUP BY 1 HAVING count(*) BETWEEN 2 AND 16
+       |), cand AS (
+       |  SELECT doc_id, w.w FROM w JOIN rare USING (w)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
+       |FROM cand a JOIN cand b ON a.w = b.w AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_yield" -> yieldOracleSql,
 
@@ -906,20 +935,9 @@ object DedupQueries {
 
     // identical window construction (distinct 8-token shingles per
     // doc), identical df band, identical pair aggregation
-    "q_span_dups" ->
-      s"""$toksCte, w AS (
-         |  SELECT doc_id,
-         |         unnest(list_distinct(list_transform(range(1, greatest(len(ts)-7, 0)+1),
-         |                i -> ${(0 to 7).map(k => s"ts[i+$k]").mkString(" || ' ' || ")}))) AS w
-         |  FROM toks
-         |), rare AS (
-         |  SELECT w FROM w GROUP BY 1 HAVING count(*) BETWEEN 2 AND 16
-         |), cand AS (
-         |  SELECT doc_id, w.w FROM w JOIN rare USING (w)
-         |)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
-         |FROM cand a JOIN cand b ON a.w = b.w AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+    "q_span_dups_streamed" -> spanDupsOracle,
+
+    "q_span_dups" -> spanDupsOracle,
 
     // the same recursive component CTE as q_dedup_clusters' oracle,
     // rolled up to the size histogram
