@@ -37,10 +37,16 @@ object Bpe {
 
   /** One word as its character-symbol array — explicit `substring`
     * positions, not `split(w, "")`, so the symbol alphabet is exactly
-    * the word's characters on every engine.
+    * the word's characters on every engine. The empty word is guarded
+    * explicitly: `sequence(1, 0)` defaults its step to -1 and yields
+    * `[1, 0]`, which would silently turn '' into TWO empty-string
+    * symbols — tokenize's no-empty-token contract makes the branch
+    * unreachable from the registered queries, but the operator must be
+    * correct for any caller.
     */
   def charSyms(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
 
   /** Greedy left-to-right application of merge rule (l, r) to a symbol
     * array, as a map-side fold (see object doc for the fold ≡ scan
@@ -87,8 +93,10 @@ object Bpe {
       while (round <= rounds && !dry) {
         val best = state
           .select(col("wc"), explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            // greatest(…, 0): a 0-symbol state row (the guarded empty
+            // word) must yield no pairs, not a negative slice length
+            slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
             (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("wc")).as("n"))

@@ -1834,7 +1834,11 @@ object AnalysisQueries {
     // audio stats: the q_clip_dedup float-step frame arithmetic, then
     // per-byte centered amplitudes aggregated per (doc, frame) with
     // the engine's exact op order (integer sum → double div → sqrt →
-    // 6-dp round)
+    // 6-dp round). The frame spine LEFT-joins the per-sample aggregate
+    // so an EMPTY frame payload (possible only for an empty-text doc)
+    // yields the engine's all-zero quarantine row instead of silently
+    // dropping the (doc, frame) key — the two sides must agree on
+    // empty payloads even though the fixture corpus never produces one.
     "q_audio_stats" ->
       """WITH fr AS (
         |  SELECT doc_id, f AS frame,
@@ -1846,13 +1850,20 @@ object AnalysisQueries {
         |  SELECT doc_id, frame,
         |         ascii(substr(ftext, CAST(i AS INT) + 1, 1)) - 128 AS amp
         |  FROM fr, range(0, 96) t2(i) WHERE i < len(ftext)
+        |), st AS (
+        |  SELECT doc_id, frame, count(*) AS n, sum(amp*amp) AS ss,
+        |         max(abs(amp)) AS pk,
+        |         count(*) FILTER (abs(amp) <= 2) AS sil,
+        |         count(*) FILTER (abs(amp) >= 126) AS cl
+        |  FROM a GROUP BY 1, 2
         |)
-        |SELECT doc_id, frame, CAST(count(*) AS BIGINT) AS n_samples,
-        |       round(sqrt(CAST(sum(amp*amp) AS DOUBLE) / count(*)), 6) AS rms,
-        |       CAST(max(abs(amp)) AS BIGINT) AS peak,
-        |       round(CAST(count(*) FILTER (abs(amp) <= 2) AS DOUBLE) / count(*), 6) AS silence_ratio,
-        |       round(CAST(count(*) FILTER (abs(amp) >= 126) AS DOUBLE) / count(*), 6) AS clip_ratio
-        |FROM a GROUP BY 1, 2""".stripMargin,
+        |SELECT fr.doc_id, fr.frame,
+        |       CAST(COALESCE(st.n, 0) AS BIGINT) AS n_samples,
+        |       COALESCE(round(sqrt(CAST(st.ss AS DOUBLE) / st.n), 6), 0.0) AS rms,
+        |       CAST(COALESCE(st.pk, 0) AS BIGINT) AS peak,
+        |       COALESCE(round(CAST(st.sil AS DOUBLE) / st.n, 6), 0.0) AS silence_ratio,
+        |       COALESCE(round(CAST(st.cl AS DOUBLE) / st.n, 6), 0.0) AS clip_ratio
+        |FROM fr LEFT JOIN st ON fr.doc_id = st.doc_id AND fr.frame = st.frame""".stripMargin,
 
     // same PCM reconstruction as q_audio_stats' oracle, then the
     // gaps-and-islands run grouping (frame − row_number per doc)

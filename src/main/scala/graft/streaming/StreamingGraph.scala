@@ -269,12 +269,41 @@ object StreamingGraph {
       graft.operators.Graph.pageRank(e, nodes, iters, damping)
     }
 
+  /** r15 changed `_graft_hwm` from a single scope-blind FILE to a
+    * per-scope DIRECTORY. A store compacted under the old layout would
+    * otherwise (a) silently ignore its mark — `readHwm` finds no
+    * `<scope>` child under what is actually a file, re-exposing the
+    * post-compact replay double-count the mark exists to close — and
+    * (b) fail its next compaction (the file blocks creating the
+    * directory). On first access the old file's value is folded into
+    * `_graft_hwm/default`: every pre-scope store ingested under the
+    * "default" commit scope (the only scope that existed), so the old
+    * scope-blind mark IS that scope's mark. Idempotent; a crash between
+    * delete and rewrite loses only the mark a pre-r15 compact wrote,
+    * which the next `compactStore` re-derives from markers + stored
+    * batchIds.
+    */
+  private def migrateLegacyHwm(conf: org.apache.hadoop.conf.Configuration,
+                               storePath: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$storePath/_graft_hwm")
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir) && fs.getFileStatus(dir).isFile) {
+      val buf = new Array[Byte](fs.getFileStatus(dir).getLen.toInt)
+      val in = fs.open(dir)
+      try in.readFully(0L, buf) finally in.close()
+      val value = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+      fs.delete(dir, false)
+      writeSidecar(conf, hwmPath(storePath, "default"), value)
+    }
+  }
+
   /** The largest batchId OF THIS SCOPE absorbed by a compaction
     * (Long.MinValue if never compacted, or if this scope is new) —
     * `processBatch` skips replays at or below it.
     */
   private[graft] def readHwm(conf: org.apache.hadoop.conf.Configuration,
                              storePath: String, scope: String): Long = {
+    migrateLegacyHwm(conf, storePath)
     val p = new org.apache.hadoop.fs.Path(hwmPath(storePath, scope))
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p) || fs.getFileStatus(p).isDirectory) Long.MinValue
@@ -313,6 +342,7 @@ object StreamingGraph {
     val conf = spark.sparkContext.hadoopConfiguration
     val kt = resolveKeyType(conf, storePath, keyType)
     StoreMaintenance.assertIngestStopped(conf, storePath)
+    migrateLegacyHwm(conf, storePath) // before the hwm-dir listing below
     StoreMaintenance.recoverSub(spark, edgesPath(storePath))
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     val fs = commits.getFileSystem(conf)

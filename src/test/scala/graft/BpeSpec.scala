@@ -46,6 +46,19 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, String, String, String, Long)].collect().toSeq === expect3)
   }
 
+  test("charSyms of the empty word is the empty array, not two empty symbols") {
+    // sequence(1, 0) defaults its step to -1 and yields [1, 0] — unguarded,
+    // '' would decompose into two ''-symbols and poison train/encode
+    assert(Seq("", "ab").toDF("w")
+      .select(Bpe.charSyms(col("w")).as("s")).as[Seq[String]]
+      .collect().toSet === Set(Seq.empty[String], Seq("a", "b")))
+    // and training over a state containing an empty word is unaffected by it
+    val withEmpty = Seq(("", 100L), ("ab", 2L)).toDF("word", "wc")
+    assert(Bpe.train(withEmpty, 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq ===
+      Seq((1L, "a", "b", "ab", 2L)))
+  }
+
   test("training stops early when the pair mass dries up") {
     val singles = Seq(("a", 3L), ("b", 2L)).toDF("word", "wc")
     assert(Bpe.train(singles, 5).count() === 0)

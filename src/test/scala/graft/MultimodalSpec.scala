@@ -193,4 +193,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats(2L) === ((2L, 8L, 1.0, 1L, 1.0, 0.0)))
     assert(stats(3L) === ((3L, 0L, 0.0, 0L, 0.0, 0.0))) // quarantine row
   }
+
+  test("audioStats × frameSample: an empty-text doc keeps its full frame spine as quarantine rows") {
+    import spark.implicits._
+    // the q_audio_stats composition on a corpus the fixture never
+    // produces (empty text): every (doc, frame) key must survive as the
+    // all-zero row — the oracle's LEFT-joined frame spine mirrors this
+    val frames = Seq((7L, ""), (8L, "x")).toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(Multimodal.frameSample(
+        encode(col("text"), "utf-8"), 4, 96)).as(Seq("frame", "fpay")))
+      .select((col("doc_id") * 8 + col("frame")).as("doc_id"),
+        col("fpay").as("payload"))
+    val rows = Multimodal.audioStats(frames)
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+      .map(r => (r._1 / 8, r._1 % 8) -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(rows.keySet === (for (d <- Seq(7L, 8L); f <- 0L until 4L) yield (d, f)).toSet)
+    for (f <- 0L until 4L)
+      assert(rows((7L, f)) === ((0L, 0.0, 0L, 0.0, 0.0))) // empty payload → zero row
+    // 'x' = 120: amp = -8, every frame sees the single sample
+    for (f <- 0L until 4L)
+      assert(rows((8L, f)) === ((1L, 8.0, 8L, 0.0, 0.0)))
+  }
 }
