@@ -516,6 +516,157 @@ object AnalysisQueries {
         coalesce(when(vr > 0, abs(z) > 2), lit(false)).as("is_anomaly"))
   }
 
+  /** q_cdc_merge's body: apply the per-user event stream as a CDC
+    * CHANGELOG to an (implicit empty) snapshot — latest change per key
+    * wins, a key whose latest change is a tombstone ('error' here) is
+    * deleted. The merge is AGGREGATION-only (`max_by` under the total
+    * (µs, event_id) order — event_id is unique, so the winner is
+    * deterministic): one exchange on the key, map-side partial maxima,
+    * never a per-key row_number window whose hot keys AQE cannot split.
+    * This is the MERGE INTO / upsert-compaction shape every lakehouse
+    * ingest pipeline runs.
+    */
+  private[graft] def cdcMergeOf(events: DataFrame): DataFrame = {
+    events
+      .select(col("user_id"), unix_micros(col("t")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("us"), col("event_id"))).as("lv"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("lv.event_type") =!= "error")
+      .select(col("user_id"), col("lv.event_id").as("last_event_id"),
+        col("lv.event_type").as("last_type"),
+        col("lv.value").as("last_value"), col("n_changes"))
+  }
+
+  /** Exact DECIMAL weights 0.7^k, k = 0..13 — shared by q_ewma's engine
+    * literals and (as strings) its oracle SQL, so both sides sum the
+    * IDENTICAL decimals instead of trusting two libm pow()s to agree.
+    */
+  private[graft] val EwmaWeights: Seq[BigDecimal] =
+    (0 to 13).map(k => BigDecimal("0.7").pow(k))
+
+  /** q_ewma's body: trailing truncated adjusted EWMA of daily ingest
+    * volume (α = 0.3, 14-day horizon; the pandas `adjust=True` form
+    * y_t = Σ_k (1−α)^k x_{t−k} / Σ_k (1−α)^k, truncated where the
+    * weight mass drops below 1%) — the trend line the q_anomaly
+    * z-score monitor is usually read against. The banded lookback is a
+    * CONTRIBUTION EXPLODE (each day feeds its next 14 calendar days,
+    * then one equi-join on the day index) — the q_trailing_dau shape —
+    * never a non-equi range join (BNL at scale) and never a global
+    * window. Weighted sums run in exact DECIMAL; only the final ratio
+    * is float, rounded to 6dp.
+    */
+  private[graft] def ewmaOf(events: DataFrame): DataFrame = {
+    val daily = events.select(to_date(col("t")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+      .withColumn("d", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val weightOfGap = EwmaWeights.zipWithIndex
+      .foldLeft(lit(null).cast("decimal(18,14)")) { case (acc, (w, k)) =>
+        when(col("gap") === k, lit(w.underlying).cast("decimal(18,14)"))
+          .otherwise(acc)
+      }
+    val contrib = daily.select(col("c").as("bc"), col("d").as("bd"),
+        explode(sequence(lit(0), lit(13))).as("gap"))
+      .select((col("bd") + col("gap")).as("d"), col("bc"),
+        weightOfGap.as("w"))
+    daily.join(contrib, "d") // days absent from the data contribute nothing
+      .groupBy(col("day"), col("c"))
+      .agg(sum(col("bc") * col("w")).as("num"), sum(col("w")).as("den"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c").as("n_events"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma"))
+  }
+
+  /** q_interval_join's body: INTERVAL OVERLAP JOIN over user activity
+    * sessions (which session pairs of DIFFERENT users ran concurrently,
+    * and for how long) — the co-activity / resource-contention shape,
+    * and the interval-join operator Spark has no native plan for. The
+    * scale path is TIME BANDING: each multi-event session explodes its
+    * hour buckets (bounded by session length), candidates come from one
+    * hour-keyed EQUI-join (AQE-splittable; peak-hour skew splits like
+    * any hot hash key), the exact strict-overlap predicate verifies
+    * candidates only, and bucket-duplicate pairs collapse before the
+    * per-user-pair aggregate — never the all-pairs non-equi join (BNL,
+    * quadratic in session count) a naive a.start < b.end formulation
+    * plans. Zero-length sessions carry no interval and are excluded by
+    * contract.
+    */
+  private[graft] def intervalJoinOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gapUs = 30L * 60L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val sess = events
+      .select(col("user_id"), unix_micros(col("t")).as("us"), col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(min("us").as("s_us"), max("us").as("e_us"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("e_us") > col("s_us"))
+    val banded = sess.select(col("user_id"), col("session_no"),
+      col("s_us"), col("e_us"),
+      // exact integer division: a double `/` could land a boundary
+      // timestamp in the wrong bucket and silently drop a candidate
+      explode(sequence(expr(s"s_us div $hourUs"), expr(s"e_us div $hourUs")))
+        .as("hb"))
+    val a = banded.select(col("hb"), col("user_id").as("user_a"),
+      col("session_no").as("sess_a"), col("s_us").as("sa"), col("e_us").as("ea"))
+    val b = banded.select(col("hb"), col("user_id").as("user_b"),
+      col("session_no").as("sess_b"), col("s_us").as("sb"), col("e_us").as("eb"))
+    a.join(b, Seq("hb"))
+      .filter(col("user_a") < col("user_b") &&
+        col("sa") < col("eb") && col("sb") < col("ea"))
+      .select("user_a", "sess_a", "user_b", "sess_b", "sa", "ea", "sb", "eb")
+      .distinct() // a pair sharing several hour buckets matches once
+      .select(col("user_a"), col("user_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("ov"))
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"), sum("ov").cast("long").as("overlap_us"))
+  }
+
+  /** q_url_canon's body: crawl-frontier URL CANONICALIZATION — collapse
+    * scheme/host case, fragments, tracking queries, trailing slashes
+    * and the www alias onto one canonical form, then measure the
+    * frontier's duplication per source. The frontier is DETERMINISTIC
+    * ENRICHMENT of the corpus URL space (the q_pii_scan discipline):
+    * each doc contributes its canonical URL plus 1–2 menu variants
+    * keyed off doc_id, so the expected family structure is known and
+    * the oracle mirrors it. Everything is map-side string work + one
+    * (source, canon) aggregate; real pipelines lower only scheme+host —
+    * here the whole URL is case-collapsible by construction, which the
+    * one-regexp-chain form exploits.
+    */
+  private[graft] def urlCanonOf(d: DataFrame): DataFrame = {
+    val base = concat(lit("doc://"), col("source"), lit("/"),
+      col("doc_id").cast("string"))
+    val noisy = when(col("doc_id") % 4 === 0, concat(base, lit("/")))
+      .when(col("doc_id") % 4 === 1, concat(base, lit("?utm_source=feed")))
+      .when(col("doc_id") % 4 === 2,
+        concat(base, lit("#sec"), (col("doc_id") % 7).cast("string")))
+      .otherwise(concat(lit("doc://WWW."), col("source"), lit("/"),
+        col("doc_id").cast("string")))
+    val extra = when(col("doc_id") % 3 === 0, concat(base, lit("?ref=mirror#top")))
+    val urls = d.select(col("source"),
+        explode(filter(array(base, noisy, extra), u => u.isNotNull)).as("url"))
+    val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(col("url")), "#.*$", ""), "\\?.*$", ""), "/$", ""), "://www\\.", "://")
+    urls.select(col("source"), canon.as("canon"))
+      .groupBy("source", "canon").agg(count(lit(1)).as("fam"))
+      .groupBy("source")
+      .agg(sum("fam").cast("long").as("n_urls"),
+        count(lit(1)).as("n_canonical"),
+        max("fam").cast("long").as("max_family"),
+        round(sum("fam").cast("double") / count(lit(1)), 6).as("dup_ratio"))
+  }
+
   private def trailingDauOf(events: DataFrame): DataFrame = {
       val du = events
         .select(to_date(col("t")).as("day"), col("user_id")).distinct()
@@ -1470,6 +1621,26 @@ object AnalysisQueries {
     // Streamed twin over the accumulated idempotent event-fact store.
     "q_anomaly_streamed" -> ((s, dir) => anomalyOf(EventStores.streamedEvents(s, dir))),
 
+    // CDC changelog merge (MERGE INTO / upsert compaction): latest
+    // change per key wins under the total (µs, event_id) order,
+    // tombstoned keys deleted — aggregation-only, one key exchange.
+    "q_cdc_merge" -> ((s, dir) => cdcMergeOf(Tables.events(s, dir))),
+    "q_cdc_merge_streamed" -> ((s, dir) => cdcMergeOf(EventStores.streamedEvents(s, dir))),
+
+    // Trailing truncated EWMA ingest trend (exact DECIMAL weights,
+    // contribution-explode lookback — never a non-equi range join).
+    "q_ewma" -> ((s, dir) => ewmaOf(Tables.events(s, dir))),
+    "q_ewma_streamed" -> ((s, dir) => ewmaOf(EventStores.streamedEvents(s, dir))),
+
+    // Interval overlap join over multi-event activity sessions:
+    // hour-banded equi-join candidates + exact strict-overlap verify.
+    "q_interval_join" -> ((s, dir) => intervalJoinOf(Tables.events(s, dir))),
+    "q_interval_join_streamed" -> ((s, dir) => intervalJoinOf(EventStores.streamedEvents(s, dir))),
+
+    // Crawl-frontier URL canonicalization over the deterministically
+    // enriched URL space: per-source duplication report.
+    "q_url_canon" -> ((s, dir) => urlCanonOf(docs(s, dir))),
+
     // Cross-source overlap matrix (Dedup.sourceOverlap): shingle-level
     // Jaccard between every source pair over the DISCRIMINATING
     // shingles — shingles in > 12 sources are boilerplate (the
@@ -2334,6 +2505,111 @@ object AnalysisQueries {
         |       END, false) AS is_anomaly
         |FROM w WHERE n >= 3""".stripMargin,
 
+    // CDC merge: independent window formulation (row_number DESC = the
+    // engine's max_by winner under the same total (µs, event_id) order),
+    // tombstoned keys filtered after the winner is chosen.
+    "q_cdc_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         epoch_ns(ts)//1000 AS us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY us DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM e
+        |)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       value AS last_value, n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // Truncated adjusted EWMA: the identical exact-DECIMAL weight table
+    // (generated from the same Scala BigDecimals as the engine's
+    // literals), the identical contribution-explode join, the identical
+    // double-ratio rounding.
+    "q_ewma" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1
+         |), di AS (
+         |  SELECT day, c, date_diff('day', DATE '1970-01-01', day) AS d FROM daily
+         |), contrib AS (
+         |  SELECT b.d + g.gap AS d, b.c AS bc,
+         |         CASE g.gap ${AnalysisQueries.EwmaWeights.zipWithIndex
+                     .map { case (w, k) => s"WHEN $k THEN CAST('$w' AS DECIMAL(18,14))" }
+                     .mkString(" ")} END AS w
+         |  FROM di b, range(0, 14) g(gap)
+         |)
+         |SELECT strftime(a.day, '%Y-%m-%d') AS day, a.c AS n_events,
+         |       round(CAST(sum(ct.bc * ct.w) AS DOUBLE)
+         |             / CAST(sum(ct.w) AS DOUBLE), 6) AS ewma
+         |FROM di a JOIN contrib ct ON a.d = ct.d
+         |GROUP BY 1, 2""".stripMargin,
+
+    // Interval overlap join: sessions re-derived by the same µs
+    // gaps-and-islands rule, then the DIRECT all-pairs strict-overlap
+    // non-equi join — the quadratic formulation the engine's hour
+    // banding exists to avoid, which makes it an independent oracle of
+    // the banding's recall (a session pair missed by the bands fails
+    // the hash here).
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id, sn, min(us) AS s_us, max(us) AS e_us, count(*) AS n
+        |  FROM g GROUP BY 1, 2
+        |), m AS (
+        |  SELECT * FROM sess WHERE n >= 2 AND e_us > s_us
+        |)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       count(*) AS n_overlaps,
+        |       CAST(sum(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) AS BIGINT) AS overlap_us
+        |FROM m a JOIN m b ON a.user_id < b.user_id
+        |                 AND a.s_us < b.e_us AND b.s_us < a.e_us
+        |GROUP BY 1, 2""".stripMargin,
+
+    // URL canonicalization: the identical variant menu and regexp chain
+    // (all four patterns match at most once, so DuckDB's first-match
+    // replace equals Spark's replace-all).
+    "q_url_canon" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |         'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS base
+        |  FROM documents
+        |), u AS (
+        |  SELECT source, unnest(list_filter([
+        |    base,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN base || '/'
+        |      WHEN 1 THEN base || '?utm_source=feed'
+        |      WHEN 2 THEN base || '#sec' || CAST(doc_id % 7 AS VARCHAR)
+        |      ELSE 'doc://WWW.' || source || '/' || CAST(doc_id AS VARCHAR) END,
+        |    CASE WHEN doc_id % 3 = 0 THEN base || '?ref=mirror#top' END
+        |  ], x -> x IS NOT NULL)) AS url
+        |  FROM b
+        |), c AS (
+        |  SELECT source,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           lower(url), '#.*$', ''), '\?.*$', ''), '/$', ''),
+        |           '://www\.', '://') AS canon
+        |  FROM u
+        |), f AS (
+        |  SELECT source, canon, count(*) AS fam FROM c GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(sum(fam) AS BIGINT) AS n_urls,
+        |       count(*) AS n_canonical, CAST(max(fam) AS BIGINT) AS max_family,
+        |       round(CAST(sum(fam) AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM f GROUP BY source""".stripMargin,
+
     "q_validate_docs" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
@@ -2924,6 +3200,6 @@ object AnalysisQueries {
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
       "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
       "q_bpe_train", "q_corpus_card", "q_anomaly", "q_rag_chunks",
-      "q_validate_docs")
+      "q_validate_docs", "q_cdc_merge", "q_ewma", "q_interval_join")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

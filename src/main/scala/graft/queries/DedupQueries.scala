@@ -109,6 +109,17 @@ object DedupQueries {
     "q_span_dups_streamed" -> ((s, dir) =>
       spanDupsOf(AnalysisQueries.DocStores.streamedDocs(s, dir))),
 
+    // Line-level boilerplate removal (CCNet/RefinedWeb cleaner): per-doc
+    // removal mass + retained-text digest after dropping 8-token
+    // segments verbatim-shared by ≥ 3 docs of the same source.
+    "q_line_dedup" -> ((s, dir) => lineDedupOf(docs(s, dir))),
+
+    // Streamed twin over the doc-fact store — boilerplate membership
+    // depends on the exact accumulated doc set, so this checks the
+    // store's corpus contract, not just a per-doc projection.
+    "q_line_dedup_streamed" -> ((s, dir) =>
+      lineDedupOf(AnalysisQueries.DocStores.streamedDocs(s, dir))),
+
     // Duplicate-aware LOSS WEIGHTING (soft dedup — keep every near-dup
     // but downweight by family size, the alternative to hard removal
     // when duplicates carry signal): weight = 1/cluster_size for
@@ -752,6 +763,70 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** q_line_dedup's body: LINE-LEVEL BOILERPLATE REMOVAL (the CCNet /
+    * RefinedWeb cleaner pass — navigation bars, cookie banners and
+    * share buttons repeat VERBATIM across a site's pages and survive
+    * doc-level dedup because each page is otherwise unique). "Lines"
+    * here are the corpus's position-grained unit: consecutive
+    * non-overlapping 8-token segments (the tail segment kept partial).
+    * A segment text seen in ≥ 3 DISTINCT docs of the SAME source is
+    * boilerplate; the per-doc report carries the removal mass and an
+    * md5 digest of the retained text in segment order, so the oracle
+    * pins the exact surviving byte stream, not just counts.
+    *
+    * SCALE SHAPE: the segment relation is a map-side explode
+    * (corpus-token-sized, no state); the boilerplate relation is ONE
+    * (source, segtext) exchange with map-side partial distinct-counts;
+    * the join back is segtext-keyed with fan exactly 1 (the boiler side
+    * is unique per key — a hot boilerplate segment is a hot HASH key,
+    * AQE-splittable, never a window); the per-doc aggregate reshuffles
+    * on doc_id. Three exchanges total, all data-sized.
+    */
+  private[graft] def lineDedupOf(d: DataFrame): DataFrame = {
+    // Deterministic enrichment (the q_pii_scan discipline): the fixture
+    // corpus repeats no verbatim 8-token segment across ≥3 docs, so an
+    // un-enriched run never exercises the removal branch and the oracle
+    // pins nothing. Even-id docs get their source's NAVIGATION BANNER —
+    // exactly 8 tokens, so it lands as segment 0 verbatim — the
+    // cross-page repetition this cleaner exists to strip.
+    val banner = concat(lit("home about contact privacy terms cookie nav "),
+      col("source"), lit(" "))
+    val enriched = d.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 2 === 0, concat(banner, col("text")))
+        .otherwise(col("text")).as("text"))
+    val seg = enriched
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.tokenize(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0) // 0-token docs carry no segments
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(0), expr("(size(ts) + 7) div 8") - 1),
+          i => struct(
+            array_join(slice(col("ts"), i * 8 + 1, lit(8)), " ").as("segtext"),
+            least(lit(8), size(col("ts")) - i * 8).cast("long").as("segtok"))))
+          .as(Seq("seg", "sv")))
+      .select(col("doc_id"), col("source"), col("seg"),
+        col("sv.segtext").as("segtext"), col("sv.segtok").as("segtok"))
+    val boiler = seg.groupBy("source", "segtext")
+      .agg(countDistinct(col("doc_id")).as("bdf"))
+      .filter(col("bdf") >= 3)
+      .select(col("source"), col("segtext"), lit(true).as("boiler"))
+    seg.join(boiler, Seq("source", "segtext"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("boiler"), lit(1))).as("n_removed"),
+        coalesce(sum(when(col("boiler").isNull, col("segtok"))), lit(0L))
+          .cast("long").as("kept_tokens"),
+        sort_array(collect_list(
+          when(col("boiler").isNull, struct(col("seg"), col("segtext"))))).as("kc"))
+      .select(col("doc_id"), col("n_segs"), col("n_removed"), col("kept_tokens"),
+        // NULL (not md5('')) when everything was boilerplate — the
+        // oracle's FILTERed string_agg is NULL over an empty group
+        when(size(col("kc")) > 0,
+          md5(array_join(transform(col("kc"), x => x.getField("segtext")), " ")))
+          .as("kept_digest"))
+  }
+
   /** q_yield's body over any (doc, cluster, shingle) relation triple —
     * shared verbatim by the batch query and the accumulated-store twin:
     * the sequential lang → quality → dedup-canonical → decontamination
@@ -899,8 +974,50 @@ object DedupQueries {
        |FROM cand a JOIN cand b ON a.w = b.w AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** q_line_dedup's oracle — the identical segment grid (1-based
+    * inclusive list slice, clipped tail), ≥3-distinct-docs boilerplate
+    * rule and ordered retained-text digest; the FILTERed string_agg is
+    * NULL over an all-boilerplate doc exactly like the engine's
+    * empty-array guard. Shared verbatim by the doc-fact-store twin.
+    */
+  private lazy val lineDedupOracle: String =
+    """WITH enr AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 2 = 0
+      |              THEN 'home about contact privacy terms cookie nav ' || source || ' ' || text
+      |              ELSE text END AS text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+      |                     t -> t <> '') AS ts
+      |  FROM enr
+      |), sidx AS (
+      |  SELECT doc_id, source, ts,
+      |         unnest(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS seg
+      |  FROM toks WHERE len(ts) > 0
+      |), segx AS (
+      |  SELECT doc_id, source, seg,
+      |         array_to_string(ts[CAST(seg*8+1 AS INT):CAST(seg*8+8 AS INT)], ' ') AS segtext,
+      |         least(8, len(ts) - seg*8) AS segtok
+      |  FROM sidx
+      |), boiler AS (
+      |  SELECT source, segtext FROM segx
+      |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3
+      |)
+      |SELECT s.doc_id, count(*) AS n_segs,
+      |       count(b.segtext) AS n_removed,
+      |       CAST(coalesce(sum(s.segtok) FILTER (b.segtext IS NULL), 0) AS BIGINT) AS kept_tokens,
+      |       md5(string_agg(s.segtext, ' ' ORDER BY s.seg) FILTER (b.segtext IS NULL)) AS kept_digest
+      |FROM segx s LEFT JOIN boiler b
+      |  ON s.source = b.source AND s.segtext = b.segtext
+      |GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_yield" -> yieldOracleSql,
+
+    "q_line_dedup" -> lineDedupOracle,
+    "q_line_dedup_streamed" -> lineDedupOracle,
 
     // streamed twin under the batch oracle verbatim: the accumulated
     // doc-fact / dedup stores are contract-equal to the batch relations

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{AnalysisQueries, DedupQueries}
+
+/** Crafted-input references for the r16 pipeline operators (CDC merge,
+  * EWMA trend, interval overlap join, line-level boilerplate removal,
+  * URL canonicalization) — each case exercises a branch the fixture
+  * corpus cannot: tombstone deletion and µs tie-breaks, missing days in
+  * the EWMA lookback, hour-boundary and bucket-duplicate session pairs,
+  * source-scoped boilerplate with an all-boilerplate doc, and every
+  * canonicalization rule individually.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, String, Long, String, Double)]) =
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("t"),
+        col("user_id"), col("event_type"), col("value"))
+
+  test("cdcMergeOf: latest change wins, tombstones delete, ties break on event_id") {
+    val events = ev(Seq(
+      // user 1: normal history, latest = purchase
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 11:00:00", 1L, "purchase", 9.5),
+      // user 2: latest change is the tombstone → deleted from the merge
+      (3L, "2024-01-01 10:00:00", 2L, "view", 2.0),
+      (4L, "2024-01-01 12:00:00", 2L, "error", 0.0),
+      // user 3: two changes at the SAME µs — the larger event_id wins
+      (5L, "2024-01-01 10:30:00", 3L, "click", 3.0),
+      (6L, "2024-01-01 10:30:00", 3L, "view", 4.0),
+      // user 4: a tombstone SUPERSEDED by a later change → user survives
+      (7L, "2024-01-01 09:00:00", 4L, "error", 0.0),
+      (8L, "2024-01-01 09:30:00", 4L, "signup", 5.0)))
+    val got = AnalysisQueries.cdcMergeOf(events)
+      .as[(Long, Long, String, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 3L, 4L)) // user 2 tombstoned away
+    assert(got(1L) === ((1L, 2L, "purchase", 9.5, 2L)))
+    assert(got(3L) === ((3L, 6L, "view", 4.0, 2L))) // event_id tie-break
+    assert(got(4L) === ((4L, 8L, "signup", 5.0, 2L))) // tombstone superseded
+  }
+
+  test("ewmaOf: hand-computed weights over a day spine with a gap") {
+    // days d, d+1, d+3 (day d+2 missing): the d+3 window sees d+1 at
+    // gap 2 and d at gap 3 — absent days contribute nothing
+    val events = ev(Seq(
+      (1L, "2024-03-01 05:00:00", 1L, "view", 0.0),
+      (2L, "2024-03-01 06:00:00", 1L, "view", 0.0), // day 0: c=2
+      (3L, "2024-03-02 05:00:00", 1L, "view", 0.0), // day 1: c=1
+      (4L, "2024-03-04 05:00:00", 1L, "view", 0.0),
+      (5L, "2024-03-04 06:00:00", 1L, "view", 0.0),
+      (6L, "2024-03-04 07:00:00", 1L, "view", 0.0))) // day 3: c=3
+    val got = AnalysisQueries.ewmaOf(events)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = (k: Int) => math.pow(0.7, k) // reference arithmetic, plain doubles
+    assert(got.map(g => (g._1, g._2)).toSeq ===
+      Seq(("2024-03-01", 2L), ("2024-03-02", 1L), ("2024-03-04", 3L)))
+    assert(got(0)._3 === r6(2.0)) // first day: own value
+    assert(got(1)._3 === r6((1 * w(0) + 2 * w(1)) / (w(0) + w(1))))
+    assert(got(2)._3 === r6((3 * w(0) + 1 * w(2) + 2 * w(3)) / (w(0) + w(2) + w(3))))
+  }
+
+  test("intervalJoinOf: hour-boundary candidates found once, touching/zero-length excluded") {
+    val events = ev(Seq(
+      // user 1: one session 10:50 → 12:10 (spans THREE hour buckets)
+      (1L, "2024-01-01 10:50:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 11:15:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 11:40:00", 1L, "view", 0.0),
+      (4L, "2024-01-01 12:10:00", 1L, "view", 0.0),
+      // user 2: session 10:55 → 11:20 — shares TWO hour buckets (10 and
+      // 11) with user 1's session → two candidate rows that must
+      // collapse to ONE reported overlap
+      (5L, "2024-01-01 10:55:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 11:20:00", 2L, "view", 0.0),
+      // user 3: session 12:10 → 12:30 TOUCHES user 1's end exactly —
+      // strict overlap excludes it
+      (7L, "2024-01-01 12:10:00", 3L, "view", 0.0),
+      (8L, "2024-01-01 12:30:00", 3L, "view", 0.0),
+      // user 4: single-event (zero-length) session inside user 1's —
+      // excluded by the multi-event contract
+      (9L, "2024-01-01 11:30:00", 4L, "view", 0.0)))
+    val got = AnalysisQueries.intervalJoinOf(events)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // overlap(user1, user2) = 11:20 − 10:55 = 25 min, reported ONCE
+    assert(got === Set((1L, 2L, 1L, 25L * 60L * 1000000L)))
+  }
+
+  test("lineDedupOf: source-scoped boilerplate, partial tail, all-boiler doc") {
+    // segment S = exactly 8 tokens; banner enrichment targets even ids,
+    // so every crafted id is ODD — the operator's own enrichment is
+    // inert and the crafted segments alone decide
+    val s = "one two three four five six seven eight"
+    val mk = (extra: String) => if (extra.isEmpty) s else s + " " + extra
+    val docsDf = Seq(
+      // source A: S in 3 docs → boilerplate there
+      (1L, "A", mk("tail tokens kept")), // S + 3-token partial tail
+      (3L, "A", mk("unique alpha beta gamma delta eps zeta eta")),
+      (5L, "A", s), // ALL segments boilerplate → NULL digest
+      // source B: S in only 2 docs → kept (scoping: global df is 5)
+      (7L, "B", mk("")),
+      (9L, "B", mk("other text here")),
+      (11L, "B", "completely different words in this document body")).toDF("doc_id", "source", "text")
+    val got = DedupQueries.lineDedupOf(docsDf)
+      .as[(Long, Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: 2 segments, S removed, tail kept (3 tokens)
+    assert(got(1L) === ((1L, 2L, 1L, 3L, Some(md5hex("tail tokens kept")))))
+    // doc 5: everything boilerplate → zero kept, NULL digest
+    assert(got(5L) === ((5L, 1L, 1L, 0L, None)))
+    // source B docs keep S (df=2 within B < 3) — nothing removed
+    assert(got(7L) === ((7L, 1L, 0L, 8L, Some(md5hex(s)))))
+    assert(got(9L)._3 === 0L && got(11L)._3 === 0L)
+    // doc 3's unique second segment survives with S removed
+    assert(got(3L) === ((3L, 2L, 1L, 8L,
+      Some(md5hex("unique alpha beta gamma delta eps zeta eta")))))
+  }
+
+  test("urlCanonOf: every canonicalization rule collapses onto the base URL") {
+    // one doc per variant arm (ids 0..3 hit each %4 branch; 0 and 3
+    // also get the %3 extra) — every family must collapse to its base
+    val docsDf = Seq(
+      (0L, "sa", "t"), (1L, "sa", "t"), (2L, "sa", "t"), (3L, "sa", "t"))
+      .toDF("doc_id", "source", "text")
+    val got = AnalysisQueries.urlCanonOf(docsDf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.length === 1)
+    val (_, nUrls, nCanon, maxFam, ratio) = got(0)
+    // urls: doc0 base+slash+extra (3), doc1 base+query (2),
+    // doc2 base+fragment (2), doc3 base+www (2) + extra (3) → 10 total
+    assert(nUrls === 10L)
+    assert(nCanon === 4L) // one canonical per doc — every rule collapsed
+    assert(maxFam === 3L)
+    assert(ratio === 2.5)
+  }
+}
