@@ -667,6 +667,98 @@ object AnalysisQueries {
         round(sum("fam").cast("double") / count(lit(1)), 6).as("dup_ratio"))
   }
 
+  /** q_snapshot_diff's body: CORPUS SNAPSHOT DIFF — the incremental
+    * re-crawl audit (what changed between ingest N−1 and ingest N:
+    * added / removed / changed / unchanged, per source). The two
+    * snapshots are deterministic projections of the corpus (the
+    * enrichment discipline): the OLD snapshot lacks docs added since
+    * (id % 11 = 3) and carries a truncated text for docs modified since
+    * (id % 7 = 0); the NEW snapshot lacks docs deleted since
+    * (id % 13 = 5). The diff itself is the operator: one FULL OUTER
+    * join on the key comparing content digests — never a content join —
+    * then a status×source aggregate.
+    */
+  private[graft] def snapshotDiffOf(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("source"), col("text"))
+    val old = base.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 7 === 0,
+          substring(col("text"), 1, 40)).otherwise(col("text"))).as("odig"))
+    val nw = base.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source").as("nsource"),
+        md5(col("text")).as("ndig"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("nsource")).as("source"),
+        when(col("odig").isNull, "added")
+          .when(col("ndig").isNull, "removed")
+          .when(col("odig") =!= col("ndig"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n"))
+  }
+
+  /** q_k_anon's body: K-ANONYMITY AUDIT over the event log — for each
+    * event_type, how many quasi-identifier cells (day × value decile
+    * bucket) isolate fewer than k = 5 distinct users, and how many
+    * users those cells expose. The privacy gate a dataset release runs
+    * before shipping behavioral data. Two aggregates: QI-cell user
+    * counts (one exchange, cells ≤ days × buckets × types at any
+    * scale), then the per-type rollup; exposed users are counted
+    * distinct across a type's violating cells, not double-counted.
+    */
+  private[graft] def kAnonOf(events: DataFrame): DataFrame = {
+    val qi = events.select(col("event_type"), to_date(col("t")).as("day"),
+        floor(col("value") / 10.0).cast("long").as("vbucket"), col("user_id"))
+      .distinct() // (QI cell, user) membership — never per-cell user SETS
+    val cells = qi.groupBy("event_type", "day", "vbucket")
+      .agg(count(lit(1)).as("cell_users")) // distinct by construction
+    val rollup = cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        count(when(col("cell_users") < 5, lit(1))).as("n_violating"))
+    // exposed users: distinct across a type's violating cells — the
+    // violating side is < k users per cell, so the join probe is small
+    // at any scale and a user in several violating cells counts once
+    val exposed = qi
+      .join(cells.filter(col("cell_users") < 5)
+        .select("event_type", "day", "vbucket"),
+        Seq("event_type", "day", "vbucket"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exposed_users"))
+    rollup.join(exposed, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_cells"), col("n_violating"),
+        coalesce(col("exposed_users"), lit(0L)).as("exposed_users"))
+  }
+
+  /** q_pit_features' body: POINT-IN-TIME feature extraction (the
+    * feature-store / training-set assembly shape) — per user, activity
+    * features computed STRICTLY BEFORE a cutoff and the label STRICTLY
+    * AFTER it, in one conditional-aggregation pass, so feature/label
+    * leakage is impossible by construction (no post-cutoff value can
+    * reach a feature column). Cutoff fixed mid-range; trailing windows
+    * in exact µs arithmetic; money in DECIMAL.
+    */
+  private[graft] def pitFeaturesOf(events: DataFrame): DataFrame = {
+    val cutUs = 1706054400000000L // 2024-01-24 00:00:00 UTC, µs
+    val dayUs = 86400000000L
+    val e = events.select(col("user_id"), unix_micros(col("t")).as("us"),
+      col("event_type"), col("value"))
+    val pre = col("us") < cutUs
+    val w7 = pre && col("us") >= cutUs - 7L * dayUs
+    e.groupBy("user_id")
+      .agg(
+        count(when(pre, lit(1))).as("n_events"),
+        count(when(w7, lit(1))).as("n_7d"),
+        sum(when(w7, col("value").cast("decimal(18,2)")))
+          .cast("double").as("value_7d"),
+        max(when(pre, col("us"))).as("last_us"),
+        count(when(!pre && col("us") < cutUs + 7L * dayUs &&
+          col("event_type") === "purchase", lit(1))).as("label_purchases"))
+      .filter(col("n_events") > 0) // users born after the cutoff carry no features
+      .select(col("user_id"), col("n_events"), col("n_7d"),
+        coalesce(col("value_7d"), lit(0.0)).as("value_7d"),
+        ((lit(cutUs) - col("last_us")) / dayUs).cast("long").as("gap_days"),
+        (col("label_purchases") > 0).as("label"))
+  }
+
   private def trailingDauOf(events: DataFrame): DataFrame = {
       val du = events
         .select(to_date(col("t")).as("day"), col("user_id")).distinct()
@@ -1641,6 +1733,18 @@ object AnalysisQueries {
     // enriched URL space: per-source duplication report.
     "q_url_canon" -> ((s, dir) => urlCanonOf(docs(s, dir))),
 
+    // Corpus snapshot diff (incremental re-crawl audit): full-outer
+    // digest compare between two deterministic snapshot projections.
+    "q_snapshot_diff" -> ((s, dir) => snapshotDiffOf(docs(s, dir))),
+
+    // K-anonymity release audit over (day × value-bucket) QI cells.
+    "q_k_anon" -> ((s, dir) => kAnonOf(Tables.events(s, dir))),
+    "q_k_anon_streamed" -> ((s, dir) => kAnonOf(EventStores.streamedEvents(s, dir))),
+
+    // Point-in-time feature extraction with a leakage-safe cutoff.
+    "q_pit_features" -> ((s, dir) => pitFeaturesOf(Tables.events(s, dir))),
+    "q_pit_features_streamed" -> ((s, dir) => pitFeaturesOf(EventStores.streamedEvents(s, dir))),
+
     // Cross-source overlap matrix (Dedup.sourceOverlap): shingle-level
     // Jaccard between every source pair over the DISCRIMINATING
     // shingles — shingles in > 12 sources are boilerplate (the
@@ -2577,6 +2681,75 @@ object AnalysisQueries {
         |                 AND a.s_us < b.e_us AND b.s_us < a.e_us
         |GROUP BY 1, 2""".stripMargin,
 
+    // Snapshot diff: the identical deterministic snapshot projections
+    // and digest compare; FULL OUTER + status CASE mirrored.
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, source,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 40)
+        |                  ELSE text END) AS odig
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |), nw AS (
+        |  SELECT doc_id, source AS nsource, md5(text) AS ndig
+        |  FROM documents WHERE doc_id % 13 <> 5
+        |)
+        |SELECT coalesce(old.source, nw.nsource) AS source,
+        |       CASE WHEN odig IS NULL THEN 'added'
+        |            WHEN ndig IS NULL THEN 'removed'
+        |            WHEN odig <> ndig THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n
+        |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // K-anonymity: same QI grid (day × floor(value/10)), k = 5,
+    // exposed = distinct users across a type's violating cells.
+    "q_k_anon" ->
+      """WITH qi AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(floor(value / 10.0) AS BIGINT) AS vbucket, user_id
+        |  FROM events
+        |), cells AS (
+        |  SELECT event_type, day, vbucket, count(*) AS cell_users
+        |  FROM qi GROUP BY 1, 2, 3
+        |), rollup AS (
+        |  SELECT event_type, count(*) AS n_cells,
+        |         count(*) FILTER (cell_users < 5) AS n_violating
+        |  FROM cells GROUP BY 1
+        |), exposed AS (
+        |  SELECT q.event_type, count(DISTINCT q.user_id) AS exposed_users
+        |  FROM qi q JOIN cells c
+        |    ON q.event_type = c.event_type AND q.day = c.day
+        |   AND q.vbucket = c.vbucket
+        |  WHERE c.cell_users < 5
+        |  GROUP BY 1
+        |)
+        |SELECT r.event_type, r.n_cells, r.n_violating,
+        |       coalesce(e.exposed_users, 0) AS exposed_users
+        |FROM rollup r LEFT JOIN exposed e ON r.event_type = e.event_type""".stripMargin,
+
+    // Point-in-time features: identical µs cutoff arithmetic, DECIMAL
+    // money, one conditional pass; label from the post-cutoff week.
+    "q_pit_features" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us, event_type, value
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |       count(*) FILTER (us < 1706054400000000) AS n_events,
+        |       count(*) FILTER (us < 1706054400000000
+        |                        AND us >= 1706054400000000 - 7*86400000000) AS n_7d,
+        |       coalesce(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |           FILTER (us < 1706054400000000
+        |                   AND us >= 1706054400000000 - 7*86400000000) AS DOUBLE), 0.0) AS value_7d,
+        |       CAST((1706054400000000 - max(us) FILTER (us < 1706054400000000))
+        |            // 86400000000 AS BIGINT) AS gap_days,
+        |       count(*) FILTER (us >= 1706054400000000
+        |                        AND us < 1706054400000000 + 7*86400000000
+        |                        AND event_type = 'purchase') > 0 AS label
+        |FROM e GROUP BY user_id
+        |HAVING count(*) FILTER (us < 1706054400000000) > 0""".stripMargin,
+
     // URL canonicalization: the identical variant menu and regexp chain
     // (all four patterns match at most once, so DuckDB's first-match
     // replace equals Spark's replace-all).
@@ -3200,6 +3373,7 @@ object AnalysisQueries {
       "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
       "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
       "q_bpe_train", "q_corpus_card", "q_anomaly", "q_rag_chunks",
-      "q_validate_docs", "q_cdc_merge", "q_ewma", "q_interval_join")
+      "q_validate_docs", "q_cdc_merge", "q_ewma", "q_interval_join",
+      "q_k_anon", "q_pit_features")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

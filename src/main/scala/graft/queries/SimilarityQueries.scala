@@ -68,6 +68,17 @@ object SimilarityQueries {
       graft.operators.Similarity.semDedupDiscards(streamedIvf(s, dir),
         threshold = 0.3)),
 
+    // Top PRINCIPAL COMPONENT of the embedding corpus (dimensionality
+    // diagnostic before whitening / PQ subspace design): one
+    // distributed Gram/moment pass (map-side pair explode, ONE (i, j)
+    // aggregate of d(d+1)/2 + d + 1 exact-DECIMAL rows), then 8 rounds
+    // of 6dp-quantized power iteration on the driver-local d×d
+    // covariance (bounded by the dims contract — the centroid-lift
+    // role). Oracle unrolls the identical quantized iteration.
+    "q_embed_pca" -> ((s, dir) =>
+      graft.operators.Pca.topComponent(
+        s.read.parquet(s"$dir/embeddings.parquet"), dims = 64)),
+
     // Scalar INT8 QUANTIZATION audit (the embedding-export step a
     // vector-serving stack runs: per-vector min/max affine codes à la
     // FAISS SQ8): code = round((x − mn)/scale), scale = (mx − mn)/255,
@@ -426,7 +437,66 @@ object SimilarityQueries {
        |)
        |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.3""".stripMargin
 
+  /** One unrolled 6dp-quantized power-iteration round (mirror of
+    * `Pca.topComponent`'s driver loop): exact DECIMAL mat-vec over the
+    * 6dp covariance and previous state, 6dp re-quantize, exact-DECIMAL
+    * norm, IEEE sqrt/divide, 6dp state.
+    */
+  private def pcaIterSql(t: Int): String =
+    s"""w$t AS MATERIALIZED (
+       |  SELECT cf.i,
+       |         round(CAST(SUM(CAST(cf.c AS DECIMAL(18,6)) * CAST(vp.x AS DECIMAL(18,6))) AS DOUBLE), 6) AS w
+       |  FROM cf JOIN v${t - 1} vp ON cf.j = vp.i GROUP BY cf.i
+       |), nr$t AS (
+       |  SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(18,6)) * CAST(w AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+       |  FROM w$t
+       |), v$t AS MATERIALIZED (
+       |  SELECT i, round(w / nrm, 6) AS x FROM w$t, nr$t
+       |)""".stripMargin
+
+  private lazy val pcaSql: String =
+    s"""WITH p AS (
+       |  SELECT embedding AS v FROM embeddings
+       |), n1 AS (
+       |  SELECT count(*) AS n FROM p
+       |), mo AS MATERIALIZED (
+       |  SELECT ti.i, tj.j,
+       |         SUM(CAST(round(CAST(v[ti.i] AS DOUBLE), 6) AS DECIMAL(15,6))
+       |             * CAST(round(CAST(v[tj.j] AS DOUBLE), 6) AS DECIMAL(15,6))) AS g
+       |  FROM p, range(1, 65) ti(i), range(1, 65) tj(j)
+       |  WHERE tj.j >= ti.i GROUP BY 1, 2
+       |), su AS MATERIALIZED (
+       |  SELECT t.i, SUM(CAST(round(CAST(v[t.i] AS DOUBLE), 6) AS DECIMAL(15,6))) AS s
+       |  FROM p, range(1, 65) t(i) GROUP BY 1
+       |), cf AS MATERIALIZED (
+       |  SELECT q.i, q.j,
+       |         round((CAST(q.g AS DOUBLE) - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n) / n, 6) AS c
+       |  FROM (SELECT i, j, g FROM mo UNION ALL SELECT j AS i, i AS j, g FROM mo WHERE i <> j) q
+       |  JOIN su si ON q.i = si.i JOIN su sj ON q.j = sj.i, n1
+       |), v0 AS MATERIALIZED (
+       |  SELECT t.i, CASE WHEN t.i = st.i THEN 1.0 ELSE 0.0 END AS x
+       |  FROM range(1, 65) t(i),
+       |       (SELECT i FROM cf WHERE i = j ORDER BY c DESC, i LIMIT 1) st(i)
+       |), ${(1 to 8).map(pcaIterSql).mkString(", ")},
+       |sgn AS (
+       |  SELECT CASE WHEN (SELECT x FROM v8 ORDER BY abs(x) DESC, i LIMIT 1) < 0
+       |              THEN -1.0 ELSE 1.0 END AS sg
+       |), tr AS (
+       |  SELECT CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS trace
+       |  FROM cf WHERE i = j
+       |), lam AS (
+       |  SELECT round(nrm, 6) AS eig, round(nrm / trace, 6) AS explained
+       |  FROM nr8, tr
+       |)
+       |SELECT CAST(v8.i AS BIGINT) AS dim, d.c AS variance,
+       |       round(sg.sg * v8.x, 6) AS loading, lam.eig AS eig,
+       |       lam.explained AS explained
+       |FROM v8 JOIN (SELECT i, c FROM cf WHERE i = j) d ON v8.i = d.i,
+       |     sgn sg, lam""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_embed_pca" -> pcaSql,
+
     "q_knn_join" ->
       s"""$prepCte, qs AS (
          |  SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id < 10

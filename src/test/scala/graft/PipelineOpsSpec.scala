@@ -122,6 +122,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       Some(md5hex("unique alpha beta gamma delta eps zeta eta")))))
   }
 
+  test("Pca.topComponent recovers a known principal axis, invariant under repartitioning") {
+    // points along the unit axis (0.6, 0.8, 0, …) in 8 dims with a tiny
+    // off-axis wobble on dim 3 — the dominant eigenvector is the axis
+    val axis = Array(0.6f, 0.8f) ++ Array.fill(6)(0.0f)
+    val pts = (0 until 40).map { k =>
+      val t = (k - 20) / 4.0f // spread along the axis, mean ≈ 0
+      val wobble = if (k % 2 == 0) 0.01f else -0.01f
+      val v = axis.map(_ * t)
+      v(2) = wobble
+      (k.toLong, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = graft.operators.Pca.topComponent(df, dims = 8)
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    val loadings = got.map(_._3)
+    assert(math.abs(loadings(0) - 0.6) < 1e-3, s"dim1 loading ${loadings(0)}")
+    assert(math.abs(loadings(1) - 0.8) < 1e-3, s"dim2 loading ${loadings(1)}")
+    assert(loadings.drop(2).forall(math.abs(_) < 1e-2))
+    assert(got.head._5 > 0.99) // essentially all variance on the axis
+    // sign convention: largest-|loading| dim positive
+    assert(loadings(1) > 0)
+    // exact-DECIMAL sums ⇒ bit-identical under any partitioning
+    val re = graft.operators.Pca.topComponent(df.repartition(7), dims = 8)
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(re.toSeq === got.toSeq)
+  }
+
   test("urlCanonOf: every canonicalization rule collapses onto the base URL") {
     // one doc per variant arm (ids 0..3 hit each %4 branch; 0 and 3
     // also get the %3 extra) — every family must collapse to its base
