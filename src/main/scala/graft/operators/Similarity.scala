@@ -161,12 +161,16 @@ object Similarity {
     * Struct comparison orders by (csim, -cent_id), so max/sort reproduce
     * the `ORDER BY csim DESC, cent_id ASC` tie-break exactly.
     */
-  private def centroidScores(cents: Seq[Centroid]): Column =
+  private def centroidScoresFor(v: Column, n: Column,
+                                cents: Seq[Centroid]): Column =
     array(cents.map { c =>
       struct(
-        cosine(col("v"), col("norm"), typedLit(c.cv), lit(c.cn)).as("csim"),
+        cosine(v, n, typedLit(c.cv), lit(c.cn)).as("csim"),
         lit(-c.id).as("negid"))
     }: _*)
+
+  private def centroidScores(cents: Seq[Centroid]): Column =
+    centroidScoresFor(col("v"), col("norm"), cents)
 
   /** Nearest-centroid cell id as a ZERO-SHUFFLE map-side expression:
     * one codegen'd `dot_f64` loop per centroid and an `array_max`
@@ -230,6 +234,75 @@ object Similarity {
       .select(explode(slice(array_sort(centroidScores(cents)), -nProbe, nProbe)).as("e"))
       .select((-col("e.negid")).as("cell"))
       .as[Long].collect().toSeq
+  }
+
+  /** Multi-query IVF retrieval: top-k per query in a BOUNDED query set,
+    * one plan (the `knnJoin` batch shape on the IVF candidate path).
+    * Probe cells come map-side per query (literal-centroid ranking on
+    * the query rows, no driver lift per query), candidates from ONE
+    * cell-keyed join of the assigned store against the broadcast
+    * (qid, cell, qv, qn) probe relation — each query touches only its
+    * nProbe cells' members — and the per-query top-k plans as
+    * WindowGroupLimit bounded heaps.
+    */
+  private[graft] def ivfKnnJoin(assigned: DataFrame, cents: Seq[Centroid],
+                                queries: DataFrame, k: Int,
+                                nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries.select(col("qid"), col("qv"), col("qn"),
+        explode(slice(array_sort(
+          centroidScoresFor(col("qv"), col("qn"), cents)), -nProbe, nProbe)).as("e"))
+      .select(col("qid"), col("qv"), col("qn"),
+        (-col("e.negid")).cast("int").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** NDCG position discounts 1/log2(rank+1) on the 12dp grid, and the
+    * ideal DCG for graded gains (k+1 − ideal_rank), k = 10 — generated
+    * once here and SHARED with the oracle SQL text, so no libm log2
+    * parity bet rides the metric.
+    */
+  private[graft] val NdcgDiscounts: Seq[BigDecimal] =
+    (1 to 10).map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+  private[graft] val NdcgIdcg: BigDecimal =
+    NdcgDiscounts.zipWithIndex
+      .map { case (d, idx) => d * BigDecimal(10 - idx) }.sum
+
+  /** RETRIEVAL QUALITY EVALUATION — the index-regression gate a serving
+    * stack runs before swapping an ANN index in: per query, recall@k,
+    * reciprocal rank of the TRUE nearest neighbor, and NDCG@k with
+    * graded gains (k+1 − exact_rank), all against the exact kNN ground
+    * truth. One (qid, vec_id)-keyed left join of two k·|Q|-row
+    * relations + one per-qid aggregate; gains×discounts sum in exact
+    * DECIMAL, only the final ratios are float (6dp).
+    */
+  def retrievalEval(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val disc = NdcgDiscounts.zipWithIndex
+      .foldLeft(lit(null).cast("decimal(18,12)")) { case (acc, (d, idx)) =>
+        when(col("rank") === (idx + 1),
+          lit(d.underlying).cast("decimal(18,12)")).otherwise(acc)
+      }
+    approx
+      .join(exact.select(col("qid"), col("vec_id"), col("rank").as("erank")),
+        Seq("qid", "vec_id"), "left_outer")
+      .groupBy("qid")
+      .agg(
+        count(col("erank")).as("n_hits"),
+        max(when(col("erank") === 1, round(lit(1.0) / col("rank"), 6))).as("rr0"),
+        sum(when(col("erank").isNotNull,
+          (lit(k + 1) - col("erank")).cast("decimal(18,6)") * disc)).as("dcg"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"),
+        coalesce(col("rr0"), lit(0.0)).as("rr"),
+        round(coalesce(col("dcg").cast("double"), lit(0.0))
+          / lit(NdcgIdcg.doubleValue), 6).as("ndcg"))
   }
 
   private[graft] def ivfRankAssigned(assigned: DataFrame, cents: Seq[Centroid],

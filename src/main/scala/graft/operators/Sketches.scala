@@ -51,6 +51,50 @@ object Sketches {
           lit(bound) * col("exact_vocab")).as("hll_within_bound"))
       .orderBy("source")
 
+  /** CBO-style JOIN CARDINALITY ESTIMATION, checked — the statistics
+    * pass a cost-based optimizer runs before picking a join strategy:
+    * est = n_left·n_right / max(ndv_left, ndv_right) under the
+    * containment/uniformity assumption (Spark CBO's
+    * `JoinEstimation.computeCardinalityAndStats` formula), with the
+    * NDVs from HyperLogLog. Emits the exact inputs plus three
+    * deterministic flags (the HLL-family oracle protocol — estimates
+    * are engine-specific but deterministic for a fixed input set, so
+    * the oracle states the bounds as literal TRUE and a violation fails
+    * the hash): both HLL NDVs within 15% of exact, and the estimate
+    * within `band`× of the true join cardinality.
+    *
+    * The TRUE cardinality is computed as Σ_k f_left(k)·f_right(k) —
+    * two key-grained aggregates and one key join, never the join's
+    * output rows; it is the verification side (the exact-count role the
+    * sketch rows all carry), the serving path is the two stats rows.
+    */
+  def joinCardinalityChecked(left: DataFrame, leftKey: String,
+                             right: DataFrame, rightKey: String,
+                             rsd: Double = 0.05, band: Double = 2.0): DataFrame = {
+    val l = left.agg(count(lit(1)).as("n_left"),
+      countDistinct(col(leftKey)).as("ndv_left"),
+      approx_count_distinct(col(leftKey), rsd).as("hll_left"))
+    val r = right.agg(count(lit(1)).as("n_right"),
+      countDistinct(col(rightKey)).as("ndv_right"),
+      approx_count_distinct(col(rightKey), rsd).as("hll_right"))
+    val exact = left.select(col(leftKey).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("fl"))
+      .join(right.select(col(rightKey).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("fr")), Seq("k"))
+      .agg(coalesce(sum(col("fl") * col("fr")), lit(0L)).as("exact_join_rows"))
+    val est = col("n_left").cast("double") * col("n_right").cast("double") /
+      greatest(col("hll_left"), col("hll_right")).cast("double")
+    l.crossJoin(r).crossJoin(exact)
+      .select(col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+        col("exact_join_rows"),
+        (abs(col("hll_left") - col("ndv_left")) <=
+          lit(0.15) * col("ndv_left")).as("hll_left_within"),
+        (abs(col("hll_right") - col("ndv_right")) <=
+          lit(0.15) * col("ndv_right")).as("hll_right_within"),
+        (est >= col("exact_join_rows") / band &&
+          est <= col("exact_join_rows") * band).as("est_within_band"))
+  }
+
   /** Token-count distribution quantiles via the Greenwald-Khanna sketch
     * (`percentile_approx`) — p50/p90/p99 of tokens per document.
     */

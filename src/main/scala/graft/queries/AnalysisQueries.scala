@@ -1736,6 +1736,12 @@ object AnalysisQueries {
     // Corpus snapshot diff (incremental re-crawl audit): full-outer
     // digest compare between two deterministic snapshot projections.
     "q_snapshot_diff" -> ((s, dir) => snapshotDiffOf(docs(s, dir))),
+    "q_snapshot_diff_streamed" -> ((s, dir) =>
+      snapshotDiffOf(DocStores.streamedDocs(s, dir))),
+
+    // Doc-fact-store twin of the URL canonicalization report.
+    "q_url_canon_streamed" -> ((s, dir) =>
+      urlCanonOf(DocStores.streamedDocs(s, dir))),
 
     // K-anonymity release audit over (day × value-bucket) QI cells.
     "q_k_anon" -> ((s, dir) => kAnonOf(Tables.events(s, dir))),
@@ -3374,6 +3380,6 @@ object AnalysisQueries {
       "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
       "q_bpe_train", "q_corpus_card", "q_anomaly", "q_rag_chunks",
       "q_validate_docs", "q_cdc_merge", "q_ewma", "q_interval_join",
-      "q_k_anon", "q_pit_features")
+      "q_k_anon", "q_pit_features", "q_url_canon", "q_snapshot_diff")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

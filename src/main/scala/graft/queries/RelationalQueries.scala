@@ -484,6 +484,15 @@ object RelationalQueries {
   )
 
   val queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CBO join-cardinality estimation (the statistics pass an optimizer
+    // runs before picking a join strategy): HLL NDVs + the containment
+    // formula, checked against the TRUE cardinality from two key-grained
+    // aggregates — deterministic bound flags per the HLL oracle protocol.
+    "q_join_card" -> ((s, dir) =>
+      graft.operators.Sketches.joinCardinalityChecked(
+        tbl(s, dir, "orders"), "o_orderkey",
+        tbl(s, dir, "lineitem"), "l_orderkey")),
+
     // Deequ-style validation suite: six constraints over orders computed
     // in ONE aggregate pass (operators/Validation.scala) — completeness,
     // key uniqueness, domain compliance, value bounds. Ratios are exact
@@ -1126,6 +1135,28 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact inputs + the three bound flags as the theorems they are
+    // (HLL protocol: estimates are engine-specific but deterministic
+    // for a fixed input; a bound violation flips a flag → hash fail)
+    "q_join_card" ->
+      """WITH l AS (
+        |  SELECT count(*) AS n_left, count(DISTINCT o_orderkey) AS ndv_left
+        |  FROM orders
+        |), r AS (
+        |  SELECT count(*) AS n_right, count(DISTINCT l_orderkey) AS ndv_right
+        |  FROM lineitem
+        |), e AS (
+        |  SELECT coalesce(sum(fl * fr), 0) AS exact_join_rows
+        |  FROM (SELECT o_orderkey AS k, count(*) AS fl FROM orders GROUP BY 1) a
+        |  JOIN (SELECT l_orderkey AS k, count(*) AS fr FROM lineitem GROUP BY 1) b
+        |    USING (k)
+        |)
+        |SELECT n_left, n_right, ndv_left, ndv_right,
+        |       CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
+        |       TRUE AS hll_left_within, TRUE AS hll_right_within,
+        |       TRUE AS est_within_band
+        |FROM l, r, e""".stripMargin,
+
     "q_validate" ->
       s"""WITH m AS (
          |  SELECT count(*) AS n,

@@ -68,6 +68,27 @@ object SimilarityQueries {
       graft.operators.Similarity.semDedupDiscards(streamedIvf(s, dir),
         threshold = 0.3)),
 
+    // RETRIEVAL QUALITY EVALUATION (the ANN index-regression gate):
+    // recall@10 / true-top-1 reciprocal rank / NDCG@10 of the IVF
+    // retrieval against the exact kNN ground truth, per query in the
+    // 10-query set. Both sides are one plan each (multi-query IVF via
+    // the broadcast probe relation; exact via the count-gated knnJoin);
+    // the metric join is k·|Q|-row-sized. The oracle recomputes BOTH
+    // retrieval pipelines AND the metrics independently — an IVF recall
+    // bug shifts recall/ndcg and fails the hash.
+    "q_ann_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val (assigned, cents) = VectorStore.ivf(s, dir, nCells = 16, iters = 0)
+      val vs = VectorStore.vectors(s, dir).select("vec_id", "v", "norm")
+      val qs = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      val approx = graft.operators.Similarity.ivfKnnJoin(
+        assigned, cents, qs, k = 10, nProbe = 2)
+      val exact = graft.operators.Similarity.knnJoin(vs, qs, k = 10,
+        knownQueryCount = Some(10L))
+      graft.operators.Similarity.retrievalEval(approx, exact, k = 10)
+    }),
+
     // Top PRINCIPAL COMPONENT of the embedding corpus (dimensionality
     // diagnostic before whitening / PQ subspace design): one
     // distributed Gram/moment pass (map-side pair explode, ONE (i, j)
@@ -494,7 +515,68 @@ object SimilarityQueries {
        |FROM v8 JOIN (SELECT i, c FROM cf WHERE i = j) d ON v8.i = d.i,
        |     sgn sg, lam""".stripMargin
 
+  /** q_ann_eval's oracle: BOTH retrieval pipelines (IVF with the
+    * deterministic first-16 centroids; exact brute force) re-derived
+    * from scratch, then the identical metric arithmetic — discounts and
+    * IDCG are the same 12dp literals the engine folds in.
+    */
+  private lazy val annEvalSql: String = {
+    val discCase = graft.operators.Similarity.NdcgDiscounts.zipWithIndex
+      .map { case (d, idx) => s"WHEN ${idx + 1} THEN CAST('$d' AS DECIMAL(18,12))" }
+      .mkString(" ")
+    s"""$prepCte, cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
+       |), csims AS (
+       |  SELECT n.vec_id, n.v, n.norm, cent_id,
+       |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
+       |               / (norm * cn), 6) AS csim
+       |  FROM n, cents
+       |), assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM csims
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+       |), probe AS (
+       |  SELECT vec_id AS qid, cent_id AS cell FROM csims WHERE vec_id < 10
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) <= 2
+       |), qs AS (
+       |  SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id < 10
+       |), ascored AS (
+       |  SELECT p.qid, a.vec_id,
+       |         round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*q.qv[i]))
+       |               / (a.norm * q.qn), 6) AS sim
+       |  FROM assigned a JOIN probe p ON a.cell = p.cell
+       |  JOIN qs q ON p.qid = q.qid
+       |  WHERE a.vec_id <> p.qid
+       |), approx AS MATERIALIZED (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |  FROM ascored QUALIFY rank <= 10
+       |), escored AS (
+       |  SELECT q.qid, c.vec_id,
+       |         round(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*q.qv[i]))
+       |               / (c.norm * q.qn), 6) AS sim
+       |  FROM n c CROSS JOIN qs q WHERE c.vec_id <> q.qid
+       |), exact AS MATERIALIZED (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS erank
+       |  FROM escored QUALIFY erank <= 10
+       |), j AS (
+       |  SELECT a.qid, a.rank, e.erank
+       |  FROM approx a LEFT JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+       |)
+       |SELECT qid, count(erank) AS n_hits,
+       |       round(CAST(count(erank) AS DOUBLE) / 10, 6) AS recall,
+       |       coalesce(max(CASE WHEN erank = 1
+       |                         THEN round(CAST(1.0 AS DOUBLE) / rank, 6) END), 0.0) AS rr,
+       |       round(CAST(coalesce(SUM(CASE WHEN erank IS NOT NULL
+       |                     THEN CAST(11 - erank AS DECIMAL(18,6))
+       |                          * (CASE rank $discCase END) END),
+       |                   0) AS DOUBLE)
+       |             / CAST('${graft.operators.Similarity.NdcgIdcg}' AS DOUBLE), 6) AS ndcg
+       |FROM j GROUP BY qid""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ann_eval" -> annEvalSql,
     "q_embed_pca" -> pcaSql,
 
     "q_knn_join" ->

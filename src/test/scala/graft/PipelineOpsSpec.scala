@@ -149,6 +149,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(re.toSeq === got.toSeq)
   }
 
+  test("joinCardinalityChecked: containment formula holds uniform, breaks on hidden skew") {
+    import graft.operators.Sketches
+    // uniform fan-3 join: est = 100·300/max(ndv) = 300 = exact → in band
+    val left = (1L to 100L).map(Tuple1(_)).toDF("k")
+    val right = (1L to 100L).flatMap(k => Seq.fill(3)(Tuple1(k))).toDF("k")
+    val u = Sketches.joinCardinalityChecked(left, "k", right, "k")
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean, Boolean)].head()
+    assert(u === ((100L, 300L, 100L, 100L, 300L, true, true, true)))
+    // hidden skew: one hot key carries 1000 of the right side's rows —
+    // the uniformity assumption divides the hot mass across 1000 NDVs
+    // and underestimates ~500×; the band flag must read FALSE (this is
+    // the known CBO failure mode the checked flag exists to surface)
+    val lh = Seq(Tuple1(1L)).toDF("k")
+    val rh = (Seq.fill(1000)(1L) ++ (2L to 1000L)).map(Tuple1(_)).toDF("k")
+    val h = Sketches.joinCardinalityChecked(lh, "k", rh, "k")
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean, Boolean)].head()
+    assert(h._5 === 1000L) // true cardinality: the hot key's fan
+    assert(!h._8, "skewed join must fall outside the estimate band")
+  }
+
   test("urlCanonOf: every canonicalization rule collapses onto the base URL") {
     // one doc per variant arm (ids 0..3 hit each %4 branch; 0 and 3
     // also get the %3 extra) — every family must collapse to its base
