@@ -54,8 +54,11 @@ object Pca {
 
     // flat index layout: [0, nPair) upper-tri (i ≤ j) row-major pair
     // sums (scale 12); [nPair, nPair+dims) element sums (scale 6); last
-    // slot the row count (scale 0)
-    val partials = embeddings.select(col("embedding")).as[Array[Float]]
+    // slot the row count (scale 0). float inputs widen exactly, so a
+    // float corpus and its double-valued store twin quantize identically
+    val partials = embeddings
+      .select(col("embedding").cast("array<double>").as("embedding"))
+      .as[Array[Double]]
       .mapPartitions { it =>
         val hi = Array.fill(total)(java.math.BigDecimal.ZERO)
         val lo = new Array[Long](total)
@@ -80,7 +83,7 @@ object Pca {
             // the same 6dp half-up grid as SQL round(x, 6), in exact
             // Long micro-units (throws past ~9e12 — far beyond any
             // embedding magnitude; loud, not silent)
-            q(i) = BigDecimal(v(i).toDouble)
+            q(i) = BigDecimal(v(i))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)
               .underlying.unscaledValue.longValueExact()
             i += 1

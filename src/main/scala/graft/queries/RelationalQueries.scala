@@ -484,6 +484,31 @@ object RelationalQueries {
   )
 
   val queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q18 shape (large-volume customers): orders whose lineitems
+    // sum past a quantity threshold, with customer attribution — the
+    // HAVING-filtered aggregate feeding a join feeding a top-k. The
+    // order-key aggregate runs FIRST (map-side partials absorb the
+    // lineitem mass; the HAVING filter collapses the relation to the
+    // rare heavy orders) so the two joins move only qualifying rows;
+    // TakeOrderedAndProject caps the result without a global sort.
+    "q_big_orders" -> ((s, dir) => {
+      val heavy = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(heavy, "o_orderkey")
+        .join(tbl(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_name")), "o_custkey")
+        .select(col("c_name"), col("o_custkey").as("c_custkey"),
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("total_qty").cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // CBO join-cardinality estimation (the statistics pass an optimizer
     // runs before picking a join strategy): HLL NDVs + the containment
     // formula, checked against the TRUE cardinality from two key-grained
@@ -1135,6 +1160,23 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // TPC-H Q18 mirror: identical DECIMAL quantity sums, identical
+    // (total_qty DESC, o_orderkey) total order under the limit
+    "q_big_orders" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        |)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       CAST(h.total_qty AS DOUBLE) AS total_qty
+        |FROM heavy h
+        |JOIN orders o ON h.o_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
     // exact inputs + the three bound flags as the theorems they are
     // (HLL protocol: estimates are engine-specific but deterministic
     // for a fixed input; a bound violation flips a flag → hash fail)

@@ -100,6 +100,17 @@ object SimilarityQueries {
       graft.operators.Pca.topComponent(
         s.read.parquet(s"$dir/embeddings.parquet"), dims = 64)),
 
+    // Streamed twin: the moment pass runs over the accumulated
+    // StreamingEmbed store's canonical vectors (exact float→double
+    // widenings of the batch inputs, so the 6dp element grid quantizes
+    // identically) — the batch oracle verbatim is the store's corpus
+    // contract for a DERIVED spectral statistic.
+    "q_embed_pca_streamed" -> ((s, dir) =>
+      graft.operators.Pca.topComponent(
+        graft.streaming.StreamingEmbed.vectors(s, EmbedStores.streamedStore(s, dir))
+          .select(org.apache.spark.sql.functions.col("v").as("embedding")),
+        dims = 64)),
+
     // Scalar INT8 QUANTIZATION audit (the embedding-export step a
     // vector-serving stack runs: per-vector min/max affine codes à la
     // FAISS SQ8): code = round((x − mn)/scale), scale = (mx − mn)/255,
@@ -578,6 +589,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_ann_eval" -> annEvalSql,
     "q_embed_pca" -> pcaSql,
+    "q_embed_pca_streamed" -> pcaSql,
 
     "q_knn_join" ->
       s"""$prepCte, qs AS (
