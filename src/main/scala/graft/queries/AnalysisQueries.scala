@@ -105,6 +105,55 @@ object AnalysisQueries {
       graft.streaming.StreamingEvents.events(s, streamedStore(s, dir))
   }
 
+  /** q_schema_evolution's two-generation parquet store: generation 1
+    * wrote (doc_id, text); generation 2 added a `lang` column — the
+    * schema-drift layout every long-lived ingest directory grows.
+    * Hive-partitioned by `gen`, built once per (process, corpus).
+    */
+  private[graft] object SchemaEvoStore {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def path(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val p = graft.sources.SessionStores.scopedPath("graft_schemaevo",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val d = Corpus.documents(s, dir)
+        d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$p/gen=1")
+        d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .write.mode("overwrite").parquet(s"$p/gen=2")
+        cache += (s, dir) -> p
+        p
+      })
+    }
+  }
+
+  /** q_group_percentiles' body: EXACT per-group quantiles (p25/p50/p75
+    * of tokens-per-doc per source — the corpus length audit). Rank-
+    * based type-1 quantiles under the total (n_tokens, doc_id) order:
+    * one SOURCE-partitioned window (data-sized partitions, never a
+    * global sort) + one conditional aggregate reading the values at
+    * ranks ⌈φ·n⌉. Shared by the batch query and the doc-fact twin.
+    */
+  private def groupPercentilesOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = d.select(col("source"), col("doc_id"),
+      size(Text.tokenize(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    def atPhi(phi: Double): Column =
+      min(when(col("rn") ===
+        greatest(lit(1L), ceil(lit(phi) * col("n"))), col("n_tokens")))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        atPhi(0.25).as("p25"), atPhi(0.5).as("p50"), atPhi(0.75).as("p75"))
+  }
+
   /** q_pack's body over any (doc_id, …, text) relation — shared by the
     * batch query, the doc-fact-store twin, and the chunk manifest.
     */
@@ -1743,6 +1792,25 @@ object AnalysisQueries {
     "q_url_canon_streamed" -> ((s, dir) =>
       urlCanonOf(DocStores.streamedDocs(s, dir))),
 
+    // Exact per-group quantiles (per-source token-length audit):
+    // source-partitioned rank window + conditional aggregate.
+    "q_group_percentiles" -> ((s, dir) => groupPercentilesOf(docs(s, dir))),
+    "q_group_percentiles_streamed" -> ((s, dir) =>
+      groupPercentilesOf(DocStores.streamedDocs(s, dir))),
+
+    // SCHEMA EVOLUTION read: the two-generation store (gen 1 without
+    // the later `lang` column) read through mergeSchema + partition
+    // discovery — old files surface NULLs for the added column, the
+    // generation key prunes at planning time like any Hive partition.
+    // The report is per generation: rows + missing-column mass.
+    "q_schema_evolution" -> ((s, dir) => {
+      val p = SchemaEvoStore.path(s, dir)
+      s.read.option("mergeSchema", "true").option("basePath", p).parquet(p)
+        .groupBy(col("gen").cast("long").as("gen"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("lang").isNull, lit(1))).as("n_lang_null"))
+    }),
+
     // K-anonymity release audit over (day × value-bucket) QI cells.
     "q_k_anon" -> ((s, dir) => kAnonOf(Tables.events(s, dir))),
     "q_k_anon_streamed" -> ((s, dir) => kAnonOf(EventStores.streamedEvents(s, dir))),
@@ -2756,6 +2824,39 @@ object AnalysisQueries {
         |FROM e GROUP BY user_id
         |HAVING count(*) FILTER (us < 1706054400000000) > 0""".stripMargin,
 
+    // exact grouped quantiles: identical rank windows and ⌈φ·n⌉
+    // arithmetic (φ ∈ {.25, .5, .75} are binary-exact, so the decimal
+    // and double products agree)
+    "q_group_percentiles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                     t -> t <> '') AS ts
+        |  FROM documents
+        |), sc AS (
+        |  SELECT source, doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks
+        |), r AS (
+        |  SELECT source, n_tokens,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM sc
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       min(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) THEN n_tokens END) AS p25,
+        |       min(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN n_tokens END) AS p50,
+        |       min(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT)) THEN n_tokens END) AS p75
+        |FROM r GROUP BY source""".stripMargin,
+
+    // schema evolution: generation 1 predates the lang column entirely
+    "q_schema_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS gen, count(*) AS n_docs,
+        |       count(*) AS n_lang_null
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*),
+        |       count(CASE WHEN lang IS NULL THEN 1 END)
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
     // URL canonicalization: the identical variant menu and regexp chain
     // (all four patterns match at most once, so DuckDB's first-match
     // replace equals Spark's replace-all).
@@ -3380,6 +3481,7 @@ object AnalysisQueries {
       "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
       "q_bpe_train", "q_corpus_card", "q_anomaly", "q_rag_chunks",
       "q_validate_docs", "q_cdc_merge", "q_ewma", "q_interval_join",
-      "q_k_anon", "q_pit_features", "q_url_canon", "q_snapshot_diff")
+      "q_k_anon", "q_pit_features", "q_url_canon", "q_snapshot_diff",
+      "q_group_percentiles")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

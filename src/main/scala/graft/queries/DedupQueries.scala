@@ -116,45 +116,26 @@ object DedupQueries {
     // pair store: two doc-keyed joins of the pair-sized relation
     // against the (doc_id, source) projection, one source-pair
     // aggregate — the LSH pipeline never re-runs.
-    "q_mirror_pairs" -> ((s, dir) => {
-      val src = docs(s, dir).select(col("doc_id"), col("source"))
-      DedupStore.pairs(s, dir)
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
-        .filter(col("src_a") =!= col("src_b"))
-        .select(least(col("src_a"), col("src_b")).as("source_a"),
-          greatest(col("src_a"), col("src_b")).as("source_b"),
-          col("jaccard"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
-    }),
+    "q_mirror_pairs" -> ((s, dir) =>
+      mirrorPairsOf(docs(s, dir), DedupStore.pairs(s, dir))),
+
+    // Twin over the ACCUMULATED streaming pair store (canonical pairs
+    // are spec-proven equal to the batch relation; these rows
+    // hash-check the derived matrices under the batch oracles).
+    "q_mirror_pairs_streamed" -> ((s, dir) =>
+      mirrorPairsOf(docs(s, dir), graft.streaming.StreamingDedup.pairs(
+        s, DedupStore.streamedStorePath(s, dir)))),
 
     // THRESHOLD SWEEP calibration (the dedup-tuning query an operator
     // runs before picking a Jaccard cutoff): pair and touched-doc
     // counts at each candidate threshold, one pass over the session
     // pair store (pair-sized × |thresholds|, never a corpus re-scan);
     // a threshold-ordered spine keeps zero-pair thresholds visible.
-    "q_dedup_sweep" -> ((s, dir) => {
-      val ths = Seq(0.9, 0.95, 0.97, 0.98, 0.985)
-      val spine = s.createDataFrame(s.sparkContext.parallelize(
-          ths.map(org.apache.spark.sql.Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("threshold",
-            org.apache.spark.sql.types.DoubleType, nullable = false))))
-      val e = DedupStore.pairs(s, dir)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"),
-          explode(array(ths.map(lit): _*)).as("threshold"))
-        .filter(col("jaccard") >= col("threshold"))
-      val pc = e.groupBy("threshold").agg(count(lit(1)).as("np"))
-      val dc = e.select(col("threshold"),
-          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-        .groupBy("threshold").agg(countDistinct(col("doc")).as("nd"))
-      spine.join(pc, Seq("threshold"), "left_outer")
-        .join(dc, Seq("threshold"), "left_outer")
-        .select(col("threshold"),
-          coalesce(col("np"), lit(0L)).as("n_pairs"),
-          coalesce(col("nd"), lit(0L)).as("n_docs"))
-    }),
+    "q_dedup_sweep" -> ((s, dir) =>
+      dedupSweepOf(s, DedupStore.pairs(s, dir))),
+    "q_dedup_sweep_streamed" -> ((s, dir) =>
+      dedupSweepOf(s, graft.streaming.StreamingDedup.pairs(
+        s, DedupStore.streamedStorePath(s, dir)))),
 
     // Line-level boilerplate removal (CCNet/RefinedWeb cleaner): per-doc
     // removal mass + retained-text digest after dropping 8-token
@@ -810,6 +791,48 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** q_dedup_sweep's body over any (doc_a, doc_b, jaccard) pair
+    * relation — shared by the session-pair-store query and the
+    * streaming-store twin.
+    */
+  private def dedupSweepOf(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val ths = Seq(0.9, 0.95, 0.97, 0.98, 0.985)
+    val spine = s.createDataFrame(s.sparkContext.parallelize(
+        ths.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("threshold",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val e = pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(ths.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val pc = e.groupBy("threshold").agg(count(lit(1)).as("np"))
+    val dc = e.select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("threshold").agg(countDistinct(col("doc")).as("nd"))
+    spine.join(pc, Seq("threshold"), "left_outer")
+      .join(dc, Seq("threshold"), "left_outer")
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"))
+  }
+
+  /** q_mirror_pairs' body over any (doc_a, doc_b, jaccard) pair
+    * relation (see the registration comments).
+    */
+  private def mirrorPairsOf(d: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** q_line_dedup's body: LINE-LEVEL BOILERPLATE REMOVAL (the CCNet /
     * RefinedWeb cleaner pass — navigation bars, cookie banners and
     * share buttons repeat VERBATIM across a site's pages and survive
@@ -1065,6 +1088,37 @@ object DedupQueries {
 
     "q_line_dedup" -> lineDedupOracle,
     "q_line_dedup_streamed" -> lineDedupOracle,
+
+    "q_dedup_sweep_streamed" ->
+      s"""WITH pairs AS (
+         |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
+         |), th(t) AS (VALUES (0.9), (0.95), (0.97), (0.98), (0.985)),
+         |e AS (
+         |  SELECT t, doc_a, doc_b FROM pairs, th WHERE jaccard >= CAST(t AS DOUBLE)
+         |), pc AS (
+         |  SELECT t, count(*) AS np FROM e GROUP BY 1
+         |), dc AS (
+         |  SELECT t, count(DISTINCT doc) AS nd
+         |  FROM (SELECT t, unnest([doc_a, doc_b]) AS doc FROM e) GROUP BY 1
+         |)
+         |SELECT CAST(th.t AS DOUBLE) AS threshold,
+         |       coalesce(pc.np, 0) AS n_pairs, coalesce(dc.nd, 0) AS n_docs
+         |FROM th LEFT JOIN pc ON th.t = pc.t LEFT JOIN dc ON th.t = dc.t""".stripMargin,
+
+    "q_mirror_pairs_streamed" ->
+      s"""WITH pairs AS (
+         |${nearDupSql.linesIterator.map("  " + _).mkString("\n")}
+         |), lab AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b, p.jaccard
+         |  FROM pairs p
+         |  JOIN documents da ON p.doc_a = da.doc_id
+         |  JOIN documents db ON p.doc_b = db.doc_id
+         |  WHERE da.source <> db.source
+         |)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |       max(jaccard) AS max_jaccard
+         |FROM lab GROUP BY 1, 2""".stripMargin,
 
     // the same pair derivation, rolled to the cross-source matrix
     "q_mirror_pairs" ->

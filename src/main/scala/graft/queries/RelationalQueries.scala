@@ -484,6 +484,29 @@ object RelationalQueries {
   )
 
   val queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q14 shape (promotion effect): monthly revenue share of
+    // promo-type parts — the part dimension joins the fact table on
+    // partkey (dim-sized side left to stats/AQE to broadcast), revenue
+    // in per-row DECIMAL(18,4) exactly like every money aggregate here;
+    // only the final percentage is float. Closes the one fixture table
+    // (part) the surface didn't exercise.
+    "q_promo_share" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("month"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      val pt = tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_type"))
+      li.join(pt, "l_partkey")
+        .groupBy("month")
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          coalesce(sum(when(col("p_type") === "PROMO", col("rev"))),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 4)))
+            .cast("double").as("prev"))
+        .select(col("month"), col("revenue"),
+          round(lit(100) * col("prev") / col("revenue"), 6).as("promo_share"))
+    }),
+
     // TPC-H Q18 shape (large-volume customers): orders whose lineitems
     // sum past a quantity threshold, with customer attribution — the
     // HAVING-filtered aggregate feeding a join feeding a top-k. The
@@ -1160,6 +1183,19 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // TPC-H Q14 mirror: identical per-row DECIMAL(18,4) revenue, the
+    // identical (100 × promo) / total double arithmetic
+    "q_promo_share" ->
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       round(100 * CAST(coalesce(SUM(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END),
+        |                   0) AS DOUBLE)
+        |             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |             6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
     // TPC-H Q18 mirror: identical DECIMAL quantity sums, identical
     // (total_qty DESC, o_orderkey) total order under the limit
     "q_big_orders" ->

@@ -169,6 +169,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!h._8, "skewed join must fall outside the estimate band")
   }
 
+  test("schema-evolution store: merged schema, NULL back-fill, and gen partition pruning") {
+    import graft.queries.AnalysisQueries
+    val p = AnalysisQueries.SchemaEvoStore.path(spark, "/root/testdata/sf0.001")
+    val df = spark.read.option("mergeSchema", "true").option("basePath", p).parquet(p)
+    // the union schema carries the later column; gen is a partition key
+    assert(df.columns.toSet === Set("doc_id", "text", "lang", "gen"))
+    // generation-1 files predate lang → NULL back-fill, never a crash
+    assert(df.filter(col("gen") === 1 && col("lang").isNotNull).count() === 0L)
+    assert(df.filter(col("gen") === 2 && col("lang").isNull).count() === 0L)
+    // the generation key prunes at planning time like any Hive partition
+    val plan = df.filter(col("gen") === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("gen"),
+      s"expected gen partition filter in:\n$plan")
+  }
+
   test("urlCanonOf: every canonicalization rule collapses onto the base URL") {
     // one doc per variant arm (ids 0..3 hit each %4 branch; 0 and 3
     // also get the %3 extra) — every family must collapse to its base
