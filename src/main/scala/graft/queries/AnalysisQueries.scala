@@ -131,6 +131,33 @@ object AnalysisQueries {
     }
   }
 
+  /** q_bad_records' corrupt-ingest fixture: the corpus as JSONL with
+    * every doc_id % 7 = 0 line TRUNCATED (closing brace dropped) — the
+    * deterministic-enrichment discipline applied to malformed input.
+    * Built once per (process, corpus).
+    */
+  private[graft] object BadRecordsStore {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def path(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val p = graft.sources.SessionStores.scopedPath("graft_badrec",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        Corpus.documents(s, dir)
+          .select(to_json(struct(col("doc_id"), col("source"))).as("line"),
+            col("doc_id"))
+          .select(when(col("doc_id") % 7 === 0,
+            expr("substring(line, 1, length(line) - 1)")) // drop the }
+            .otherwise(col("line")).as("value"))
+          .write.mode("overwrite").text(p)
+        cache += (s, dir) -> p
+        p
+      })
+    }
+  }
+
   /** q_group_percentiles' body: EXACT per-group quantiles (p25/p50/p75
     * of tokens-per-doc per source — the corpus length audit). Rank-
     * based type-1 quantiles under the total (n_tokens, doc_id) order:
@@ -1634,6 +1661,23 @@ object AnalysisQueries {
         TextAnalysis.hashBucket100(col("doc_id")).as("bucket"),
         TextAnalysis.splitLabel(col("doc_id")).as("split"))),
 
+    // Spark's NATIVE session_window operator (SessionWindowing /
+    // UpdatingSessions — the engine-native alternative to the
+    // gaps-and-islands window q_sessions hand-rolls): per (user,
+    // session) event counts with the merged window's exact µs bounds
+    // (end = last event + gap). The oracle re-derives the same merged
+    // intervals from the islands rule, so the NATIVE operator's merge
+    // semantics (half-open windows: a gap of exactly 30 min starts a
+    // NEW session — note the `>=`, where q_sessions' ms rule uses `>`)
+    // are hash-pinned, not assumed.
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+          unix_micros(col("w.end")).as("e_us"), col("n_events"))),
+
     // Batch sessionization (gaps-and-islands): the oracle-checked batch
     // equivalent of the streaming `flatMapGroupsWithState` sessionizer
     // (EventPipeline.sessionize) — same 30-minute-gap, ms-precision rule,
@@ -1797,6 +1841,23 @@ object AnalysisQueries {
     "q_group_percentiles" -> ((s, dir) => groupPercentilesOf(docs(s, dir))),
     "q_group_percentiles_streamed" -> ((s, dir) =>
       groupPercentilesOf(DocStores.streamedDocs(s, dir))),
+
+    // DEAD-LETTER ingest handling: the malformed-JSONL fixture read in
+    // PERMISSIVE mode with a _corrupt_record column — bad lines
+    // quarantine (all data fields NULL, raw line captured) instead of
+    // failing the job or silently dropping; the report pins total /
+    // parsed / quarantined masses and that parsed content is intact.
+    "q_bad_records" -> ((s, dir) => {
+      val p = BadRecordsStore.path(s, dir)
+      s.read
+        .schema("doc_id LONG, source STRING, _corrupt_record STRING")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+        .agg(count(lit(1)).as("n_lines"),
+          count(col("doc_id")).as("n_parsed"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("parsed_id_sum"))
+    }),
 
     // SCHEMA EVOLUTION read: the two-generation store (gen 1 without
     // the later `lang` column) read through mergeSchema + partition
@@ -2847,6 +2908,15 @@ object AnalysisQueries {
         |       min(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT)) THEN n_tokens END) AS p75
         |FROM r GROUP BY source""".stripMargin,
 
+    // dead-letter ingest: the % rule decides corruption, so the masses
+    // are pure documents arithmetic
+    "q_bad_records" ->
+      """SELECT count(*) AS n_lines,
+        |       count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_parsed,
+        |       count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_corrupt,
+        |       CAST(coalesce(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id END), 0) AS BIGINT) AS parsed_id_sum
+        |FROM documents""".stripMargin,
+
     // schema evolution: generation 1 predates the lang column entirely
     "q_schema_evolution" ->
       """SELECT CAST(1 AS BIGINT) AS gen, count(*) AS n_docs,
@@ -3210,6 +3280,26 @@ object AnalysisQueries {
          |       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin
     },
+
+    // session_window mirror: islands re-derived at µs precision with the
+    // native operator's HALF-OPEN merge rule (a gap of exactly the
+    // window size starts a new session → `>=`), end = last event + gap
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w >= 1800000000
+        |                 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM f
+        |)
+        |SELECT user_id, min(us) AS s_us,
+        |       max(us) + 1800000000 AS e_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, sn""".stripMargin,
 
     // Same µs time key discipline as the asof oracle; the 30-minute gap
     // compares at ms precision exactly like the Spark side's unix_millis

@@ -484,6 +484,25 @@ object RelationalQueries {
   )
 
   val queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JOIN-KEY SKEW diagnostics (the statistics pass that feeds the
+    // salting/AQE-skew decision q_salted_join acts on): per candidate
+    // join key, NDV, hottest-key frequency and the skew factor
+    // max_f / (n/ndv) — one aggregate per key (map-side partials; the
+    // per-key relation is ndv-sized). Three stats passes by design:
+    // this IS the offline stats-collection job.
+    "q_skew_report" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      def statsOf(c: String) =
+        li.groupBy(col(c).as("k")).agg(count(lit(1)).as("f"))
+          .agg(count(lit(1)).as("ndv"), sum(col("f")).cast("long").as("n"),
+            max(col("f")).cast("long").as("max_f"))
+          .select(lit(c).as("join_key"), col("ndv"), col("n"), col("max_f"),
+            round(col("max_f").cast("double") * col("ndv") / col("n"), 6)
+              .as("skew_factor"))
+      statsOf("l_orderkey").unionByName(statsOf("l_partkey"))
+        .unionByName(statsOf("l_suppkey"))
+    }),
+
     // TPC-H Q14 shape (promotion effect): monthly revenue share of
     // promo-type parts — the part dimension joins the fact table on
     // partkey (dim-sized side left to stats/AQE to broadcast), revenue
@@ -1183,6 +1202,23 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // skew stats: exact integer inputs, identical (max_f × ndv)/n order
+    "q_skew_report" ->
+      """WITH s AS (
+        |  SELECT 'l_orderkey' AS join_key, count(*) AS ndv,
+        |         CAST(sum(f) AS BIGINT) AS n, CAST(max(f) AS BIGINT) AS max_f
+        |  FROM (SELECT l_orderkey, count(*) AS f FROM lineitem GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*), CAST(sum(f) AS BIGINT), CAST(max(f) AS BIGINT)
+        |  FROM (SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'l_suppkey', count(*), CAST(sum(f) AS BIGINT), CAST(max(f) AS BIGINT)
+        |  FROM (SELECT l_suppkey, count(*) AS f FROM lineitem GROUP BY 1)
+        |)
+        |SELECT join_key, ndv, n, max_f,
+        |       round(CAST(max_f AS DOUBLE) * ndv / n, 6) AS skew_factor
+        |FROM s""".stripMargin,
+
     // TPC-H Q14 mirror: identical per-row DECIMAL(18,4) revenue, the
     // identical (100 × promo) / total double arithmetic
     "q_promo_share" ->

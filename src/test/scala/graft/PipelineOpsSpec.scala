@@ -169,6 +169,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!h._8, "skewed join must fall outside the estimate band")
   }
 
+  test("r16 plan pins: aggregation-only merges, banded joins, partition-sharing windows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val dir = "/root/testdata/sf0.001"
+    def plan(q: String) = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+    def windows(p: org.apache.spark.sql.execution.SparkPlan) =
+      PlanScans.nodes(p) { case w: WindowExec => w }
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan) =
+      PlanScans.nodes(p) { case e: ShuffleExchangeExec => e }
+    def nestedLoops(p: org.apache.spark.sql.execution.SparkPlan) =
+      PlanScans.nodes(p) {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+    // CDC merge: latest-wins is ONE partial/final max_by aggregate —
+    // never a per-key row_number window, exactly one key exchange
+    val cdc = plan("q_cdc_merge")
+    assert(windows(cdc).isEmpty, "q_cdc_merge must not plan a Window")
+    assert(exchanges(cdc).size === 1, s"q_cdc_merge exchanges:\n$cdc")
+    // PIT features: one conditional pass — one exchange, no window
+    val pit = plan("q_pit_features")
+    assert(windows(pit).isEmpty && exchanges(pit).size === 1,
+      s"q_pit_features must be one windowless aggregate pass:\n$pit")
+    // EWMA: the lookback is a contribution-explode EQUI-join — a
+    // `gap BETWEEN` formulation would plan a nested-loop join
+    assert(nestedLoops(plan("q_ewma")).isEmpty,
+      "q_ewma must not plan a nested-loop/cartesian join")
+    // interval join: hour-banded equi-join candidates — never the
+    // quadratic non-equi join (which only the ORACLE runs, by design)
+    assert(nestedLoops(plan("q_interval_join")).isEmpty,
+      "q_interval_join must not plan a nested-loop/cartesian join")
+    // grouped percentiles: both windows and the final aggregate share
+    // the source partitioning — ONE exchange end to end
+    val gp = plan("q_group_percentiles")
+    assert(exchanges(gp).size === 1,
+      s"q_group_percentiles must reuse the source partitioning:\n$gp")
+  }
+
   test("schema-evolution store: merged schema, NULL back-fill, and gen partition pruning") {
     import graft.queries.AnalysisQueries
     val p = AnalysisQueries.SchemaEvoStore.path(spark, "/root/testdata/sf0.001")
