@@ -169,6 +169,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!h._8, "skewed join must fall outside the estimate band")
   }
 
+  test("snapshotDiffOf: every diff arm classified; absent-in-both vanishes; short texts pin the truncation subtlety") {
+    // text > 40 chars so the modified-rule truncation actually moves
+    // the digest — a ≤40-char doc hit by the rule reads 'unchanged'
+    // (substr == full text), which the long-text arm here rules out
+    val t = ("alpha beta gamma delta " * 4).trim // 95 chars
+    val docsDf = Seq(
+      (1L, "A", t), // no rule → unchanged
+      (3L, "A", t), // %11 = 3 → absent from OLD → added
+      (5L, "A", t), // %13 = 5 → absent from NEW → removed
+      (7L, "A", t), // %7 = 0 → old text truncated → changed
+      (135L, "A", t)) // added AND removed → in NEITHER snapshot → no row
+      .toDF("doc_id", "source", "text")
+    val got = graft.queries.AnalysisQueries.snapshotDiffOf(docsDf)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("A", "unchanged", 1L), ("A", "added", 1L),
+      ("A", "removed", 1L), ("A", "changed", 1L)))
+  }
+
+  test("kAnonOf: violating cells counted, exposed users deduped across a type's cells") {
+    // type A: (day1, b0) holds 5 users — meets k; (day1, b1) = {1, 2}
+    // and (day2, b0) = {2, 3} violate; user 2 is in BOTH violating
+    // cells and must count once → exposed = |{1, 2, 3}| = 3
+    val events = ev(
+      (1L to 5L).map(u => (u, "2024-01-01 10:00:00", u, "A", 5.0)) ++ Seq(
+        (6L, "2024-01-01 10:00:00", 1L, "A", 15.0),
+        (7L, "2024-01-01 11:00:00", 2L, "A", 15.0),
+        (8L, "2024-01-02 10:00:00", 2L, "A", 5.0),
+        (9L, "2024-01-02 11:00:00", 3L, "A", 5.0),
+        // type B: one singleton cell → violating, one exposed user
+        (10L, "2024-01-01 10:00:00", 9L, "B", 5.0)))
+    val got = graft.queries.AnalysisQueries.kAnonOf(events)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 3L, 2L, 3L)))
+    assert(got("B") === (("B", 1L, 1L, 1L)))
+  }
+
+  test("pitFeaturesOf: features strictly pre-cutoff, label strictly post, late-born users absent") {
+    // cutoff = 2024-01-24 00:00:00 UTC
+    val events = ev(Seq(
+      // user 1: 3 pre-cutoff events (2 in the trailing week), a
+      // purchase inside [cutoff, cutoff+7d) → label true
+      (1L, "2024-01-10 09:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-20 09:00:00", 1L, "click", 5.0),
+      (3L, "2024-01-23 09:00:00", 1L, "view", 2.5),
+      (4L, "2024-01-26 09:00:00", 1L, "purchase", 9.0),
+      // user 2: born AFTER the cutoff → no feature row at all
+      (5L, "2024-01-25 09:00:00", 2L, "view", 1.0),
+      // user 3: pre-cutoff activity, purchase OUTSIDE the label week
+      (6L, "2024-01-15 09:00:00", 3L, "view", 1.0),
+      (7L, "2024-02-01 09:00:00", 3L, "purchase", 9.0)))
+    val got = graft.queries.AnalysisQueries.pitFeaturesOf(events)
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 3L))
+    // gap: last pre-cutoff event 01-23 09:00 → 0 full days... the µs
+    // difference is 15 h = 0 days under integer division
+    assert(got(1L) === ((1L, 3L, 2L, 7.5, 0L, true)))
+    assert(got(3L) === ((3L, 1L, 0L, 0.0, 8L, false)))
+  }
+
   test("r16 plan pins: aggregation-only merges, banded joins, partition-sharing windows") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
