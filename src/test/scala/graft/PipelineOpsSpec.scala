@@ -229,6 +229,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 1L, 0L, 0.0, 8L, false)))
   }
 
+  test("retrievalEval: the quality gate separates index configs (nProbe 1 vs 2)") {
+    import graft.operators.Similarity
+    import graft.sources.VectorStore
+    val dir = "/root/testdata/sf0.001"
+    val (assigned, cents) = VectorStore.ivf(spark, dir, nCells = 16, iters = 0)
+    val vs = VectorStore.vectors(spark, dir).select("vec_id", "v", "norm")
+    val qs = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val exact = Similarity.knnJoin(vs, qs, k = 10, knownQueryCount = Some(10L))
+    def meanRecall(nProbe: Int): Double =
+      Similarity.retrievalEval(
+        Similarity.ivfKnnJoin(assigned, cents, qs, k = 10, nProbe = nProbe),
+        exact, k = 10).agg(avg(col("recall"))).head().getDouble(0)
+    val (r1, r2) = (meanRecall(1), meanRecall(2))
+    // probing more cells can only widen the candidate set per query —
+    // the gate must read monotonically, and the 2-probe config must be
+    // a usable index on the fixture
+    assert(r2 >= r1, s"recall fell when probing more cells: $r1 -> $r2")
+    assert(r2 >= 0.5, s"2-probe mean recall unusably low: $r2")
+  }
+
   test("r16 plan pins: aggregation-only merges, banded joins, partition-sharing windows") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
