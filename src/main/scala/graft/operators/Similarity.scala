@@ -264,16 +264,18 @@ object Similarity {
   }
 
   /** NDCG position discounts 1/log2(rank+1) on the 12dp grid, and the
-    * ideal DCG for graded gains (k+1 − ideal_rank), k = 10 — generated
-    * once here and SHARED with the oracle SQL text, so no libm log2
-    * parity bet rides the metric.
+    * ideal DCG for graded gains (k+1 − ideal_rank) — derived from the
+    * caller's k (r16 ADVICE: the table was hard-coded at k = 10, so any
+    * other k silently zeroed the tail gains against a stale IDCG) and
+    * SHARED with the oracle SQL text, so no libm log2 parity bet rides
+    * the metric.
     */
-  private[graft] val NdcgDiscounts: Seq[BigDecimal] =
-    (1 to 10).map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private[graft] def ndcgDiscounts(k: Int): Seq[BigDecimal] =
+    (1 to k).map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
       .setScale(12, BigDecimal.RoundingMode.HALF_UP))
-  private[graft] val NdcgIdcg: BigDecimal =
-    NdcgDiscounts.zipWithIndex
-      .map { case (d, idx) => d * BigDecimal(10 - idx) }.sum
+  private[graft] def ndcgIdcg(k: Int): BigDecimal =
+    ndcgDiscounts(k).zipWithIndex
+      .map { case (d, idx) => d * BigDecimal(k - idx) }.sum
 
   /** RETRIEVAL QUALITY EVALUATION — the index-regression gate a serving
     * stack runs before swapping an ANN index in: per query, recall@k,
@@ -284,7 +286,7 @@ object Similarity {
     * DECIMAL, only the final ratios are float (6dp).
     */
   def retrievalEval(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    val disc = NdcgDiscounts.zipWithIndex
+    val disc = ndcgDiscounts(k).zipWithIndex
       .foldLeft(lit(null).cast("decimal(18,12)")) { case (acc, (d, idx)) =>
         when(col("rank") === (idx + 1),
           lit(d.underlying).cast("decimal(18,12)")).otherwise(acc)
@@ -302,7 +304,7 @@ object Similarity {
         round(col("n_hits").cast("double") / k, 6).as("recall"),
         coalesce(col("rr0"), lit(0.0)).as("rr"),
         round(coalesce(col("dcg").cast("double"), lit(0.0))
-          / lit(NdcgIdcg.doubleValue), 6).as("ndcg"))
+          / lit(ndcgIdcg(k).doubleValue), 6).as("ndcg"))
   }
 
   private[graft] def ivfRankAssigned(assigned: DataFrame, cents: Seq[Centroid],

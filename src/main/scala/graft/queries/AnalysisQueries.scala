@@ -1849,6 +1849,13 @@ object AnalysisQueries {
     // parsed / quarantined masses and that parsed content is intact.
     "q_bad_records" -> ((s, dir) => {
       val p = BadRecordsStore.path(s, dir)
+      // r16 ADVICE: recent Sparks' spark.sql.json.enablePartialResults
+      // (default true) may retain already-parsed top-level fields on
+      // SOME malformed inputs, flipping n_parsed/parsed_id_sum vs the
+      // all-fields-NULL oracle on a jar bump. Pin the quarantine
+      // contract explicitly (a spec additionally asserts
+      // n_parsed == n_lines - n_corrupt on the fixture).
+      s.conf.set("spark.sql.json.enablePartialResults", "false")
       s.read
         .schema("doc_id LONG, source STRING, _corrupt_record STRING")
         .option("columnNameOfCorruptRecord", "_corrupt_record")

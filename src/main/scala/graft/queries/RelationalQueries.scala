@@ -551,6 +551,47 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    // classic join shape — a multi-EXISTS/NOT-EXISTS FACT-FACT
+    // self-join. "Late" here is the lineitem's problem flag
+    // (l_returnflag = 'R'; the synthetic schema carries no
+    // commit/receipt dates) on a finalized ('F') order: a supplier
+    // qualifies per late line iff SOME other supplier shipped on the
+    // same order (left SEMI against a self-projection of lineitem) and
+    // NO other supplier was ALSO late on it (left ANTI against the
+    // late-filtered self-projection). Both branches are EQUI-joins on
+    // the order key with the supplier inequality as a join residual —
+    // they plan as hash/sort-merge semi/anti, NEVER a nested-loop
+    // (PlanSpec pins this); the orders dimension filter collapses the
+    // probe side before either self-join moves data.
+    "q_late_suppliers" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val late = li.filter(col("l_returnflag") === "R")
+        .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val lateOthers = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      late
+        .join(others,
+          col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+          "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+          "left_anti")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(tbl(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+          col("s_name"), col("s_nationkey")), "l_suppkey")
+        .join(tbl(s, dir, "nation").select(col("n_nationkey").as("s_nationkey"),
+          col("n_name")), "s_nationkey")
+        .select(col("s_name"), col("n_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // CBO join-cardinality estimation (the statistics pass an optimizer
     // runs before picking a join strategy): HLL NDVs + the containment
     // formula, checked against the TRUE cardinality from two key-grained
@@ -1248,6 +1289,31 @@ object RelationalQueries {
         |JOIN orders o ON h.o_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+    // TPC-H Q21 mirror: the INDEPENDENT formulation — correlated
+    // EXISTS / NOT EXISTS subqueries instead of the engine's explicit
+    // semi/anti joins; identical (numwait DESC, s_name) total order
+    // (s_name is unique) under the limit
+    "q_late_suppliers" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+        |f AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+        |)
+        |SELECT s.s_name, n.n_name, count(*) AS numwait
+        |FROM f l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
 
     // exact inputs + the three bound flags as the theorems they are
     // (HLL protocol: estimates are engine-specific but deterministic

@@ -111,6 +111,26 @@ object SimilarityQueries {
           .select(org.apache.spark.sql.functions.col("v").as("embedding")),
         dims = 64)),
 
+    // TOP-K PRINCIPAL COMPONENTS via deflation (r16 VERDICT ask #2):
+    // the SAME single Gramian pass — deflation is k driver-local d×d
+    // subtractions on the exact-decimal 6dp grid (C ← round6(C − λ₆vvᵀ)),
+    // so k components cost ONE corpus scan, not k. The oracle unrolls
+    // all four deflation rounds (4 × 8 power-iteration CTEs + 3
+    // deflated-matrix CTEs) and must match bit-for-bit.
+    "q_embed_pca_k" -> ((s, dir) =>
+      graft.operators.Pca.topComponents(
+        s.read.parquet(s"$dir/embeddings.parquet"), dims = 64, k = 4)),
+
+    // WHITENING audit (the projection pipelines apply before PQ /
+    // SemDeDup): the whitened coordinates z = (x − μ)ᵀV / √λ live in a
+    // session store (built untimed — one shuffle-free mapPartitions
+    // projection over the corpus); the timed query is ONE aggregate
+    // pass computing the whitened Gram matrix E[z_a z_b] + means —
+    // identity-shaped iff the deflated components are orthogonal and
+    // the eigenvalue scaling is right, which is exactly what the
+    // independent oracle (full PCA unroll + projection in SQL) checks.
+    "q_whiten" -> ((s, dir) => whitenGram(WhitenStore.table(s, dir), k = 4)),
+
     // Scalar INT8 QUANTIZATION audit (the embedding-export step a
     // vector-serving stack runs: per-vector min/max affine codes à la
     // FAISS SQ8): code = round((x − mn)/scale), scale = (mx − mn)/255,
@@ -257,6 +277,56 @@ object SimilarityQueries {
         path
       })
     }
+  }
+
+  /** Session-scoped WHITENED-COORDINATE store: fit the 4-component
+    * deflation model once, project the corpus once (shuffle-free
+    * mapPartitions — `Pca.whiten`), persist (vec_id, z[4]). Built once
+    * per (session, dir) in Bench's untimed store block; timed q_whiten
+    * reads only this.
+    */
+  private[graft] object WhitenStore {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    def table(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(path(s, dir))
+
+    def path(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val p = graft.sources.SessionStores.scopedPath("graft_whiten",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val model = graft.operators.Pca.fit(emb, dims = 64, k = 4)
+        graft.operators.Pca.whiten(emb, model, dims = 64)
+          .write.mode("overwrite").parquet(p)
+        cache += (s, dir) -> p
+        p
+      })
+    }
+  }
+
+  /** q_whiten's timed body: the whitened Gram matrix E[z_a z_b] (upper
+    * triangle) + per-component means in ONE aggregate pass over the
+    * store — all sums in exact DECIMAL over the shared 6dp z grid, the
+    * final divides IEEE double, so both engines agree bit-for-bit.
+    */
+  private def whitenGram(zs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def zc(m: Int) = col("z").getItem(m - 1).cast(DecimalType(12, 6))
+    val pairs = for { a <- 1 to k; b <- a to k } yield (a, b)
+    val aggs = (1 to k).map(a => sum(zc(a)).as(s"s$a")) ++
+      pairs.map { case (a, b) => sum(zc(a) * zc(b)).as(s"g${a}_$b") }
+    val one = zs.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a.toLong).as("comp_a"), lit(b.toLong).as("comp_b"),
+        col("n").as("n"),
+        round(col(s"s$a").cast("double") / col("n"), 6).as("mean_a"),
+        round(col(s"g${a}_$b").cast("double") / col("n"), 6).as("gram"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
   /** vec_id, v (double list), norm — mirror of `Similarity.prepared`. */
@@ -526,13 +596,121 @@ object SimilarityQueries {
        |FROM v8 JOIN (SELECT i, c FROM cf WHERE i = j) d ON v8.i = d.i,
        |     sgn sg, lam""".stripMargin
 
+  /** Multi-component mirror machinery (q_embed_pca_k / q_whiten): the
+    * q_embed_pca CTE chain parameterized by component index, plus a
+    * DEFLATION CTE between components — cf1 is the base 6dp
+    * covariance; cf{m+1} = round6(cf{m} − λ₆ v vᵀ) with the triple
+    * product taken in exact decimals, mirroring `Pca.fit`.
+    */
+  private def pcaKIterSql(m: Int, t: Int): String =
+    s"""w$m$t AS MATERIALIZED (
+       |  SELECT cf$m.i,
+       |         round(CAST(SUM(CAST(cf$m.c AS DECIMAL(18,6)) * CAST(vp.x AS DECIMAL(18,6))) AS DOUBLE), 6) AS w
+       |  FROM cf$m JOIN v$m${t - 1} vp ON cf$m.j = vp.i GROUP BY cf$m.i
+       |), nr$m$t AS (
+       |  SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(18,6)) * CAST(w AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+       |  FROM w$m$t
+       |), v$m$t AS MATERIALIZED (
+       |  SELECT i, round(w / nrm, 6) AS x FROM w$m$t, nr$m$t
+       |)""".stripMargin
+
+  private def pcaKComponentCtes(m: Int, deflateNext: Boolean): String = {
+    val base =
+      s"""v${m}0 AS MATERIALIZED (
+         |  SELECT t.i, CASE WHEN t.i = st.i THEN 1.0 ELSE 0.0 END AS x
+         |  FROM range(1, 65) t(i),
+         |       (SELECT i FROM cf$m WHERE i = j ORDER BY c DESC, i LIMIT 1) st(i)
+         |), ${(1 to 8).map(t => pcaKIterSql(m, t)).mkString(", ")},
+         |sgn$m AS (
+         |  SELECT CASE WHEN (SELECT x FROM v${m}8 ORDER BY abs(x) DESC, i LIMIT 1) < 0
+         |              THEN -1.0 ELSE 1.0 END AS sg
+         |), lam$m AS (
+         |  SELECT round(nrm, 6) AS eig, round(nrm / trace, 6) AS explained
+         |  FROM nr${m}8, tr
+         |)""".stripMargin
+    if (!deflateNext) base
+    else base + ", " +
+      s"""cf${m + 1} AS MATERIALIZED (
+         |  SELECT c0.i, c0.j,
+         |         round(CAST(CAST(c0.c AS DECIMAL(12,6))
+         |               - CAST(l.eig AS DECIMAL(12,6))
+         |                 * CAST(vi.x AS DECIMAL(12,6)) * CAST(vj.x AS DECIMAL(12,6)) AS DOUBLE), 6) AS c
+         |  FROM cf$m c0 JOIN v${m}8 vi ON c0.i = vi.i JOIN v${m}8 vj ON c0.j = vj.i, lam$m l
+         |)""".stripMargin
+  }
+
+  /** Shared base for the k-component mirrors: the q_embed_pca moment /
+    * covariance CTEs with the matrix named cf1 and the ORIGINAL trace.
+    */
+  private lazy val pcaKBase: String =
+    """WITH p AS (
+      |  SELECT embedding AS v FROM embeddings
+      |), n1 AS (
+      |  SELECT count(*) AS n FROM p
+      |), mo AS MATERIALIZED (
+      |  SELECT ti.i, tj.j,
+      |         SUM(CAST(round(CAST(v[ti.i] AS DOUBLE), 6) AS DECIMAL(15,6))
+      |             * CAST(round(CAST(v[tj.j] AS DOUBLE), 6) AS DECIMAL(15,6))) AS g
+      |  FROM p, range(1, 65) ti(i), range(1, 65) tj(j)
+      |  WHERE tj.j >= ti.i GROUP BY 1, 2
+      |), su AS MATERIALIZED (
+      |  SELECT t.i, SUM(CAST(round(CAST(v[t.i] AS DOUBLE), 6) AS DECIMAL(15,6))) AS s
+      |  FROM p, range(1, 65) t(i) GROUP BY 1
+      |), cf1 AS MATERIALIZED (
+      |  SELECT q.i, q.j,
+      |         round((CAST(q.g AS DOUBLE) - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n) / n, 6) AS c
+      |  FROM (SELECT i, j, g FROM mo UNION ALL SELECT j AS i, i AS j, g FROM mo WHERE i <> j) q
+      |  JOIN su si ON q.i = si.i JOIN su sj ON q.j = sj.i, n1
+      |), tr AS (
+      |  SELECT CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS trace
+      |  FROM cf1 WHERE i = j
+      |)""".stripMargin
+
+  private lazy val pcaKSql: String =
+    s"""$pcaKBase, ${(1 to 4).map(m => pcaKComponentCtes(m, deflateNext = m < 4)).mkString(", ")}
+       |${(1 to 4).map(m =>
+          s"SELECT CAST($m AS BIGINT) AS comp, CAST(v${m}8.i AS BIGINT) AS dim, " +
+            s"round(sg.sg * v${m}8.x, 6) AS loading, l.eig AS eig, l.explained AS explained " +
+            s"FROM v${m}8, sgn$m sg, lam$m l").mkString(" UNION ALL ")}""".stripMargin
+
+  /** q_whiten's oracle: the full 4-component deflation unroll, then
+    * the projection z = round6(Σ(x₆−μ₆)·v / √λ) per (vector,
+    * component) and the whitened Gram/means aggregate — every sum in
+    * exact DECIMAL, every divide IEEE, exactly the engine's grid.
+    */
+  private lazy val whitenSql: String = {
+    val comps = (1 to 4).map(m =>
+      s"SELECT CAST($m AS BIGINT) AS m, v${m}8.i AS i, " +
+        s"round(sg.sg * v${m}8.x, 6) AS cx, l.eig AS eig " +
+        s"FROM v${m}8, sgn$m sg, lam$m l").mkString(" UNION ALL ")
+    s"""$pcaKBase, ${(1 to 4).map(m => pcaKComponentCtes(m, deflateNext = m < 4)).mkString(", ")},
+       |mu AS MATERIALIZED (
+       |  SELECT i, round(CAST(s AS DOUBLE) / n, 6) AS mu FROM su, n1
+       |), comps AS MATERIALIZED ($comps),
+       |pw AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |z AS MATERIALIZED (
+       |  SELECT pw.vec_id, c.m,
+       |         round(CAST(SUM((CAST(round(CAST(pw.v[c.i] AS DOUBLE), 6) AS DECIMAL(12,6))
+       |                         - CAST(mu.mu AS DECIMAL(12,6)))
+       |                        * CAST(c.cx AS DECIMAL(12,6))) AS DOUBLE)
+       |               / sqrt(max(c.eig)), 6) AS z
+       |  FROM pw, comps c JOIN mu ON c.i = mu.i
+       |  GROUP BY pw.vec_id, c.m
+       |)
+       |SELECT a.m AS comp_a, b.m AS comp_b, count(*) AS n,
+       |       round(CAST(SUM(CAST(a.z AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS mean_a,
+       |       round(CAST(SUM(CAST(a.z AS DECIMAL(12,6)) * CAST(b.z AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS gram
+       |FROM z a JOIN z b ON a.vec_id = b.vec_id AND a.m <= b.m
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** q_ann_eval's oracle: BOTH retrieval pipelines (IVF with the
     * deterministic first-16 centroids; exact brute force) re-derived
     * from scratch, then the identical metric arithmetic — discounts and
     * IDCG are the same 12dp literals the engine folds in.
     */
   private lazy val annEvalSql: String = {
-    val discCase = graft.operators.Similarity.NdcgDiscounts.zipWithIndex
+    val discCase = graft.operators.Similarity.ndcgDiscounts(10).zipWithIndex
       .map { case (d, idx) => s"WHEN ${idx + 1} THEN CAST('$d' AS DECIMAL(18,12))" }
       .mkString(" ")
     s"""$prepCte, cents AS (
@@ -582,7 +760,7 @@ object SimilarityQueries {
        |                     THEN CAST(11 - erank AS DECIMAL(18,6))
        |                          * (CASE rank $discCase END) END),
        |                   0) AS DOUBLE)
-       |             / CAST('${graft.operators.Similarity.NdcgIdcg}' AS DOUBLE), 6) AS ndcg
+       |             / CAST('${graft.operators.Similarity.ndcgIdcg(10)}' AS DOUBLE), 6) AS ndcg
        |FROM j GROUP BY qid""".stripMargin
   }
 
@@ -590,6 +768,8 @@ object SimilarityQueries {
     "q_ann_eval" -> annEvalSql,
     "q_embed_pca" -> pcaSql,
     "q_embed_pca_streamed" -> pcaSql,
+    "q_embed_pca_k" -> pcaKSql,
+    "q_whiten" -> whitenSql,
 
     "q_knn_join" ->
       s"""$prepCte, qs AS (

@@ -149,6 +149,82 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(re.toSeq === got.toSeq)
   }
 
+  test("Pca.fit deflation: recovers two separated axes in order, orthogonal at 6dp, partition-invariant") {
+    // three mutually orthogonal axes with separated variances
+    // (≈4.7 ≫ 0.06 ≫ 0.005) — deflation must peel them in order
+    val a1 = Array(0.6, 0.8) ++ Array.fill(6)(0.0)
+    val a2 = Array(-0.8, 0.6) ++ Array.fill(6)(0.0)
+    val a3 = Array(0.0, 0.0, 1.0) ++ Array.fill(5)(0.0)
+    val pts = (0 until 60).map { k =>
+      val t1 = (k - 30) / 8.0
+      val t2 = (k % 7 - 3) / 8.0
+      val t3 = (k % 5 - 2) / 20.0
+      (k.toLong,
+        Array.tabulate(8)(i => (a1(i) * t1 + a2(i) * t2 + a3(i) * t3).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val m = graft.operators.Pca.fit(df, dims = 8, k = 3)
+    val vs = m.comps.map(_.v)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    // component 1 = the high-variance axis, component 2 = the orthogonal
+    assert(math.abs(math.abs(dot(vs(0), a1)) - 1.0) < 1e-2, s"c1 off-axis: ${vs(0).toSeq}")
+    assert(math.abs(math.abs(dot(vs(1), a2)) - 1.0) < 1e-2, s"c2 off-axis: ${vs(1).toSeq}")
+    assert(math.abs(math.abs(dot(vs(2), a3)) - 1.0) < 1e-2, s"c3 off-axis: ${vs(2).toSeq}")
+    // DEFLATION ORTHOGONALITY on the 6dp grid: every pair essentially
+    // perpendicular (separated spectrum ⇒ tight)
+    for (x <- 0 until 3; y <- x + 1 until 3)
+      assert(math.abs(dot(vs(x), vs(y))) < 1e-3,
+        s"components ${x + 1},${y + 1} not orthogonal: ${dot(vs(x), vs(y))}")
+    // eigenvalues peel in non-increasing order
+    assert(m.comps.map(_.eig).sliding(2).forall(p => p.head >= p.last + -1e-9))
+    // exact-decimal protocol ⇒ bit-identical under any partitioning
+    val re = graft.operators.Pca.fit(df.repartition(7), dims = 8, k = 3)
+    assert(re.comps.map(_.v.toSeq) === m.comps.map(_.v.toSeq))
+    assert(re.comps.map(_.eig) === m.comps.map(_.eig))
+  }
+
+  test("Pca.whiten: whitened coordinates are unit-variance, centered, decorrelated on a separated spectrum") {
+    val a1 = Array(0.6, 0.8) ++ Array.fill(6)(0.0)
+    val a2 = Array(-0.8, 0.6) ++ Array.fill(6)(0.0)
+    val pts = (0 until 60).map { k =>
+      val t1 = (k - 30) / 8.0
+      val t2 = (k % 7 - 3) / 8.0
+      (k.toLong, Array.tabulate(8)(i => (a1(i) * t1 + a2(i) * t2).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model = graft.operators.Pca.fit(df, dims = 8, k = 2)
+    val z = graft.operators.Pca.whiten(df, model, dims = 8)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(z.length === 60 && z.forall(_._2.length === 2))
+    val n = z.length.toDouble
+    def col(m: Int) = z.map(_._2(m))
+    for (m <- 0 until 2) {
+      val mean = col(m).sum / n
+      val varz = col(m).map(x => x * x).sum / n
+      assert(math.abs(mean) < 1e-3, s"comp ${m + 1} mean $mean")
+      assert(math.abs(varz - 1.0) < 0.05, s"comp ${m + 1} variance $varz")
+    }
+    val cross = col(0).zip(col(1)).map(t => t._1 * t._2).sum / n
+    assert(math.abs(cross) < 0.05, s"whitened cross-correlation $cross")
+  }
+
+  test("Pca magnitude guard: an out-of-contract element fails LOUDLY, never wraps (r16 ADVICE)") {
+    // |x| = 400 > the ±300 contract: 64·(4e8)² would overflow the Long
+    // spill window — the old code wrapped silently below the ~9.2e12
+    // longValueExact ceiling
+    val bad = Seq((0L, Array(400.0f, 0.0f)), (1L, Array(-1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Pca.topComponent(bad, dims = 2).collect()
+    }
+    assert(e.getMessage.contains("magnitude contract") ||
+      Option(e.getCause).exists(_.getMessage.contains("magnitude contract")))
+    // the boundary itself is inside the contract
+    val ok = Seq((0L, Array(300.0f, 0.0f)), (1L, Array(-300.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.operators.Pca.topComponent(ok, dims = 2).count() === 2L)
+  }
+
   test("joinCardinalityChecked: containment formula holds uniform, breaks on hidden skew") {
     import graft.operators.Sketches
     // uniform fan-3 join: est = 100·300/max(ndv) = 300 = exact → in band
@@ -250,6 +326,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r2 >= 0.5, s"2-probe mean recall unusably low: $r2")
   }
 
+  test("retrievalEval: NDCG discounts and IDCG derive from the caller's k (r16 ADVICE)") {
+    import graft.operators.Similarity
+    // a perfect approx == exact ranking must score NDCG exactly 1.0 at
+    // ANY k — with the old k=10-hard-coded table, k=5 read a stale
+    // IDCG and k=15 silently zeroed ranks past 10
+    for (k <- Seq(5, 10, 15)) {
+      val ranks = (1 to k).map(r => (0L, r.toLong, r.toLong))
+        .toDF("qid", "vec_id", "rank")
+      val exact = ranks.select(col("qid"), col("vec_id"), col("rank"))
+      val got = Similarity.retrievalEval(ranks, exact, k)
+        .select("recall", "rr", "ndcg").as[(Double, Double, Double)].head()
+      assert(got === ((1.0, 1.0, 1.0)), s"perfect ranking at k=$k scored $got")
+    }
+    // and the discount table itself carries k entries on the 12dp grid
+    assert(Similarity.ndcgDiscounts(15).length === 15)
+    assert(Similarity.ndcgIdcg(5) < Similarity.ndcgIdcg(10))
+  }
+
   test("r16 plan pins: aggregation-only merges, banded joins, partition-sharing windows") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
@@ -302,6 +396,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plan = df.filter(col("gen") === 2).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("gen"),
       s"expected gen partition filter in:\n$plan")
+  }
+
+  test("bad-records quarantine: corrupt lines NULL every data field (partial results pinned off)") {
+    // r16 ADVICE: spark.sql.json.enablePartialResults could retain
+    // already-parsed top-level fields on some malformed inputs after a
+    // jar bump, silently flipping n_parsed/parsed_id_sum. Pin the
+    // quarantine identity LOUDLY: every line is parsed XOR corrupt.
+    val q = graft.SparkEntry.queries("q_bad_records")
+    val r = q(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()(0)
+    val (nLines, nParsed, nCorrupt, _) = r
+    assert(nCorrupt > 0L, "fixture must contain corrupt lines")
+    assert(nParsed === nLines - nCorrupt,
+      s"quarantine identity broken: $nParsed parsed of $nLines with " +
+        s"$nCorrupt corrupt — a partially-parsed corrupt record leaked data fields")
+    // and a corrupt record carries NO data fields at all
+    val p = graft.queries.AnalysisQueries.BadRecordsStore.path(spark, "/root/testdata/sf0.001")
+    val raw = spark.read
+      .schema("doc_id LONG, source STRING, _corrupt_record STRING")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(p)
+    assert(raw.filter(col("_corrupt_record").isNotNull &&
+      (col("doc_id").isNotNull || col("source").isNotNull)).count() === 0L)
   }
 
   test("urlCanonOf: every canonicalization rule collapses onto the base URL") {

@@ -268,6 +268,24 @@ class PlanSpec extends AnyFunSuite {
     assert(anti.contains("EqualTo(o_orderpriority,1-URGENT)"), "orders filter not pushed to scan")
   }
 
+  test("q_late_suppliers (Q21 shape): BOTH self-join branches plan as equi semi/anti, never a nested loop") {
+    // the fact-fact self-join with a supplier inequality residual must
+    // key each branch on the ORDER key (hash/sort-merge semi + anti);
+    // a nested-loop plan here is quadratic in lineitem at scale
+    val p = plan("q_late_suppliers")
+    assert(p.contains("LeftSemi"), s"expected a left-semi self-join branch:\n$p")
+    assert(p.contains("LeftAnti"), s"expected a left-anti self-join branch:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"Q21 self-joins must stay equi-keyed:\n$p")
+    // the inequality rides as a join residual on an order-keyed join,
+    // not as a post-join filter over a widened product
+    assert(p.contains("l_orderkey"), s"self-joins must key on l_orderkey:\n$p")
+    // late-side probe is collapsed before the self-joins: the returnflag
+    // and order-status filters reach the scans
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,F)"), s"order-status filter not pushed:\n$p")
+  }
+
   test("q_percentiles serves the shared quantile store; the ONE range pass lives at store build") {
     // r14: the timed q_percentiles plan is a bare store-file projection
     // — NO exchange of any kind (the whole point of sharing one
