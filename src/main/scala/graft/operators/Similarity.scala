@@ -263,6 +263,63 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Cross-relation IVF kNN for CORPUS-SIZED query sets: the same
+    * probe-cell candidate generation as `ivfKnnJoin`, but the probe
+    * relation is data-sized, so the cell join is a plain equi-join —
+    * NEVER a forced broadcast (an explicit hint is honored regardless
+    * of size; at 100 TB the probe side is the corpus). AQE picks the
+    * strategy; per-query top-k still plans as WindowGroupLimit bounded
+    * heaps on the qid partitioning.
+    */
+  private[graft] def ivfCrossKnn(assigned: DataFrame, cents: Seq[Centroid],
+                                 queries: DataFrame, k: Int,
+                                 nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries.select(col("qid"), col("qv"), col("qn"),
+        explode(slice(array_sort(
+          centroidScoresFor(col("qv"), col("qn"), cents)), -nProbe, nProbe)).as("e"))
+      .select(col("qid"), col("qv"), col("qn"),
+        (-col("e.negid")).cast("int").as("cell"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("norm"), col("qv"), col("qn")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** MARGIN-BASED BITEXT / MIRROR MINING (the Artetxe–Schwenk 2019
+    * margin-ratio criterion multilingual pipelines run to mine
+    * parallel/near-parallel pairs): for cross-side candidate pairs
+    * (x ∈ A, y ∈ B) from the IVF kNN, score
+    * margin(x, y) = 2·cos(x, y) / (avgNN_k(x) + avgNN_k(y)) — the
+    * similarity RATIO against each endpoint's own neighborhood, which
+    * kills hub vectors that sit close to everything. Both kNN
+    * passes are `ivfCrossKnn` (cell-keyed equi-joins, no broadcast of
+    * corpus-sized sides); the averages are 6dp-DECIMAL-exact; pairs at
+    * margin ≥ threshold survive. A pair needs BOTH endpoints to carry
+    * a neighborhood (inner joins) — an isolated vector can't be scored.
+    */
+  def marginPairs(aSide: DataFrame, bSide: DataFrame, cents: Seq[Centroid],
+                  k: Int, nProbe: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def qOf(side: DataFrame) = side.select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("norm").as("qn"))
+    val nnAB = ivfCrossKnn(bSide, cents, qOf(aSide), k, nProbe)
+    val nnBA = ivfCrossKnn(aSide, cents, qOf(bSide), k, nProbe)
+    def avgOf(nn: DataFrame) = nn.groupBy("qid")
+      .agg(round(sum(col("sim").cast(DecimalType(12, 6))).cast("double")
+        / count(lit(1)), 6).as("avg_sim"))
+    val avgA = avgOf(nnAB).select(col("qid").as("vec_a"), col("avg_sim").as("avg_a"))
+    val avgB = avgOf(nnBA).select(col("qid").as("vec_b"), col("avg_sim").as("avg_b"))
+    nnAB.select(col("qid").as("vec_a"), col("vec_id").as("vec_b"), col("sim"))
+      .join(avgA, "vec_a").join(avgB, "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("sim"),
+        round(lit(2) * col("sim") / (col("avg_a") + col("avg_b")), 6).as("margin"))
+      .filter(col("margin") >= threshold)
+  }
+
   /** NDCG position discounts 1/log2(rank+1) on the 12dp grid, and the
     * ideal DCG for graded gains (k+1 − ideal_rank) — derived from the
     * caller's k (r16 ADVICE: the table was hard-coded at k = 10, so any

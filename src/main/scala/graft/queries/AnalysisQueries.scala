@@ -1408,6 +1408,38 @@ object AnalysisQueries {
     // state table (encoding ≡ the state trajectory, see Bpe.encodeSyms).
     "q_bpe_encode" -> ((s, dir) => bpeEncodeOf(s, dir)),
 
+    // BPE VOCAB-SIZE SWEEP (r16 VERDICT ask #4 — the tokenizer-budget
+    // calibration a pipeline runs before committing a vocabulary):
+    // encode the DISTINCT word set under the first-k merge prefixes
+    // for the whole k grid in ONE vocab-sized pass (the merge table is
+    // an 8-row bounded lift from the session store — zero retraining;
+    // the q_dedup_sweep calibration shape), reporting per k the
+    // emergent subword vocabulary, total corpus tokens, and fertility.
+    // SCALE: every relation after the word aggregate is vocab-sized ×
+    // |grid|; the corpus is never re-read per grid point. Oracle reads
+    // the unrolled training chain's PREFIX STATES s0/s2/s4/s6/s8 —
+    // encoding under k merges ≡ the round-k state trajectory.
+    "q_bpe_sweep" -> ((s, dir) => {
+      val ms = BpeStores.merges(s, dir).orderBy("round")
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val words = bpeWords(s, dir)
+      val grid = Seq(0, 2, 4, 6, 8)
+      val enc = words.select(col("word"), col("wc"),
+          explode(array(grid.map(k => struct(lit(k.toLong).as("n_merges"),
+            graft.operators.Bpe.encodeSyms(col("word"), ms.take(k)).as("syms"))): _*))
+            .as("e"))
+        .select(col("wc"), col("e.n_merges").as("n_merges"), col("e.syms").as("syms"))
+      val nbpe = enc.groupBy("n_merges")
+        .agg(sum(col("wc") * size(col("syms")).cast("long")).cast("long").as("n_bpe"))
+      val vocab = enc.select(col("n_merges"), explode(col("syms")).as("sym"))
+        .groupBy("n_merges").agg(countDistinct(col("sym")).as("vocab"))
+      val tot = words.agg(sum(col("wc")).cast("long").as("n_words"))
+      nbpe.join(vocab, "n_merges").crossJoin(tot)
+        .select(col("n_merges"), col("vocab"), col("n_words"), col("n_bpe"),
+          round(col("n_bpe").cast("double") / col("n_words"), 6).as("fertility"))
+    }),
+
     // TOKENIZER FERTILITY per predicted language — the tokenizer-
     // fairness audit (how many learned-BPE tokens a word costs in each
     // language slice): the q_lang_id predictions joined onto the
@@ -3163,6 +3195,24 @@ object AnalysisQueries {
          |SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(n_sub) AS BIGINT) AS n_bpe
          |FROM dt JOIN wc8 USING (w) GROUP BY dt.doc_id""".stripMargin,
+
+    // the sweep reads straight off the training chain's prefix states:
+    // under k merges every word's token count is state sk's row count
+    // and the emergent vocab is sk's distinct symbol set
+    "q_bpe_sweep" -> {
+      val grid = Seq(0, 2, 4, 6, 8)
+      s"""$bpeStateCte
+         |SELECT * FROM (
+         |  ${grid.map(k =>
+              s"""SELECT CAST($k AS BIGINT) AS n_merges,
+                 |         (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM s$k) AS vocab,
+                 |         (SELECT CAST(sum(wc) AS BIGINT) FROM words) AS n_words,
+                 |         (SELECT CAST(sum(wc) AS BIGINT) FROM s$k) AS n_bpe,
+                 |         round(CAST((SELECT sum(wc) FROM s$k) AS DOUBLE)
+                 |               / (SELECT sum(wc) FROM words), 6) AS fertility""".stripMargin)
+             .mkString("\n  UNION ALL\n  ")}
+         |) ORDER BY n_merges""".stripMargin
+    },
 
     "q_fingerprint" ->
       s"""$toksCte, sh AS (

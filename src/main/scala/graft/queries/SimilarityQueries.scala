@@ -121,6 +121,26 @@ object SimilarityQueries {
       graft.operators.Pca.topComponents(
         s.read.parquet(s"$dir/embeddings.parquet"), dims = 64, k = 4)),
 
+    // MARGIN-BASED MIRROR MINING (r16 VERDICT ask #3 — the
+    // Artetxe–Schwenk margin-ratio selector multilingual pipelines run
+    // over a vector store): cross-label candidate pairs from the IVF
+    // kNN in BOTH directions (cell-keyed equi-joins — the probe side
+    // is corpus-sized, so no broadcast hint; AQE decides), per-endpoint
+    // neighborhood averages in exact 6dp DECIMAL, margin =
+    // 2·sim/(avg_a+avg_b) ≥ 1.002. The oracle recomputes the full IVF
+    // assignment, both kNN passes, and the margins independently.
+    "q_margin_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val (assigned, cents) = VectorStore.ivf(s, dir, nCells = 16, iters = 0)
+      val lab = graft.sources.Tables.tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val asg = assigned.join(lab, "vec_id")
+      graft.operators.Similarity.marginPairs(
+        asg.filter(col("label") === 0).drop("label"),
+        asg.filter(col("label") === 1).drop("label"),
+        cents, k = 4, nProbe = 2, threshold = 1.002)
+    }),
+
     // WHITENING audit (the projection pipelines apply before PQ /
     // SemDeDup): the whitened coordinates z = (x − μ)ᵀV / √λ live in a
     // session store (built untimed — one shuffle-free mapPartitions
@@ -704,6 +724,62 @@ object SimilarityQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** q_margin_pairs' oracle: the ENTIRE mining pipeline re-derived —
+    * IVF assignment (deterministic first-16 centroids), probe cells and
+    * candidate kNN in BOTH directions, 6dp-DECIMAL neighborhood
+    * averages, and the margin ratio — so a candidate-generation or
+    * margin-arithmetic bug on either side fails the hash.
+    */
+  private lazy val marginPairsSql: String = {
+    // per-direction kNN CTEs: queries from label `ql`, candidates from
+    // label `cl` — identical shape both ways
+    def nnSql(tag: String, ql: Int, cl: Int): String =
+      s"""probe$tag AS (
+         |  SELECT c.vec_id AS qid, c.cent_id AS cell FROM csims c
+         |  JOIN labs l ON c.vec_id = l.vec_id AND l.label = $ql
+         |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY csim DESC, cent_id) <= 2
+         |), q$tag AS (
+         |  SELECT n.vec_id AS qid, v AS qv, norm AS qn
+         |  FROM n JOIN labs USING (vec_id) WHERE label = $ql
+         |), cand$tag AS (
+         |  SELECT a.vec_id, a.v, a.norm, a.cell
+         |  FROM assigned a JOIN labs USING (vec_id) WHERE label = $cl
+         |), nn$tag AS MATERIALIZED (
+         |  SELECT p.qid, b.vec_id,
+         |         round(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*q.qv[i]))
+         |               / (b.norm * q.qn), 6) AS sim,
+         |         row_number() OVER (PARTITION BY p.qid
+         |                            ORDER BY round(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*q.qv[i]))
+         |                                           / (b.norm * q.qn), 6) DESC, b.vec_id) AS rank
+         |  FROM cand$tag b JOIN probe$tag p ON b.cell = p.cell
+         |  JOIN q$tag q ON p.qid = q.qid
+         |  QUALIFY rank <= 4
+         |), avg$tag AS (
+         |  SELECT qid, round(CAST(SUM(CAST(sim AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS avg_sim
+         |  FROM nn$tag GROUP BY 1
+         |)""".stripMargin
+    s"""$prepCte, cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
+       |), csims AS (
+       |  SELECT n.vec_id, n.v, n.norm, cent_id,
+       |         round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))
+       |               / (norm * cn), 6) AS csim
+       |  FROM n, cents
+       |), assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM csims
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+       |), labs AS (SELECT vec_id, label FROM embeddings),
+       |${nnSql("AB", ql = 0, cl = 1)},
+       |${nnSql("BA", ql = 1, cl = 0)}
+       |SELECT * FROM (
+       |  SELECT ab.qid AS vec_a, ab.vec_id AS vec_b, ab.sim,
+       |         round(2 * ab.sim / (a.avg_sim + b.avg_sim), 6) AS margin
+       |  FROM nnAB ab
+       |  JOIN avgAB a ON ab.qid = a.qid
+       |  JOIN avgBA b ON ab.vec_id = b.qid)
+       |WHERE margin >= 1.002""".stripMargin
+  }
+
   /** q_ann_eval's oracle: BOTH retrieval pipelines (IVF with the
     * deterministic first-16 centroids; exact brute force) re-derived
     * from scratch, then the identical metric arithmetic — discounts and
@@ -770,6 +846,7 @@ object SimilarityQueries {
     "q_embed_pca_streamed" -> pcaSql,
     "q_embed_pca_k" -> pcaKSql,
     "q_whiten" -> whitenSql,
+    "q_margin_pairs" -> marginPairsSql,
 
     "q_knn_join" ->
       s"""$prepCte, qs AS (

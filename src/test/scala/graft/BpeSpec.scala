@@ -59,6 +59,22 @@ class BpeSpec extends AnyFunSuite {
       Seq((1L, "a", "b", "ab", 2L)))
   }
 
+  test("q_bpe_sweep: fertility is non-increasing and vocab non-decreasing along the merge grid") {
+    // each extra merge prefix can only shorten encodings (every merge
+    // strictly reduces some word's token count) and add symbol types
+    val rows = graft.SparkEntry.queries("q_bpe_sweep")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+    assert(rows.map(_._3).distinct.length === 1, "n_words must be grid-invariant")
+    assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last),
+      s"n_bpe must fall with more merges: ${rows.map(_._4).toSeq}")
+    assert(rows.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      s"vocab must grow with more merges: ${rows.map(_._2).toSeq}")
+    // and the k=0 row is the raw character encoding: strictly worse
+    // fertility than the full 8-merge vocabulary on any real corpus
+    assert(rows.head._5 > rows.last._5)
+  }
+
   test("training stops early when the pair mass dries up") {
     val singles = Seq(("a", 3L), ("b", 2L)).toDF("word", "wc")
     assert(Bpe.train(singles, 5).count() === 0)

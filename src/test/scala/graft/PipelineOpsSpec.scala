@@ -326,6 +326,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r2 >= 0.5, s"2-probe mean recall unusably low: $r2")
   }
 
+  test("marginPairs: IVF candidate recall vs exact cross-kNN is usable; margin gate separates") {
+    import graft.operators.Similarity
+    import graft.sources.VectorStore
+    val dir = "/root/testdata/sf0.001"
+    val (assigned, cents) = VectorStore.ivf(spark, dir, nCells = 16, iters = 0)
+    val lab = graft.sources.Tables.tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val asg = assigned.join(lab, "vec_id")
+    val aSide = asg.filter(col("label") === 0).drop("label")
+    val bSide = asg.filter(col("label") === 1).drop("label")
+    val qA = aSide.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("norm").as("qn"))
+    // recall-vs-exact: the IVF-probed candidate top-4 against the exact
+    // cross-side top-4 (the spec the mining run would gate its index on)
+    val exact = Similarity.knnJoin(
+      bSide.select("vec_id", "v", "norm"), qA, k = 4, knownQueryCount = Some(64L))
+    def recallAt(nProbe: Int): Double = Similarity.retrievalEval(
+        Similarity.ivfCrossKnn(bSide, cents, qA, k = 4, nProbe = nProbe),
+        exact, k = 4)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    // a ~46-vector side spread over 16 cells: 2-probe coverage is
+    // ~1/8 of the side, so the honest floor is well above random but
+    // below dense-index recall; probing more cells must monotonically
+    // recover the exact ranking (16-probe = exhaustive = recall 1)
+    val (r2, r4, r16) = (recallAt(2), recallAt(4), recallAt(16))
+    assert(r2 >= 0.15, s"IVF cross-kNN 2-probe mean recall below floor: $r2")
+    assert(r4 >= r2, s"recall fell when probing more cells: $r2 -> $r4")
+    assert(r16 === 1.0, s"exhaustive probe must equal exact kNN: $r16")
+    // the margin gate must separate: some candidates pass, some fail
+    val all = Similarity.marginPairs(aSide, bSide, cents, k = 4, nProbe = 2,
+      threshold = Double.NegativeInfinity).collect()
+    val kept = Similarity.marginPairs(aSide, bSide, cents, k = 4, nProbe = 2,
+      threshold = 1.002).collect()
+    assert(all.nonEmpty && kept.nonEmpty && kept.length < all.length,
+      s"margin gate degenerate: ${kept.length} of ${all.length}")
+  }
+
   test("retrievalEval: NDCG discounts and IDCG derive from the caller's k (r16 ADVICE)") {
     import graft.operators.Similarity
     // a perfect approx == exact ranking must score NDCG exactly 1.0 at
