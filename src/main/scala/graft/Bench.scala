@@ -275,8 +275,69 @@ object Bench {
     // r13: TextRank co-occurrence edge relation
     storePart("cooccur") {
       graft.queries.TextQueries.FuzzyStores.cooccurrenceEdges(spark, sfDir).count(): Unit }
+    // r17 (r16 VERDICT What's-wrong #1): the deterministic-enrichment
+    // INPUT relations (URL frontier, snapshot projections, line
+    // segments — batch and doc-fact-store twins) build here so the
+    // timed rows measure the operator alone
+    storePart("enriched") {
+      val A = graft.queries.AnalysisQueries.EnrichedStores
+      val docs = graft.sources.Corpus.documents(spark, sfDir)
+      A.urlFrontier(spark, sfDir, "batch", docs).count()
+      A.snapshots(spark, sfDir, "batch", docs).count()
+      A.lineSegments(spark, sfDir, "batch", docs).count(): Unit }
+    storePart("enriched_streamed") {
+      val A = graft.queries.AnalysisQueries.EnrichedStores
+      def sd = graft.queries.AnalysisQueries.DocStores.streamedDocs(spark, sfDir)
+      A.urlFrontier(spark, sfDir, "streamed", sd).count()
+      A.snapshots(spark, sfDir, "streamed", sd).count()
+      A.lineSegments(spark, sfDir, "streamed", sd).count(): Unit }
+    // r17: the whitened-coordinate store (4-component deflation fit +
+    // one shuffle-free projection pass) q_whiten aggregates over
+    storePart("whiten") {
+      graft.queries.SimilarityQueries.WhitenStore.table(spark, sfDir).count(): Unit }
     val storeBuildSec =
       if (storeParts.values.exists(_ < 0)) -1.0 else storeParts.values.sum
+
+    // r17 (r16 VERDICT What's-wrong #2): untimed build mass is GOVERNED —
+    // the artifact carries per-part deltas vs the latest committed
+    // builder artifact in the repo, so a store whose build grows without
+    // new queries is visible inside the artifact itself (a part absent
+    // from the previous round reads "new").
+    def prevPartsOf(key: String): Map[String, Double] =
+      try {
+        val cands = new java.io.File(".")
+          .listFiles((_, n) => n.matches("BENCH_r\\d+_builder\\.json"))
+        if (cands == null || cands.isEmpty) Map.empty
+        else {
+          val latest = cands.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+          (("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt))
+            .map(_.group(1).split(",").toSeq.flatMap { kv =>
+              kv.split(":") match {
+                case Array(k, v) =>
+                  try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+                  catch { case _: Throwable => None }
+                case _ => None
+              }
+            }.toMap).getOrElse(Map.empty)
+        }
+      } catch { case _: Throwable => Map.empty }
+    def deltaJson(cur: Seq[(String, Double)], prev: Map[String, Double]): String =
+      cur.map { case (k, v) =>
+        esc(k) + ":" + (prev.get(k) match {
+          case Some(p) => java.math.BigDecimal.valueOf(v - p)
+            .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+          case None => "\"new\""
+        })
+      }.mkString("{", ",", "}")
+    val storeDeltaJson =
+      deltaJson(storeParts.toSeq, prevPartsOf("store_build_parts"))
+    val dedupDeltaJson = deltaJson(
+      Seq("shingle" -> shingleBuildSec, "candidates" -> candBuildSec,
+        "pairs" -> pairBuildSec, "clusters" -> clusterBuildSec,
+        "stream_ingest" -> streamedIngestSec, "stream_memo" -> streamedMemoSec),
+      prevPartsOf("dedup_build_parts"))
 
     // one untimed warm call first: the sentinel's OWN first execution pays
     // its codegen/JIT, which the end-of-run call never does — without the
@@ -388,7 +449,7 @@ object Bench {
       if (healthFailures.isEmpty) "ok" else "contended:" + healthFailures.mkString(",")
     val storePartsJson = storeParts.map { case (k, v) => esc(k) + ":" + f2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"store_build_parts":$storePartsJson,"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"store_build_parts":$storePartsJson,"store_build_delta_parts":$storeDeltaJson,"dedup_build_delta_parts":$dedupDeltaJson,"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
     println(line)
     // sidecar copy: the FULL artifact at a fixed path (committed per-round
     // as BENCH_r{N}_builder.json)

@@ -435,6 +435,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"expected gen partition filter in:\n$plan")
   }
 
+  test("IntervalJoin.overlapPairs: band width is caller-set, long intervals match once, fan cap trips loudly") {
+    import graft.operators.IntervalJoin
+    // A's interval spans MANY bands; B overlaps it near the end; C is
+    // disjoint; D same owner as A (never paired)
+    val iv = Seq(
+      (1L, 1L, 0L, 1000L),     // owner 1: long interval, 0..1000
+      (2L, 1L, 950L, 1200L),   // owner 2: overlaps [950, 1000)
+      (3L, 1L, 2000L, 2100L),  // owner 3: disjoint
+      (1L, 2L, 900L, 980L))    // owner 1 again: same-owner, excluded
+      .toDF("owner", "iid", "s_us", "e_us")
+    // band = 10 → interval A explodes 101 buckets; the overlapping pair
+    // must still surface EXACTLY once despite sharing several buckets
+    val got = IntervalJoin.overlapPairs(iv, bandUs = 10L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet === Set(
+      (1L, 1L, 2L, 1L, 0L, 1000L, 950L, 1200L),
+      (1L, 2L, 2L, 1L, 900L, 980L, 950L, 1200L)))
+    // band choice changes the plan's fan, never the answer
+    val wide = IntervalJoin.overlapPairs(iv, bandUs = 100000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(wide.toSet === got.toSet)
+    // the fan contract is LOUD: an interval wider than maxBuckets bands
+    // raises instead of silently exploding its task
+    val e = intercept[Exception] {
+      IntervalJoin.overlapPairs(iv, bandUs = 10L, maxBuckets = 50L).collect()
+    }
+    assert(e.getMessage.contains("fan contract") ||
+      Option(e.getCause).exists(_.getMessage.contains("fan contract")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("bad-records quarantine: corrupt lines NULL every data field (partial results pinned off)") {
     // r16 ADVICE: spark.sql.json.enablePartialResults could retain
     // already-parsed top-level fields on some malformed inputs after a

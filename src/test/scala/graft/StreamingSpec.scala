@@ -1032,4 +1032,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // the fixture passes the quality gate
     assert(streamed === batch)
   }
+
+  test("native session_window under readStream: append emits merged sessions once the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // r16 VERDICT ask #8: the ONE engine-native r16 addition without a
+    // streaming-side check. The SAME sessionWindowOf body that backs
+    // q_session_window / q_session_window_streamed runs here live under
+    // MemoryStream + watermark; closed sessions must equal the batch run.
+    val ev = Seq(
+      (ts("10:00"), 1L, 1L), (ts("10:10"), 1L, 2L), // u1 session A (merged)
+      (ts("10:50"), 1L, 3L),                        // gap 40m >= 30m → session B
+      (ts("10:05"), 2L, 4L))                        // u2 session
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val stream = input.toDF().toDF("t", "user_id", "event_id")
+      .withWatermark("t", "10 minutes")
+    val q = graft.queries.AnalysisQueries.sessionWindowOf(stream)
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      // flush: advance the watermark far past every session end
+      input.addData((ts("15:00"), 9L, 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_win")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.queries.AnalysisQueries.sessionWindowOf(
+        ev.toDF("t", "user_id", "event_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.size === 3) // two u1 sessions + one u2 session
+    assert(streamed === batch) // the flush session is still open → absent
+  }
 }
