@@ -592,6 +592,30 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TPC-H Q11 shape (important stock): per-part revenue HAVING above
+    // a GLOBAL-scalar threshold — the group-aggregate-vs-global-scalar
+    // plan (a correlated scalar subquery in the classic form; here the
+    // 1-row global relation rides a crossJoin that AQE broadcasts).
+    // The threshold is AVERAGE-relative (value·n_parts > total·1.2) so
+    // it is scale-invariant and EVERY comparison stays in exact
+    // DECIMAL — no division, no rounding on either engine.
+    "q_important_parts" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      val per = li.groupBy("l_partkey")
+        .agg(sum(col("rev")).cast(DecimalType(18, 4)).as("value"))
+      val tot = per.agg(sum(col("value")).cast(DecimalType(20, 4)).as("total"),
+        count(lit(1)).as("np"))
+      per.crossJoin(tot)
+        .filter(col("value") * col("np") >
+          col("total") * lit(new java.math.BigDecimal("1.2")))
+        .join(tbl(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_name")), "l_partkey")
+        .select(col("l_partkey").as("p_partkey"), col("p_name"),
+          col("value").cast("double").as("value"))
+    }),
+
     // CBO join-cardinality estimation (the statistics pass an optimizer
     // runs before picking a join strategy): HLL NDVs + the containment
     // formula, checked against the TRUE cardinality from two key-grained
@@ -1314,6 +1338,27 @@ object RelationalQueries {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
+
+    // TPC-H Q11 mirror: identical DECIMAL casts end to end — the
+    // comparison is exact on both engines, so the HAVING set is
+    // bit-stable by construction
+    "q_important_parts" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem
+        |), per AS MATERIALIZED (
+        |  SELECT l_partkey, CAST(SUM(rev) AS DECIMAL(18,4)) AS value
+        |  FROM li GROUP BY 1
+        |), tot AS MATERIALIZED (
+        |  SELECT CAST(SUM(value) AS DECIMAL(20,4)) AS total, count(*) AS np FROM per
+        |)
+        |SELECT per.l_partkey AS p_partkey, p.p_name,
+        |       CAST(per.value AS DOUBLE) AS value
+        |FROM per
+        |CROSS JOIN tot
+        |JOIN part p ON per.l_partkey = p.p_partkey
+        |WHERE per.value * tot.np > tot.total * 1.2""".stripMargin,
 
     // exact inputs + the three bound flags as the theorems they are
     // (HLL protocol: estimates are engine-specific but deterministic

@@ -121,6 +121,49 @@ object SimilarityQueries {
       graft.operators.Pca.topComponents(
         s.read.parquet(s"$dir/embeddings.parquet"), dims = 64, k = 4)),
 
+    // Streamed twin of the k-component fit: the same ONE-pass moment
+    // aggregate over the accumulated store's canonical vectors (exact
+    // float→double widenings ⇒ identical 6dp quantization), the same
+    // driver deflation — the batch oracle verbatim is the store's
+    // corpus contract for the derived spectral family.
+    "q_embed_pca_k_streamed" -> ((s, dir) =>
+      graft.operators.Pca.topComponents(
+        graft.streaming.StreamingEmbed.vectors(s, EmbedStores.streamedStore(s, dir))
+          .select(org.apache.spark.sql.functions.col("v").as("embedding")),
+        dims = 64, k = 4)),
+
+    // Streamed twin of the whitening audit: fit + projection over the
+    // accumulated store's canonical vectors (WhitenStore keyed by
+    // input), the identical one-pass Gram aggregate — batch oracle
+    // verbatim.
+    "q_whiten_streamed" -> ((s, dir) => whitenGram(
+      WhitenStore.tableFor(s, dir, "streamed",
+        graft.streaming.StreamingEmbed.vectors(s, EmbedStores.streamedStore(s, dir))
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("v").as("embedding"))),
+      k = 4)),
+
+    // WHITENED SemDeDup (the paper-faithful composition — Abbas et al.
+    // 2023 whiten embeddings BEFORE clustering/dedup so no dominant
+    // direction swamps the cosine): the same keep-one-per-semantic-
+    // group discard pass, but over the 4-dim WHITENED coordinates from
+    // the session store — decorrelated axes, unit variances. Cells are
+    // the deterministic first-16 quantizer in whitened space (the
+    // q_ann_eval protocol, oracle-checkable); the quadratic term stays
+    // bounded per cell exactly as in q_semdedup. The oracle recomputes
+    // the ENTIRE chain: 4-component deflation PCA, projection,
+    // whitened-space assignment, in-cell pairs, discard set.
+    "q_semdedup_whitened" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val z = WhitenStore.table(s, dir)
+        .select(col("vec_id"), col("z").as("embedding"))
+      val p = graft.operators.Similarity.prepared(z)
+      val cents = graft.operators.Similarity.collectCentroids(p, 16)
+      val assigned = p.withColumn("cell",
+        graft.operators.Similarity.bestCell(cents).cast("int"))
+      graft.operators.Similarity.semDedupDiscards(assigned, threshold = 0.95)
+    }),
+
     // MARGIN-BASED MIRROR MINING (r16 VERDICT ask #3 — the
     // Artetxe–Schwenk margin-ratio selector multilingual pipelines run
     // over a vector store): cross-label candidate pairs from the IVF
@@ -310,18 +353,23 @@ object SimilarityQueries {
     private var cache = Map.empty[(SparkSession, String), String]
 
     def table(s: SparkSession, dir: String): DataFrame =
-      s.read.parquet(path(s, dir))
+      tableFor(s, dir, "batch", s.read.parquet(s"$dir/embeddings.parquet"))
 
-    def path(s: SparkSession, dir: String): String = lock.synchronized {
+    def tableFor(s: SparkSession, dir: String, tag: String,
+                 emb: => DataFrame): DataFrame =
+      s.read.parquet(pathFor(s, dir, tag, emb))
+
+    private def pathFor(s: SparkSession, dir: String, tag: String,
+                        emb: => DataFrame): String = lock.synchronized {
       cache = cache.filter(!_._1._1.sparkContext.isStopped)
-      cache.getOrElse((s, dir), {
+      cache.getOrElse((s, s"$dir#$tag"), {
         val p = graft.sources.SessionStores.scopedPath("graft_whiten",
-          "store_" + graft.sources.SessionStores.tagOf(dir))
-        val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        val model = graft.operators.Pca.fit(emb, dims = 64, k = 4)
-        graft.operators.Pca.whiten(emb, model, dims = 64)
+          s"store_${tag}_" + graft.sources.SessionStores.tagOf(dir))
+        val e = emb
+        val model = graft.operators.Pca.fit(e, dims = 64, k = 4)
+        graft.operators.Pca.whiten(e, model, dims = 64)
           .write.mode("overwrite").parquet(p)
-        cache += (s, dir) -> p
+        cache += (s, s"$dir#$tag") -> p
         p
       })
     }
@@ -698,7 +746,12 @@ object SimilarityQueries {
     * component) and the whitened Gram/means aggregate — every sum in
     * exact DECIMAL, every divide IEEE, exactly the engine's grid.
     */
-  private lazy val whitenSql: String = {
+  /** The shared whitened-coordinate CTE chain: full 4-component
+    * deflation unroll + the per-(vector, component) projection `z` —
+    * the prefix of BOTH the q_whiten gram mirror and the whitened
+    * SemDeDup mirror.
+    */
+  private lazy val whitenZCtes: String = {
     val comps = (1 to 4).map(m =>
       s"SELECT CAST($m AS BIGINT) AS m, v${m}8.i AS i, " +
         s"round(sg.sg * v${m}8.x, 6) AS cx, l.eig AS eig " +
@@ -716,13 +769,46 @@ object SimilarityQueries {
        |               / sqrt(max(c.eig)), 6) AS z
        |  FROM pw, comps c JOIN mu ON c.i = mu.i
        |  GROUP BY pw.vec_id, c.m
-       |)
+       |)""".stripMargin
+  }
+
+  private lazy val whitenSql: String =
+    s"""$whitenZCtes
        |SELECT a.m AS comp_a, b.m AS comp_b, count(*) AS n,
        |       round(CAST(SUM(CAST(a.z AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS mean_a,
        |       round(CAST(SUM(CAST(a.z AS DECIMAL(12,6)) * CAST(b.z AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS gram
        |FROM z a JOIN z b ON a.vec_id = b.vec_id AND a.m <= b.m
        |GROUP BY 1, 2""".stripMargin
-  }
+
+  /** q_semdedup_whitened's oracle: the whitened chain above, then the
+    * q_ann_eval assignment protocol IN WHITENED SPACE (first-16
+    * centroids, 6dp cosine, cent_id tie-break) and the in-cell
+    * smaller-id-mate discard set — the semdedupSql shape over z.
+    */
+  private lazy val semdedupWhitenedSql: String =
+    s"""$whitenZCtes, zv AS (
+       |  SELECT vec_id, list(z ORDER BY m) AS v FROM z GROUP BY vec_id
+       |), zn AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM zv
+       |), zc AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM zn WHERE vec_id < 16
+       |), zs AS (
+       |  SELECT zn.vec_id, zn.v, zn.norm, cent_id,
+       |         round(list_sum(list_transform(range(1, len(zn.v)+1), i -> zn.v[i]*cv[i]))
+       |               / (zn.norm * cn), 6) AS csim
+       |  FROM zn, zc
+       |), za AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM zs
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) = 1
+       |), zp AS (
+       |  SELECT b.vec_id, b.cell,
+       |         round(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*a.v[i]))
+       |               / (b.norm * a.norm), 6) AS sim
+       |  FROM za a JOIN za b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, max(sim) AS max_sim, count(*) AS n_dups
+       |FROM zp WHERE sim >= 0.95
+       |GROUP BY vec_id, cell""".stripMargin
 
   /** q_margin_pairs' oracle: the ENTIRE mining pipeline re-derived —
     * IVF assignment (deterministic first-16 centroids), probe cells and
@@ -845,7 +931,10 @@ object SimilarityQueries {
     "q_embed_pca" -> pcaSql,
     "q_embed_pca_streamed" -> pcaSql,
     "q_embed_pca_k" -> pcaKSql,
+    "q_embed_pca_k_streamed" -> pcaKSql,
     "q_whiten" -> whitenSql,
+    "q_whiten_streamed" -> whitenSql,
+    "q_semdedup_whitened" -> semdedupWhitenedSql,
     "q_margin_pairs" -> marginPairsSql,
 
     "q_knn_join" ->
