@@ -1508,19 +1508,25 @@ object AnalysisQueries {
       val ms = BpeStores.merges(s, dir).orderBy("round")
         .select("left", "right").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
-      val words = bpeWords(s, dir)
       val grid = Seq(0, 2, 4, 6, 8)
-      val enc = words.select(col("word"), col("wc"),
+      // ONE corpus pass: the grid explode + subword posexplode feed a
+      // SINGLE aggregate computing all three measures — n_bpe as the
+      // plain wc sum over subword rows, n_words as the wc sum over
+      // each word's FIRST subword row (pos 0 — so the total never
+      // needs a second corpus branch; a first cut computed it as a
+      // separate aggregate and column pruning forked the scan into
+      // three corpus reads), vocab as the distinct symbol count.
+      bpeWords(s, dir).select(col("wc"),
           explode(array(grid.map(k => struct(lit(k.toLong).as("n_merges"),
             graft.operators.Bpe.encodeSyms(col("word"), ms.take(k)).as("syms"))): _*))
             .as("e"))
-        .select(col("wc"), col("e.n_merges").as("n_merges"), col("e.syms").as("syms"))
-      val nbpe = enc.groupBy("n_merges")
-        .agg(sum(col("wc") * size(col("syms")).cast("long")).cast("long").as("n_bpe"))
-      val vocab = enc.select(col("n_merges"), explode(col("syms")).as("sym"))
-        .groupBy("n_merges").agg(countDistinct(col("sym")).as("vocab"))
-      val tot = words.agg(sum(col("wc")).cast("long").as("n_words"))
-      nbpe.join(vocab, "n_merges").crossJoin(tot)
+        .select(col("e.n_merges").as("n_merges"), col("wc"),
+          posexplode(col("e.syms")).as(Seq("p", "sym")))
+        .groupBy("n_merges")
+        .agg(countDistinct(col("sym")).as("vocab"),
+          sum(when(col("p") === 0, col("wc")).otherwise(lit(0L)))
+            .cast("long").as("n_words"),
+          sum(col("wc")).cast("long").as("n_bpe"))
         .select(col("n_merges"), col("vocab"), col("n_words"), col("n_bpe"),
           round(col("n_bpe").cast("double") / col("n_words"), 6).as("fertility"))
     }),

@@ -381,6 +381,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Similarity.ndcgIdcg(5) < Similarity.ndcgIdcg(10))
   }
 
+  test("r17 plan pins: scalar-broadcast Q11, no forced broadcast in margin mining, exchange-reuse in the BPE sweep") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val dir = "/root/testdata/sf0.001"
+    def plan(q: String) = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+    // Q11 shape: the global 1-row relation broadcasts (a 1-row BNLJ is
+    // the scalar-subquery plan); never a real cartesian, and the
+    // per-part aggregate pre-aggregates map-side
+    val ip = plan("q_important_parts")
+    assert(PlanScans.nodes(ip) { case j: CartesianProductExec => j }.isEmpty,
+      s"q_important_parts must broadcast the 1-row global side:\n$ip")
+    assert(ip.toString.contains("partial_sum"),
+      s"per-part revenue must pre-aggregate map-side:\n$ip")
+    // margin mining: candidate cell joins carry NO FORCED broadcast of
+    // the corpus-sized probe relation — the hint is absent by design
+    // (ivfCrossKnn), so at scale AQE sizes the strategy; top-k plans as
+    // WindowGroupLimit bounded heaps
+    val mp = SparkEntry.queries("q_margin_pairs")(spark, dir)
+    val analyzed = mp.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"q_margin_pairs must not force a broadcast hint:\n$analyzed")
+    assert(mp.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-query top-k must plan as bounded heaps")
+    // BPE sweep: ONE corpus scan — all three measures (n_bpe, n_words,
+    // vocab) fuse into a single aggregate over one exploded relation
+    // (a first cut's separate total branch forked the scan under
+    // column pruning into three corpus reads)
+    val bs = plan("q_bpe_sweep")
+    assert(PlanScans.fileScans(bs).size === 1,
+      s"q_bpe_sweep must read the corpus exactly once:\n$bs")
+  }
+
   test("r16 plan pins: aggregation-only merges, banded joins, partition-sharing windows") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
