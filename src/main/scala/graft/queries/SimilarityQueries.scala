@@ -164,6 +164,24 @@ object SimilarityQueries {
       graft.operators.Similarity.semDedupDiscards(assigned, threshold = 0.95)
     }),
 
+    // Streamed twin of the whitened SemDeDup: the whitened store
+    // derives from the ACCUMULATED embedding store's canonical vectors
+    // (≡ batch bit-for-bit), so the discard pass hash-checks under the
+    // batch oracle — the derived-relation contract extended to the
+    // whitened geometry.
+    "q_semdedup_whitened_streamed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val z = WhitenStore.tableFor(s, dir, "streamed",
+          graft.streaming.StreamingEmbed.vectors(s, EmbedStores.streamedStore(s, dir))
+            .select(col("vec_id"), col("v").as("embedding")))
+        .select(col("vec_id"), col("z").as("embedding"))
+      val p = graft.operators.Similarity.prepared(z)
+      val cents = graft.operators.Similarity.collectCentroids(p, 16)
+      val assigned = p.withColumn("cell",
+        graft.operators.Similarity.bestCell(cents).cast("int"))
+      graft.operators.Similarity.semDedupDiscards(assigned, threshold = 0.95)
+    }),
+
     // MARGIN-BASED MIRROR MINING (r16 VERDICT ask #3 — the
     // Artetxe–Schwenk margin-ratio selector multilingual pipelines run
     // over a vector store): cross-label candidate pairs from the IVF
@@ -181,6 +199,26 @@ object SimilarityQueries {
       graft.operators.Similarity.marginPairs(
         asg.filter(col("label") === 0).drop("label"),
         asg.filter(col("label") === 1).drop("label"),
+        cents, k = 4, nProbe = 2, threshold = 1.002)
+    }),
+
+    // Streamed twin of the margin mining: prepared vectors + first-16
+    // assignment derived from the ACCUMULATED store (canonical ≡
+    // batch), identical mining pipeline — batch oracle verbatim.
+    "q_margin_pairs_streamed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val vs = graft.streaming.StreamingEmbed
+        .vectors(s, EmbedStores.streamedStore(s, dir))
+        .select(col("vec_id"), col("v"), col("norm"))
+      val cents = graft.operators.Similarity.collectCentroids(vs, 16)
+      val assigned = vs.withColumn("cell",
+        graft.operators.Similarity.bestCell(cents).cast("int"))
+      val lab = graft.sources.Tables.tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val asg2 = assigned.join(lab, "vec_id")
+      graft.operators.Similarity.marginPairs(
+        asg2.filter(col("label") === 0).drop("label"),
+        asg2.filter(col("label") === 1).drop("label"),
         cents, k = 4, nProbe = 2, threshold = 1.002)
     }),
 
@@ -935,7 +973,9 @@ object SimilarityQueries {
     "q_whiten" -> whitenSql,
     "q_whiten_streamed" -> whitenSql,
     "q_semdedup_whitened" -> semdedupWhitenedSql,
+    "q_semdedup_whitened_streamed" -> semdedupWhitenedSql,
     "q_margin_pairs" -> marginPairsSql,
+    "q_margin_pairs_streamed" -> marginPairsSql,
 
     "q_knn_join" ->
       s"""$prepCte, qs AS (
