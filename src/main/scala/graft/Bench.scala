@@ -51,6 +51,9 @@ object Bench {
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r16 ADVICE: partial-results JSON parsing pinned OFF so the
+      // q_bad_records quarantine contract survives jar bumps
+      .config("spark.sql.json.enablePartialResults", "false")
       // engine Catalyst extensions (hamming_hex)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
@@ -291,10 +294,15 @@ object Bench {
       A.urlFrontier(spark, sfDir, "streamed", sd).count()
       A.snapshots(spark, sfDir, "streamed", sd).count()
       A.lineSegments(spark, sfDir, "streamed", sd).count(): Unit }
-    // r17: the whitened-coordinate store (4-component deflation fit +
-    // one shuffle-free projection pass) q_whiten aggregates over
+    // r17: the whitened-coordinate stores (4-component deflation fit +
+    // one shuffle-free projection pass each, batch AND streamed twins)
+    // plus the streamed first-16 assignment the margin twin reads —
+    // built HERE so no timed pass-A sample absorbs a store write
     storePart("whiten") {
-      graft.queries.SimilarityQueries.WhitenStore.table(spark, sfDir).count(): Unit }
+      graft.queries.SimilarityQueries.WhitenStore.table(spark, sfDir).count()
+      graft.queries.SimilarityQueries.WhitenStore.tableFor(spark, sfDir,
+        "streamed", graft.queries.SimilarityQueries.streamedEmbeddings(spark, sfDir)).count()
+      graft.queries.SimilarityQueries.streamedIvf0(spark, sfDir)._1.count(): Unit }
     val storeBuildSec =
       if (storeParts.values.exists(_ < 0)) -1.0 else storeParts.values.sum
 
@@ -303,13 +311,20 @@ object Bench {
     // builder artifact in the repo, so a store whose build grows without
     // new queries is visible inside the artifact itself (a part absent
     // from the previous round reads "new").
+    // the previous artifact resolves relative to the launch cwd (the
+    // whole Bench contract assumes repo-root cwd — the target/bench.json
+    // sidecar does too); `store_build_prev` names what was actually
+    // compared against, so an all-"new" delta map from a wrong cwd is
+    // self-identifying rather than silently plausible
+    val prevArtifact: Option[java.io.File] = {
+      val cands = new java.io.File(".")
+        .listFiles((_, n) => n.matches("BENCH_r\\d+_builder\\.json"))
+      if (cands == null || cands.isEmpty) None
+      else Some(cands.maxBy(f => f.getName.replaceAll("\\D", "").toInt))
+    }
     def prevPartsOf(key: String): Map[String, Double] =
       try {
-        val cands = new java.io.File(".")
-          .listFiles((_, n) => n.matches("BENCH_r\\d+_builder\\.json"))
-        if (cands == null || cands.isEmpty) Map.empty
-        else {
-          val latest = cands.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
+        prevArtifact.map { latest =>
           val txt = new String(
             java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
           (("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt))
@@ -320,8 +335,8 @@ object Bench {
                   catch { case _: Throwable => None }
                 case _ => None
               }
-            }.toMap).getOrElse(Map.empty)
-        }
+            }.toMap).getOrElse(Map.empty[String, Double])
+        }.getOrElse(Map.empty)
       } catch { case _: Throwable => Map.empty }
     def deltaJson(cur: Seq[(String, Double)], prev: Map[String, Double]): String =
       cur.map { case (k, v) =>
@@ -449,7 +464,7 @@ object Bench {
       if (healthFailures.isEmpty) "ok" else "contended:" + healthFailures.mkString(",")
     val storePartsJson = storeParts.map { case (k, v) => esc(k) + ":" + f2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"store_build_parts":$storePartsJson,"store_build_delta_parts":$storeDeltaJson,"dedup_build_delta_parts":$dedupDeltaJson,"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"store_build_parts":$storePartsJson,"store_build_prev":${esc(prevArtifact.map(_.getName).getOrElse("none"))},"store_build_delta_parts":$storeDeltaJson,"dedup_build_delta_parts":$dedupDeltaJson,"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
     println(line)
     // sidecar copy: the FULL artifact at a fixed path (committed per-round
     // as BENCH_r{N}_builder.json)

@@ -203,8 +203,17 @@ object Pca {
       t.doubleValue()
     }
     var c = c0
-    val comps = (1 to k).map { _ =>
+    val comps = (1 to k).map { m =>
       val (v, lamRaw) = iterate(c, dims, iters)
+      // rank-deficiency is LOUD on the deflation path (k > 1): a zero
+      // eigenvalue means the corpus spans fewer than m directions at
+      // the 6dp grid — the engine would keep the start basis while the
+      // oracle's round(w / nrm, 6) divides 0/0 into NaN, and whitening
+      // would divide by √0. (k = 1 keeps the legacy zero-variance
+      // contract: deterministic basis output, eig 0.)
+      require(k == 1 || r6(lamRaw) > 0,
+        s"rank-deficient corpus: component $m has zero eigenvalue at the " +
+          s"6dp grid — reduce k below $m")
       // deflate with the 6dp λ (the grid the oracle can mirror); the
       // REPORTED eig/explained round from the raw norm exactly as the
       // oracle's round(nrm, 6) / round(nrm / trace, 6) do

@@ -140,36 +140,36 @@ object AnalysisQueries {
     * store block; lazily on first use elsewhere.
     */
   private[graft] object EnrichedStores {
-    private val lock = new Object
-    private var cache = Map.empty[(SparkSession, String, String), String]
-
-    private def served(s: SparkSession, dir: String, kind: String, tag: String)
-                      (build: String => Unit): String = lock.synchronized {
-      cache = cache.filter(!_._1._1.sparkContext.isStopped)
-      val key = (s, dir, s"$kind/$tag")
-      cache.getOrElse(key, {
-        val p = graft.sources.SessionStores.scopedPath("graft_enriched",
-          s"${kind}_${tag}_" + graft.sources.SessionStores.tagOf(dir))
-        build(p)
-        cache += key -> p
-        p
-      })
-    }
+    // path-keyed build-once via SessionStores.servedPath (the BpeStores
+    // shape) — a second SparkSession over the same scoped path serves
+    // the existing files instead of rebuilding
+    private def pathOf(dir: String, kind: String, tag: String): String =
+      graft.sources.SessionStores.scopedPath("graft_enriched",
+        s"${kind}_${tag}_" + graft.sources.SessionStores.tagOf(dir))
 
     def urlFrontier(s: SparkSession, dir: String, tag: String,
-                    d: => DataFrame): DataFrame =
-      s.read.parquet(served(s, dir, "urls", tag)(p =>
-        urlFrontierOf(d).write.mode("overwrite").parquet(p)))
+                    d: => DataFrame): DataFrame = {
+      val p = pathOf(dir, "urls", tag)
+      graft.sources.SessionStores.servedPath(s, p) {
+        urlFrontierOf(d).write.mode("overwrite").parquet(p)
+      }
+    }
 
     def snapshots(s: SparkSession, dir: String, tag: String,
-                  d: => DataFrame): DataFrame =
-      s.read.parquet(served(s, dir, "snaps", tag)(p =>
-        snapshotsOf(d).write.mode("overwrite").partitionBy("snap").parquet(p)))
+                  d: => DataFrame): DataFrame = {
+      val p = pathOf(dir, "snaps", tag)
+      graft.sources.SessionStores.servedPath(s, p) {
+        snapshotsOf(d).write.mode("overwrite").partitionBy("snap").parquet(p)
+      }
+    }
 
     def lineSegments(s: SparkSession, dir: String, tag: String,
-                     d: => DataFrame): DataFrame =
-      s.read.parquet(served(s, dir, "linesegs", tag)(p =>
-        DedupQueries.lineSegmentsOf(d).write.mode("overwrite").parquet(p)))
+                     d: => DataFrame): DataFrame = {
+      val p = pathOf(dir, "linesegs", tag)
+      graft.sources.SessionStores.servedPath(s, p) {
+        DedupQueries.lineSegmentsOf(d).write.mode("overwrite").parquet(p)
+      }
+    }
   }
 
   /** q_bad_records' corrupt-ingest fixture: the corpus as JSONL with
@@ -1984,13 +1984,12 @@ object AnalysisQueries {
     // parsed / quarantined masses and that parsed content is intact.
     "q_bad_records" -> ((s, dir) => {
       val p = BadRecordsStore.path(s, dir)
-      // r16 ADVICE: recent Sparks' spark.sql.json.enablePartialResults
-      // (default true) may retain already-parsed top-level fields on
-      // SOME malformed inputs, flipping n_parsed/parsed_id_sum vs the
-      // all-fields-NULL oracle on a jar bump. Pin the quarantine
-      // contract explicitly (a spec additionally asserts
-      // n_parsed == n_lines - n_corrupt on the fixture).
-      s.conf.set("spark.sql.json.enablePartialResults", "false")
+      // r16 ADVICE: spark.sql.json.enablePartialResults is pinned FALSE
+      // at SESSION CONSTRUCTION (Verify/Bench/SparkTestSession — a
+      // query body must not mutate global parser config mid-session),
+      // so a jar bump that starts retaining partial fields on
+      // malformed records fails the quarantine-identity spec loudly
+      // instead of flipping n_parsed/parsed_id_sum silently.
       s.read
         .schema("doc_id LONG, source STRING, _corrupt_record STRING")
         .option("columnNameOfCorruptRecord", "_corrupt_record")

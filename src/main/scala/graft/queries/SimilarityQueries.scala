@@ -128,19 +128,14 @@ object SimilarityQueries {
     // corpus contract for the derived spectral family.
     "q_embed_pca_k_streamed" -> ((s, dir) =>
       graft.operators.Pca.topComponents(
-        graft.streaming.StreamingEmbed.vectors(s, EmbedStores.streamedStore(s, dir))
-          .select(org.apache.spark.sql.functions.col("v").as("embedding")),
-        dims = 64, k = 4)),
+        streamedEmbeddings(s, dir), dims = 64, k = 4)),
 
     // Streamed twin of the whitening audit: fit + projection over the
     // accumulated store's canonical vectors (WhitenStore keyed by
     // input), the identical one-pass Gram aggregate — batch oracle
     // verbatim.
     "q_whiten_streamed" -> ((s, dir) => whitenGram(
-      WhitenStore.tableFor(s, dir, "streamed",
-        graft.streaming.StreamingEmbed.vectors(s, EmbedStores.streamedStore(s, dir))
-          .select(org.apache.spark.sql.functions.col("vec_id"),
-            org.apache.spark.sql.functions.col("v").as("embedding"))),
+      WhitenStore.tableFor(s, dir, "streamed", streamedEmbeddings(s, dir)),
       k = 4)),
 
     // WHITENED SemDeDup (the paper-faithful composition — Abbas et al.
@@ -157,7 +152,11 @@ object SimilarityQueries {
       import org.apache.spark.sql.functions._
       val z = WhitenStore.table(s, dir)
         .select(col("vec_id"), col("z").as("embedding"))
-      val p = graft.operators.Similarity.prepared(z)
+      // zero-norm contract (review fix): whitened coordinates are
+      // mean-centered, so a vector AT the component means has no
+      // direction — excluded on BOTH engines (a 0/0 cosine's NaN
+      // semantics differ between Spark and DuckDB)
+      val p = graft.operators.Similarity.prepared(z).filter(col("norm") > 0)
       val cents = graft.operators.Similarity.collectCentroids(p, 16)
       val assigned = p.withColumn("cell",
         graft.operators.Similarity.bestCell(cents).cast("int"))
@@ -171,11 +170,10 @@ object SimilarityQueries {
     // whitened geometry.
     "q_semdedup_whitened_streamed" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val z = WhitenStore.tableFor(s, dir, "streamed",
-          graft.streaming.StreamingEmbed.vectors(s, EmbedStores.streamedStore(s, dir))
-            .select(col("vec_id"), col("v").as("embedding")))
+      val z = WhitenStore.tableFor(s, dir, "streamed", streamedEmbeddings(s, dir))
         .select(col("vec_id"), col("z").as("embedding"))
-      val p = graft.operators.Similarity.prepared(z)
+      // zero-norm contract mirrored from the batch twin
+      val p = graft.operators.Similarity.prepared(z).filter(col("norm") > 0)
       val cents = graft.operators.Similarity.collectCentroids(p, 16)
       val assigned = p.withColumn("cell",
         graft.operators.Similarity.bestCell(cents).cast("int"))
@@ -202,17 +200,13 @@ object SimilarityQueries {
         cents, k = 4, nProbe = 2, threshold = 1.002)
     }),
 
-    // Streamed twin of the margin mining: prepared vectors + first-16
+    // Streamed twin of the margin mining: the PERSISTED first-16
     // assignment derived from the ACCUMULATED store (canonical ≡
-    // batch), identical mining pipeline — batch oracle verbatim.
+    // batch; version-keyed `streamedIvf0`, built untimed), identical
+    // mining pipeline — batch oracle verbatim.
     "q_margin_pairs_streamed" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val vs = graft.streaming.StreamingEmbed
-        .vectors(s, EmbedStores.streamedStore(s, dir))
-        .select(col("vec_id"), col("v"), col("norm"))
-      val cents = graft.operators.Similarity.collectCentroids(vs, 16)
-      val assigned = vs.withColumn("cell",
-        graft.operators.Similarity.bestCell(cents).cast("int"))
+      val (assigned, cents) = streamedIvf0(s, dir)
       val lab = graft.sources.Tables.tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("label"))
       val asg2 = assigned.join(lab, "vec_id")
@@ -324,6 +318,43 @@ object SimilarityQueries {
     }),
   )
 
+  /** The accumulated store's canonical vectors re-labelled as an
+    * embedding relation — the input the streamed spectral/whitening
+    * twins fit over.
+    */
+  private[graft] def streamedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.streaming.StreamingEmbed
+      .vectors(s, EmbedStores.streamedStore(s, dir))
+      .select(col("vec_id"), col("v").as("embedding"))
+  }
+
+  /** First-16 (iters = 0, the q_ann_eval protocol) assignment DERIVED
+    * from the streamed vector store and PERSISTED cell-partitioned per
+    * store version — the margin-mining twin reads this instead of
+    * recomputing the corpus-wide argmax inside every timed execution
+    * (r17 review fix; the batch twin serves from `VectorStore.ivf`).
+    * Returns (assigned, centroids) like `VectorStore.ivf`.
+    */
+  private[graft] def streamedIvf0(s: SparkSession, dir: String)
+      : (DataFrame, Seq[graft.operators.Similarity.Centroid]) = {
+    import org.apache.spark.sql.functions.col
+    val store = EmbedStores.streamedStore(s, dir)
+    val p = graft.streaming.StreamingEmbed.vectors(s, store)
+      .select(col("vec_id"), col("v"), col("norm"))
+    val cents = graft.operators.Similarity.collectCentroids(p, 16)
+    val ver = graft.streaming.StreamingEmbed.storeVersion(s, store)
+    val root = graft.sources.SessionStores.scopedPath("graft_embstream_ivf0",
+      s"ivf0_v${ver._1}_${ver._2}_" + graft.sources.SessionStores.tagOf(store))
+    val assigned = graft.sources.SessionStores.servedPath(s, s"$root/assigned") {
+      p.withColumn("cell",
+          graft.operators.Similarity.bestCell(cents).cast("int"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$root/assigned")
+    }
+    (assigned, cents)
+  }
+
   /** Trained-IVF assignment DERIVED from the streamed vector store,
     * persisted cell-partitioned per store VERSION (row count + latest
     * ingest stamp — an ingest or re-delivery rebuilds, an unchanged
@@ -387,29 +418,22 @@ object SimilarityQueries {
     * reads only this.
     */
   private[graft] object WhitenStore {
-    private val lock = new Object
-    private var cache = Map.empty[(SparkSession, String), String]
 
     def table(s: SparkSession, dir: String): DataFrame =
       tableFor(s, dir, "batch", s.read.parquet(s"$dir/embeddings.parquet"))
 
+    // path-keyed build-once via SessionStores.servedPath (the BpeStores
+    // shape — no per-session rebuild over the same scoped path)
     def tableFor(s: SparkSession, dir: String, tag: String,
-                 emb: => DataFrame): DataFrame =
-      s.read.parquet(pathFor(s, dir, tag, emb))
-
-    private def pathFor(s: SparkSession, dir: String, tag: String,
-                        emb: => DataFrame): String = lock.synchronized {
-      cache = cache.filter(!_._1._1.sparkContext.isStopped)
-      cache.getOrElse((s, s"$dir#$tag"), {
-        val p = graft.sources.SessionStores.scopedPath("graft_whiten",
-          s"store_${tag}_" + graft.sources.SessionStores.tagOf(dir))
+                 emb: => DataFrame): DataFrame = {
+      val p = graft.sources.SessionStores.scopedPath("graft_whiten",
+        s"store_${tag}_" + graft.sources.SessionStores.tagOf(dir))
+      graft.sources.SessionStores.servedPath(s, p) {
         val e = emb
         val model = graft.operators.Pca.fit(e, dims = 64, k = 4)
         graft.operators.Pca.whiten(e, model, dims = 64)
           .write.mode("overwrite").parquet(p)
-        cache += (s, s"$dir#$tag") -> p
-        p
-      })
+      }
     }
   }
 
@@ -827,7 +851,11 @@ object SimilarityQueries {
     s"""$whitenZCtes, zv AS (
        |  SELECT vec_id, list(z ORDER BY m) AS v FROM z GROUP BY vec_id
        |), zn AS (
-       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM zv
+       |  -- zero-norm contract: a vector AT the component means has no
+       |  -- direction (engine filters norm > 0 identically)
+       |  SELECT * FROM (
+       |    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM zv
+       |  ) WHERE norm > 0
        |), zc AS (
        |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM zn WHERE vec_id < 16
        |), zs AS (

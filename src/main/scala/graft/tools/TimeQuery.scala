@@ -23,6 +23,9 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r16 ADVICE: partial-results JSON parsing pinned OFF so the
+      // q_bad_records quarantine contract survives jar bumps
+      .config("spark.sql.json.enablePartialResults", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -208,6 +208,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(cross) < 0.05, s"whitened cross-correlation $cross")
   }
 
+  test("Pca.fit rank-deficiency guard: k beyond the corpus rank fails loudly on the deflation path") {
+    // an exactly rank-1 corpus (mass on dim 0 only): component 1 peels
+    // the whole spectrum, so component 2's eigenvalue is EXACTLY zero
+    // at the 6dp grid — the engine would keep a basis vector while the
+    // oracle's 0/0 normalize NaNs, so fit(k > 1) must raise instead
+    val rank1 = (0 until 20).map(k =>
+      (k.toLong, Array((k - 10) / 4.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pca.fit(rank1, dims = 4, k = 2)
+    }
+    assert(e.getMessage.contains("rank-deficient"))
+    // k = 1 keeps the legacy contract (deterministic output, eig > 0 here)
+    assert(graft.operators.Pca.fit(rank1, dims = 4, k = 1).comps.head.eig > 0)
+  }
+
   test("Pca magnitude guard: an out-of-contract element fails LOUDLY, never wraps (r16 ADVICE)") {
     // |x| = 400 > the ±300 contract: 64·(4e8)² would overflow the Long
     // spill window — the old code wrapped silently below the ~9.2e12

@@ -16,6 +16,9 @@ object SparkTestSession {
     .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // r16 ADVICE: partial-results JSON parsing pinned OFF so the
+    // q_bad_records quarantine contract survives jar bumps
+    .config("spark.sql.json.enablePartialResults", "false")
     // engine Catalyst extensions (hamming_hex)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
