@@ -272,6 +272,11 @@ object Bench {
     // tokenize/prune build runs once; the timed query is the pair join
     storePart("overlap") {
       graft.queries.AnalysisQueries.prunedSourceShingleStore(spark, sfDir).count(): Unit }
+    // r17: the lineitem warehouse-fact store serving the relational
+    // streamed twins (q1_agg/q_big_orders/q_late_suppliers _streamed)
+    storePart("stream_lineitem") {
+      graft.queries.RelationalQueries.LineitemStores
+        .streamedLineitem(spark, sfDir).count(): Unit }
     // r13: nation trade edge relation shared by the five graph queries
     storePart("nation_edges") {
       graft.queries.RelationalQueries.nationEdgesStore(spark, sfDir).count(): Unit }

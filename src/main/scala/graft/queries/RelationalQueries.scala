@@ -176,6 +176,116 @@ object RelationalQueries {
     * slice — the full relation for q_pagerank/q_ppr, the mod-3 slices
     * for the streamed twin's delta batches.
     */
+  /** q1_agg's body, shared verbatim by the batch query and the
+    * lineitem-fact-store streamed twin.
+    */
+  private def q1AggOf(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") <= lit("2001-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+        revenue.as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q_big_orders' body (TPC-H Q18), shared by the batch query and the
+    * lineitem-fact-store streamed twin.
+    */
+  private def bigOrdersOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val heavy = li
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(heavy, "o_orderkey")
+      .join(tbl(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_name")), "o_custkey")
+      .select(col("c_name"), col("o_custkey").as("c_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q_late_suppliers' body (TPC-H Q21), shared by the batch query and
+    * the lineitem-fact-store streamed twin.
+    */
+  private def lateSuppliersOf(s: SparkSession, dir: String,
+                              liRaw: DataFrame): DataFrame = {
+    val li = liRaw.select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val late = li.filter(col("l_returnflag") === "R")
+      .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val lateOthers = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    late
+      .join(others,
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+        "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(tbl(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+        col("s_name"), col("s_nationkey")), "l_suppkey")
+      .join(tbl(s, dir, "nation").select(col("n_nationkey").as("s_nationkey"),
+        col("n_name")), "s_nationkey")
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Streamed warehouse-fact ingest: the lineitem table accumulated as
+    * three idempotent micro-batches through the generic `StreamingFacts`
+    * value store (the doc/event ingest discipline extended to the
+    * TPC-H fact table). The fixture carries NO surrogate key — even
+    * the (orderkey, linenumber, partkey, suppkey) tuple collides once
+    * at sf0.001 with different content — so `l_key` is the FULL-ROW
+    * content digest: exact-once at row-content grain (two truly
+    * identical fact rows would collapse; none exist at any shipped SF,
+    * FactsStreamSpec pins the count so a fixture regeneration that
+    * introduces one fails loudly). Dropped at serve time. Built once
+    * per (session, corpus); relational streamed twins read the
+    * accumulated relation under the batch oracles.
+    */
+  private[graft] object LineitemStores {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), String]
+
+    private def withKey(d: DataFrame): DataFrame =
+      d.withColumn("l_key",
+        md5(concat_ws(":", d.columns.map(c => col(c).cast("string")): _*)))
+
+    def store(s: SparkSession, dir: String): String = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val path = graft.sources.SessionStores.scopedPath("graft_listream",
+          "store_" + graft.sources.SessionStores.tagOf(dir))
+        val d = withKey(tbl(s, dir, "lineitem"))
+        for (b <- 0 until 3)
+          graft.streaming.StreamingFacts.processBatch(
+            d.filter(col("l_orderkey") % 3 === b), b.toLong, path,
+            "l_key", d.schema): Unit
+        cache += (s, dir) -> path
+        path
+      })
+    }
+
+    def streamedLineitem(s: SparkSession, dir: String): DataFrame =
+      graft.streaming.StreamingFacts.facts(s, store(s, dir),
+        "l_key", withKey(tbl(s, dir, "lineitem")).schema).drop("l_key")
+  }
+
   private def nationTradeEdges(s: SparkSession, dir: String,
                                slice: Option[Int] = None): DataFrame = {
     val liAll = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -434,20 +544,15 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1-style pricing summary: the canonical partial-agg benchmark.
-    "q1_agg" -> ((s, dir) =>
-      tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("2001-09-01"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum("l_quantity").as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
-          revenue.as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
-          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
-          (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg_price"),
-          (sum(col("l_discount").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg_disc"),
-          count(lit(1)).as("count_order"))),
+    "q1_agg" -> ((s, dir) => q1AggOf(tbl(s, dir, "lineitem"))),
+
+    // Streamed WAREHOUSE twin: the identical Q1 body over the lineitem
+    // fact relation ACCUMULATED through the generic StreamingFacts
+    // store (three idempotent micro-batches — the doc/event ingest
+    // discipline extended to the TPC-H fact table), hash-checked under
+    // the batch oracle verbatim.
+    "q1_agg_streamed" -> ((s, dir) =>
+      q1AggOf(LineitemStores.streamedLineitem(s, dir))),
 
     // TPC-H Q3-style: selective filters pushed to all three scans, two joins
     // (customer side broadcast-able), top-10 by revenue.
@@ -533,23 +638,12 @@ object RelationalQueries {
     // lineitem mass; the HAVING filter collapses the relation to the
     // rare heavy orders) so the two joins move only qualifying rows;
     // TakeOrderedAndProject caps the result without a global sort.
-    "q_big_orders" -> ((s, dir) => {
-      val heavy = tbl(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("o_orderkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
-        .filter(col("total_qty") > 150)
-      tbl(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .join(heavy, "o_orderkey")
-        .join(tbl(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
-          col("c_name")), "o_custkey")
-        .select(col("c_name"), col("o_custkey").as("c_custkey"),
-          col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          col("total_qty").cast("double").as("total_qty"))
-        .orderBy(col("total_qty").desc, col("o_orderkey"))
-        .limit(100)
-    }),
+    "q_big_orders" -> ((s, dir) =>
+      bigOrdersOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_big_orders_streamed" -> ((s, dir) =>
+      bigOrdersOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
 
     // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
     // classic join shape — a multi-EXISTS/NOT-EXISTS FACT-FACT
@@ -564,33 +658,14 @@ object RelationalQueries {
     // they plan as hash/sort-merge semi/anti, NEVER a nested-loop
     // (PlanSpec pins this); the orders dimension filter collapses the
     // probe side before either self-join moves data.
-    "q_late_suppliers" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      val late = li.filter(col("l_returnflag") === "R")
-        .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
-          .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val lateOthers = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      late
-        .join(others,
-          col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
-          "left_semi")
-        .join(lateOthers,
-          col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
-          "left_anti")
-        .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("numwait"))
-        .join(tbl(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
-          col("s_name"), col("s_nationkey")), "l_suppkey")
-        .join(tbl(s, dir, "nation").select(col("n_nationkey").as("s_nationkey"),
-          col("n_name")), "s_nationkey")
-        .select(col("s_name"), col("n_name"), col("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(100)
-    }),
+    "q_late_suppliers" -> ((s, dir) =>
+      lateSuppliersOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin: the semi/anti self-join over the
+    // accumulated lineitem fact store — the hardest classic join shape
+    // also checked against the store's exact-once relation contract.
+    "q_late_suppliers_streamed" -> ((s, dir) =>
+      lateSuppliersOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
 
     // TPC-H Q11 shape (important stock): per-part revenue HAVING above
     // a GLOBAL-scalar threshold — the group-aggregate-vs-global-scalar
@@ -614,6 +689,29 @@ object RelationalQueries {
           .select(col("p_partkey").as("l_partkey"), col("p_name")), "l_partkey")
         .select(col("l_partkey").as("p_partkey"), col("p_name"),
           col("value").cast("double").as("value"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue under a DISJUNCTION of
+    // brand/size/quantity conjunctions): the OR-of-ANDs predicate
+    // spans BOTH join sides, the classic stress of disjunctive
+    // predicate pushdown — Catalyst must extract each side's
+    // derivable disjunction (brand/size to the part scan, the
+    // quantity envelope to the lineitem scan) instead of filtering
+    // the full join product. PlanSpec pins the pushed Or filters.
+    "q_disjunctive_rev" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      val pt = tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))
+      val pred =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35))
+      li.join(pt, "l_partkey").filter(pred)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rev")).cast("double").as("revenue"))
     }),
 
     // CBO join-cardinality estimation (the statistics pass an optimizer
@@ -1266,7 +1364,7 @@ object RelationalQueries {
     }),
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // skew stats: exact integer inputs, identical (max_f × ndv)/n order
     "q_skew_report" ->
       """WITH s AS (
@@ -1359,6 +1457,16 @@ object RelationalQueries {
         |CROSS JOIN tot
         |JOIN part p ON per.l_partkey = p.p_partkey
         |WHERE per.value * tot.np > tot.total * 1.2""".stripMargin,
+
+    // TPC-H Q19 mirror: identical DECIMAL revenue, identical disjunction
+    "q_disjunctive_rev" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 35)""".stripMargin,
 
     // exact inputs + the three bound flags as the theorems they are
     // (HLL protocol: estimates are engine-specific but deterministic
@@ -1806,4 +1914,12 @@ object RelationalQueries {
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name""".stripMargin,
   )
+
+  // the streamed warehouse twins hash-check under the batch mirrors
+  // verbatim — the accumulated fact relation's exact-once contract
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q1_agg_streamed" -> "q1_agg",
+    "q_big_orders_streamed" -> "q_big_orders",
+    "q_late_suppliers_streamed" -> "q_late_suppliers",
+  ).map { case (twin, base) => twin -> oraclesBase(base) }
 }

@@ -68,6 +68,28 @@ class FactsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lineitem warehouse store: accumulated relation equals batch, content key loses no rows") {
+    // the fixture carries NO surrogate key — even the (orderkey,
+    // linenumber, partkey, suppkey) tuple collides once at sf0.001
+    // with different content — so the store keys on the FULL-ROW
+    // digest; equal counts prove both that no row was dropped at the
+    // exact-once dedup AND that the fixture still has no identical
+    // full rows (a regeneration that introduces one fails here)
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.sources.Tables.tbl(spark, dir, "lineitem")
+    val streamed = graft.queries.RelationalQueries.LineitemStores
+      .streamedLineitem(spark, dir)
+    assert(streamed.count() === batch.count(),
+      "composite-key store must keep every lineitem row")
+    assert(streamed.columns.sorted.toSeq === batch.columns.sorted.toSeq)
+    // full-relation parity (row multiset) via a count over the join key
+    val b = batch.groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = streamed.groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === b)
+  }
+
   test("shape is store state: accessors resolve the persisted sidecar over caller defaults") {
     val store = freshStore("sidecar")
     assert(StreamingFacts.processBatch(facts, 0L, store, "doc_id", schema))

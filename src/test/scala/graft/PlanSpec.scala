@@ -268,6 +268,22 @@ class PlanSpec extends AnyFunSuite {
     assert(anti.contains("EqualTo(o_orderpriority,1-URGENT)"), "orders filter not pushed to scan")
   }
 
+  test("q_disjunctive_rev (Q19 shape): per-side disjunctions extracted and PUSHED to both scans") {
+    // the OR-of-ANDs spans both join sides; Catalyst must derive each
+    // side's implied disjunction — the quantity envelope to the
+    // lineitem scan, the brand/size Or to the part scan — instead of
+    // filtering the raw join product
+    val p = plan("q_disjunctive_rev")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity disjunction not pushed to the lineitem scan:\n$p")
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#1)"),
+      s"brand/size disjunction not pushed to the part scan:\n$p")
+    // the full cross-side residual rides the equi join, never a
+    // post-join filter over an unfiltered product
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join carrying the residual:\n$p")
+  }
+
   test("q_late_suppliers (Q21 shape): BOTH self-join branches plan as equi semi/anti, never a nested loop") {
     // the fact-fact self-join with a supplier inequality residual must
     // key each branch on the ORDER key (hash/sort-merge semi + anti);
