@@ -43,19 +43,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // keep bucketed scans on so term-bucketed index lookups bucket-prune
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // r16 ADVICE: partial-results JSON parsing pinned OFF so the
-      // q_bad_records quarantine contract survives jar bumps
-      .config("spark.sql.json.enablePartialResults", "false")
-      // engine Catalyst extensions (hamming_hex)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // all pins live in the ONE shared builder (graft.util.EngineSession)
+    val spark = graft.util.EngineSession.builder(s"local[$cpus]", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -305,8 +294,7 @@ object Bench {
     // built HERE so no timed pass-A sample absorbs a store write
     storePart("whiten") {
       graft.queries.SimilarityQueries.WhitenStore.table(spark, sfDir).count()
-      graft.queries.SimilarityQueries.WhitenStore.tableFor(spark, sfDir,
-        "streamed", graft.queries.SimilarityQueries.streamedEmbeddings(spark, sfDir)).count()
+      graft.queries.SimilarityQueries.streamedWhitenTable(spark, sfDir).count()
       graft.queries.SimilarityQueries.streamedIvf0(spark, sfDir)._1.count(): Unit }
     val storeBuildSec =
       if (storeParts.values.exists(_ < 0)) -1.0 else storeParts.values.sum

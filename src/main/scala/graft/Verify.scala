@@ -11,20 +11,8 @@ object Verify {
     val only = args.drop(2).toSet
     def keep(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // keep bucketed scans on so term-bucketed index lookups bucket-prune
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // r16 ADVICE: partial-results JSON parsing pinned OFF so the
-      // q_bad_records quarantine contract survives jar bumps
-      .config("spark.sql.json.enablePartialResults", "false")
-      // engine Catalyst extensions (hamming_hex)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // all pins live in the ONE shared builder (graft.util.EngineSession)
+    val spark = graft.util.EngineSession.builder(s"local[$cpus]", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

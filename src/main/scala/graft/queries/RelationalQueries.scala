@@ -251,34 +251,34 @@ object RelationalQueries {
     * TPC-H fact table). The fixture carries NO surrogate key — even
     * the (orderkey, linenumber, partkey, suppkey) tuple collides once
     * at sf0.001 with different content — so `l_key` is the FULL-ROW
-    * content digest: exact-once at row-content grain (two truly
-    * identical fact rows would collapse; none exist at any shipped SF,
-    * FactsStreamSpec pins the count so a fixture regeneration that
-    * introduces one fails loudly). Dropped at serve time. Built once
-    * per (session, corpus); relational streamed twins read the
-    * accumulated relation under the batch oracles.
+    * content digest over `to_json(struct(*))` (null-preserving and
+    * delimiter-unambiguous — a concat_ws form SKIPS nulls and lets
+    * shifted separators collide two distinct rows): exact-once at
+    * row-content grain (two truly identical fact rows would collapse;
+    * none exist at any shipped SF, FactsStreamSpec pins the count so a
+    * fixture regeneration that introduces one fails loudly). Dropped
+    * at serve time. Build-once guarded by the facts subpath through
+    * `SessionStores.servedPath` (processBatch is idempotent per
+    * batchId, so a lost race is harmless); fact-table-grain batches
+    * keep their task parallelism (filesPerBatch = 0 — the coalesce(1)
+    * default exists for SMALL per-batch appends).
     */
   private[graft] object LineitemStores {
-    private val lock = new Object
-    private var cache = Map.empty[(SparkSession, String), String]
-
     private def withKey(d: DataFrame): DataFrame =
-      d.withColumn("l_key",
-        md5(concat_ws(":", d.columns.map(c => col(c).cast("string")): _*)))
+      d.withColumn("l_key", md5(to_json(struct(d.columns.map(col): _*))))
 
-    def store(s: SparkSession, dir: String): String = lock.synchronized {
-      cache = cache.filter(!_._1._1.sparkContext.isStopped)
-      cache.getOrElse((s, dir), {
-        val path = graft.sources.SessionStores.scopedPath("graft_listream",
-          "store_" + graft.sources.SessionStores.tagOf(dir))
+    def store(s: SparkSession, dir: String): String = {
+      val path = graft.sources.SessionStores.scopedPath("graft_listream",
+        "store_" + graft.sources.SessionStores.tagOf(dir))
+      graft.sources.SessionStores.servedPath(s,
+        graft.streaming.StreamingFacts.factsPath(path)) {
         val d = withKey(tbl(s, dir, "lineitem"))
         for (b <- 0 until 3)
           graft.streaming.StreamingFacts.processBatch(
             d.filter(col("l_orderkey") % 3 === b), b.toLong, path,
-            "l_key", d.schema): Unit
-        cache += (s, dir) -> path
-        path
-      })
+            "l_key", d.schema, filesPerBatch = 0): Unit
+      }
+      path
     }
 
     def streamedLineitem(s: SparkSession, dir: String): DataFrame =

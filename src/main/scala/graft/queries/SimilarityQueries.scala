@@ -134,9 +134,8 @@ object SimilarityQueries {
     // accumulated store's canonical vectors (WhitenStore keyed by
     // input), the identical one-pass Gram aggregate — batch oracle
     // verbatim.
-    "q_whiten_streamed" -> ((s, dir) => whitenGram(
-      WhitenStore.tableFor(s, dir, "streamed", streamedEmbeddings(s, dir)),
-      k = 4)),
+    "q_whiten_streamed" -> ((s, dir) =>
+      whitenGram(streamedWhitenTable(s, dir), k = 4)),
 
     // WHITENED SemDeDup (the paper-faithful composition — Abbas et al.
     // 2023 whiten embeddings BEFORE clustering/dedup so no dominant
@@ -170,7 +169,7 @@ object SimilarityQueries {
     // whitened geometry.
     "q_semdedup_whitened_streamed" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val z = WhitenStore.tableFor(s, dir, "streamed", streamedEmbeddings(s, dir))
+      val z = streamedWhitenTable(s, dir)
         .select(col("vec_id"), col("z").as("embedding"))
       // zero-norm contract mirrored from the batch twin
       val p = graft.operators.Similarity.prepared(z).filter(col("norm") > 0)
@@ -334,18 +333,24 @@ object SimilarityQueries {
     * store version — the margin-mining twin reads this instead of
     * recomputing the corpus-wide argmax inside every timed execution
     * (r17 review fix; the batch twin serves from `VectorStore.ivf`).
-    * Returns (assigned, centroids) like `VectorStore.ivf`.
+    * The ≤16-row centroid lift memoizes per VERSIONED root (the
+    * `VectorStore.centroidCache` shape) so a served execution costs no
+    * extra driver job. Returns (assigned, centroids).
     */
+  private val ivf0Centroids = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.operators.Similarity.Centroid]]()
+
   private[graft] def streamedIvf0(s: SparkSession, dir: String)
       : (DataFrame, Seq[graft.operators.Similarity.Centroid]) = {
     import org.apache.spark.sql.functions.col
     val store = EmbedStores.streamedStore(s, dir)
-    val p = graft.streaming.StreamingEmbed.vectors(s, store)
+    def p = graft.streaming.StreamingEmbed.vectors(s, store)
       .select(col("vec_id"), col("v"), col("norm"))
-    val cents = graft.operators.Similarity.collectCentroids(p, 16)
     val ver = graft.streaming.StreamingEmbed.storeVersion(s, store)
     val root = graft.sources.SessionStores.scopedPath("graft_embstream_ivf0",
       s"ivf0_v${ver._1}_${ver._2}_" + graft.sources.SessionStores.tagOf(store))
+    val cents = ivf0Centroids.computeIfAbsent(root,
+      _ => graft.operators.Similarity.collectCentroids(p, 16))
     val assigned = graft.sources.SessionStores.servedPath(s, s"$root/assigned") {
       p.withColumn("cell",
           graft.operators.Similarity.bestCell(cents).cast("int"))
@@ -353,6 +358,18 @@ object SimilarityQueries {
         .partitionBy("cell").parquet(s"$root/assigned")
     }
     (assigned, cents)
+  }
+
+  /** The streamed whiten store keyed by the EMBED STORE VERSION (the
+    * streamedIvf0 protocol — r17 review fix): an ingest after the
+    * first build re-fits instead of serving a stale whitening forever
+    * this process.
+    */
+  private[graft] def streamedWhitenTable(s: SparkSession, dir: String): DataFrame = {
+    val store = EmbedStores.streamedStore(s, dir)
+    val ver = graft.streaming.StreamingEmbed.storeVersion(s, store)
+    WhitenStore.tableFor(s, dir, s"streamed_v${ver._1}_${ver._2}",
+      streamedEmbeddings(s, dir))
   }
 
   /** Trained-IVF assignment DERIVED from the streamed vector store,

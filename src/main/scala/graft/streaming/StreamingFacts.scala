@@ -66,11 +66,18 @@ object StreamingFacts {
   }
 
   /** One idempotent incremental micro-batch (testable replay unit).
+    * @param filesPerBatch ≥1 coalesces the append to that many files
+    *                      (the SMALL-append default); 0 keeps the
+    *                      batch's task parallelism — fact-table-grain
+    *                      ingests (r17: the lineitem warehouse store)
+    *                      must not funnel a third of the largest table
+    *                      through one write task.
     * @return false = replay of a committed batchId, skipped.
     */
   private[graft] def processBatch(batch: DataFrame, batchId: Long, storePath: String,
                                   keyCol: String, schema: StructType,
-                                  scope: String = "default"): Boolean = {
+                                  scope: String = "default",
+                                  filesPerBatch: Int = 1): Boolean = {
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val (key, sch) = resolveShape(conf, storePath, (keyCol, schema))
     StoreMaintenance.runOnce(conf, storePath, scope, batchId) {
@@ -81,9 +88,9 @@ object StreamingFacts {
       try out.write((key + "\n" + sch.toDDL)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      batch.select(sch.fields.toSeq.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
-        .coalesce(1) // small per-batch appends: one file, not one per task
+      val projected = batch.select(sch.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+      (if (filesPerBatch >= 1) projected.coalesce(filesPerBatch) else projected)
         .write.mode(SaveMode.Append).parquet(factsPath(storePath))
     }
   }

@@ -4,12 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only: print the executed plan of named queries at sf0.001. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = graft.util.EngineSession.builder("local[4]", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { q =>

@@ -17,16 +17,7 @@ object TimeQuery {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // r16 ADVICE: partial-results JSON parsing pinned OFF so the
-      // q_bad_records quarantine contract survives jar bumps
-      .config("spark.sql.json.enablePartialResults", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = graft.util.EngineSession.builder(s"local[$cpus]", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def mat(n: String): Double = {

@@ -66,6 +66,19 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
     assert(rows.map(_._1).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
     assert(rows.map(_._3).distinct.length === 1, "n_words must be grid-invariant")
+    // the fused one-pass form counts n_words on each word's pos-0
+    // subword row — which silently couples the total to encodeSyms
+    // never emitting an empty array; pin it against the INDEPENDENT
+    // corpus word count so that invariant breaking fails here, not as
+    // a confusing every-grid-row oracle mismatch
+    val independentTotal = graft.sources.Corpus
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.tokenize(
+          org.apache.spark.sql.functions.col("text"))).as("w"))
+      .count()
+    assert(rows.head._3 === independentTotal,
+      s"n_words ${rows.head._3} != independent corpus word count $independentTotal")
     assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last),
       s"n_bpe must fall with more merges: ${rows.map(_._4).toSeq}")
     assert(rows.map(_._2).sliding(2).forall(p => p.head <= p.last),

@@ -6,21 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Text
 
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  // all pins live in the ONE shared builder (graft.util.EngineSession)
+  lazy val spark: SparkSession = graft.util.EngineSession
+    .builder("local[4]", "4")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    // keep bucketed scans on so term-bucketed index lookups bucket-prune
-    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // r16 ADVICE: partial-results JSON parsing pinned OFF so the
-    // q_bad_records quarantine contract survives jar bumps
-    .config("spark.sql.json.enablePartialResults", "false")
-    // engine Catalyst extensions (hamming_hex)
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 }
 
