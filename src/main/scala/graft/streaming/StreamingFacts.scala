@@ -27,6 +27,28 @@ object StreamingFacts {
   private[graft] def factsPath(store: String) = s"$store/facts"
   private[graft] def schemaPath(store: String) = s"$store/_graft_schema"
 
+  /** Present ⇔ the facts sub-store is PHYSICALLY key-distinct (a compact
+    * ran and nothing appended since): `facts` serves raw, skipping the
+    * full-relation `dropDuplicates` exchange a settled warehouse store
+    * would otherwise re-pay on every read. `processBatch` clears the
+    * marker BEFORE its append lands, so no reader can observe raw rows
+    * while a replay residual could exist.
+    */
+  private[graft] def cleanPath(store: String) = s"$store/_graft_clean"
+
+  /** Physical ingest-batch stamp column carried by every stored row
+    * (NOT part of the logical sidecar schema — accessors drop it).
+    * Facts are immutable and replays re-carry their original batchId,
+    * so the stamp is deterministic per key; it is what `factsAsOf`
+    * time-travel filters on, and compaction preserves it.
+    */
+  private[graft] val batchCol = "_gbatch"
+
+  private def isClean(conf: org.apache.hadoop.conf.Configuration, store: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(cleanPath(store))
+    p.getFileSystem(conf).exists(p)
+  }
+
   /** (keyCol, schema) — persisted if the store was ever written, the
     * caller's fallback otherwise.
     */
@@ -81,6 +103,10 @@ object StreamingFacts {
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val (key, sch) = resolveShape(conf, storePath, (keyCol, schema))
     StoreMaintenance.runOnce(conf, storePath, scope, batchId) {
+      // clean marker cleared BEFORE anything lands: a crash mid-append
+      // leaves the store (correctly) back on the dedup-at-serve path
+      val clean = new org.apache.hadoop.fs.Path(cleanPath(storePath))
+      clean.getFileSystem(conf).delete(clean, false): Unit
       // sidecar first: idempotent content, and a crash between sidecar
       // and append leaves only a correct shape record behind
       val p = new org.apache.hadoop.fs.Path(schemaPath(storePath))
@@ -89,34 +115,74 @@ object StreamingFacts {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val projected = batch.select(sch.fields.toSeq.map(f =>
-        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+        .withColumn(batchCol, org.apache.spark.sql.functions.lit(batchId))
       (if (filesPerBatch >= 1) projected.coalesce(filesPerBatch) else projected)
         .write.mode(SaveMode.Append).parquet(factsPath(storePath))
     }
   }
 
   /** The accumulated fact relation — exact-once by the store's key
-    * across the replay residual window.
+    * across the replay residual window. A COMPACTED store (clean marker
+    * present, nothing appended since) serves raw: the rows are already
+    * physically key-distinct, and re-proving exact-once with a
+    * full-relation exchange on every read of a settled warehouse store
+    * is repeated work that only grows with the fact table.
     */
   def facts(spark: SparkSession, storePath: String,
             keyCol: String, schema: StructType): DataFrame = {
-    val (key, sch) = resolveShape(spark.sparkContext.hadoopConfiguration,
-      storePath, (keyCol, schema))
-    StoreMaintenance.readOrEmpty(spark, factsPath(storePath), sch)
-      .dropDuplicates(key)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (key, sch) = resolveShape(conf, storePath, (keyCol, schema))
+    val raw = StoreMaintenance.readOrEmpty(spark, factsPath(storePath), sch)
+    if (isClean(conf, storePath)) raw else raw.dropDuplicates(key)
+  }
+
+  /** Point-in-time read: the fact relation as of ingest batch
+    * `batchId` (inclusive) — exactly the rows a `facts` read would have
+    * served once that batch committed. Facts are immutable and replays
+    * re-carry their original batchId, so the per-row stamp is
+    * deterministic; compaction PRESERVES the stamps (min-batch survivor
+    * per key), so time-travel survives maintenance and the high-water
+    * read `factsAsOf(maxBatch)` ≡ `facts` always holds.
+    */
+  def factsAsOf(spark: SparkSession, storePath: String, batchId: Long,
+                keyCol: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (key, sch) = resolveShape(conf, storePath, (keyCol, schema))
+    val sliced = StoreMaintenance
+      .readOrEmpty(spark, factsPath(storePath),
+        sch.add(batchCol, org.apache.spark.sql.types.LongType))
+      .filter(col(batchCol) <= batchId)
+      .drop(batchCol)
+    // a clean store is globally key-distinct, so any batch slice is too
+    if (isClean(conf, storePath)) sliced else sliced.dropDuplicates(key)
   }
 
   /** Collapse replay-residual duplicates and per-batch small files —
-    * the collapse is the accessor's own key dedup rule.
+    * the collapse is the accessor's own key dedup rule, made
+    * deterministic in the batch stamp (min-batch survivor; duplicates
+    * are byte-identical so the choice only pins `_gbatch`, keeping
+    * `factsAsOf` stable across compaction). Sets the clean marker so
+    * subsequent reads serve dedup-free until the next append.
     */
   def compactStore(spark: SparkSession, storePath: String,
                    keyCol: String, schema: StructType): Unit = {
+    import org.apache.spark.sql.functions.{col, row_number}
     val conf = spark.sparkContext.hadoopConfiguration
     StoreMaintenance.assertIngestStopped(conf, storePath)
     val (key, sch) = resolveShape(conf, storePath, (keyCol, schema))
-    StoreMaintenance.compactSub(spark, factsPath(storePath), sch, Seq(key))
+    val physical = sch.add(batchCol, org.apache.spark.sql.types.LongType)
+    StoreMaintenance.compactSubWith(spark, factsPath(storePath), physical, { d =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(col(batchCol).asc_nulls_last)
+      d.withColumn("_grk", row_number().over(w))
+        .filter(col("_grk") === 1).drop("_grk")
+    })
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(conf).delete(commits, true): Unit
+    val clean = new org.apache.hadoop.fs.Path(cleanPath(storePath))
+    clean.getFileSystem(conf).create(clean, true).close()
   }
 
   def recoverStore(spark: SparkSession, storePath: String): Unit =

@@ -50,6 +50,59 @@ class FactsStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/facts").count() === 30L)
   }
 
+  test("compacted store serves raw (no dedup exchange) and a new append restores dedup") {
+    val store = freshStore("clean")
+    assert(StreamingFacts.processBatch(
+      facts.filter(col("doc_id") < 15), 0L, store, "doc_id", schema))
+    val clean = new java.io.File(s"$store/_graft_clean")
+    assert(!clean.exists, "an appended-to store must not carry the clean marker")
+    // dedup-at-serve path plans an exchange for the key dedup
+    assert(StreamingFacts.facts(spark, store, "doc_id", schema)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    StreamingFacts.compactStore(spark, store, "doc_id", schema)
+    assert(clean.exists, "compaction must settle the store")
+    // compacted ≡ dedup-at-serve: same relation, but served RAW — the
+    // plan is a bare scan with no dedup exchange
+    val compacted = StreamingFacts.facts(spark, store, "doc_id", schema)
+    assert(compacted.as[(Long, String, String)].collect().toSet
+      === facts.filter(col("doc_id") < 15).as[(Long, String, String)].collect().toSet)
+    assert(!compacted.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a settled store must not re-pay the dedup exchange at serve time")
+    // the next append unsettles the store BEFORE its rows land
+    assert(StreamingFacts.processBatch(
+      facts.filter(col("doc_id") >= 15), 1L, store, "doc_id", schema))
+    assert(!clean.exists, "an append must clear the clean marker")
+    assert(served(store) === facts.as[(Long, String, String)].collect().toSet)
+  }
+
+  test("factsAsOf time-travels by ingest batch and survives compaction") {
+    val store = freshStore("asof")
+    for (b <- 0 until 3)
+      assert(StreamingFacts.processBatch(
+        facts.filter(col("doc_id") % 3 === b), b, store, "doc_id", schema))
+    def asOf(n: Long): Set[(Long, String, String)] =
+      StreamingFacts.factsAsOf(spark, store, n, "doc_id", schema)
+        .as[(Long, String, String)].collect().toSet
+    def slice(n: Long): Set[(Long, String, String)] =
+      facts.filter(col("doc_id") % 3 <= n).as[(Long, String, String)].collect().toSet
+    assert(asOf(0L) === slice(0L))
+    assert(asOf(1L) === slice(1L))
+    // high-water read ≡ the plain accessor
+    assert(asOf(2L) === served(store))
+    // a replay residual in batch 1 must not duplicate the slice
+    val marker = new java.io.File(s"$store/_graft_commits/default/1")
+    assert(marker.exists && marker.delete())
+    assert(StreamingFacts.processBatch(
+      facts.filter(col("doc_id") % 3 === 1), 1L, store, "doc_id", schema))
+    assert(asOf(1L) === slice(1L))
+    // compaction preserves the stamps: every as-of read is unchanged,
+    // and the high-water contract asOf(max) ≡ facts still holds
+    StreamingFacts.compactStore(spark, store, "doc_id", schema)
+    assert(asOf(0L) === slice(0L))
+    assert(asOf(1L) === slice(1L))
+    assert(asOf(2L) === served(store))
+  }
+
   test("sinkFacts end-to-end: MemoryStream batches accumulate the fact relation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
