@@ -301,6 +301,15 @@ object RelationalQueries {
     def streamedLineitem(s: SparkSession, dir: String): DataFrame =
       graft.streaming.StreamingFacts.facts(s, store(s, dir),
         "l_key", withKey(tbl(s, dir, "lineitem")).schema).drop("l_key")
+
+    /** Point-in-time read of the warehouse store: the fact relation as
+      * of ingest batch `batchId` — the store is COMPACTED at build, so
+      * this doubles as the living proof that maintenance preserves the
+      * per-row batch stamps (`StreamingFacts.factsAsOf`'s contract).
+      */
+    def streamedLineitemAsOf(s: SparkSession, dir: String, batchId: Long): DataFrame =
+      graft.streaming.StreamingFacts.factsAsOf(s, store(s, dir), batchId,
+        "l_key", withKey(tbl(s, dir, "lineitem")).schema).drop("l_key")
   }
 
   private def nationTradeEdges(s: SparkSession, dir: String,
@@ -661,6 +670,16 @@ object RelationalQueries {
     // Streamed warehouse twin over the accumulated lineitem fact store.
     "q_big_orders_streamed" -> ((s, dir) =>
       bigOrdersOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
+
+    // STORE TIME-TRAVEL: the Q1 pricing summary over the warehouse fact
+    // store AS OF ingest batch 1 of 3 — exactly what a `facts` read
+    // would have served once batch 1 committed (the mod-3 order-key
+    // slices 0 and 1). The store was compacted at build, so a green row
+    // here is also the proof that maintenance preserves the per-row
+    // `_gbatch` stamps time-travel filters on; the oracle recomputes
+    // the slice independently from the raw table.
+    "q_facts_asof" -> ((s, dir) =>
+      q1AggOf(LineitemStores.streamedLineitemAsOf(s, dir, 1L))),
 
     // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
     // classic join shape — a multi-EXISTS/NOT-EXISTS FACT-FACT
@@ -1908,6 +1927,24 @@ object RelationalQueries {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // independent formulation of the as-of-batch-1 store read: batches
+    // are the mod-3 order-key slices, so "as of batch 1" is the raw
+    // table filtered to slices 0 and 1 — the oracle never sees the store
+    "q_facts_asof" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |  AND l_orderkey % 3 <= 1
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_join" ->
