@@ -750,6 +750,46 @@ object RelationalQueries {
           sum(col("rev")).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q20 shape (excess stock): suppliers semi-joined through a
+    // part-name filter and gated by a CORRELATED 0.5·sum(l_quantity)
+    // threshold — stock on hand (returned quantity, the fixture's
+    // availqty analog) must exceed half the demand-window shipments.
+    // The fixture's (partkey, suppkey) pairs are near-singletons (avg
+    // 1.16 lineitems at EVERY SF — measured), which would make a
+    // pair-grain correlated aggregate decorative (q > 0.5·q for a
+    // single returned row), so the correlation grain is the supplier's
+    // PRODUCT LINE (the part-name filter already fixes the product):
+    // ~10 lineitems per cell at every SF, the gate binds for real
+    // (65/100 suppliers at sf0.01). Engine plan: aggregate-then-
+    // equi-semi — the lineitem mass collapses to ≤ |supplier| rows
+    // BEFORE any join, then one LeftSemi into supplier; never a
+    // nested-loop (PlanSpec pins it). The threshold compares in exact
+    // DECIMAL as 2·avail > demand — the Q11 no-division discipline.
+    "q_excess_stock" -> ((s, dir) => {
+      val prod = tbl(s, dir, "part").filter(col("p_name") === "small gizmo")
+        .select(col("p_partkey").as("l_partkey"))
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))
+      val cells = tbl(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+          col("l_shipdate"), col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        .join(prod, "l_partkey") // dim-sized side: AQE/stats pick broadcast
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(
+          coalesce(sum(when(col("l_returnflag") === "R", col("qty"))), zero)
+            .as("avail"),
+          coalesce(sum(when(col("l_shipdate") >= lit("1998-01-01") &&
+            col("l_shipdate") < lit("2002-01-01"), col("qty"))), zero)
+            .as("demand"))
+        .filter(col("demand") > zero &&
+          col("avail") * lit(new java.math.BigDecimal(2)) > col("demand"))
+      tbl(s, dir, "supplier")
+        .join(cells.select("s_suppkey"), Seq("s_suppkey"), "left_semi")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    }),
+
     // CBO join-cardinality estimation (the statistics pass an optimizer
     // runs before picking a join strategy): HLL NDVs + the containment
     // formula, checked against the TRUE cardinality from two key-grained
@@ -1503,6 +1543,34 @@ object RelationalQueries {
         |       AND l.l_quantity BETWEEN 1 AND 20)
         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
         |       AND l.l_quantity BETWEEN 10 AND 35)""".stripMargin,
+
+    // TPC-H Q20 mirror: the INDEPENDENT formulation — per-supplier
+    // CORRELATED scalar subqueries (TPC-H's own nested shape) instead
+    // of the engine's aggregate-then-semi; the threshold compares in
+    // exact DECIMAL as 2·avail > demand on both engines, and the
+    // demand > 0 witness is its own correlated EXISTS
+    "q_excess_stock" ->
+      """WITH prod AS (SELECT p_partkey FROM part WHERE p_name = 'small gizmo')
+        |SELECT s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l0
+        |    WHERE l0.l_suppkey = s.s_suppkey
+        |      AND l0.l_partkey IN (SELECT p_partkey FROM prod)
+        |      AND l0.l_shipdate >= TIMESTAMP '1998-01-01'
+        |      AND l0.l_shipdate <  TIMESTAMP '2002-01-01')
+        |  AND 2 * (SELECT COALESCE(SUM(CAST(l1.l_quantity AS DECIMAL(18,2))), 0)
+        |           FROM lineitem l1
+        |           WHERE l1.l_suppkey = s.s_suppkey
+        |             AND l1.l_returnflag = 'R'
+        |             AND l1.l_partkey IN (SELECT p_partkey FROM prod))
+        |    > (SELECT COALESCE(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))), 0)
+        |       FROM lineitem l2
+        |       WHERE l2.l_suppkey = s.s_suppkey
+        |         AND l2.l_shipdate >= TIMESTAMP '1998-01-01'
+        |         AND l2.l_shipdate <  TIMESTAMP '2002-01-01'
+        |         AND l2.l_partkey IN (SELECT p_partkey FROM prod))
+        |ORDER BY s.s_name""".stripMargin,
 
     // exact inputs + the three bound flags as the theorems they are
     // (HLL protocol: estimates are engine-specific but deterministic

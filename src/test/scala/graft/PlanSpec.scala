@@ -302,6 +302,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(o_orderstatus,F)"), s"order-status filter not pushed:\n$p")
   }
 
+  test("q_excess_stock (Q20 shape): aggregate-then-equi-semi, never a nested loop") {
+    // the correlated 0.5·sum(qty) gate must collapse the lineitem mass
+    // to ≤ |supplier| rows BEFORE the supplier semi-join — the classic
+    // Q20 decorrelation; a nested-loop or cartesian here re-evaluates
+    // the scalar subquery per supplier at scale
+    val p = plan("q_excess_stock")
+    assert(p.contains("LeftSemi"), s"expected the supplier semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"Q20 chain must stay equi-keyed:\n$p")
+    // the part-name filter reaches the part scan (the probe side is
+    // pruned before the lineitem join moves anything)
+    assert(p.contains("EqualTo(p_name,small gizmo)"),
+      s"part-name filter not pushed:\n$p")
+    // the gate is an aggregate HAVING, not a per-row correlated rescan:
+    // exactly one aggregate pair (partial+final) over the lineitem side
+    assert(p.contains("HashAggregate"), s"expected the decorrelated aggregate:\n$p")
+  }
+
   test("q_percentiles serves the shared quantile store; the ONE range pass lives at store build") {
     // r14: the timed q_percentiles plan is a bare store-file projection
     // — NO exchange of any kind (the whole point of sharing one
