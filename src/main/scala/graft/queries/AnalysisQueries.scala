@@ -302,6 +302,61 @@ object AnalysisQueries {
       TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** The trained quality filter's 6dp feature triple over a TOKEN-LIST
+    * column: scaled stopword ratio (×10 so the seed separates within
+    * the fixed round budget), mean token length centered at 4, and the
+    * type-token ratio. Token-list-valued (not text-valued) because the
+    * seed's negative class is a token-level corruption of the same
+    * documents.
+    */
+  private def clfFeatures(xs: Column): Seq[Column] = {
+    val stop = graft.functions.Text.EffectiveStopwords
+    Seq(
+      round(when(size(xs) === 0, 0.0).otherwise(
+        size(filter(xs, t => t.isin(stop: _*))).cast("double") * 10.0 / size(xs)), 6)
+        .as("x1"),
+      round(when(size(xs) === 0, lit(0.0)).otherwise(
+        aggregate(xs, lit(0L), (a, t) => a + length(t)).cast("double") / size(xs))
+        - 4.0, 6).as("x2"),
+      round(when(size(xs) === 0, 0.0).otherwise(
+        size(array_distinct(xs)).cast("double") / size(xs)), 6).as("x3"))
+  }
+
+  /** q_quality_clf's body, shared by batch and the doc-fact-store twin:
+    * the TRAINED quality gate (CCNet/DCLM/FineWeb-Edu shape). The
+    * labeled seed is built CCNet-style — positives are the documents
+    * themselves (reference-quality side), negatives are deterministic
+    * corruptions of the SAME documents (stopword-stripped token lists:
+    * the function-word-free pathology every quality classifier is
+    * meant to reject) — so separation is learnable by construction on
+    * ANY corpus, without assuming fixture metadata correlates with
+    * content (this fixture's lang/source columns are metadata-only —
+    * measured: feature means are flat across both). A fixed-round
+    * full-batch fit under the DECIMAL protocol (`Classifier.fitLogReg`)
+    * then one map-side gate over the real corpus, reported per source
+    * with the trained weights pinned into the row (hash-checking the
+    * ENTIRE descent against the oracle's unrolled-CTE mirror).
+    */
+  private def qualityClfOf(d: DataFrame): DataFrame = {
+    val stop = graft.functions.Text.EffectiveStopwords
+    val toks = Text.tokenize(col("text"))
+    val stripped = filter(toks, t => !t.isin(stop: _*))
+    val pos = d.select(lit(1.0).as("y") +: clfFeatures(toks): _*)
+    val neg = d.select(lit(0.0).as("y") +: clfFeatures(stripped): _*)
+    val w = graft.operators.Classifier.fitLogReg(
+      pos.unionByName(neg), Seq("x1", "x2", "x3"), "y", rounds = 6, lr = 2.0)
+    val z = graft.operators.Classifier.margin(
+      w.toSeq, Seq(col("x1"), col("x2"), col("x3")))
+    d.select(col("source") +: clfFeatures(toks): _*)
+      .select(col("source"), when(z >= 0.0, 1L).otherwise(0L).as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        lit(w(0)).as("w_bias"), lit(w(1)).as("w_stop"),
+        lit(w(2)).as("w_len"), lit(w(3)).as("w_ttr"))
+      .orderBy("source")
+  }
+
   /** q_entropy's body, shared by batch and the doc-fact-store twin:
     * per-doc token Shannon entropy + type-token ratio — the
     * lexical-diversity curation gate beside the Gopher repetition
@@ -1253,6 +1308,19 @@ object AnalysisQueries {
 
     // Streamed twin (doc-fact store; see q_lang_id_streamed).
     "q_quality_streamed" -> ((s, dir) => qualityOf(DocStores.streamedDocs(s, dir))),
+
+    // TRAINED quality classifier (the CCNet/DCLM/FineWeb-Edu gate):
+    // fixed-round full-batch logistic fit on the self-supervised seed
+    // (positives = documents, negatives = their stopword-stripped
+    // corruptions) under the DECIMAL gradient protocol, then ONE
+    // map-side gate pass reported per source — the trained weights
+    // ride every output row, so the hash check covers the whole
+    // descent, not just the final keep counts.
+    "q_quality_clf" -> ((s, dir) => qualityClfOf(docs(s, dir))),
+
+    // Streamed twin (doc-fact store; see q_lang_id_streamed).
+    "q_quality_clf_streamed" -> ((s, dir) =>
+      qualityClfOf(DocStores.streamedDocs(s, dir))),
 
     // Token Shannon entropy + type-token ratio per doc — the
     // lexical-diversity gate; one shuffle-free codegen'd projection
@@ -2738,6 +2806,72 @@ object AnalysisQueries {
          |  round(CASE WHEN t.total > 0 THEN CAST(coalesce(s5.dup_chars, 0) AS DOUBLE) / t.total ELSE 0.0 END, 6) AS dup5_frac
          |FROM tot t LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)""".stripMargin,
 
+    // unrolled-GD mirror of Classifier.fitLogReg: the same 6 rounds as
+    // CTE pairs (gradient aggregate, weight update), the same algebraic
+    // sigmoid (pure IEEE arithmetic — no exp), the same 6dp residual
+    // grid and exact DECIMAL(18,6) gradient sums, the same left-
+    // associated margin text — so the trained weights hash-match
+    // bit-for-bit. Heavy CTEs materialized (seed is scanned 6×).
+    "q_quality_clf" -> {
+      def feats(xs: String) =
+        s"""round(CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(len(list_filter($xs, t -> list_contains([$stopList], t))) AS DOUBLE) * 10.0 / len($xs) END, 6) AS x1,
+           |         round((CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($xs, t -> len(t))) AS DOUBLE) / len($xs) END) - 4.0, 6) AS x2,
+           |         round(CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(len(list_distinct($xs)) AS DOUBLE) / len($xs) END, 6) AS x3""".stripMargin
+      val zOf = (w: String, f: String) =>
+        s"$w.b + $w.w1*$f.x1 + $w.w2*$f.x2 + $w.w3*$f.x3"
+      val rounds = (1 to 6).map { k =>
+        val p = k - 1
+        s"""g$k AS MATERIALIZED (
+           |  SELECT SUM(CAST(r AS DECIMAL(18,6))) AS g0,
+           |         SUM(CAST(round(r * x1, 6) AS DECIMAL(18,6))) AS ga,
+           |         SUM(CAST(round(r * x2, 6) AS DECIMAL(18,6))) AS gb,
+           |         SUM(CAST(round(r * x3, 6) AS DECIMAL(18,6))) AS gc
+           |  FROM (SELECT round((0.5 + 0.5 * z / (1.0 + abs(z))) - y, 6) AS r, x1, x2, x3
+           |        FROM (SELECT s.*, ${zOf("w", "s")} AS z
+           |              FROM seed s CROSS JOIN w$p w) q) h
+           |),
+           |w$k AS MATERIALIZED (
+           |  SELECT round(w.b  - 2.0 * (CAST(g.g0 AS DOUBLE) / n.nd), 6) AS b,
+           |         round(w.w1 - 2.0 * (CAST(g.ga AS DOUBLE) / n.nd), 6) AS w1,
+           |         round(w.w2 - 2.0 * (CAST(g.gb AS DOUBLE) / n.nd), 6) AS w2,
+           |         round(w.w3 - 2.0 * (CAST(g.gc AS DOUBLE) / n.nd), 6) AS w3
+           |  FROM w$p w CROSS JOIN g$k g CROSS JOIN n
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+         |                     t -> t <> '') AS ts
+         |  FROM documents
+         |),
+         |seed AS MATERIALIZED (
+         |  SELECT 1.0 AS y,
+         |         ${feats("ts")}
+         |  FROM toks
+         |  UNION ALL
+         |  SELECT 0.0 AS y,
+         |         ${feats(s"list_filter(ts, t -> NOT list_contains([$stopList], t))")}
+         |  FROM toks
+         |),
+         |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM seed),
+         |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |$rounds,
+         |gate AS (
+         |  SELECT d.source,
+         |         CASE WHEN ${zOf("w", "f")} >= 0.0 THEN 1 ELSE 0 END AS keep
+         |  FROM (SELECT doc_id,
+         |               ${feats("ts")}
+         |        FROM toks) f
+         |  JOIN documents d USING (doc_id)
+         |  CROSS JOIN w6 w
+         |)
+         |SELECT g.source, count(*) AS n_docs, CAST(SUM(g.keep) AS BIGINT) AS n_kept,
+         |       w.b AS w_bias, w.w1 AS w_stop, w.w2 AS w_len, w.w3 AS w_ttr
+         |FROM gate g CROSS JOIN w6 w
+         |GROUP BY 1, w.b, w.w1, w.w2, w.w3
+         |ORDER BY g.source""".stripMargin
+    },
+
     "q_quality" ->
       s"""$toksCte, m AS (
          |  SELECT doc_id,
@@ -3735,7 +3869,8 @@ object AnalysisQueries {
       "q_transitions", "q_scd2", "q_asof_signup", "q_attributed",
       "q_attributed_left", "q_gapfill", "q_trailing_dau",
       "q_source_drift", "q_ab_test", "q_pmi", "q_histogram",
-      "q_quality_gate", "q_lang_id", "q_quality", "q_gram_topk", "q_pack",
+      "q_quality_gate", "q_lang_id", "q_quality", "q_quality_clf",
+      "q_gram_topk", "q_pack",
       "q_entropy", "q_pii_scan", "q_dsir", "q_hapax", "q_mixture",
       "q_bpe_train", "q_corpus_card", "q_anomaly", "q_rag_chunks",
       "q_validate_docs", "q_cdc_merge", "q_ewma", "q_interval_join",
