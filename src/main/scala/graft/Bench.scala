@@ -309,28 +309,52 @@ object Bench {
     // sidecar does too); `store_build_prev` names what was actually
     // compared against, so an all-"new" delta map from a wrong cwd is
     // self-identifying rather than silently plausible
+    // `SPARK_GRAFT_BENCH_ROUND=N` excludes artifacts of round ≥ N, so a
+    // round whose own builder artifact is already committed still
+    // compares against the PRIOR round instead of itself (r17 ADVICE:
+    // the committed BENCH_r17_builder.json recorded store_build_prev =
+    // itself, making every delta self-referentially 0.0)
+    val benchRound: Option[Int] =
+      sys.env.get("SPARK_GRAFT_BENCH_ROUND").flatMap(_.toIntOption)
     val prevArtifact: Option[java.io.File] = {
       val cands = new java.io.File(".")
         .listFiles((_, n) => n.matches("BENCH_r\\d+_builder\\.json"))
-      if (cands == null || cands.isEmpty) None
-      else Some(cands.maxBy(f => f.getName.replaceAll("\\D", "").toInt))
+      def roundOf(f: java.io.File) = f.getName.replaceAll("\\D", "").toInt
+      Option(cands).getOrElse(Array.empty[java.io.File])
+        .filter(f => benchRound.forall(roundOf(f) < _))
+        .sortBy(roundOf).lastOption
     }
+    // r17 ADVICE: a parse failure must be VISIBLE in the artifact, not
+    // silently degrade every delta to "new" — prev_status records it
+    var prevStatus = if (prevArtifact.isEmpty) "none" else "ok"
     def prevPartsOf(key: String): Map[String, Double] =
       try {
         prevArtifact.map { latest =>
           val txt = new String(
             java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
-          (("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt))
-            .map(_.group(1).split(",").toSeq.flatMap { kv =>
-              kv.split(":") match {
-                case Array(k, v) =>
-                  try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
-                  catch { case _: Throwable => None }
-                case _ => None
-              }
-            }.toMap).getOrElse(Map.empty[String, Double])
+          (("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)) match {
+            case None =>
+              prevStatus = s"parse_failed: no $key object in ${latest.getName}"
+              Map.empty[String, Double]
+            case Some(m) =>
+              m.group(1).split(",").toSeq.flatMap { kv =>
+                kv.split(":") match {
+                  case Array(k, v) =>
+                    try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+                    catch {
+                      case _: NumberFormatException =>
+                        None // "new" markers from the prior round's own deltas
+                    }
+                  case _ => None
+                }
+              }.toMap
+          }
         }.getOrElse(Map.empty)
-      } catch { case _: Throwable => Map.empty }
+      } catch {
+        case e: Exception =>
+          prevStatus = s"parse_failed: ${e.toString.take(120)}"
+          Map.empty
+      }
     def deltaJson(cur: Seq[(String, Double)], prev: Map[String, Double]): String =
       cur.map { case (k, v) =>
         esc(k) + ":" + (prev.get(k) match {
@@ -457,7 +481,7 @@ object Bench {
       if (healthFailures.isEmpty) "ok" else "contended:" + healthFailures.mkString(",")
     val storePartsJson = storeParts.map { case (k, v) => esc(k) + ":" + f2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"store_build_parts":$storePartsJson,"store_build_prev":${esc(prevArtifact.map(_.getName).getOrElse("none"))},"store_build_delta_parts":$storeDeltaJson,"dedup_build_delta_parts":$dedupDeltaJson,"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$errs,"protocol":"min_of_2_plus_remeasure","host_health":${esc(hostHealth)},"remeasured":${contended.length},"cube_rollup_ratio":${f4(cubeRollupRatio)},"rollup_end_sec":${f4(rollupEnd)},"cpu_sentinel_start_sec":${f4(cpuStart)},"cpu_sentinel_end_sec":${f4(cpuEnd)},"index_build_sec":${f4(indexBuildSec)},"dedup_build_sec":${f4(dedupBuildSec)},"dedup_build_parts":{"shingle":${f2(shingleBuildSec)},"candidates":${f2(candBuildSec)},"pairs":${f2(pairBuildSec)},"clusters":${f2(clusterBuildSec)},"stream_ingest":${f2(streamedIngestSec)},"stream_memo":${f2(streamedMemoSec)}},"store_build_sec":${f4(storeBuildSec)},"store_build_parts":$storePartsJson,"store_build_prev":${esc(prevArtifact.map(_.getName).getOrElse("none"))},"store_build_prev_status":${esc(prevStatus)},"store_build_delta_parts":$storeDeltaJson,"dedup_build_delta_parts":$dedupDeltaJson,"warmup_sec":${f4(warmupSec)},"sf":"$sfDir"}"""
     println(line)
     // sidecar copy: the FULL artifact at a fixed path (committed per-round
     // as BENCH_r{N}_builder.json)

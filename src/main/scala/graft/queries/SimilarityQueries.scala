@@ -346,7 +346,7 @@ object SimilarityQueries {
     val store = EmbedStores.streamedStore(s, dir)
     def p = graft.streaming.StreamingEmbed.vectors(s, store)
       .select(col("vec_id"), col("v"), col("norm"))
-    val ver = graft.streaming.StreamingEmbed.storeVersion(s, store)
+    val ver = graft.streaming.StreamingEmbed.storeVersionCached(s, store)
     val root = graft.sources.SessionStores.scopedPath("graft_embstream_ivf0",
       s"ivf0_v${ver._1}_${ver._2}_" + graft.sources.SessionStores.tagOf(store))
     val cents = ivf0Centroids.computeIfAbsent(root,
@@ -367,7 +367,9 @@ object SimilarityQueries {
     */
   private[graft] def streamedWhitenTable(s: SparkSession, dir: String): DataFrame = {
     val store = EmbedStores.streamedStore(s, dir)
-    val ver = graft.streaming.StreamingEmbed.storeVersion(s, store)
+    // cached resolve (r17 ADVICE): a served execution must not pay a
+    // store-shaped version aggregate inside the timed row
+    val ver = graft.streaming.StreamingEmbed.storeVersionCached(s, store)
     WhitenStore.tableFor(s, dir, s"streamed_v${ver._1}_${ver._2}",
       streamedEmbeddings(s, dir))
   }
@@ -391,7 +393,7 @@ object SimilarityQueries {
     import org.apache.spark.sql.functions._
     val p = graft.streaming.StreamingEmbed.vectors(s, store)
       .select("vec_id", "v", "norm")
-    val ver = graft.streaming.StreamingEmbed.storeVersion(s, store)
+    val ver = graft.streaming.StreamingEmbed.storeVersionCached(s, store)
     val root = graft.sources.SessionStores.scopedPath("graft_embstream_ivf",
       s"ivf_v${ver._1}_${ver._2}_" +
         graft.sources.SessionStores.tagOf(store))
@@ -777,11 +779,17 @@ object SimilarityQueries {
          |)""".stripMargin
     if (!deflateNext) base
     else base + ", " +
+      // r17 ADVICE: covariance entries / eigenvalues go up to 64·300²
+      // ≈ 5.8e6 under the engine's ±300 element contract — DECIMAL(18,6)
+      // like the w/trace CTEs, not (12,6). The unit-bounded loading
+      // product downcasts EXACTLY to (13,12) (|v|≤1, scale-12 product of
+      // two 6dp values) to keep the triple product inside DuckDB's
+      // 38-digit decimal width.
       s"""cf${m + 1} AS MATERIALIZED (
          |  SELECT c0.i, c0.j,
-         |         round(CAST(CAST(c0.c AS DECIMAL(12,6))
-         |               - CAST(l.eig AS DECIMAL(12,6))
-         |                 * CAST(vi.x AS DECIMAL(12,6)) * CAST(vj.x AS DECIMAL(12,6)) AS DOUBLE), 6) AS c
+         |         round(CAST(CAST(c0.c AS DECIMAL(18,6))
+         |               - CAST(l.eig AS DECIMAL(18,6))
+         |                 * CAST(CAST(vi.x AS DECIMAL(12,6)) * CAST(vj.x AS DECIMAL(12,6)) AS DECIMAL(13,12)) AS DOUBLE), 6) AS c
          |  FROM cf$m c0 JOIN v${m}8 vi ON c0.i = vi.i JOIN v${m}8 vj ON c0.j = vj.i, lam$m l
          |)""".stripMargin
   }
@@ -854,8 +862,8 @@ object SimilarityQueries {
   private lazy val whitenSql: String =
     s"""$whitenZCtes
        |SELECT a.m AS comp_a, b.m AS comp_b, count(*) AS n,
-       |       round(CAST(SUM(CAST(a.z AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS mean_a,
-       |       round(CAST(SUM(CAST(a.z AS DECIMAL(12,6)) * CAST(b.z AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS gram
+       |       round(CAST(SUM(CAST(a.z AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_a,
+       |       round(CAST(SUM(CAST(a.z AS DECIMAL(18,6)) * CAST(b.z AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS gram
        |FROM z a JOIN z b ON a.vec_id = b.vec_id AND a.m <= b.m
        |GROUP BY 1, 2""".stripMargin
 

@@ -94,6 +94,7 @@ object StreamingEmbed {
     val spark = batch.sparkSession
     StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
       storePath, scope, batchId) {
+      invalidateVersion(storePath) // the append changes what version reads
       val ingestMs = StoreMaintenance.nextStamp()
       // null embeddings are dropped up front: they carry no signal (the
       // batch path drops them too — a null bucket never joins), and a
@@ -178,6 +179,25 @@ object StreamingEmbed {
     (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
   }
 
+  /** Per-process memo of `storeVersion` — the aggregate is a real Spark
+    * job over the vector sub-store, and the version-keyed derived memos
+    * (streamedIvf0 / streamedWhitenTable / streamedIvf) resolve it on
+    * EVERY served call, so an unmemoized resolve dilutes every timed
+    * streamed-twin row with a store-shaped job (r17 ADVICE). Every
+    * in-process mutation (append, compact, recover) invalidates; a
+    * mutation from ANOTHER JVM is undetectable from here — the same
+    * in-process-honesty contract as the `activeIngest` compact guard.
+    */
+  private val versionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private[graft] def invalidateVersion(storePath: String): Unit = {
+    versionCache.remove(storePath): Unit
+  }
+
+  private[graft] def storeVersionCached(spark: SparkSession, storePath: String): (Long, Long) =
+    versionCache.computeIfAbsent(storePath, _ => storeVersion(spark, storePath))
+
   /** The accumulated (vec_id, v, norm, bucket) store — feed it to batch
     * similarity consumers over a streamed corpus. One row per vec_id:
     * latest ingest stamp wins (`StreamingDedup.canonicalByDoc`'s rule).
@@ -201,14 +221,17 @@ object StreamingEmbed {
     */
   def compactStore(spark: SparkSession, storePath: String): Unit = {
     StoreMaintenance.assertIngestStopped(spark.sparkContext.hadoopConfiguration, storePath)
+    invalidateVersion(storePath) // the physical collapse changes the raw row count
     StoreMaintenance.compactSubWith(spark, vecsPath(storePath), vecSchema, canonicalVecRows)
     StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, canonicalPairs)
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
   }
 
-  def recoverStore(spark: SparkSession, storePath: String): Unit =
+  def recoverStore(spark: SparkSession, storePath: String): Unit = {
+    invalidateVersion(storePath)
     Seq(vecsPath(storePath), pairsPath(storePath)).foreach { p =>
       StoreMaintenance.recoverSub(spark, p)
     }
+  }
 }

@@ -81,8 +81,16 @@ class BpeSpec extends AnyFunSuite {
       s"n_words ${rows.head._3} != independent corpus word count $independentTotal")
     assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last),
       s"n_bpe must fall with more merges: ${rows.map(_._4).toSeq}")
+    // FIXTURE property, not a theorem (r17 ADVICE): a merge whose
+    // constituent symbol is fully absorbed everywhere SHRINKS the
+    // emergent vocabulary (corpus {"ab"}: k=0 vocab {a,b} = 2, one
+    // merge → {ab} = 1). On this corpus no merge retires a constituent
+    // — every merged pair's parts survive in other contexts — so vocab
+    // grows along the grid. If a fixture regeneration trips this,
+    // re-check the property and re-tune the expectation; the
+    // engine-vs-oracle parity in CORRECTNESS is the correctness check.
     assert(rows.map(_._2).sliding(2).forall(p => p.head <= p.last),
-      s"vocab must grow with more merges: ${rows.map(_._2).toSeq}")
+      s"vocab should grow along the grid ON THIS FIXTURE (see comment): ${rows.map(_._2).toSeq}")
     // and the k=0 row is the raw character encoding: strictly worse
     // fertility than the full 8-merge vocabulary on any real corpus
     assert(rows.head._5 > rows.last._5)
