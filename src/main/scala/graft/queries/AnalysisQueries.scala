@@ -1551,6 +1551,22 @@ object AnalysisQueries {
     "q_bpe_train_streamed" -> ((s, dir) =>
       graft.operators.Bpe.train(BpeStreamStores.words(s, dir), rounds = 8)),
 
+    // UNIGRAM-LM TOKENIZER TRAINING (Kudo '18 / SentencePiece — the
+    // other mainstream tokenizer family beside BPE): deterministic
+    // hard-EM over the same vocab-sized word-frequency state, Viterbi
+    // E-step by exhaustive composition enumeration, exact-integer
+    // counts, Laplace M-step on the 6dp grid. Oracle unrolls the 3 EM
+    // rounds as CTE pairs and re-derives the Viterbi argmax with the
+    // identical fold/tie-break.
+    "q_unigram_train" -> ((s, dir) =>
+      graft.operators.Unigram.train(bpeWords(s, dir))),
+
+    // Vocabulary-budget sweep over ONE trained unigram model: fertility
+    // along the chars+top-b piece grid — the budget-vs-efficiency curve
+    // a tokenizer designer reads (q_bpe_sweep's knob for this family).
+    "q_unigram_sweep" -> ((s, dir) =>
+      graft.operators.Unigram.sweep(bpeWords(s, dir))),
+
     // ENCODE under the learned vocabulary — the serving half of BPE
     // (train once, tokenize the corpus forever): the 8 learned merges
     // (an 8-row bounded lift from the session merge store, trained once
@@ -2386,6 +2402,78 @@ object AnalysisQueries {
        |     WHEN score_fr = $g THEN 'fr'
        |     ELSE 'es' END""".stripMargin
   }
+
+  /** One unrolled unigram-EM round: Viterbi E-step (the engine's exact
+    * fold — `list_reduce` starts from the first element, the engine
+    * folds from 1.0; 1.0·x ≡ x bitwise — with the identical
+    * (cost DESC, key ASC) tie-break) into exact-integer piece counts,
+    * then the Laplace M-step on the 6dp grid over VOCAB counts.
+    */
+  private def unigramRoundSql(r: Int): String = {
+    val prev = s"up${r - 1}"
+    s"""um$r AS (
+       |  SELECT map(list(piece ORDER BY piece), list(p ORDER BY piece)) AS pm FROM $prev
+       |), ue$r AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS c FROM (
+       |    SELECT wc, unnest(pieces) AS piece FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost DESC, key) AS rk
+       |      FROM (SELECT useg.*,
+       |                   list_reduce(list_transform(pieces,
+       |                     x -> coalesce(pm[x][1], CAST(0.0 AS DOUBLE))),
+       |                     (a, b) -> a * b) AS cost
+       |            FROM useg, um$r))
+       |    WHERE rk = 1)
+       |  GROUP BY 1
+       |), up$r AS MATERIALIZED (
+       |  SELECT v.piece,
+       |         round(CAST(coalesce(e.c, 0) + 1 AS DOUBLE) / (t.ct + t.v), 6) AS p
+       |  FROM uvocab v LEFT JOIN ue$r e USING (piece),
+       |       (SELECT SUM(coalesce(e2.c, 0)) AS ct, count(*) AS v
+       |        FROM uvocab v2 LEFT JOIN ue$r e2 USING (piece)) t
+       |)""".stripMargin
+  }
+
+  /** Shared unigram oracle chain (mirrors `operators/Unigram.scala`):
+    * tokenize → word types → seed substring counts → vocabulary
+    * (all chars + top-12 multi by (count DESC, piece)) → Laplace p0 →
+    * RECURSIVE exhaustive segmentation enumeration → 3 unrolled EM
+    * round pairs. `WITH RECURSIVE` heads the chain for the enumeration.
+    */
+  private lazy val unigramCtes: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+       |                     t -> t <> '') AS ts
+       |  FROM documents
+       |), uwords AS MATERIALIZED (
+       |  SELECT t AS word, count(*) AS wc FROM toks, unnest(ts) AS u(t) GROUP BY 1
+       |), usubs AS MATERIALIZED (
+       |  SELECT substr(word, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |         SUM(wc) AS c0
+       |  FROM uwords,
+       |       unnest(range(1, len(word) + 1)) AS pp(p),
+       |       unnest(range(1, 5)) AS ll(l)
+       |  WHERE p + l - 1 <= len(word)
+       |  GROUP BY 1
+       |), uvocab AS MATERIALIZED (
+       |  SELECT piece, c0 FROM usubs WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c0 FROM (
+       |    SELECT piece, c0 FROM usubs WHERE len(piece) > 1
+       |    ORDER BY c0 DESC, piece LIMIT 12)
+       |), up0 AS MATERIALIZED (
+       |  SELECT piece, round(CAST(c0 + 1 AS DOUBLE) / (t.ct + t.v), 6) AS p
+       |  FROM uvocab, (SELECT SUM(c0) AS ct, count(*) AS v FROM uvocab) t
+       |), usegr AS (
+       |  SELECT word, wc, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM uwords
+       |  UNION ALL
+       |  SELECT word, wc, pos + l, list_append(pieces, substr(word, CAST(pos + 1 AS INTEGER), CAST(l AS INTEGER)))
+       |  FROM usegr, unnest(range(1, 5)) AS ll(l)
+       |  WHERE pos + l <= len(word)
+       |), useg AS MATERIALIZED (
+       |  SELECT word, wc, pieces, array_to_string(pieces, '|') AS key
+       |  FROM usegr WHERE pos = len(word)
+       |), ${(1 to 3).map(unigramRoundSql).mkString(", ")}""".stripMargin
 
   /** session_window mirror: islands re-derived at µs precision with the
     * native operator's HALF-OPEN merge rule (a gap of exactly the
@@ -3440,6 +3528,56 @@ object AnalysisQueries {
                  |         l || r AS merged, n AS pair_count FROM b$r""".stripMargin)
              .mkString("\n  UNION ALL\n  ")}
          |) ORDER BY round""".stripMargin,
+
+    // unigram-EM mirror: the final-round counts and probabilities off
+    // the unrolled 3-round chain (unigramCtes doc for the fold /
+    // tie-break / grid parity argument)
+    "q_unigram_train" ->
+      s"""$unigramCtes
+         |SELECT v.piece, CAST(len(v.piece) AS BIGINT) AS piece_len,
+         |       CAST(coalesce(e.c, 0) AS BIGINT) AS n_uses, p.p AS prob
+         |FROM uvocab v LEFT JOIN ue3 e USING (piece) JOIN up3 p USING (piece)
+         |ORDER BY v.piece""".stripMargin,
+
+    // budget sweep mirror: per budget, the chars + top-b restriction of
+    // the SAME trained probabilities (selection only, no renorm), the
+    // identical Viterbi re-segmentation, exact-integer piece mass
+    "q_unigram_sweep" -> {
+      val budgets = Seq(0, 4, 8, 12)
+      val perBudget = budgets.map { b =>
+        s"""uvb$b AS (
+           |  SELECT piece, p FROM up3 WHERE len(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, p FROM (
+           |    SELECT piece, p FROM up3 WHERE len(piece) > 1
+           |    ORDER BY p DESC, piece LIMIT $b)
+           |), umb$b AS (
+           |  SELECT map(list(piece ORDER BY piece), list(p ORDER BY piece)) AS pm FROM uvb$b
+           |), unb$b AS (
+           |  SELECT CAST(SUM(wc * len(pieces)) AS BIGINT) AS n_pieces
+           |  FROM (SELECT wc, pieces,
+           |               row_number() OVER (PARTITION BY word ORDER BY cost DESC, key) AS rk
+           |        FROM (SELECT useg.*,
+           |                     list_reduce(list_transform(pieces,
+           |                       x -> coalesce(pm[x][1], CAST(0.0 AS DOUBLE))),
+           |                       (a, b) -> a * b) AS cost
+           |              FROM useg, umb$b))
+           |  WHERE rk = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val rows = budgets.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS budget,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM uvb$b) AS vocab_size,
+           |       (SELECT CAST(SUM(wc) AS BIGINT) FROM uwords) AS n_words,
+           |       (SELECT n_pieces FROM unb$b) AS n_pieces,
+           |       round(CAST((SELECT n_pieces FROM unb$b) AS DOUBLE)
+           |             / CAST((SELECT SUM(wc) FROM uwords) AS BIGINT), 6) AS fertility""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$unigramCtes, $perBudget
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY budget""".stripMargin
+    },
 
     // encode ≡ the training-state trajectory: per-word token counts are
     // the round-8 state's row counts, joined back onto the doc token
