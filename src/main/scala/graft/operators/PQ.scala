@@ -98,11 +98,52 @@ object PQ {
     * shares one PQ codebook across cells); every float compare is 6-dp
     * rounded; probe selection reuses the trained-IVF tie-break.
     */
+  /** OPQ eigenvalue-allocation rotation (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013, §4 parametric form): a variance-
+    * BALANCING permutation of the coordinates — subspace m receives the
+    * dims of variance rank m, m+M, m+2M, … (round-robin by descending
+    * variance, dim-index tie-break), so no subspace hoards the energy
+    * and the per-subspace codebooks share the quantization load. A
+    * permutation is the member of the orthogonal group the oracle can
+    * mirror EXACTLY (a dense learned rotation would unroll d power-
+    * iteration chains into the CTE mirror); on this corpus a dense
+    * rotation has nothing further to add anyway — the spectrum is
+    * near-isotropic (top-8 PCA directions hold ~20% of total variance,
+    * measured at sf0.01), so energy balancing IS the parametric-OPQ
+    * lever. Input: `Pca.Model.diag` (the 6dp covariance diagonal — one
+    * Gramian corpus pass); output: the 1-based source dim for each
+    * rotated position.
+    */
+  def eigenAllocation(diag: Seq[Double]): Seq[Int] = {
+    require(diag.length == M * SubDim,
+      s"eigenAllocation expects ${M * SubDim} dims, got ${diag.length}")
+    val ranked = diag.zipWithIndex.sortBy { case (v, i) => (-v, i) }.map(_._2 + 1)
+    // SNAKE (boustrophedon) allocation — what greedy balancing reduces
+    // to on a sorted sequence: round s hands ranks out forward when s
+    // is even, backward when odd, so for any linearly-varying spectrum
+    // the per-subspace sums balance EXACTLY (OpqSpec pins it)
+    (0 until diag.length).map { j =>
+      val m = j / SubDim
+      val s = j % SubDim
+      val pos = if (s % 2 == 0) m else M - 1 - m
+      ranked(s * M + pos)
+    }
+  }
+
+  /** @param perm OPQ rotation (`eigenAllocation`): applied to the
+    *             RESIDUALS before the subspace split and to the query
+    *             vector feeding the ADC table — never to the coarse
+    *             term or the exact re-rank, which stay in the original
+    *             basis (a permutation preserves every inner product, so
+    *             q·res = perm(q)·perm(res) holds exactly).
+    */
   def ivfPqTopK(assigned: DataFrame, cents: Seq[Similarity.Centroid],
                 queryId: Long, k: Int, nProbe: Int = 4,
-                poolSize: Int = 100): DataFrame = {
+                poolSize: Int = 100, perm: Option[Seq[Int]] = None): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
+    def rotate(c: Column): Column =
+      perm.fold(c)(p => array(p.map(i => element_at(c, lit(i))): _*))
     // normalized vectors with their cell
     val pn = assigned.select(col("vec_id"),
       transform(col("v"), x => x / col("norm")).as("vn"), col("cell"))
@@ -112,7 +153,7 @@ object PQ {
     // residuals of every vector against its own cell's centroid
     val res = pn.join(broadcast(centDf), "cell")
       .select(col("vec_id"), col("cell"),
-        zip_with(col("vn"), col("cnv"), (a, b) => a - b).as("vn"))
+        rotate(zip_with(col("vn"), col("cnv"), (a, b) => a - b)).as("vn"))
     val subs = subvectors(res.select("vec_id", "vn"))
     val cb = codebook(subs) // residual codewords, vec_id < K, all cells
     // probe cells: the query's nProbe best cells by the SAME rounded
@@ -124,7 +165,8 @@ object PQ {
     val codes = encode(subs.join(cand.select("vec_id"), "vec_id"), cb)
     // global ADC table: query (full normalized) subvectors × residual
     // codewords — K×M rows
-    val qsubs = subvectors(pn.filter(col("vec_id") === queryId).select("vec_id", "vn"))
+    val qsubs = subvectors(pn.filter(col("vec_id") === queryId)
+      .select(col("vec_id"), rotate(col("vn")).as("vn")))
     val qd = cb.join(qsubs.select(col("m"), col("sub").as("qsub")), Seq("m"))
       .select(col("m"), col("cent_id"), round(dot(col("qsub"), col("cw")), 6).as("qdot"))
     // per-probed-cell coarse term q·ĉ

@@ -32,6 +32,12 @@ object SimilarityQueries {
     // IVF-PQ: residual encoding against the trained cells + per-cell
     // coarse term + global ADC table — the billion-scale composition
     "q_ann_ivfpq" -> ((s, dir) => VectorStore.ivfPqTopK(s, dir, queryId = 0L, k = 10)),
+
+    // IVF-PQ with the OPQ eigen-allocation rotation composed in
+    // (Pca.fit's covariance diagonal → variance-balancing permutation →
+    // residuals rotate before the subspace split). Same code budget as
+    // q_ann_ivfpq; recall parity pinned in PQSpec via retrievalEval.
+    "q_ann_opq" -> ((s, dir) => VectorStore.ivfPqOpqTopK(s, dir, queryId = 0L, k = 10)),
     // MMR diversity re-rank: greedy relevance-minus-redundancy over a
     // distributed top-30 pool; only the pool-sized matrix lifts
     "q_mmr" -> ((s, dir) => VectorStore.mmrRerank(s, dir)),
@@ -522,8 +528,43 @@ object SimilarityQueries {
     * per-cell coarse term + DECIMAL-summed code dots → pool(100) →
     * exact re-rank. Every float compare 6-dp, every sum exact.
     */
-  private lazy val ivfPqSql: String =
-    s"""$prepCte, c0 AS (
+  /** The IVF-PQ mirror chain, optionally with the OPQ eigen-allocation
+    * rotation spliced in (`rotated = true`): the covariance DIAGONAL is
+    * re-derived with the exact cf1 formula (the q_embed_pca-proven
+    * text restricted to i = j), ranked (variance DESC, dim ASC), and
+    * round-robin-allocated — `pl[j]` is the source dim of rotated
+    * position j, exactly `PQ.eigenAllocation`. The rotation applies to
+    * residuals and the query's ADC-side vector only; coarse term and
+    * exact re-rank stay in the original basis, mirroring the engine.
+    */
+  private def ivfPqChain(rotated: Boolean): String = {
+    val permCtes = if (!rotated) "" else
+      s""", dmo AS MATERIALIZED (
+         |  SELECT t.i,
+         |         SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE), 6) AS DECIMAL(15,6))
+         |             * CAST(round(CAST(embedding[t.i] AS DOUBLE), 6) AS DECIMAL(15,6))) AS g,
+         |         SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE), 6) AS DECIMAL(15,6))) AS s
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1
+         |), dg AS (
+         |  SELECT i, round((CAST(g AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn) / nn, 6) AS c
+         |  FROM dmo, (SELECT count(*) AS nn FROM embeddings)
+         |), operm AS (
+         |  SELECT list(olddim ORDER BY
+         |           (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8
+         |           + r // 8) AS pl
+         |  FROM (SELECT i AS olddim, row_number() OVER (ORDER BY c DESC, i) - 1 AS r FROM dg)
+         |)""".stripMargin
+    val residRot = if (!rotated) "" else
+      s""", rres AS (
+         |  SELECT vec_id, cell, list_transform(range(1, 65), jj -> r[pl[jj]]) AS r
+         |  FROM resid, operm
+         |)""".stripMargin
+    val residSrc = if (rotated) "rres" else "resid"
+    val qsubsSrc = if (rotated)
+      s"""(SELECT vec_id, list_transform(range(1, 65), jj -> vn[pl[jj]]) AS vn
+         |   FROM pnorm, operm WHERE vec_id = 0)""".stripMargin
+    else "(SELECT vec_id, vn FROM pnorm WHERE vec_id = 0)"
+    s"""$prepCte$permCtes, c0 AS (
        |  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n WHERE vec_id < 16
        |), ${lloydIterSql(0)}, ${lloydIterSql(1)}, sf AS (
        |  SELECT n.vec_id, n.v, n.norm, cent_id,
@@ -544,9 +585,9 @@ object SimilarityQueries {
        |  SELECT vec_id, p.cell,
        |         list_transform(range(1, 65), i -> vn[i] - cnv[i]) AS r
        |  FROM pnorm p JOIN centn USING (cell)
-       |), rsubs AS (
+       |)$residRot, rsubs AS (
        |  SELECT vec_id, t.m, list_transform(range(1, 9), i -> r[t.m * 8 + i]) AS sub
-       |  FROM resid, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(m)
+       |  FROM $residSrc, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(m)
        |), cb AS (
        |  SELECT m, vec_id AS cent_id, sub AS cw FROM rsubs WHERE vec_id < 32
        |), cand AS (
@@ -564,8 +605,7 @@ object SimilarityQueries {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cent_id) = 1
        |), qsubs AS (
        |  SELECT t.m, list_transform(range(1, 9), i -> vn[t.m * 8 + i]) AS qsub
-       |  FROM pnorm, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(m)
-       |  WHERE vec_id = 0
+       |  FROM $qsubsSrc q0, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(m)
        |), qd AS (
        |  SELECT c.m, c.cent_id,
        |         round(list_sum(list_transform(range(1, 9), i -> qs.qsub[i] * c.cw[i])), 6) AS qdot
@@ -593,6 +633,10 @@ object SimilarityQueries {
        |             / (norm * qn), 6) AS sim
        |FROM n JOIN pool USING (vec_id), q
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  private lazy val ivfPqSql: String = ivfPqChain(rotated = false)
+  private lazy val opqSql: String = ivfPqChain(rotated = true)
 
   /** One MMR greedy step as CTEs: per remaining candidate, the max
     * 6-dp cosine to the already-selected set, then the argmax of
@@ -1175,6 +1219,9 @@ object SimilarityQueries {
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1""".stripMargin,
 
     "q_ann_ivfpq" -> ivfPqSql,
+    // full-chain mirror: covariance diagonal (cf1 formula restricted to
+    // i = j) → eigen-allocation permutation → rotated residual encode
+    "q_ann_opq" -> opqSql,
     "q_mmr" -> mmrSql,
 
     // SemDeDup mirror: same trained assignment as q_ann_ivf_trained,

@@ -142,6 +142,35 @@ object VectorStore {
     graft.operators.PQ.ivfPqTopK(assigned, cents, queryId, k, nProbe, poolSize)
   }
 
+  /** The OPQ eigen-allocation permutation for `dir`, memoized per
+    * process: ONE `Pca.fit` Gramian pass supplies the 6dp covariance
+    * diagonal (`Model.diag`), `PQ.eigenAllocation` turns it into the
+    * variance-balancing rotation — model-sized state, like the centroid
+    * cache above.
+    */
+  private val opqPermCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+
+  private def opqPerm(spark: SparkSession, dir: String): Seq[Int] =
+    opqPermCache.computeIfAbsent(dir, _ =>
+      graft.operators.PQ.eigenAllocation(
+        graft.operators.Pca.fit(emb(spark, dir), dims = 64, k = 1).diag.toSeq))
+
+  /** IVF-PQ with the OPQ rotation composed in: residuals rotate through
+    * the eigen-allocation permutation before the subspace split (see
+    * `PQ.eigenAllocation`); coarse term and exact re-rank stay in the
+    * original basis. Same code budget as `ivfPqTopK` (M codes, K
+    * codewords) — the rotation only changes WHICH coordinates share a
+    * codebook.
+    */
+  def ivfPqOpqTopK(spark: SparkSession, dir: String, queryId: Long, k: Int,
+                   nCells: Int = 16, iters: Int = 2, nProbe: Int = 4,
+                   poolSize: Int = 100): DataFrame = {
+    val (assigned, cents) = ivf(spark, dir, nCells, iters)
+    graft.operators.PQ.ivfPqTopK(assigned, cents, queryId, k, nProbe, poolSize,
+      Some(opqPerm(spark, dir)))
+  }
+
   /** PQ-ADC top-k over the prepared store (codebook + encode derive from
     * the same persisted relation; a deployment would persist the code
     * table alongside — at fixture scale the encode pass is cheaper than
