@@ -357,6 +357,38 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q_quality_clf_eval's body: the same CCNet-style seed, but the fit
+    * sees ONLY the deterministic train split (`TextAnalysis.splitLabel`
+    * on doc_id — both corruption classes inherit their document's
+    * split, so no document leaks across the boundary), and the report
+    * is per-split gate accuracy — the held-out evaluation a production
+    * filter ships with. Hash-visibility: a fit that silently saw val/
+    * test rows changes the weights, hence every accuracy cell.
+    */
+  private def qualityClfEvalOf(d: DataFrame): DataFrame = {
+    val stop = graft.functions.Text.EffectiveStopwords
+    val toks = Text.tokenize(col("text"))
+    val stripped = filter(toks, t => !t.isin(stop: _*))
+    def seedOf(y: Double, xs: Column) =
+      d.select(TextAnalysis.splitLabel(col("doc_id")).as("split") +:
+        lit(y).as("y") +: clfFeatures(xs): _*)
+    val seed = seedOf(1.0, toks).unionByName(seedOf(0.0, stripped))
+    val w = graft.operators.Classifier.fitLogReg(
+      seed.filter(col("split") === "train"), Seq("x1", "x2", "x3"), "y",
+      rounds = 6, lr = 2.0)
+    val z = graft.operators.Classifier.margin(
+      w.toSeq, Seq(col("x1"), col("x2"), col("x3")))
+    seed
+      .select(col("split"),
+        when((z >= 0.0) === (col("y") === 1.0), 1L).otherwise(0L).as("ok"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_examples"), sum("ok").as("n_correct"))
+      .select(col("split"), col("n_examples"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_examples"), 6)
+          .as("accuracy"))
+      .orderBy("split")
+  }
+
   /** q_entropy's body, shared by batch and the doc-fact-store twin:
     * per-doc token Shannon entropy + type-token ratio — the
     * lexical-diversity curation gate beside the Gopher repetition
@@ -1322,6 +1354,10 @@ object AnalysisQueries {
     "q_quality_clf_streamed" -> ((s, dir) =>
       qualityClfOf(DocStores.streamedDocs(s, dir))),
 
+    // Held-out evaluation of the trained gate: fit on the
+    // deterministic md5 train split only, report per-split accuracy.
+    "q_quality_clf_eval" -> ((s, dir) => qualityClfEvalOf(docs(s, dir))),
+
     // Token Shannon entropy + type-token ratio per doc — the
     // lexical-diversity gate; one shuffle-free codegen'd projection
     // (native entropy_stats, exact integer internals).
@@ -1566,6 +1602,29 @@ object AnalysisQueries {
     // a tokenizer designer reads (q_bpe_sweep's knob for this family).
     "q_unigram_sweep" -> ((s, dir) =>
       graft.operators.Unigram.sweep(bpeWords(s, dir))),
+
+    // ENCODE under the trained unigram vocabulary — the serving half
+    // (q_bpe_encode's counterpart for this family): per-doc token and
+    // piece counts off the types-table best segmentations, joined back
+    // onto the doc token stream; zero-token docs kept via left join.
+    "q_unigram_encode" -> ((s, dir) => {
+      val w = bpeWords(s, dir)
+      val f = graft.operators.Unigram.fit(w)
+      val enc = graft.operators.Unigram
+        .bestSegs(graft.operators.Unigram.segTable(w), f.history.last)
+        .select(col("word"), size(col("pieces")).cast("long").as("np"))
+      val ex = docs(s, dir).select(col("doc_id"),
+        explode(Text.tokenize(col("text"))).as("word"))
+      val m = ex.join(enc, "word").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("np").as("n_pieces"))
+      docs(s, dir).select("doc_id").join(m, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0)
+            .otherwise(round(col("n_pieces").cast("double") / col("n_tokens"), 6))
+            .as("fertility"))
+    }),
 
     // ENCODE under the learned vocabulary — the serving half of BPE
     // (train once, tokenize the corpus forever): the 8 learned merges
@@ -2403,6 +2462,98 @@ object AnalysisQueries {
        |     ELSE 'es' END""".stripMargin
   }
 
+  /** The trained-quality-classifier oracle chain (mirror of
+    * `Classifier.fitLogReg` + `qualityClfOf`/`qualityClfEvalOf`): 6
+    * unrolled GD rounds as (gradient, weight) CTE pairs — algebraic
+    * sigmoid (no exp), 6dp residual grid, exact DECIMAL(18,6) gradient
+    * sums, left-associated margin text. `eval = true` filters every
+    * gradient aggregate (and the denominator count) to the md5 train
+    * split and reports per-split gate accuracy instead of the
+    * per-source keep counts.
+    */
+  private def clfOracleSql(eval: Boolean): String = {
+    def feats(xs: String) =
+      s"""round(CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(len(list_filter($xs, t -> list_contains([$stopList], t))) AS DOUBLE) * 10.0 / len($xs) END, 6) AS x1,
+         |         round((CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($xs, t -> len(t))) AS DOUBLE) / len($xs) END) - 4.0, 6) AS x2,
+         |         round(CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(len(list_distinct($xs)) AS DOUBLE) / len($xs) END, 6) AS x3""".stripMargin
+    val zOf = (w: String, f: String) =>
+      s"$w.b + $w.w1*$f.x1 + $w.w2*$f.x2 + $w.w3*$f.x3"
+    // md5 nibble bucket — the q_split mirror text (hashBucket100)
+    def nib(i: Int) =
+      s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) <= 57
+         |      THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48
+         |      ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87 END)""".stripMargin
+    val bucket = (2 to 4).map(nib).foldLeft(nib(1))((acc, n) => s"($acc * 16 + $n)") + " % 100"
+    val splitSel = if (!eval) "" else
+      s"""CASE WHEN $bucket < 80 THEN 'train'
+         |              WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |         """.stripMargin
+    val trainWhere = if (eval) " WHERE s.split = 'train'" else ""
+    val nWhere = if (eval) " WHERE split = 'train'" else ""
+    val rounds = (1 to 6).map { k =>
+      val p = k - 1
+      s"""g$k AS MATERIALIZED (
+         |  SELECT SUM(CAST(r AS DECIMAL(18,6))) AS g0,
+         |         SUM(CAST(round(r * x1, 6) AS DECIMAL(18,6))) AS ga,
+         |         SUM(CAST(round(r * x2, 6) AS DECIMAL(18,6))) AS gb,
+         |         SUM(CAST(round(r * x3, 6) AS DECIMAL(18,6))) AS gc
+         |  FROM (SELECT round((0.5 + 0.5 * z / (1.0 + abs(z))) - y, 6) AS r, x1, x2, x3
+         |        FROM (SELECT s.*, ${zOf("w", "s")} AS z
+         |              FROM seed s CROSS JOIN w$p w$trainWhere) q) h
+         |),
+         |w$k AS MATERIALIZED (
+         |  SELECT round(w.b  - 2.0 * (CAST(g.g0 AS DOUBLE) / n.nd), 6) AS b,
+         |         round(w.w1 - 2.0 * (CAST(g.ga AS DOUBLE) / n.nd), 6) AS w1,
+         |         round(w.w2 - 2.0 * (CAST(g.gb AS DOUBLE) / n.nd), 6) AS w2,
+         |         round(w.w3 - 2.0 * (CAST(g.gc AS DOUBLE) / n.nd), 6) AS w3
+         |  FROM w$p w CROSS JOIN g$k g CROSS JOIN n
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finalSelect = if (!eval)
+      s"""gate AS (
+         |  SELECT d.source,
+         |         CASE WHEN ${zOf("w", "f")} >= 0.0 THEN 1 ELSE 0 END AS keep
+         |  FROM (SELECT doc_id,
+         |               ${feats("ts")}
+         |        FROM toks) f
+         |  JOIN documents d USING (doc_id)
+         |  CROSS JOIN w6 w
+         |)
+         |SELECT g.source, count(*) AS n_docs, CAST(SUM(g.keep) AS BIGINT) AS n_kept,
+         |       w.b AS w_bias, w.w1 AS w_stop, w.w2 AS w_len, w.w3 AS w_ttr
+         |FROM gate g CROSS JOIN w6 w
+         |GROUP BY 1, w.b, w.w1, w.w2, w.w3
+         |ORDER BY g.source""".stripMargin
+    else
+      s"""scored AS (
+         |  SELECT s.split,
+         |         CASE WHEN (${zOf("w", "s")} >= 0.0) = (s.y = 1.0) THEN 1 ELSE 0 END AS ok
+         |  FROM seed s CROSS JOIN w6 w
+         |)
+         |SELECT split, count(*) AS n_examples, CAST(SUM(ok) AS BIGINT) AS n_correct,
+         |       round(CAST(SUM(ok) AS DOUBLE) / count(*), 6) AS accuracy
+         |FROM scored GROUP BY 1 ORDER BY split""".stripMargin
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+       |                     t -> t <> '') AS ts
+       |  FROM documents
+       |),
+       |seed AS MATERIALIZED (
+       |  SELECT ${splitSel}1.0 AS y,
+       |         ${feats("ts")}
+       |  FROM toks
+       |  UNION ALL
+       |  SELECT ${splitSel}0.0 AS y,
+       |         ${feats(s"list_filter(ts, t -> NOT list_contains([$stopList], t))")}
+       |  FROM toks
+       |),
+       |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM seed$nWhere),
+       |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$rounds,
+       |$finalSelect""".stripMargin
+  }
+
   /** One unrolled unigram-EM round: Viterbi E-step (the engine's exact
     * fold — `list_reduce` starts from the first element, the engine
     * folds from 1.0; 1.0·x ≡ x bitwise — with the identical
@@ -2900,65 +3051,13 @@ object AnalysisQueries {
     // grid and exact DECIMAL(18,6) gradient sums, the same left-
     // associated margin text — so the trained weights hash-match
     // bit-for-bit. Heavy CTEs materialized (seed is scanned 6×).
-    "q_quality_clf" -> {
-      def feats(xs: String) =
-        s"""round(CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(len(list_filter($xs, t -> list_contains([$stopList], t))) AS DOUBLE) * 10.0 / len($xs) END, 6) AS x1,
-           |         round((CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($xs, t -> len(t))) AS DOUBLE) / len($xs) END) - 4.0, 6) AS x2,
-           |         round(CASE WHEN len($xs) = 0 THEN 0.0 ELSE CAST(len(list_distinct($xs)) AS DOUBLE) / len($xs) END, 6) AS x3""".stripMargin
-      val zOf = (w: String, f: String) =>
-        s"$w.b + $w.w1*$f.x1 + $w.w2*$f.x2 + $w.w3*$f.x3"
-      val rounds = (1 to 6).map { k =>
-        val p = k - 1
-        s"""g$k AS MATERIALIZED (
-           |  SELECT SUM(CAST(r AS DECIMAL(18,6))) AS g0,
-           |         SUM(CAST(round(r * x1, 6) AS DECIMAL(18,6))) AS ga,
-           |         SUM(CAST(round(r * x2, 6) AS DECIMAL(18,6))) AS gb,
-           |         SUM(CAST(round(r * x3, 6) AS DECIMAL(18,6))) AS gc
-           |  FROM (SELECT round((0.5 + 0.5 * z / (1.0 + abs(z))) - y, 6) AS r, x1, x2, x3
-           |        FROM (SELECT s.*, ${zOf("w", "s")} AS z
-           |              FROM seed s CROSS JOIN w$p w) q) h
-           |),
-           |w$k AS MATERIALIZED (
-           |  SELECT round(w.b  - 2.0 * (CAST(g.g0 AS DOUBLE) / n.nd), 6) AS b,
-           |         round(w.w1 - 2.0 * (CAST(g.ga AS DOUBLE) / n.nd), 6) AS w1,
-           |         round(w.w2 - 2.0 * (CAST(g.gb AS DOUBLE) / n.nd), 6) AS w2,
-           |         round(w.w3 - 2.0 * (CAST(g.gc AS DOUBLE) / n.nd), 6) AS w3
-           |  FROM w$p w CROSS JOIN g$k g CROSS JOIN n
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toks AS MATERIALIZED (
-         |  SELECT doc_id,
-         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
-         |                     t -> t <> '') AS ts
-         |  FROM documents
-         |),
-         |seed AS MATERIALIZED (
-         |  SELECT 1.0 AS y,
-         |         ${feats("ts")}
-         |  FROM toks
-         |  UNION ALL
-         |  SELECT 0.0 AS y,
-         |         ${feats(s"list_filter(ts, t -> NOT list_contains([$stopList], t))")}
-         |  FROM toks
-         |),
-         |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM seed),
-         |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-         |$rounds,
-         |gate AS (
-         |  SELECT d.source,
-         |         CASE WHEN ${zOf("w", "f")} >= 0.0 THEN 1 ELSE 0 END AS keep
-         |  FROM (SELECT doc_id,
-         |               ${feats("ts")}
-         |        FROM toks) f
-         |  JOIN documents d USING (doc_id)
-         |  CROSS JOIN w6 w
-         |)
-         |SELECT g.source, count(*) AS n_docs, CAST(SUM(g.keep) AS BIGINT) AS n_kept,
-         |       w.b AS w_bias, w.w1 AS w_stop, w.w2 AS w_len, w.w3 AS w_ttr
-         |FROM gate g CROSS JOIN w6 w
-         |GROUP BY 1, w.b, w.w1, w.w2, w.w3
-         |ORDER BY g.source""".stripMargin
-    },
+    "q_quality_clf" -> clfOracleSql(eval = false),
+
+    // held-out mirror: the identical chain, but every gradient
+    // aggregate (and the Laplace n) filters to the md5 train split —
+    // a fit that saw val/test rows diverges in the weights and hence
+    // every accuracy cell
+    "q_quality_clf_eval" -> clfOracleSql(eval = true),
 
     "q_quality" ->
       s"""$toksCte, m AS (
@@ -3538,6 +3637,33 @@ object AnalysisQueries {
          |       CAST(coalesce(e.c, 0) AS BIGINT) AS n_uses, p.p AS prob
          |FROM uvocab v LEFT JOIN ue3 e USING (piece) JOIN up3 p USING (piece)
          |ORDER BY v.piece""".stripMargin,
+
+    // encode mirror: the final-round (up3) probabilities re-segment the
+    // types table with the identical fold/tie-break; per-doc counts join
+    // the best segmentations onto the doc token stream (LEFT JOIN keeps
+    // zero-token docs, the q_entropy discipline)
+    "q_unigram_encode" ->
+      s"""$unigramCtes, uem AS (
+         |  SELECT map(list(piece ORDER BY piece), list(p ORDER BY piece)) AS pm FROM up3
+         |), uenc AS (
+         |  SELECT word, CAST(len(pieces) AS BIGINT) AS np FROM (
+         |    SELECT word, pieces, row_number() OVER (PARTITION BY word ORDER BY cost DESC, key) AS rk
+         |    FROM (SELECT useg.*, list_reduce(list_transform(pieces,
+         |              x -> coalesce(pm[x][1], CAST(0.0 AS DOUBLE))), (a, b) -> a * b) AS cost
+         |          FROM useg, uem))
+         |  WHERE rk = 1
+         |), uex AS (
+         |  SELECT doc_id, t AS word FROM toks, unnest(ts) AS u(t)
+         |), um AS (
+         |  SELECT doc_id, count(*) AS n_tokens, CAST(SUM(np) AS BIGINT) AS n_pieces
+         |  FROM uex JOIN uenc USING (word) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(um.n_tokens, 0) AS n_tokens,
+         |       coalesce(um.n_pieces, 0) AS n_pieces,
+         |       CASE WHEN coalesce(um.n_tokens, 0) = 0 THEN 0.0
+         |            ELSE round(CAST(um.n_pieces AS DOUBLE) / um.n_tokens, 6) END AS fertility
+         |FROM documents d LEFT JOIN um USING (doc_id)""".stripMargin,
 
     // budget sweep mirror: per budget, the chars + top-b restriction of
     // the SAME trained probabilities (selection only, no renorm), the
