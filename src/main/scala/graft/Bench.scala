@@ -295,7 +295,10 @@ object Bench {
     storePart("whiten") {
       graft.queries.SimilarityQueries.WhitenStore.table(spark, sfDir).count()
       graft.queries.SimilarityQueries.streamedWhitenTable(spark, sfDir).count()
-      graft.queries.SimilarityQueries.streamedIvf0(spark, sfDir)._1.count(): Unit }
+      graft.queries.SimilarityQueries.streamedIvf0(spark, sfDir)._1.count()
+      // r18: the OPQ eigen-allocation fit (one Gramian pass) — model
+      // state q_ann_opq serves from, warmed like the centroid cache
+      graft.sources.VectorStore.opqPerm(spark, sfDir).length: Unit }
     val storeBuildSec =
       if (storeParts.values.exists(_ < 0)) -1.0 else storeParts.values.sum
 

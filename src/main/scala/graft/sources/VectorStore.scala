@@ -151,7 +151,7 @@ object VectorStore {
   private val opqPermCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
 
-  private def opqPerm(spark: SparkSession, dir: String): Seq[Int] =
+  private[graft] def opqPerm(spark: SparkSession, dir: String): Seq[Int] =
     opqPermCache.computeIfAbsent(dir, _ =>
       graft.operators.PQ.eigenAllocation(
         graft.operators.Pca.fit(emb(spark, dir), dims = 64, k = 1).diag.toSeq))
