@@ -37,8 +37,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Classifier {
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = graft.util.Num.r6(x)
 
   /** The linear margin z = w₀ + Σ wⱼ·xⱼ with LITERAL weights — built
     * left-associated so the engine's IEEE evaluation order matches the

@@ -42,8 +42,7 @@ import org.apache.spark.sql.types._
   */
 object Pca {
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = graft.util.Num.r6(x)
 
   /** One fitted component: 6dp loadings (sign convention applied),
     * the 6dp eigenvalue estimate, and its share of the ORIGINAL trace.

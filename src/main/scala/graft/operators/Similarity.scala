@@ -476,8 +476,7 @@ object Similarity {
         cosine(col("va"), col("na"), col("vb"), col("nb")).as("s"))
       .as[(Long, Long, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = graft.util.Num.r6(x)
     var selected = Vector.empty[(Int, Long, Double)]
     var remaining = simq.keySet
     for (rank <- 1 to math.min(k, simq.size)) {

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * SCALE SHAPE: the corpus-proportional work is ONE word-frequency
   * aggregation (the caller's `words` relation — the same vocab-sized
   * state `Bpe.train` runs on). Everything after runs over WORD TYPES:
-  * the segmentation table is |types| × compositions(len ≤ 12) ≤ 927
+  * the segmentation table is |types| × compositions(len ≤ 12) ≤ 1 490
   * rows each, every E-step is one types-sized exchange, and the only
   * driver lifts are MODEL-sized (the vocabulary and its counts — a
   * tokenizer model is driver-resident by definition, exactly like
@@ -52,9 +52,10 @@ object Unigram {
 
   /** Composition-table bound: a corpus word longer than this fails
     * LOUDLY (the raise_error guard in `segTable`) instead of silently
-    * vanishing from the enumeration join. 12 keeps the table at 2 872
-    * rows total; raise it consciously for long-word corpora (the table
-    * grows ~tetranacci, ×1.93 per extra character).
+    * vanishing from the enumeration join. 12 keeps the table at 3 095
+    * rows total (1 490 compositions at length 12); raise it consciously
+    * for long-word corpora (the table grows ~tetranacci, ×1.93 per
+    * extra character).
     */
   val MaxWordLen = 12
 
@@ -66,7 +67,8 @@ object Unigram {
 
   /** Every segmentation of every word type: (word, wc, pieces, key).
     * The composition relation is length-keyed bounded combinatorics
-    * (≤ 2 872 rows), broadcast onto the types relation.
+    * (3 095 rows at the length-12 bound), broadcast onto the types
+    * relation.
     */
   private[graft] def segTable(words: DataFrame): DataFrame = {
     val spark = words.sparkSession
@@ -114,8 +116,7 @@ object Unigram {
       history: Seq[Map[String, Double]], // p0 .. pRounds
       counts: Map[String, Long])         // final-round E-step counts
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = graft.util.Num.r6(x)
 
   /** The EM fit. `words` is a (word, wc) word-frequency relation. */
   private[graft] def fit(words: DataFrame, multiBudget: Int = 12,
@@ -196,10 +197,17 @@ object Unigram {
     * token, the tokenizer-efficiency knob the budget trades against.
     */
   def sweep(words: DataFrame, budgets: Seq[Int] = Seq(0, 4, 8, 12),
-            rounds: Int = 3): DataFrame = {
+            rounds: Int = 3): DataFrame =
+    sweepFitted(words, budgets, fit(words, multiBudget = budgets.max, rounds = rounds))
+
+  /** `sweep` over an already-trained model — the serving split (r18
+    * review): callers that memoize the fit (the BpeStores "training is
+    * input state for serving" discipline) re-segment without re-paying
+    * the EM rounds, and the types table is enumerated exactly once.
+    */
+  private[graft] def sweepFitted(words: DataFrame, budgets: Seq[Int], f: Fitted): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    val f = fit(words, multiBudget = budgets.max, rounds = rounds)
     val trained = f.history.last
     val nWords = words.agg(sum(col("wc"))).collect()(0).getLong(0)
     val seg = segTable(words)

@@ -256,6 +256,20 @@ object AnalysisQueries {
       .select(explode(Text.tokenize(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
 
+  /** Per-(process, dir) memo of the trained unigram model — the
+    * BpeStores "training is input state for serving" discipline for
+    * this family: q_unigram_train stays the TIMED live training loop
+    * (the operator under measure), while the serving queries
+    * (q_unigram_encode, q_unigram_sweep) read the driver-resident
+    * model and pay only their own re-segmentation (r18 review).
+    */
+  private val unigramFitCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Unigram.Fitted]()
+
+  private def unigramFit(s: SparkSession, dir: String): graft.operators.Unigram.Fitted =
+    unigramFitCache.computeIfAbsent(dir,
+      _ => graft.operators.Unigram.fit(bpeWords(s, dir)))
+
   /** Session-scoped learned-merge store: `Bpe.train` runs ONCE per
     * (process, corpus) and q_bpe_encode reads the 8-row table — the
     * centroid-store discipline (training is input state for serving).
@@ -1600,8 +1614,10 @@ object AnalysisQueries {
     // Vocabulary-budget sweep over ONE trained unigram model: fertility
     // along the chars+top-b piece grid — the budget-vs-efficiency curve
     // a tokenizer designer reads (q_bpe_sweep's knob for this family).
+    // Serves the memoized model; training is timed in q_unigram_train.
     "q_unigram_sweep" -> ((s, dir) =>
-      graft.operators.Unigram.sweep(bpeWords(s, dir))),
+      graft.operators.Unigram.sweepFitted(bpeWords(s, dir),
+        Seq(0, 4, 8, 12), unigramFit(s, dir))),
 
     // ENCODE under the trained unigram vocabulary — the serving half
     // (q_bpe_encode's counterpart for this family): per-doc token and
@@ -1609,7 +1625,7 @@ object AnalysisQueries {
     // onto the doc token stream; zero-token docs kept via left join.
     "q_unigram_encode" -> ((s, dir) => {
       val w = bpeWords(s, dir)
-      val f = graft.operators.Unigram.fit(w)
+      val f = unigramFit(s, dir)
       val enc = graft.operators.Unigram
         .bestSegs(graft.operators.Unigram.segTable(w), f.history.last)
         .select(col("word"), size(col("pieces")).cast("long").as("np"))

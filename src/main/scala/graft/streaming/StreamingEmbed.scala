@@ -92,7 +92,7 @@ object StreamingEmbed {
                                   scope: String = "default", bits: Int = 8,
                                   threshold: Double = 0.3): Boolean = {
     val spark = batch.sparkSession
-    StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
+    val appended = StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
       storePath, scope, batchId) {
       invalidateVersion(storePath) // the append changes what version reads
       val ingestMs = StoreMaintenance.nextStamp()
@@ -155,6 +155,12 @@ object StreamingEmbed {
         newPairs.write.mode(SaveMode.Append).parquet(pairsPath(storePath))
       } finally cands.unpersist(): Unit
     }
+    // invalidate AFTER the append lands too (r18 review): a reader that
+    // resolved the version DURING the append window re-populated the
+    // cache with the pre-append pair — without this second clear it
+    // would serve stale derived state until the next mutation
+    if (appended) invalidateVersion(storePath)
+    appended
   }
 
   /** The accumulated verified pair relation — exact across the replay
@@ -226,6 +232,9 @@ object StreamingEmbed {
     StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, canonicalPairs)
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
+    // and again after the swap: a read during the rewrite window must
+    // not pin the pre-compact version (r18 review)
+    invalidateVersion(storePath)
   }
 
   def recoverStore(spark: SparkSession, storePath: String): Unit = {
@@ -233,5 +242,6 @@ object StreamingEmbed {
     Seq(vecsPath(storePath), pairsPath(storePath)).foreach { p =>
       StoreMaintenance.recoverSub(spark, p)
     }
+    invalidateVersion(storePath) // post-recovery clear (see compactStore)
   }
 }
