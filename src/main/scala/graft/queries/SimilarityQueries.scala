@@ -36,8 +36,11 @@ object SimilarityQueries {
     // IVF-PQ with the OPQ eigen-allocation rotation composed in
     // (Pca.fit's covariance diagonal → variance-balancing permutation →
     // residuals rotate before the subspace split). Same code budget as
-    // q_ann_ivfpq; recall parity pinned in PQSpec via retrievalEval.
-    "q_ann_opq" -> ((s, dir) => VectorStore.ivfPqOpqTopK(s, dir, queryId = 0L, k = 10)),
+    // q_ann_ivfpq; recall parity pinned in OpqSpec via retrievalEval.
+    // Pool 12 (vs ivfpq's 100): tight enough that the rotated-code ADC
+    // ranking decides the output — a skipped rotation hash-fails.
+    "q_ann_opq" -> ((s, dir) =>
+      VectorStore.ivfPqOpqTopK(s, dir, queryId = 0L, k = 10, poolSize = 12)),
     // MMR diversity re-rank: greedy relevance-minus-redundancy over a
     // distributed top-30 pool; only the pool-sized matrix lifts
     "q_mmr" -> ((s, dir) => VectorStore.mmrRerank(s, dir)),
@@ -538,6 +541,11 @@ object SimilarityQueries {
     * exact re-rank stay in the original basis, mirroring the engine.
     */
   private def ivfPqChain(rotated: Boolean): String = {
+    // the rotated row serves a TIGHT pool (12) so the rotated-code ADC
+    // ranking — not the exact re-rank over a pool ⊇ the candidates —
+    // decides the output: at pool 100 the top-10 equals plain IVF-PQ's
+    // and a silently-skipped rotation would be hash-invisible
+    val poolSize = if (rotated) 12 else 100
     val permCtes = if (!rotated) "" else
       s""", dmo AS MATERIALIZED (
          |  SELECT t.i,
@@ -624,7 +632,7 @@ object SimilarityQueries {
        |  SELECT est.vec_id, qc.qc + est.sumr AS est
        |  FROM est JOIN cand USING (vec_id) JOIN qc ON cand.cell = qc.cell
        |), pool AS (
-       |  SELECT vec_id FROM scored ORDER BY est DESC, vec_id LIMIT 100
+       |  SELECT vec_id FROM scored ORDER BY est DESC, vec_id LIMIT $poolSize
        |), q AS (
        |  SELECT v AS qv, norm AS qn FROM n WHERE vec_id = 0
        |)
