@@ -312,6 +312,59 @@ object RelationalQueries {
         "l_key", withKey(tbl(s, dir, "lineitem")).schema).drop("l_key")
   }
 
+  /** q_excess_stock's body (TPC-H Q20), shared by the batch query and
+    * the lineitem-fact-store streamed twin — see the registration
+    * comment for the decorrelation and grain rationale.
+    */
+  private def excessStockOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val prod = tbl(s, dir, "part").filter(col("p_name") === "small gizmo")
+      .select(col("p_partkey").as("l_partkey"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))
+    val cells = li
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_shipdate"), col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      .join(prod, "l_partkey") // dim-sized side: AQE/stats pick broadcast
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(
+        coalesce(sum(when(col("l_returnflag") === "R", col("qty"))), zero)
+          .as("avail"),
+        coalesce(sum(when(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_shipdate") < lit("2002-01-01"), col("qty"))), zero)
+          .as("demand"))
+      .filter(col("demand") > zero &&
+        col("avail") * lit(new java.math.BigDecimal(2)) > col("demand"))
+    tbl(s, dir, "supplier")
+      .join(cells.select("s_suppkey"), Seq("s_suppkey"), "left_semi")
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+
+  /** q_returned_top's body (TPC-H Q10), shared by the batch query and
+    * the lineitem-fact-store streamed twin.
+    */
+  private def returnedTopOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val l = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+    val o = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01") &&
+        col("o_orderdate") < lit("1999-07-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .join(tbl(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey")), "c_custkey")
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   private def nationTradeEdges(s: SparkSession, dir: String,
                                slice: Option[Int] = None): DataFrame = {
     val liAll = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -765,29 +818,86 @@ object RelationalQueries {
     // BEFORE any join, then one LeftSemi into supplier; never a
     // nested-loop (PlanSpec pins it). The threshold compares in exact
     // DECIMAL as 2·avail > demand — the Q11 no-division discipline.
-    "q_excess_stock" -> ((s, dir) => {
-      val prod = tbl(s, dir, "part").filter(col("p_name") === "small gizmo")
-        .select(col("p_partkey").as("l_partkey"))
-      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))
-      val cells = tbl(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
-          col("l_shipdate"), col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
-        .join(prod, "l_partkey") // dim-sized side: AQE/stats pick broadcast
-        .groupBy(col("l_suppkey").as("s_suppkey"))
+    "q_excess_stock" -> ((s, dir) =>
+      excessStockOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin: the Q20 chain over the accumulated
+    // (compacted, dedup-free-served) lineitem fact store.
+    "q_excess_stock_streamed" -> ((s, dir) =>
+      excessStockOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
+
+    // TPC-H Q10 shape (returned-item reporting): customers who returned
+    // goods in a half-year window, ranked by lost revenue — the
+    // fact-filter → agg → two dimension joins → top-k chain. Revenue in
+    // per-row DECIMAL(18,4); the order key is the (double-cast revenue,
+    // custkey) pair, identical text both engines.
+    "q_returned_top" -> ((s, dir) =>
+      returnedTopOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_returned_top_streamed" -> ((s, dir) =>
+      returnedTopOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
+
+    // TPC-H Q12 shape (shipping-priority audit): per problem-flag class
+    // ('A'/'R' — the schema's shipmode analog), how many lines in the
+    // ship window belong to HIGH-priority orders vs not — the
+    // fact ⋈ dim conditional-count aggregate.
+    "q_priority_lines" -> ((s, dir) => {
+      val hi = Seq("1-URGENT", "2-HIGH")
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("2000-01-01"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      l.join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
         .agg(
-          coalesce(sum(when(col("l_returnflag") === "R", col("qty"))), zero)
-            .as("avail"),
-          coalesce(sum(when(col("l_shipdate") >= lit("1998-01-01") &&
-            col("l_shipdate") < lit("2002-01-01"), col("qty"))), zero)
-            .as("demand"))
-        .filter(col("demand") > zero &&
-          col("avail") * lit(new java.math.BigDecimal(2)) > col("demand"))
-      tbl(s, dir, "supplier")
-        .join(cells.select("s_suppkey"), Seq("s_suppkey"), "left_semi")
-        .join(broadcast(tbl(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_name"), col("n_name"))
-        .orderBy("s_name")
+          sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarter revenue per supplier, the
+    // argmax via the Q11 global-scalar pattern (1-row max relation on a
+    // crossJoin AQE broadcasts; equality in exact DECIMAL so ties —
+    // ALL maximal suppliers — resolve identically on both engines).
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("1999-04-01"))
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(mx)
+        .filter(col("total_revenue") === col("mx"))
+        .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          "s_suppkey")
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    // quantity falls below 0.2× their part's average — the correlated
+    // per-part scalar decorrelated to aggregate-then-join, with the
+    // threshold compared DIVISION-FREE (qty < s/(5n) ⟺ s > qty·5·n;
+    // the s side exact DECIMAL cast to double, the same IEEE products
+    // both engines — no float-average boundary to diverge on).
+    "q_small_qty_rev" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("s"),
+          count(lit(1)).as("n"))
+      li.select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+        .join(pa, "l_partkey")
+        .filter(col("s").cast("double") > col("l_quantity") * 5 * col("n"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("price")).cast("double") / 7.0, 6).as("avg_yearly"))
     }),
 
     // CBO join-cardinality estimation (the statistics pass an optimizer
@@ -1572,6 +1682,61 @@ object RelationalQueries {
         |         AND l2.l_partkey IN (SELECT p_partkey FROM prod))
         |ORDER BY s.s_name""".stripMargin,
 
+    // TPC-H Q10 mirror: identical DECIMAL revenue, identical
+    // (revenue DESC, custkey) total order under the limit
+    "q_returned_top" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name,
+         |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+         |  AND o.o_orderdate <  TIMESTAMP '1999-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    // TPC-H Q12 mirror: integer conditional counts — exact by nature
+    "q_priority_lines" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1999-01-01'
+        |  AND l_shipdate <  TIMESTAMP '2000-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q15 mirror: the classic view-then-max formulation; the max
+    // equality compares in exact DECIMAL so the maximal SET is bit-stable
+    "q_top_supplier" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT l_suppkey AS s_suppkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1999-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT r.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY r.s_suppkey""".stripMargin,
+
+    // TPC-H Q17 mirror: the identical division-free threshold text —
+    // an independent 0.2·avg() float form would diverge exactly at the
+    // boundary the exact comparison exists to pin down
+    "q_small_qty_rev" ->
+      """WITH pa AS MATERIALIZED (
+        |  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s, count(*) AS n
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT count(*) AS n_lines,
+        |       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        |WHERE CAST(pa.s AS DOUBLE) > l.l_quantity * 5 * pa.n""".stripMargin,
+
     // exact inputs + the three bound flags as the theorems they are
     // (HLL protocol: estimates are engine-specific but deterministic
     // for a fixed input; a bound violation flips a flag → hash fail)
@@ -2043,5 +2208,7 @@ object RelationalQueries {
     "q1_agg_streamed" -> "q1_agg",
     "q_big_orders_streamed" -> "q_big_orders",
     "q_late_suppliers_streamed" -> "q_late_suppliers",
+    "q_excess_stock_streamed" -> "q_excess_stock",
+    "q_returned_top_streamed" -> "q_returned_top",
   ).map { case (twin, base) => twin -> oraclesBase(base) }
 }
