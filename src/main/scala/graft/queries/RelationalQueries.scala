@@ -312,6 +312,121 @@ object RelationalQueries {
         "l_key", withKey(tbl(s, dir, "lineitem")).schema).drop("l_key")
   }
 
+  /** q_promo_share's body (TPC-H Q14), shared by the batch query and
+    * the lineitem-fact-store streamed twin.
+    */
+  private def promoShareOf(s: SparkSession, dir: String, liRaw: DataFrame): DataFrame = {
+    val li = liRaw.select(col("l_partkey"),
+      date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("month"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4)).as("rev"))
+    val pt = tbl(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_type"))
+    li.join(pt, "l_partkey")
+      .groupBy("month")
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        coalesce(sum(when(col("p_type") === "PROMO", col("rev"))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 4)))
+          .cast("double").as("prev"))
+      .select(col("month"), col("revenue"),
+        round(lit(100) * col("prev") / col("revenue"), 6).as("promo_share"))
+  }
+
+  /** q_important_parts' body (TPC-H Q11), shared by the batch query and
+    * the lineitem-fact-store streamed twin.
+    */
+  private def importantPartsOf(s: SparkSession, dir: String, liRaw: DataFrame): DataFrame = {
+    val li = liRaw.select(col("l_partkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4)).as("rev"))
+    val per = li.groupBy("l_partkey")
+      .agg(sum(col("rev")).cast(DecimalType(18, 4)).as("value"))
+    val tot = per.agg(sum(col("value")).cast(DecimalType(20, 4)).as("total"),
+      count(lit(1)).as("np"))
+    per.crossJoin(tot)
+      .filter(col("value") * col("np") >
+        col("total") * lit(new java.math.BigDecimal("1.2")))
+      .join(tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_name")), "l_partkey")
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("value").cast("double").as("value"))
+  }
+
+  /** q_disjunctive_rev's body (TPC-H Q19), shared by the batch query
+    * and the lineitem-fact-store streamed twin.
+    */
+  private def disjunctiveRevOf(s: SparkSession, dir: String, liRaw: DataFrame): DataFrame = {
+    val li = liRaw.select(col("l_partkey"), col("l_quantity"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4)).as("rev"))
+    val pt = tbl(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))
+    val pred =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35))
+    li.join(pt, "l_partkey").filter(pred)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  /** q_priority_lines' body (TPC-H Q12), shared by the batch query and
+    * the lineitem-fact-store streamed twin.
+    */
+  private def priorityLinesOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val l = li
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1999-01-01") &&
+        col("l_shipdate") < lit("2000-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    l.join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_top_supplier's body (TPC-H Q15), shared by the batch query and
+    * the lineitem-fact-store streamed twin.
+    */
+  private def topSupplierOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val rev = li
+      .filter(col("l_shipdate") >= lit("1999-01-01") &&
+        col("l_shipdate") < lit("1999-04-01"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(mx)
+      .filter(col("total_revenue") === col("mx"))
+      .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_suppkey")
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q_small_qty_rev's body (TPC-H Q17), shared by the batch query and
+    * the lineitem-fact-store streamed twin.
+    */
+  private def smallQtyRevOf(li: DataFrame): DataFrame = {
+    val pa = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("s"),
+        count(lit(1)).as("n"))
+    li.select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+      .join(pa, "l_partkey")
+      .filter(col("s").cast("double") > col("l_quantity") * 5 * col("n"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("price")).cast("double") / 7.0, 6).as("avg_yearly"))
+  }
+
   /** q_excess_stock's body (TPC-H Q20), shared by the batch query and
     * the lineitem-fact-store streamed twin — see the registration
     * comment for the decorrelation and grain rationale.
@@ -693,22 +808,12 @@ object RelationalQueries {
     // in per-row DECIMAL(18,4) exactly like every money aggregate here;
     // only the final percentage is float. Closes the one fixture table
     // (part) the surface didn't exercise.
-    "q_promo_share" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
-        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("month"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4)).as("rev"))
-      val pt = tbl(s, dir, "part")
-        .select(col("p_partkey").as("l_partkey"), col("p_type"))
-      li.join(pt, "l_partkey")
-        .groupBy("month")
-        .agg(sum(col("rev")).cast("double").as("revenue"),
-          coalesce(sum(when(col("p_type") === "PROMO", col("rev"))),
-            lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 4)))
-            .cast("double").as("prev"))
-        .select(col("month"), col("revenue"),
-          round(lit(100) * col("prev") / col("revenue"), 6).as("promo_share"))
-    }),
+    "q_promo_share" -> ((s, dir) =>
+      promoShareOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_promo_share_streamed" -> ((s, dir) =>
+      promoShareOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
 
     // TPC-H Q18 shape (large-volume customers): orders whose lineitems
     // sum past a quantity threshold, with customer attribution — the
@@ -763,22 +868,12 @@ object RelationalQueries {
     // The threshold is AVERAGE-relative (value·n_parts > total·1.2) so
     // it is scale-invariant and EVERY comparison stays in exact
     // DECIMAL — no division, no rounding on either engine.
-    "q_important_parts" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4)).as("rev"))
-      val per = li.groupBy("l_partkey")
-        .agg(sum(col("rev")).cast(DecimalType(18, 4)).as("value"))
-      val tot = per.agg(sum(col("value")).cast(DecimalType(20, 4)).as("total"),
-        count(lit(1)).as("np"))
-      per.crossJoin(tot)
-        .filter(col("value") * col("np") >
-          col("total") * lit(new java.math.BigDecimal("1.2")))
-        .join(tbl(s, dir, "part")
-          .select(col("p_partkey").as("l_partkey"), col("p_name")), "l_partkey")
-        .select(col("l_partkey").as("p_partkey"), col("p_name"),
-          col("value").cast("double").as("value"))
-    }),
+    "q_important_parts" -> ((s, dir) =>
+      importantPartsOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_important_parts_streamed" -> ((s, dir) =>
+      importantPartsOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
 
     // TPC-H Q19 shape (discounted revenue under a DISJUNCTION of
     // brand/size/quantity conjunctions): the OR-of-ANDs predicate
@@ -787,21 +882,12 @@ object RelationalQueries {
     // derivable disjunction (brand/size to the part scan, the
     // quantity envelope to the lineitem scan) instead of filtering
     // the full join product. PlanSpec pins the pushed Or filters.
-    "q_disjunctive_rev" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4)).as("rev"))
-      val pt = tbl(s, dir, "part")
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))
-      val pred =
-        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
-          col("l_quantity").between(1, 20)) ||
-        (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
-          col("l_quantity").between(10, 35))
-      li.join(pt, "l_partkey").filter(pred)
-        .agg(count(lit(1)).as("n_lines"),
-          sum(col("rev")).cast("double").as("revenue"))
-    }),
+    "q_disjunctive_rev" -> ((s, dir) =>
+      disjunctiveRevOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_disjunctive_rev_streamed" -> ((s, dir) =>
+      disjunctiveRevOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
 
     // TPC-H Q20 shape (excess stock): suppliers semi-joined through a
     // part-name filter and gated by a CORRELATED 0.5·sum(l_quantity)
@@ -842,44 +928,23 @@ object RelationalQueries {
     // ('A'/'R' — the schema's shipmode analog), how many lines in the
     // ship window belong to HIGH-priority orders vs not — the
     // fact ⋈ dim conditional-count aggregate.
-    "q_priority_lines" -> ((s, dir) => {
-      val hi = Seq("1-URGENT", "2-HIGH")
-      val l = tbl(s, dir, "lineitem")
-        .filter(col("l_returnflag").isin("A", "R") &&
-          col("l_shipdate") >= lit("1999-01-01") &&
-          col("l_shipdate") < lit("2000-01-01"))
-        .select(col("l_orderkey"), col("l_returnflag"))
-      l.join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_returnflag")
-        .agg(
-          sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
-            .as("high_line_count"),
-          sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
-            .as("low_line_count"))
-        .orderBy("l_returnflag")
-    }),
+    "q_priority_lines" -> ((s, dir) =>
+      priorityLinesOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_priority_lines_streamed" -> ((s, dir) =>
+      priorityLinesOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
 
     // TPC-H Q15 shape (top supplier): quarter revenue per supplier, the
     // argmax via the Q11 global-scalar pattern (1-row max relation on a
     // crossJoin AQE broadcasts; equality in exact DECIMAL so ties —
     // ALL maximal suppliers — resolve identically on both engines).
-    "q_top_supplier" -> ((s, dir) => {
-      val rev = tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1999-01-01") &&
-          col("l_shipdate") < lit("1999-04-01"))
-        .groupBy(col("l_suppkey").as("s_suppkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4))).as("total_revenue"))
-      val mx = rev.agg(max(col("total_revenue")).as("mx"))
-      rev.crossJoin(mx)
-        .filter(col("total_revenue") === col("mx"))
-        .join(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-          "s_suppkey")
-        .select(col("s_suppkey"), col("s_name"),
-          col("total_revenue").cast("double").as("total_revenue"))
-        .orderBy("s_suppkey")
-    }),
+    "q_top_supplier" -> ((s, dir) =>
+      topSupplierOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_top_supplier_streamed" -> ((s, dir) =>
+      topSupplierOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
 
     // TPC-H Q17 shape (small-quantity-order revenue): lines whose
     // quantity falls below 0.2× their part's average — the correlated
@@ -887,18 +952,12 @@ object RelationalQueries {
     // threshold compared DIVISION-FREE (qty < s/(5n) ⟺ s > qty·5·n;
     // the s side exact DECIMAL cast to double, the same IEEE products
     // both engines — no float-average boundary to diverge on).
-    "q_small_qty_rev" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-      val pa = li.groupBy(col("l_partkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("s"),
-          count(lit(1)).as("n"))
-      li.select(col("l_partkey"), col("l_quantity"),
-          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
-        .join(pa, "l_partkey")
-        .filter(col("s").cast("double") > col("l_quantity") * 5 * col("n"))
-        .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("price")).cast("double") / 7.0, 6).as("avg_yearly"))
-    }),
+    "q_small_qty_rev" -> ((s, dir) =>
+      smallQtyRevOf(tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_small_qty_rev_streamed" -> ((s, dir) =>
+      smallQtyRevOf(LineitemStores.streamedLineitem(s, dir))),
 
     // CBO join-cardinality estimation (the statistics pass an optimizer
     // runs before picking a join strategy): HLL NDVs + the containment
@@ -2210,5 +2269,11 @@ object RelationalQueries {
     "q_late_suppliers_streamed" -> "q_late_suppliers",
     "q_excess_stock_streamed" -> "q_excess_stock",
     "q_returned_top_streamed" -> "q_returned_top",
+    "q_promo_share_streamed" -> "q_promo_share",
+    "q_important_parts_streamed" -> "q_important_parts",
+    "q_disjunctive_rev_streamed" -> "q_disjunctive_rev",
+    "q_priority_lines_streamed" -> "q_priority_lines",
+    "q_top_supplier_streamed" -> "q_top_supplier",
+    "q_small_qty_rev_streamed" -> "q_small_qty_rev",
   ).map { case (twin, base) => twin -> oraclesBase(base) }
 }
