@@ -320,6 +320,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"expected the decorrelated aggregate:\n$p")
   }
 
+  test("q_facts_asof: the batch filter reaches the store scan; no dedup exchange") {
+    // time-travel must be a PRUNED SCAN, not a post-read filter: each
+    // ingest batch wrote its own files with a constant _gbatch, so the
+    // pushed predicate skips post-batch files via row-group stats; and
+    // the compacted store serves raw — the only exchange is the
+    // aggregate's, never a dropDuplicates re-proof
+    val df = SparkEntry.queries("q_facts_asof")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("LessThanOrEqual(_gbatch,1)"),
+      s"the as-of batch filter must be pushed to the store scan:\n$p")
+    assert(shuffles(p) === 1,
+      s"expected exactly the aggregate exchange (no dedup re-proof):\n$p")
+  }
+
   test("q_percentiles serves the shared quantile store; the ONE range pass lives at store build") {
     // r14: the timed q_percentiles plan is a bare store-file projection
     // — NO exchange of any kind (the whole point of sharing one
