@@ -1195,6 +1195,13 @@ object AnalysisQueries {
     def streamedDocs(s: SparkSession, dir: String): DataFrame =
       graft.streaming.StreamingFacts.facts(s, streamedStore(s, dir),
         "doc_id", docSchema)
+
+    /** Point-in-time corpus read (the warehouse `factsAsOf` applied to
+      * the doc store): the corpus as of ingest batch `batchId`.
+      */
+    def streamedDocsAsOf(s: SparkSession, dir: String, batchId: Long): DataFrame =
+      graft.streaming.StreamingFacts.factsAsOf(s, streamedStore(s, dir),
+        batchId, "doc_id", docSchema)
   }
 
   /** The behavioral-analytics family parameterized over the event
@@ -1371,6 +1378,19 @@ object AnalysisQueries {
     // Held-out evaluation of the trained gate: fit on the
     // deterministic md5 train split only, report per-split accuracy.
     "q_quality_clf_eval" -> ((s, dir) => qualityClfEvalOf(docs(s, dir))),
+
+    // CORPUS TIME-TRAVEL: per-source cardinality and token mass as of
+    // doc-store ingest batch 1 of 3 (q_facts_asof's discipline applied
+    // to the document corpus) — "what did the corpus look like before
+    // the last delivery landed", the audit question a curation pipeline
+    // answers before/after comparisons with. Oracle recomputes the
+    // mod-3 slice independently from the raw table.
+    "q_docs_asof" -> ((s, dir) =>
+      DocStores.streamedDocsAsOf(s, dir, 1L)
+        .select(col("source"), TextAnalysis.wsTokenCount(col("text")).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .orderBy("source")),
 
     // Token Shannon entropy + type-token ratio per doc — the
     // lexical-diversity gate; one shuffle-free codegen'd projection
@@ -3074,6 +3094,17 @@ object AnalysisQueries {
     // a fit that saw val/test rows diverges in the weights and hence
     // every accuracy cell
     "q_quality_clf_eval" -> clfOracleSql(eval = true),
+
+    // the as-of-batch-1 corpus slice recomputed independently: batches
+    // are the mod-3 doc_id slices, the token count is the shared
+    // tokenizer's list length
+    "q_docs_asof" ->
+      s"""$toksCte
+         |SELECT d.source, count(*) AS n_docs,
+         |       CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+         |FROM toks JOIN documents d USING (doc_id)
+         |WHERE d.doc_id % 3 <= 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_quality" ->
       s"""$toksCte, m AS (
