@@ -78,12 +78,14 @@ class OpqSpec extends AnyFunSuite {
     } finally { assigned.unpersist(); () }
   }
 
-  test("real fixture at registered parameters: OPQ recall >= plain IVF-PQ") {
+  test("real fixture at the SHIPPED parameters (nProbe 4, pool 12): OPQ recall >= plain") {
     // this corpus is near-isotropic (top-8 PCA directions ≈ 20% of
     // variance; natural 8-dim blocks already balanced — measured), so
-    // the theoretical rotation gain is nil and parity is the honest
-    // expectation; the assertion is the VERDICT's ≥ at the parameters
-    // q_ann_opq actually serves
+    // the rotation gain is small; the assertion is the VERDICT's ≥ at
+    // exactly the parameters q_ann_opq registers (pool 12 — the tight
+    // pool that makes the rotated ADC ranking decide the output), plus
+    // a wide-pool sanity row. Measured at pin time: pool 12 plain
+    // 0.4125 / opq 0.4375; pool 100 both ≈ 0.84 (re-rank saturates).
     val dir = "/root/testdata/sf0.01"
     val (assigned, cents) = VectorStore.ivf(spark, dir, nCells = 16, iters = 2)
     val vs = VectorStore.vectors(spark, dir).select("vec_id", "v", "norm")
@@ -94,11 +96,15 @@ class OpqSpec extends AnyFunSuite {
     val qs = vs.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val exact = Similarity.knnJoin(vs, qs, k = 10, knownQueryCount = Some(nq.toLong))
-    val plain = meanRecall(assigned, cents, exact, nq, 4, 100, None)
-    val opq = meanRecall(assigned, cents, exact, nq, 4, 100, Some(perm))
-    assert(opq >= plain,
-      s"OPQ must not lose recall at the registered parameters: " +
-        s"plain=$plain opq=$opq")
-    assert(opq > 0.5, s"recall unusably low: $opq")
+    val plain12 = meanRecall(assigned, cents, exact, nq, 4, 12, None)
+    val opq12 = meanRecall(assigned, cents, exact, nq, 4, 12, Some(perm))
+    assert(opq12 >= plain12,
+      s"OPQ must not lose recall at the shipped pool-12 config: " +
+        s"plain=$plain12 opq=$opq12")
+    assert(opq12 > 0.3, s"shipped-config recall unusably low: $opq12")
+    // wide pool: the exact re-rank absorbs code noise — both configs
+    // must recover to usable recall
+    val opq100 = meanRecall(assigned, cents, exact, nq, 4, 100, Some(perm))
+    assert(opq100 > 0.5, s"wide-pool recall unusably low: $opq100")
   }
 }
