@@ -118,13 +118,18 @@ object Unigram {
 
   private def r6(x: Double): Double = graft.util.Num.r6(x)
 
-  /** The EM fit. `words` is a (word, wc) word-frequency relation. */
+  /** The EM fit. `words` is a (word, wc) word-frequency relation.
+    * @param seg0 an already-persisted segmentation table to reuse
+    *             (callers chaining several EM phases — `fitPruned` —
+    *             enumerate once); when absent the fit owns its own.
+    */
   private[graft] def fit(words: DataFrame, multiBudget: Int = 12,
-                         rounds: Int = 3): Fitted = {
+                         rounds: Int = 3,
+                         seg0: Option[DataFrame] = None): Fitted = {
     val spark = words.sparkSession
     import spark.implicits._
-    val seg = segTable(words)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seg = seg0.getOrElse(segTable(words)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       // seed: corpus-weighted substring counts; two MODEL-sized lifts
       // (alphabet, budget) — never the full substring-type relation
@@ -154,22 +159,87 @@ object Unigram {
       val history = scala.collection.mutable.ArrayBuffer(probs)
       var counts = Map.empty[String, Long]
       for (_ <- 1 to rounds) {
-        // E: exact integer piece counts off the best segmentations
-        // (model-sized lift; pieces of a best segmentation are vocab
-        // pieces whenever a positive-cost segmentation exists)
-        val raw = bestSegs(seg, probs)
-          .select(col("wc"), explode(col("pieces")).as("piece"))
-          .groupBy("piece").agg(sum(col("wc")).as("c"))
-          .as[(String, Long)].collect().toMap
-        counts = vocab.map(p => p -> raw.getOrElse(p, 0L)).toMap
-        // M: Laplace on the 6dp grid, denominator over VOCAB counts
-        val ct = counts.valuesIterator.sum
-        probs = vocab.map(p =>
-          p -> r6((counts(p) + 1).toDouble / (ct + v))).toMap
+        counts = eStep(seg, vocab, probs)
+        probs = mStep(vocab, counts)
+        history += probs
+      }
+      Fitted(vocab, history.toSeq, counts)
+    } finally { if (seg0.isEmpty) { seg.unpersist(); () } }
+  }
+
+  /** E: exact integer piece counts off the best segmentations
+    * (model-sized lift; pieces of a best segmentation are vocab pieces
+    * whenever a positive-cost segmentation exists — non-vocab pieces
+    * from cost-0 ties are discarded by the vocab restriction).
+    */
+  private def eStep(seg: DataFrame, vocab: Seq[String],
+                    probs: Map[String, Double]): Map[String, Long] = {
+    val spark = seg.sparkSession
+    import spark.implicits._
+    val raw = bestSegs(seg, probs)
+      .select(col("wc"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("c"))
+      .as[(String, Long)].collect().toMap
+    vocab.map(p => p -> raw.getOrElse(p, 0L)).toMap
+  }
+
+  /** M: Laplace on the 6dp grid, denominator over VOCAB counts. */
+  private def mStep(vocab: Seq[String], counts: Map[String, Long]): Map[String, Double] = {
+    val ct = counts.valuesIterator.sum
+    vocab.map(p =>
+      p -> r6((counts(p) + 1).toDouble / (ct + vocab.length))).toMap
+  }
+
+  /** SentencePiece's full training loop shape: seed EM, PRUNE the
+    * weakest multi-char pieces (keep chars + the top `keepBudget` by
+    * (trained prob DESC, piece ASC) — chars never prune, keeping
+    * segmentation total), then CONTINUE EM over the surviving
+    * vocabulary from the surviving probabilities (selection only, no
+    * renormalization — the next M-step renormalizes on its own grid).
+    * One prune cycle demonstrates the algorithm under an oracle-sized
+    * unroll; production SentencePiece iterates the cycle.
+    */
+  private[graft] def fitPruned(words: DataFrame, seedBudget: Int = 16,
+                               preRounds: Int = 2, keepBudget: Int = 12,
+                               postRounds: Int = 1): Fitted = {
+    val seg = segTable(words)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pre = fit(words, seedBudget, preRounds, Some(seg))
+      val trained = pre.history.last
+      val chars = pre.vocab.filter(_.length == 1)
+      val multi = pre.vocab.filter(_.length > 1)
+        .sortBy(p => (-trained(p), p)).take(keepBudget)
+      val vocab = (chars ++ multi).sorted
+      var probs = vocab.map(p => p -> trained(p)).toMap
+      val history = scala.collection.mutable.ArrayBuffer(probs)
+      var counts = Map.empty[String, Long]
+      for (_ <- 1 to postRounds) {
+        counts = eStep(seg, vocab, probs)
+        probs = mStep(vocab, counts)
         history += probs
       }
       Fitted(vocab, history.toSeq, counts)
     } finally { seg.unpersist(); () }
+  }
+
+  /** q_unigram_prune's table: the surviving vocabulary with its
+    * post-prune re-estimated statistics.
+    */
+  def prune(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    val f = fitPruned(words)
+    val rows = f.vocab.map { p =>
+      org.apache.spark.sql.Row(p, p.length.toLong, f.counts(p), f.history.last(p))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("piece", StringType),
+        StructField("piece_len", LongType),
+        StructField("n_uses", LongType),
+        StructField("prob", org.apache.spark.sql.types.DoubleType))))
+      .orderBy("piece")
   }
 
   /** q_unigram_train's table: (piece, piece_len, n_uses, prob). */

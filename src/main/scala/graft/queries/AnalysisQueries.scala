@@ -1639,6 +1639,14 @@ object AnalysisQueries {
       graft.operators.Unigram.sweepFitted(bpeWords(s, dir),
         Seq(0, 4, 8, 12), unigramFit(s, dir))),
 
+    // VOCABULARY PRUNING — the full SentencePiece training-loop shape
+    // (seed EM → prune weakest pieces → continue EM): seed 16 multi
+    // pieces, 2 EM rounds, keep the top 12 by trained probability
+    // (chars never prune — segmentation stays total), one re-EM round
+    // over the survivors. The oracle unrolls the whole cycle.
+    "q_unigram_prune" -> ((s, dir) =>
+      graft.operators.Unigram.prune(bpeWords(s, dir))),
+
     // ENCODE under the trained unigram vocabulary — the serving half
     // (q_bpe_encode's counterpart for this family): per-doc token and
     // piece counts off the types-table best segmentations, joined back
@@ -2596,11 +2604,14 @@ object AnalysisQueries {
     * (cost DESC, key ASC) tie-break) into exact-integer piece counts,
     * then the Laplace M-step on the 6dp grid over VOCAB counts.
     */
-  private def unigramRoundSql(r: Int): String = {
-    val prev = s"up${r - 1}"
-    s"""um$r AS (
+  private def unigramRoundSql(r: Int, px: String = "u",
+                              vocabOf: String => String = p => s"${p}vocab",
+                              prevOverride: Option[String] = None): String = {
+    val prev = prevOverride.getOrElse(s"${px}p${r - 1}")
+    val vocab = vocabOf(px)
+    s"""${px}m$r AS (
        |  SELECT map(list(piece ORDER BY piece), list(p ORDER BY piece)) AS pm FROM $prev
-       |), ue$r AS MATERIALIZED (
+       |), ${px}e$r AS MATERIALIZED (
        |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS c FROM (
        |    SELECT wc, unnest(pieces) AS piece FROM (
        |      SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost DESC, key) AS rk
@@ -2608,17 +2619,34 @@ object AnalysisQueries {
        |                   list_reduce(list_transform(pieces,
        |                     x -> coalesce(pm[x][1], CAST(0.0 AS DOUBLE))),
        |                     (a, b) -> a * b) AS cost
-       |            FROM useg, um$r))
+       |            FROM useg, ${px}m$r))
        |    WHERE rk = 1)
        |  GROUP BY 1
-       |), up$r AS MATERIALIZED (
+       |), ${px}p$r AS MATERIALIZED (
        |  SELECT v.piece,
        |         round(CAST(coalesce(e.c, 0) + 1 AS DOUBLE) / (t.ct + t.v), 6) AS p
-       |  FROM uvocab v LEFT JOIN ue$r e USING (piece),
+       |  FROM $vocab v LEFT JOIN ${px}e$r e USING (piece),
        |       (SELECT SUM(coalesce(e2.c, 0)) AS ct, count(*) AS v
-       |        FROM uvocab v2 LEFT JOIN ue$r e2 USING (piece)) t
+       |        FROM $vocab v2 LEFT JOIN ${px}e$r e2 USING (piece)) t
        |)""".stripMargin
   }
+
+  /** The budget-parameterized vocabulary + seed-probability + unrolled
+    * EM round chain over the shared segmentation base (`unigramBase`):
+    * `px` namespaces the CTEs so several chains (the 12-budget trainer,
+    * the 16-seed pruning chain) coexist in one statement.
+    */
+  private def unigramVocabChainSql(px: String, budget: Int, rounds: Int): String =
+    s"""${px}vocab AS MATERIALIZED (
+       |  SELECT piece, c0 FROM usubs WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c0 FROM (
+       |    SELECT piece, c0 FROM usubs WHERE len(piece) > 1
+       |    ORDER BY c0 DESC, piece LIMIT $budget)
+       |), ${px}p0 AS MATERIALIZED (
+       |  SELECT piece, round(CAST(c0 + 1 AS DOUBLE) / (t.ct + t.v), 6) AS p
+       |  FROM ${px}vocab, (SELECT SUM(c0) AS ct, count(*) AS v FROM ${px}vocab) t
+       |), ${(1 to rounds).map(unigramRoundSql(_, px)).mkString(", ")}""".stripMargin
 
   /** Shared unigram oracle chain (mirrors `operators/Unigram.scala`):
     * tokenize → word types → seed substring counts → vocabulary
@@ -2626,41 +2654,38 @@ object AnalysisQueries {
     * RECURSIVE exhaustive segmentation enumeration → 3 unrolled EM
     * round pairs. `WITH RECURSIVE` heads the chain for the enumeration.
     */
+  /** Vocab-independent base: tokenize → word types → seed substring
+    * counts → RECURSIVE exhaustive segmentation enumeration.
+    */
+  private lazy val unigramBase: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+      |                     t -> t <> '') AS ts
+      |  FROM documents
+      |), uwords AS MATERIALIZED (
+      |  SELECT t AS word, count(*) AS wc FROM toks, unnest(ts) AS u(t) GROUP BY 1
+      |), usubs AS MATERIALIZED (
+      |  SELECT substr(word, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece,
+      |         SUM(wc) AS c0
+      |  FROM uwords,
+      |       unnest(range(1, len(word) + 1)) AS pp(p),
+      |       unnest(range(1, 5)) AS ll(l)
+      |  WHERE p + l - 1 <= len(word)
+      |  GROUP BY 1
+      |), usegr AS (
+      |  SELECT word, wc, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM uwords
+      |  UNION ALL
+      |  SELECT word, wc, pos + l, list_append(pieces, substr(word, CAST(pos + 1 AS INTEGER), CAST(l AS INTEGER)))
+      |  FROM usegr, unnest(range(1, 5)) AS ll(l)
+      |  WHERE pos + l <= len(word)
+      |), useg AS MATERIALIZED (
+      |  SELECT word, wc, pieces, array_to_string(pieces, '|') AS key
+      |  FROM usegr WHERE pos = len(word)
+      |)""".stripMargin
+
   private lazy val unigramCtes: String =
-    s"""WITH RECURSIVE toks AS (
-       |  SELECT doc_id,
-       |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
-       |                     t -> t <> '') AS ts
-       |  FROM documents
-       |), uwords AS MATERIALIZED (
-       |  SELECT t AS word, count(*) AS wc FROM toks, unnest(ts) AS u(t) GROUP BY 1
-       |), usubs AS MATERIALIZED (
-       |  SELECT substr(word, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece,
-       |         SUM(wc) AS c0
-       |  FROM uwords,
-       |       unnest(range(1, len(word) + 1)) AS pp(p),
-       |       unnest(range(1, 5)) AS ll(l)
-       |  WHERE p + l - 1 <= len(word)
-       |  GROUP BY 1
-       |), uvocab AS MATERIALIZED (
-       |  SELECT piece, c0 FROM usubs WHERE len(piece) = 1
-       |  UNION ALL
-       |  SELECT piece, c0 FROM (
-       |    SELECT piece, c0 FROM usubs WHERE len(piece) > 1
-       |    ORDER BY c0 DESC, piece LIMIT 12)
-       |), up0 AS MATERIALIZED (
-       |  SELECT piece, round(CAST(c0 + 1 AS DOUBLE) / (t.ct + t.v), 6) AS p
-       |  FROM uvocab, (SELECT SUM(c0) AS ct, count(*) AS v FROM uvocab) t
-       |), usegr AS (
-       |  SELECT word, wc, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM uwords
-       |  UNION ALL
-       |  SELECT word, wc, pos + l, list_append(pieces, substr(word, CAST(pos + 1 AS INTEGER), CAST(l AS INTEGER)))
-       |  FROM usegr, unnest(range(1, 5)) AS ll(l)
-       |  WHERE pos + l <= len(word)
-       |), useg AS MATERIALIZED (
-       |  SELECT word, wc, pieces, array_to_string(pieces, '|') AS key
-       |  FROM usegr WHERE pos = len(word)
-       |), ${(1 to 3).map(unigramRoundSql).mkString(", ")}""".stripMargin
+    s"$unigramBase, ${unigramVocabChainSql("u", budget = 12, rounds = 3)}"
 
   /** session_window mirror: islands re-derived at µs precision with the
     * native operator's HALF-OPEN merge rule (a gap of exactly the
@@ -3711,6 +3736,29 @@ object AnalysisQueries {
          |       CASE WHEN coalesce(um.n_tokens, 0) = 0 THEN 0.0
          |            ELSE round(CAST(um.n_pieces AS DOUBLE) / um.n_tokens, 6) END AS fertility
          |FROM documents d LEFT JOIN um USING (doc_id)""".stripMargin,
+
+    // SentencePiece prune-cycle mirror: the 16-seed chain (2 EM rounds,
+    // prefix 'pu'), the prune CTE (chars survive; top-12 multi by
+    // (trained prob DESC, piece) — the engine's exact selection), then
+    // ONE more unrolled EM round whose probabilities AND vocabulary are
+    // the pruned relation
+    "q_unigram_prune" -> {
+      val prunedRound = unigramRoundSql(3, "pu", _ => "puv", Some("puv"))
+      s"""$unigramBase, ${unigramVocabChainSql("pu", budget = 16, rounds = 2)},
+         |puv AS MATERIALIZED (
+         |  SELECT v.piece, p.p FROM puvocab v JOIN pup2 p USING (piece)
+         |  WHERE len(v.piece) = 1
+         |  UNION ALL
+         |  SELECT piece, p FROM (
+         |    SELECT v.piece, p.p FROM puvocab v JOIN pup2 p USING (piece)
+         |    WHERE len(v.piece) > 1
+         |    ORDER BY p.p DESC, v.piece LIMIT 12)
+         |), $prunedRound
+         |SELECT v.piece, CAST(len(v.piece) AS BIGINT) AS piece_len,
+         |       CAST(coalesce(e.c, 0) AS BIGINT) AS n_uses, p.p AS prob
+         |FROM puv v LEFT JOIN pue3 e USING (piece) JOIN pup3 p USING (piece)
+         |ORDER BY v.piece""".stripMargin
+    },
 
     // budget sweep mirror: per budget, the chars + top-b restriction of
     // the SAME trained probabilities (selection only, no renorm), the

@@ -58,6 +58,36 @@ class UnigramSpec extends AnyFunSuite {
     } finally { seg.unpersist(); () }
   }
 
+  test("prune cycle: chars survive, exactly keepBudget multi pieces remain, re-EM improves the restricted fit") {
+    val w = words().persist()
+    try {
+      val pre = Unigram.fit(w, multiBudget = 16, rounds = 2)
+      val pruned = Unigram.fitPruned(w, seedBudget = 16, preRounds = 2,
+        keepBudget = 12, postRounds = 1)
+      val chars = pre.vocab.filter(_.length == 1)
+      assert(pruned.vocab.filter(_.length == 1) === chars,
+        "pruning must never drop a character piece — segmentation stays total")
+      assert(pruned.vocab.count(_.length > 1) === 12)
+      assert(pruned.vocab.toSet.subsetOf(pre.vocab.toSet))
+      // the dropped pieces are exactly the weakest by trained prob
+      val trained = pre.history.last
+      val kept = pre.vocab.filter(_.length > 1).sortBy(p => (-trained(p), p)).take(12)
+      assert(pruned.vocab.filter(_.length > 1).sorted === kept.sorted)
+      // hard-EM monotonicity WITHIN the restricted vocabulary: the
+      // re-EM round must not decrease the Viterbi likelihood relative
+      // to serving the pruned selection probabilities directly
+      val seg = Unigram.segTable(w).persist()
+      try {
+        def ll(probs: Map[String, Double]): Double =
+          Unigram.bestSegs(seg, probs)
+            .select((col("wc") * log(col("cost"))).as("ll"))
+            .agg(sum("ll")).collect()(0).getDouble(0)
+        assert(ll(pruned.history.last) >= ll(pruned.history.head) - 1e-9,
+          "post-prune re-EM must not decrease the restricted Viterbi likelihood")
+      } finally { seg.unpersist(); () }
+    } finally { w.unpersist(); () }
+  }
+
   test("fertility comparison row: unigram and BPE both beat the char baseline") {
     val w = words().persist()
     try {
