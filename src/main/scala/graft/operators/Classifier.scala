@@ -70,6 +70,21 @@ object Classifier {
     try {
       val n = seed.count().toDouble
       require(n > 0, "cannot fit a classifier on an empty seed")
+      // a NULL feature/label contributes NOTHING to the DECIMAL gradient
+      // sums (NULL propagates; SUM skips it) while still counting in n —
+      // a malformed seed would silently train on fewer rows than n
+      // claims. Fail loudly instead (the Pca ±300 contract). ONE
+      // aggregate pass over the cached seed: count(c) skips NULLs.
+      val checkCols = featureCols :+ labelCol
+      val nnRow = seed.agg(count(col(checkCols.head)),
+        checkCols.tail.map(c => count(col(c))): _*).collect()(0)
+      val nullable = checkCols.zipWithIndex
+        .map { case (c, i) => (c, n.toLong - nnRow.getLong(i)) }
+        .filter(_._2 > 0)
+      require(nullable.isEmpty,
+        "fitLogReg: NULL cells in seed columns " +
+          nullable.map { case (c, k) => s"$c($k rows)" }.mkString(", ") +
+          " — every feature/label must be non-null (n counts every row)")
       var w = Array.fill(featureCols.length + 1)(0.0)
       for (_ <- 1 to rounds) {
         val z = margin(w.toSeq, featureCols.map(col))

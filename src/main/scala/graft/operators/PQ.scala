@@ -100,10 +100,12 @@ object PQ {
     */
   /** OPQ eigenvalue-allocation rotation (Ge et al., "Optimized Product
     * Quantization", CVPR 2013, §4 parametric form): a variance-
-    * BALANCING permutation of the coordinates — subspace m receives the
-    * dims of variance rank m, m+M, m+2M, … (round-robin by descending
-    * variance, dim-index tie-break), so no subspace hoards the energy
-    * and the per-subspace codebooks share the quantization load. A
+    * BALANCING permutation of the coordinates — a SNAKE (boustrophedon)
+    * allocation of the variance-ranked dims (descending variance,
+    * dim-index tie-break): round s deals ranks to subspaces 0..M-1 in
+    * forward order when s is even and backward when odd, so no
+    * subspace hoards the energy and the per-subspace codebooks share
+    * the quantization load. A
     * permutation is the member of the orthogonal group the oracle can
     * mirror EXACTLY (a dense learned rotation would unroll d power-
     * iteration chains into the CTE mirror); on this corpus a dense

@@ -2664,7 +2664,16 @@ object AnalysisQueries {
       |                     t -> t <> '') AS ts
       |  FROM documents
       |), uwords AS MATERIALIZED (
-      |  SELECT t AS word, count(*) AS wc FROM toks, unnest(ts) AS u(t) GROUP BY 1
+      |  -- engine parity: words past the 12-char composition bound fail
+      |  -- LOUDLY here exactly like Unigram.segTable's raise_error — the
+      |  -- unbounded recursive enumeration below must never silently
+      |  -- compute the exponentially larger table the engine refuses
+      |  SELECT CASE WHEN len(t) > 12
+      |              THEN error('unigram oracle: word ''' || t ||
+      |                         ''' exceeds the 12-char composition bound')
+      |              ELSE t END AS word,
+      |         count(*) AS wc
+      |  FROM toks, unnest(ts) AS u(t) GROUP BY 1
       |), usubs AS MATERIALIZED (
       |  SELECT substr(word, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece,
       |         SUM(wc) AS c0

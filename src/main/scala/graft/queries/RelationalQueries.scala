@@ -480,6 +480,237 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** q_order_priority's body (TPC-H Q4), shared by the batch query and
+    * the lineitem-fact-store streamed twin. "Late" is the fixture's
+    * problem flag l_returnflag = 'R' (no commit/receipt dates in the
+    * schema — the q_late_suppliers proxy); the EXISTS is a left SEMI on
+    * the order key, run AFTER the quarter filter collapses orders.
+    */
+  private def orderPriorityOf(s: SparkSession, dir: String, li: DataFrame): DataFrame =
+    tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-07-01") &&
+        col("o_orderdate") < lit("1999-10-01"))
+      .join(li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** q_forecast_rev's body (TPC-H Q6), shared by the batch query and
+    * the lineitem-fact-store streamed twin: the pure-scan aggregate —
+    * every predicate reaches the parquet scan (PlanSpec pins the
+    * pushdown), no join anywhere. Discount bounds go through the
+    * identical double literals on both engines.
+    */
+  private def forecastRevOf(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") >= lit("1999-01-01") &&
+        col("l_shipdate") < lit("2000-01-01") &&
+        col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+
+  /** q_nation_volume's body (TPC-H Q7), shared by the batch query and
+    * the lineitem-fact-store streamed twin: trade volume between two
+    * nations in both directions per ship year. The two-nation filter
+    * lands on the BROADCAST dimension sides (supplier/customer join
+    * the name-filtered nation dim first), so the fact scan's join
+    * probes collapse before the orders join moves data.
+    */
+  private def nationVolumeOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nat = tbl(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+    val sup = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+    val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), "c_nationkey")
+    li.filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("2000-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(tbl(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q_market_share's body (TPC-H Q8): NATION_2's share of ASIA's
+    * ECONOMY-part revenue per order year. Scope dims (region-filtered
+    * customer nations, type-filtered parts) collapse their join sides
+    * early; numerator and denominator are ONE conditional aggregate
+    * (never two passes), DECIMAL sums, the division float-last.
+    */
+  private def marketShareOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val asiaNat = tbl(s, dir, "nation")
+      .join(broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nationkey"))
+    val pt = tbl(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey").as("l_partkey"))
+    val supNat = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("supp_nation"))), "s_nationkey")
+      .select(col("s_suppkey").as("l_suppkey"), col("supp_nation"))
+    val ord = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderdate") < lit("2000-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNat), "c_nationkey")
+      .select("c_custkey")
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 4))
+    li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      .join(pt, "l_partkey")
+      .join(broadcast(supNat), "l_suppkey")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_year")
+      .agg(sum(col("rev")).as("total"),
+        coalesce(sum(when(col("supp_nation") === "NATION_2", col("rev"))), zero)
+          .as("nrev"))
+      .select(col("o_year"),
+        round(col("nrev").cast("double") / col("total").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** q_product_profit's body (TPC-H Q9), shared by the batch query and
+    * the lineitem-fact-store streamed twin: per (supplier nation, ship
+    * year) profit over a product-name slice. The schema has no
+    * ps_supplycost, so cost is the retail-price-linked proxy
+    * 0.1·p_retailprice·l_quantity — a ≤3dp rational both engines
+    * recover exactly via the same double product → DECIMAL(18,4) cast
+    * (the object-level parity rules); profit subtracts in DECIMAL.
+    */
+  private def productProfitOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val pt = tbl(s, dir, "part").filter(col("p_name").contains("gizmo"))
+      .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))
+    val supNat = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("nation"))
+    li.select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"),
+        col("l_quantity"))
+      .join(pt, "l_partkey")
+      .join(broadcast(supNat), "l_suppkey")
+      .select(col("nation"), col("o_year"),
+        (col("rev") - (col("p_retailprice") * col("l_quantity") * lit(0.1))
+          .cast(DecimalType(18, 4))).as("profit"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("profit")).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q_supplier_cnt's body (TPC-H Q16): distinct suppliers per part
+    * (brand, type, size) bucket, excluding complaint suppliers — the
+    * NOT IN side (s_acctbal < 0, the fixture's complaint analog) is a
+    * bounded dim relation planned as a broadcast null-safe anti join;
+    * the (partkey, suppkey) pair relation comes pre-distinct from the
+    * fact table so count(DISTINCT) moves pair-grain rows only.
+    */
+  private def supplierCntOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
+    val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
+    val pt = tbl(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey").as("l_partkey"),
+        col("p_brand"), col("p_type"), col("p_size"))
+    val complaints = tbl(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    li.select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(complaints), Seq("l_suppkey"), "left_anti")
+      .join(pt, "l_partkey")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** q_global_sales_opp's body (TPC-H Q22): positive-balance customers
+    * of selected country codes (the fixture's code = the last two
+    * c_name digits — no phone column) above the GLOBAL average balance,
+    * with no RECENT order (every fixture customer has SOME order, so
+    * the anti-join runs against the 2000+ window). The scalar average
+    * rides a 1-row crossJoin (AQE broadcasts it); balance sums DECIMAL.
+    */
+  private def globalSalesOppOf(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+    val cust = tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        substring(col("c_name"), 17, 2).as("cntrycode"))
+      .filter(col("cntrycode").isin(codes: _*))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    val recent = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey").as("c_custkey"))
+    cust.crossJoin(avgBal)
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+          .as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  /** q_min_cost_supp's body (TPC-H Q2): the regional min-cost supplier
+    * per part. The schema has no partsupp, so the supply-cost relation
+    * derives from the fact table — min DECIMAL(18,2) line price per
+    * (part, supplier) pair (exact, so the per-part min SET is
+    * bit-stable). The classic correlated regional-min subquery is
+    * DECORRELATED to aggregate-then-equi-join: per-part min over the
+    * region-scoped pair relation, joined back on (part, cost) —
+    * equi-joins end to end, never a nested loop (PlanSpec pins it).
+    */
+  private def minCostSuppOf(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("cost"))
+    val supEu = tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+    val pt = tbl(s, dir, "part")
+      .filter(col("p_size") === 15)
+      .select(col("p_partkey").as("l_partkey"), col("p_name"))
+    val scoped = ps.join(broadcast(supEu), "l_suppkey").join(pt, "l_partkey")
+    // the per-part min re-aggregates `scoped` itself — alias the group
+    // key so the join-back is unambiguous (no analyzer self-join trap)
+    val minc = scoped.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost")).as("min_cost"))
+    scoped.join(minc,
+        col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_name"),
+        col("cost").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
   private def nationTradeEdges(s: SparkSession, dir: String,
                                slice: Option[Int] = None): DataFrame = {
     val liAll = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -958,6 +1189,63 @@ object RelationalQueries {
     // Streamed warehouse twin over the accumulated lineitem fact store.
     "q_small_qty_rev_streamed" -> ((s, dir) =>
       smallQtyRevOf(LineitemStores.streamedLineitem(s, dir))),
+
+    // TPC-H Q2 shape (min-cost regional supplier): the correlated
+    // regional-min decorrelated to aggregate-then-equi-join over a
+    // fact-derived supply-cost relation — see minCostSuppOf.
+    "q_min_cost_supp" -> ((s, dir) => minCostSuppOf(s, dir)),
+
+    // TPC-H Q4 shape (order-priority audit): quarter-filtered orders
+    // EXISTS-gated on a problem lineitem — the classic semi-join count.
+    "q_order_priority" -> ((s, dir) =>
+      orderPriorityOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_order_priority_streamed" -> ((s, dir) =>
+      orderPriorityOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
+
+    // TPC-H Q6 shape (revenue forecast): the PURE-SCAN aggregate — all
+    // three predicates pushed to the parquet scan (PlanSpec pins
+    // PushedFilters), no join, map-side partials only.
+    "q_forecast_rev" -> ((s, dir) =>
+      forecastRevOf(tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_forecast_rev_streamed" -> ((s, dir) =>
+      forecastRevOf(LineitemStores.streamedLineitem(s, dir))),
+
+    // TPC-H Q7 shape (two-nation trade volume): both shipping
+    // directions per year, nation filters collapsing the broadcast dim
+    // sides before the fact joins.
+    "q_nation_volume" -> ((s, dir) =>
+      nationVolumeOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_nation_volume_streamed" -> ((s, dir) =>
+      nationVolumeOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
+
+    // TPC-H Q8 shape (national market share): numerator and denominator
+    // in ONE conditional aggregate over the region/type-scoped join.
+    "q_market_share" -> ((s, dir) =>
+      marketShareOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // TPC-H Q9 shape (product-type profit): per (nation, ship year)
+    // profit with the retail-linked cost proxy, DECIMAL subtraction.
+    "q_product_profit" -> ((s, dir) =>
+      productProfitOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // Streamed warehouse twin over the accumulated lineitem fact store.
+    "q_product_profit_streamed" -> ((s, dir) =>
+      productProfitOf(s, dir, LineitemStores.streamedLineitem(s, dir))),
+
+    // TPC-H Q16 shape (supplier-count audit): NOT IN complaint
+    // exclusion + count-distinct over the pre-distinct pair relation.
+    "q_supplier_cnt" -> ((s, dir) =>
+      supplierCntOf(s, dir, tbl(s, dir, "lineitem"))),
+
+    // TPC-H Q22 shape (global sales opportunity): name-code prefix +
+    // global-average scalar + anti-join against recent orders.
+    "q_global_sales_opp" -> ((s, dir) => globalSalesOppOf(s, dir)),
 
     // CBO join-cardinality estimation (the statistics pass an optimizer
     // runs before picking a join strategy): HLL NDVs + the containment
@@ -1796,6 +2084,156 @@ object RelationalQueries {
         |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
         |WHERE CAST(pa.s AS DOUBLE) > l.l_quantity * 5 * pa.n""".stripMargin,
 
+    // TPC-H Q2 mirror: the INDEPENDENT formulation — the classic
+    // CORRELATED regional-min scalar subquery (TPC-H's own nested
+    // shape) over the fact-derived supply-cost relation; the min
+    // compares in exact DECIMAL(18,2), so the per-part minimal SET is
+    // bit-stable on both engines
+    "q_min_cost_supp" ->
+      """WITH ps AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+        |       CAST(ps.cost AS DOUBLE) AS cost
+        |FROM part p, ps, supplier s, nation n, region r
+        |WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+        |  AND p.p_size = 15
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE'
+        |  AND ps.cost = (
+        |    SELECT MIN(ps2.cost)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.l_partkey = p.p_partkey AND s2.s_suppkey = ps2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // TPC-H Q4 mirror: the INDEPENDENT formulation — correlated EXISTS
+    // (TPC-H's own shape) instead of the engine's explicit semi-join
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1999-07-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1999-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q6 mirror: identical predicates (discount bounds through
+    // text→DOUBLE casts — the prIterSql literal discipline), identical
+    // DECIMAL revenue
+    "q_forecast_rev" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |  AND l_shipdate <  TIMESTAMP '2000-01-01'
+        |  AND l_discount >= CAST('0.05' AS DOUBLE)
+        |  AND l_discount <= CAST('0.07' AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    // TPC-H Q7 mirror: the classic n1/n2 OR pair-predicate formulation
+    // instead of the engine's filtered-dim joins; identical DECIMAL
+    // revenue and year arithmetic
+    "q_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate <  TIMESTAMP '2000-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // TPC-H Q8 mirror: the classic all_nations-subquery formulation
+    // (TPC-H's own nested shape) instead of the engine's one-pass
+    // conditional aggregate; DECIMAL volumes, float-last division
+    "q_market_share" ->
+      """WITH all_nations AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+        |         n1.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part     ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region   ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate <  TIMESTAMP '2000-01-01'
+        |)
+        |SELECT o_year,
+        |       round(CAST(coalesce(SUM(CASE WHEN nation = 'NATION_2'
+        |                                    THEN volume END), 0) AS DOUBLE)
+        |             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM all_nations GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q9 mirror: identical DECIMAL revenue and retail-linked cost
+    // proxy — the SAME double product sequence (retail·qty)·0.1 on both
+    // engines, then the same exact DECIMAL(18,4) casts and subtraction
+    "q_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                - CAST(p_retailprice * l_quantity * CAST('0.1' AS DOUBLE)
+        |                       AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gizmo%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // TPC-H Q16 mirror: the classic NOT IN formulation over the
+    // complaint-supplier subquery (the fixture's complaint analog is a
+    // negative balance); integer counts — exact by nature
+    "q_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // TPC-H Q22 mirror: the classic nested formulation — the global
+    // average as a scalar subquery, the no-recent-order gate as a
+    // correlated NOT EXISTS; identical DECIMAL balance arithmetic
+    "q_global_sales_opp" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (
+        |  SELECT substr(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+        |  FROM customer
+        |  WHERE substr(c_name, 17, 2) IN ('13','31','23','29','30','18','17')
+        |) c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM customer
+        |    WHERE c_acctbal > CAST('0.0' AS DOUBLE)
+        |      AND substr(c_name, 17, 2) IN ('13','31','23','29','30','18','17'))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // exact inputs + the three bound flags as the theorems they are
     // (HLL protocol: estimates are engine-specific but deterministic
     // for a fixed input; a bound violation flips a flag → hash fail)
@@ -2275,5 +2713,9 @@ object RelationalQueries {
     "q_priority_lines_streamed" -> "q_priority_lines",
     "q_top_supplier_streamed" -> "q_top_supplier",
     "q_small_qty_rev_streamed" -> "q_small_qty_rev",
+    "q_order_priority_streamed" -> "q_order_priority",
+    "q_forecast_rev_streamed" -> "q_forecast_rev",
+    "q_nation_volume_streamed" -> "q_nation_volume",
+    "q_product_profit_streamed" -> "q_product_profit",
   ).map { case (twin, base) => twin -> oraclesBase(base) }
 }

@@ -535,7 +535,8 @@ object SimilarityQueries {
     * rotation spliced in (`rotated = true`): the covariance DIAGONAL is
     * re-derived with the exact cf1 formula (the q_embed_pca-proven
     * text restricted to i = j), ranked (variance DESC, dim ASC), and
-    * round-robin-allocated — `pl[j]` is the source dim of rotated
+    * snake-allocated (forward/backward alternating rounds, the
+    * variance-balancing boustrophedon) — `pl[j]` is the source dim of rotated
     * position j, exactly `PQ.eigenAllocation`. The rotation applies to
     * residuals and the query's ADC-side vector only; coarse term and
     * exact re-rank stay in the original basis, mirroring the engine.

@@ -150,9 +150,21 @@ object StreamingFacts {
     import org.apache.spark.sql.functions.col
     val conf = spark.sparkContext.hadoopConfiguration
     val (key, sch) = resolveShape(conf, storePath, (keyCol, schema))
-    val sliced = StoreMaintenance
+    // the batch stamp is read with a WIDENED schema, so a row written
+    // by a writer that omitted it (pre-stamp store, external append)
+    // comes back NULL — which the <= filter would SILENTLY drop, the
+    // opposite of the loud-failure discipline. Guard: a NULL stamp
+    // raises instead (stores are process-scoped; cheap insurance).
+    val stamped = StoreMaintenance
       .readOrEmpty(spark, factsPath(storePath),
         sch.add(batchCol, org.apache.spark.sql.types.LongType))
+      .withColumn(batchCol,
+        org.apache.spark.sql.functions.coalesce(col(batchCol),
+          org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.lit(
+              s"factsAsOf: row with NULL $batchCol in $storePath — " +
+                "store written without batch stamps")).cast("long")))
+    val sliced = stamped
       .filter(col(batchCol) <= batchId)
       .drop(batchCol)
     // a clean store is globally key-distinct, so any batch slice is too
