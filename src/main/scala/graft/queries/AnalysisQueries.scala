@@ -270,6 +270,42 @@ object AnalysisQueries {
     unigramFitCache.computeIfAbsent(dir,
       _ => graft.operators.Unigram.fit(bpeWords(s, dir)))
 
+  /** The PRUNED model memo (q_unigram_prune_encode's serving state) —
+    * same discipline: the prune cycle trains once per (process, dir);
+    * q_unigram_prune itself stays the timed live training loop.
+    */
+  private val unigramPruneCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Unigram.Fitted]()
+
+  private def unigramPruned(s: SparkSession, dir: String): graft.operators.Unigram.Fitted =
+    unigramPruneCache.computeIfAbsent(dir,
+      _ => graft.operators.Unigram.fitPruned(bpeWords(s, dir)))
+
+  /** Encode the corpus under a trained unigram probability map — the
+    * shared serving body of q_unigram_encode (full model) and
+    * q_unigram_prune_encode (pruned model): per-doc token and piece
+    * counts off the types-table best segmentations, joined back onto
+    * the doc token stream; zero-token docs kept via left join.
+    */
+  private def unigramEncodeOf(s: SparkSession, dir: String,
+                              probs: Map[String, Double]): DataFrame = {
+    val w = bpeWords(s, dir)
+    val enc = graft.operators.Unigram
+      .bestSegs(graft.operators.Unigram.segTable(w), probs)
+      .select(col("word"), size(col("pieces")).cast("long").as("np"))
+    val ex = docs(s, dir).select(col("doc_id"),
+      explode(Text.tokenize(col("text"))).as("word"))
+    val m = ex.join(enc, "word").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("np").as("n_pieces"))
+    docs(s, dir).select("doc_id").join(m, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0)
+          .otherwise(round(col("n_pieces").cast("double") / col("n_tokens"), 6))
+          .as("fertility"))
+  }
+
   /** Session-scoped learned-merge store: `Bpe.train` runs ONCE per
     * (process, corpus) and q_bpe_encode reads the 8-row table — the
     * centroid-store discipline (training is input state for serving).
@@ -977,6 +1013,105 @@ object AnalysisQueries {
         coalesce(col("exposed_users"), lit(0L)).as("exposed_users"))
   }
 
+  /** q_l_diversity's body: L-DIVERSITY RELEASE AUDIT — the next gate
+    * after q_k_anon: a QI cell can clear k-anonymity yet still leak if
+    * every member shares the same SENSITIVE value, so per quasi-cell
+    * (day × value decile) the audit counts DISTINCT sensitive values
+    * (event_type) and rolls up per day: cells, cells below l = 3, and
+    * the day's worst diversity. Two aggregates, cells bounded by
+    * days × buckets at any scale.
+    */
+  private[graft] def lDiversityOf(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(to_date(col("t")).as("day"),
+        floor(col("value") / 10.0).cast("long").as("vbucket"),
+        col("event_type"))
+      .distinct() // (QI cell, sensitive value) membership
+      .groupBy("day", "vbucket")
+      .agg(count(lit(1)).as("l")) // distinct by construction
+    cells.groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_cells"),
+        count(when(col("l") < 3, lit(1))).as("n_low_diversity"),
+        min(col("l")).as("min_l"))
+  }
+
+  /** q_dp_release's body: DETERMINISTIC DIFFERENTIALLY-PRIVATE release
+    * of the event-type histogram — Laplace(1/ε) noise via the inverse
+    * CDF over the md5-derived uniform (`TextAnalysis.hashUniform`, the
+    * q_sample_weighted determinism trick), so the release is
+    * reproducible across runs/engines/cluster sizes AND the noise is
+    * exactly Laplace-distributed over the key space. ε rides in the
+    * output row; the true count stays alongside for the audit trail
+    * (this is the release PIPELINE under test, not a production drop).
+    */
+  private[graft] def dpReleaseOf(events: DataFrame): DataFrame = {
+    val eps = 1.0
+    val u = TextAnalysis.hashUniform(col("event_type"))
+    // inverse-CDF Laplace: b·ln(2u) below the median, −b·ln(2(1−u)) above
+    val lap = when(u < 0.5, log(u * lit(2.0)) / lit(eps))
+      .otherwise(-log((lit(1.0) - u) * lit(2.0)) / lit(eps))
+    events.groupBy("event_type").agg(count(lit(1)).as("n_true"))
+      .select(col("event_type"), lit(eps).as("epsilon"), col("n_true"),
+        round(col("n_true").cast("double") + lap, 6).as("released"))
+  }
+
+  /** q_ppl's body: STUPID-BACKOFF BIGRAM PERPLEXITY (Brants et al.
+    * 2007 — the KenLM-shaped quality gate CCNet/RedPajama filter on;
+    * one level past q_bigram_lm's add-one conditional): the LM trains
+    * on the src0–src4 HALF of the corpus and scores EVERY doc, so
+    * unseen bigrams genuinely exercise the backoff path (training
+    * docs' own grams are always seen — a same-corpus LM would make
+    * backoff dead code). Score(b|a) = c₂(ab)/c₁(a) when the bigram is
+    * seen, else 0.4·(c₁(b)+1)/(N+V) (add-one at the unigram floor so
+    * unseen words stay finite). Corpus counts are one-exchange
+    * map-side-combined aggregates over the slice; the per-doc stream
+    * pre-aggregates to (doc_id, gram, cnt) before the vocab-sized
+    * LEFT joins; N/V broadcast scalars. Per-gram ln rounded 6dp →
+    * ×cnt → DECIMAL sum (exact, order-independent — the q_lm_score
+    * protocol); perplexity = exp(−avg), float-last, rounded 6dp.
+    * n_backoff pins the backoff path into the hash.
+    */
+  private[queries] def pplOf(d: DataFrame): DataFrame = {
+    val train = Seq("src0", "src1", "src2", "src3", "src4")
+    val toksAll = d.select(col("doc_id"), col("source"),
+      Text.tokenize(col("text")).as("ts"))
+    val toksTr = toksAll.filter(col("source").isin(train: _*))
+    val uni = toksTr.select(explode(col("ts")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n1"))
+    val bi = toksTr
+      .select(explode(Text.shinglesFromTokens(col("ts"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n2"))
+    val scal = toksTr.agg(sum(size(col("ts"))).cast("double").as("nn"))
+      .crossJoin(uni.agg(count(lit(1)).cast("double").as("vv")))
+    val dg = toksAll
+      .select(col("doc_id"), explode(Text.shinglesFromTokens(col("ts"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val lnScore =
+      when(col("n2").isNotNull,
+        round(log(col("n2").cast("double") / col("n1a")), 6))
+      .otherwise(
+        round(log(lit(0.4) *
+          ((coalesce(col("n1b"), lit(0L)) + lit(1)).cast("double")
+            / (col("nn") + col("vv")))), 6))
+    dg.withColumn("wa", split(col("gram"), " ").getItem(0))
+      .withColumn("wb", split(col("gram"), " ").getItem(1))
+      .join(bi, Seq("gram"), "left_outer")
+      .join(uni.select(col("term").as("wa"), col("n1").as("n1a")),
+        Seq("wa"), "left_outer")
+      .join(uni.select(col("term").as("wb"), col("n1").as("n1b")),
+        Seq("wb"), "left_outer")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"), col("cnt"),
+        when(col("n2").isNull, col("cnt")).otherwise(lit(0L)).as("bk"),
+        (lnScore.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          * col("cnt")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("bk")).as("n_backoff"),
+        round(exp(-(sum(col("w")).cast("double") / sum(col("cnt")))), 6)
+          .as("ppl"))
+  }
+
   /** q_pit_features' body: POINT-IN-TIME feature extraction (the
     * feature-store / training-set assembly shape) — per user, activity
     * features computed STRICTLY BEFORE a cutoff and the label STRICTLY
@@ -1651,24 +1786,16 @@ object AnalysisQueries {
     // (q_bpe_encode's counterpart for this family): per-doc token and
     // piece counts off the types-table best segmentations, joined back
     // onto the doc token stream; zero-token docs kept via left join.
-    "q_unigram_encode" -> ((s, dir) => {
-      val w = bpeWords(s, dir)
-      val f = unigramFit(s, dir)
-      val enc = graft.operators.Unigram
-        .bestSegs(graft.operators.Unigram.segTable(w), f.history.last)
-        .select(col("word"), size(col("pieces")).cast("long").as("np"))
-      val ex = docs(s, dir).select(col("doc_id"),
-        explode(Text.tokenize(col("text"))).as("word"))
-      val m = ex.join(enc, "word").groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("np").as("n_pieces"))
-      docs(s, dir).select("doc_id").join(m, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
-          when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0)
-            .otherwise(round(col("n_pieces").cast("double") / col("n_tokens"), 6))
-            .as("fertility"))
-    }),
+    "q_unigram_encode" -> ((s, dir) =>
+      unigramEncodeOf(s, dir, unigramFit(s, dir).history.last)),
+
+    // ENCODE under the PRUNED vocabulary — prune→encode composed (the
+    // serving half of the SentencePiece prune cycle): the memoized
+    // pruned model's final probabilities re-segment the types table;
+    // multi pieces outside the surviving vocabulary cost 0 and can
+    // never win a Viterbi argmax, exactly the oracle's coalesce-0 map.
+    "q_unigram_prune_encode" -> ((s, dir) =>
+      unigramEncodeOf(s, dir, unigramPruned(s, dir).history.last)),
 
     // ENCODE under the learned vocabulary — the serving half of BPE
     // (train once, tokenize the corpus forever): the 8 learned merges
@@ -1840,6 +1967,15 @@ object AnalysisQueries {
         .agg(sum(col("cnt")).as("n_bigrams"),
           round(sum(col("w")).cast("double") / sum(col("cnt")), 6).as("lm2"))
     }),
+
+    // STUPID-BACKOFF bigram perplexity (the KenLM-shaped quality gate):
+    // LM trained on the src0–src4 half, every doc scored, unseen grams
+    // exercising the real backoff path — see pplOf.
+    "q_ppl" -> ((s, dir) => pplOf(docs(s, dir))),
+
+    // Streamed twin over the accumulated doc-fact store: the direct
+    // derivation (every count depends on the accumulated doc SET).
+    "q_ppl_streamed" -> ((s, dir) => pplOf(DocStores.streamedDocs(s, dir))),
 
     // Corpus-wide top word-2-grams by occurrence count (⊕ LLM-pipeline):
     // the pair-statistics pass BPE/WordPiece tokenizer training runs over
@@ -2203,6 +2339,18 @@ object AnalysisQueries {
     // K-anonymity release audit over (day × value-bucket) QI cells.
     "q_k_anon" -> ((s, dir) => kAnonOf(Tables.events(s, dir))),
     "q_k_anon_streamed" -> ((s, dir) => kAnonOf(EventStores.streamedEvents(s, dir))),
+
+    // L-DIVERSITY release audit (the gate after k-anonymity): distinct
+    // sensitive values per quasi-cell, rolled up per day — see lDiversityOf.
+    "q_l_diversity" -> ((s, dir) => lDiversityOf(Tables.events(s, dir))),
+    "q_l_diversity_streamed" -> ((s, dir) =>
+      lDiversityOf(EventStores.streamedEvents(s, dir))),
+
+    // Deterministic DP histogram release (seeded-Laplace inverse CDF
+    // over md5 uniforms, ε in-row) — see dpReleaseOf.
+    "q_dp_release" -> ((s, dir) => dpReleaseOf(Tables.events(s, dir))),
+    "q_dp_release_streamed" -> ((s, dir) =>
+      dpReleaseOf(EventStores.streamedEvents(s, dir))),
 
     // Point-in-time feature extraction with a leakage-safe cutoff.
     "q_pit_features" -> ((s, dir) => pitFeaturesOf(Tables.events(s, dir))),
@@ -2696,6 +2844,27 @@ object AnalysisQueries {
   private lazy val unigramCtes: String =
     s"$unigramBase, ${unigramVocabChainSql("u", budget = 12, rounds = 3)}"
 
+  /** The SentencePiece prune-cycle chain shared by q_unigram_prune and
+    * q_unigram_prune_encode: the 16-seed chain (2 EM rounds, prefix
+    * 'pu'), the prune CTE (chars survive; top-12 multi by (trained
+    * prob DESC, piece) — the engine's exact selection), then ONE more
+    * unrolled EM round (pue3/pup3) whose probabilities AND vocabulary
+    * are the pruned relation.
+    */
+  private lazy val unigramPruneCtes: String = {
+    val prunedRound = unigramRoundSql(3, "pu", _ => "puv", Some("puv"))
+    s"""$unigramBase, ${unigramVocabChainSql("pu", budget = 16, rounds = 2)},
+       |puv AS MATERIALIZED (
+       |  SELECT v.piece, p.p FROM puvocab v JOIN pup2 p USING (piece)
+       |  WHERE len(v.piece) = 1
+       |  UNION ALL
+       |  SELECT piece, p FROM (
+       |    SELECT v.piece, p.p FROM puvocab v JOIN pup2 p USING (piece)
+       |    WHERE len(v.piece) > 1
+       |    ORDER BY p.p DESC, v.piece LIMIT 12)
+       |), $prunedRound""".stripMargin
+  }
+
   /** session_window mirror: islands re-derived at µs precision with the
     * native operator's HALF-OPEN merge rule (a gap of exactly the
     * window size starts a new session → `>=`), end = last event + gap.
@@ -2969,6 +3138,57 @@ object AnalysisQueries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
          |       round(CAST(sum(w) AS DOUBLE) / sum(tf), 6) AS avg_logp
          |FROM w GROUP BY doc_id""".stripMargin,
+
+    // stupid-backoff perplexity mirror: identical tokenize, identical
+    // src0–src4 training slice, identical seen/backoff branch
+    // parenthesization (ln/0.4/add-one all through the same double op
+    // order), 6-dp per-gram rounds → DECIMAL(20,6)·cnt → exact sum →
+    // float-last exp(−avg) → round 6
+    "q_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                     t -> t <> '') AS ts
+        |  FROM documents
+        |), ttr AS MATERIALIZED (
+        |  SELECT * FROM toks
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |), uni AS MATERIALIZED (
+        |  SELECT u.term, count(*) AS n1 FROM ttr, unnest(ts) AS u(term) GROUP BY 1
+        |), g2t AS (
+        |  SELECT list_transform(range(1, greatest(len(ts)-1, 0)+1),
+        |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
+        |  FROM ttr
+        |), bi AS MATERIALIZED (
+        |  SELECT g AS gram, count(*) AS n2 FROM g2t, unnest(gs) AS t(g) GROUP BY 1
+        |), sc AS (
+        |  SELECT (SELECT CAST(sum(len(ts)) AS DOUBLE) FROM ttr) AS nn,
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS vv
+        |), g2a AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(ts)-1, 0)+1),
+        |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
+        |  FROM toks
+        |), dg AS (
+        |  SELECT doc_id, g AS gram, count(*) AS cnt
+        |  FROM g2a, unnest(gs) AS t(g) GROUP BY 1, 2
+        |), w AS (
+        |  SELECT dg.doc_id, dg.cnt,
+        |         CASE WHEN bi.n2 IS NULL THEN dg.cnt ELSE 0 END AS bk,
+        |         CAST(CASE WHEN bi.n2 IS NOT NULL
+        |              THEN round(ln(CAST(bi.n2 AS DOUBLE) / na.n1), 6)
+        |              ELSE round(ln(CAST('0.4' AS DOUBLE) *
+        |                     (CAST(coalesce(nb.n1, 0) + 1 AS DOUBLE)
+        |                      / (sc.nn + sc.vv))), 6)
+        |         END AS DECIMAL(20,6)) * dg.cnt AS w
+        |  FROM dg LEFT JOIN bi USING (gram)
+        |  LEFT JOIN uni na ON string_split(dg.gram, ' ')[1] = na.term
+        |  LEFT JOIN uni nb ON string_split(dg.gram, ' ')[2] = nb.term
+        |  CROSS JOIN sc
+        |)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(bk) AS BIGINT) AS n_backoff,
+        |       round(exp(-(CAST(sum(w) AS DOUBLE) / sum(cnt))), 6) AS ppl
+        |FROM w GROUP BY doc_id""".stripMargin,
 
     // mirrors TermScoring.dsirWeights exactly: both smoothed
     // log-probabilities ln((c+1.0)/(N+V)) rounded 6dp → DECIMAL(20,6),
@@ -3428,6 +3648,44 @@ object AnalysisQueries {
         |       coalesce(e.exposed_users, 0) AS exposed_users
         |FROM rollup r LEFT JOIN exposed e ON r.event_type = e.event_type""".stripMargin,
 
+    // l-diversity mirror: count(DISTINCT) per QI cell instead of the
+    // engine's distinct-then-count; integer rollups — exact by nature
+    "q_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(floor(value / 10.0) AS BIGINT) AS vbucket,
+        |         count(DISTINCT event_type) AS l
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_cells,
+        |       count(*) FILTER (l < 3) AS n_low_diversity, min(l) AS min_l
+        |FROM cells GROUP BY 1""".stripMargin,
+
+    // DP-release mirror: the identical md5 nibble decode (the
+    // q_sample_weighted protocol), the identical branchwise inverse-CDF
+    // Laplace parenthesization, 6-dp round float-last
+    "q_dp_release" -> {
+      def nib(i: Int) =
+        s"""(CASE WHEN ascii(substr(md5(event_type), $i, 1)) <= 57
+           |      THEN ascii(substr(md5(event_type), $i, 1)) - 48
+           |      ELSE ascii(substr(md5(event_type), $i, 1)) - 87 END)""".stripMargin
+      val v = (2 to 8).map(nib).foldLeft(s"CAST(${nib(1)} AS BIGINT)")((acc, n) => s"($acc * 16 + $n)")
+      s"""WITH h AS (
+         |  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+         |), uu AS (
+         |  SELECT event_type, n_true,
+         |         (CAST($v AS DOUBLE) + 0.5) / 4294967296.0 AS u
+         |  FROM h
+         |)
+         |SELECT event_type, CAST('1.0' AS DOUBLE) AS epsilon, n_true,
+         |       round(CAST(n_true AS DOUBLE) +
+         |             CASE WHEN u < 0.5
+         |                  THEN ln(u * 2.0) / CAST('1.0' AS DOUBLE)
+         |                  ELSE -(ln((1.0 - u) * 2.0)) / CAST('1.0' AS DOUBLE) END,
+         |             6) AS released
+         |FROM uu""".stripMargin
+    },
+
     // Point-in-time features: identical µs cutoff arithmetic, DECIMAL
     // money, one conditional pass; label from the post-cutoff week.
     "q_pit_features" ->
@@ -3751,23 +4009,39 @@ object AnalysisQueries {
     // (trained prob DESC, piece) — the engine's exact selection), then
     // ONE more unrolled EM round whose probabilities AND vocabulary are
     // the pruned relation
-    "q_unigram_prune" -> {
-      val prunedRound = unigramRoundSql(3, "pu", _ => "puv", Some("puv"))
-      s"""$unigramBase, ${unigramVocabChainSql("pu", budget = 16, rounds = 2)},
-         |puv AS MATERIALIZED (
-         |  SELECT v.piece, p.p FROM puvocab v JOIN pup2 p USING (piece)
-         |  WHERE len(v.piece) = 1
-         |  UNION ALL
-         |  SELECT piece, p FROM (
-         |    SELECT v.piece, p.p FROM puvocab v JOIN pup2 p USING (piece)
-         |    WHERE len(v.piece) > 1
-         |    ORDER BY p.p DESC, v.piece LIMIT 12)
-         |), $prunedRound
+    "q_unigram_prune" ->
+      s"""$unigramPruneCtes
          |SELECT v.piece, CAST(len(v.piece) AS BIGINT) AS piece_len,
          |       CAST(coalesce(e.c, 0) AS BIGINT) AS n_uses, p.p AS prob
          |FROM puv v LEFT JOIN pue3 e USING (piece) JOIN pup3 p USING (piece)
-         |ORDER BY v.piece""".stripMargin
-    },
+         |ORDER BY v.piece""".stripMargin,
+
+    // prune→encode mirror: the SAME prune chain, then the
+    // q_unigram_encode tail under the post-prune (pup3) probabilities —
+    // the coalesce-0 map makes pruned multi pieces unwinnable, exactly
+    // the engine's restricted-map Viterbi
+    "q_unigram_prune_encode" ->
+      s"""$unigramPruneCtes, uem AS (
+         |  SELECT map(list(piece ORDER BY piece), list(p ORDER BY piece)) AS pm FROM pup3
+         |), uenc AS (
+         |  SELECT word, CAST(len(pieces) AS BIGINT) AS np FROM (
+         |    SELECT word, pieces, row_number() OVER (PARTITION BY word ORDER BY cost DESC, key) AS rk
+         |    FROM (SELECT useg.*, list_reduce(list_transform(pieces,
+         |              x -> coalesce(pm[x][1], CAST(0.0 AS DOUBLE))), (a, b) -> a * b) AS cost
+         |          FROM useg, uem))
+         |  WHERE rk = 1
+         |), uex AS (
+         |  SELECT doc_id, t AS word FROM toks, unnest(ts) AS u(t)
+         |), um AS (
+         |  SELECT doc_id, count(*) AS n_tokens, CAST(SUM(np) AS BIGINT) AS n_pieces
+         |  FROM uex JOIN uenc USING (word) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(um.n_tokens, 0) AS n_tokens,
+         |       coalesce(um.n_pieces, 0) AS n_pieces,
+         |       CASE WHEN coalesce(um.n_tokens, 0) = 0 THEN 0.0
+         |            ELSE round(CAST(um.n_pieces AS DOUBLE) / um.n_tokens, 6) END AS fertility
+         |FROM documents d LEFT JOIN um USING (doc_id)""".stripMargin,
 
     // budget sweep mirror: per budget, the chars + top-b restriction of
     // the SAME trained probabilities (selection only, no renorm), the
@@ -4243,6 +4517,6 @@ object AnalysisQueries {
       "q_bpe_train", "q_corpus_card", "q_anomaly", "q_rag_chunks",
       "q_validate_docs", "q_cdc_merge", "q_ewma", "q_interval_join",
       "q_k_anon", "q_pit_features", "q_url_canon", "q_snapshot_diff",
-      "q_group_percentiles")
+      "q_group_percentiles", "q_l_diversity", "q_dp_release", "q_ppl")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }
