@@ -171,6 +171,81 @@ object VectorStore {
       Some(opqPerm(spark, dir)))
   }
 
+  /** DRIFT-TRIGGERED IVF RETRAIN — the index-maintenance loop a 100 TB
+    * embedding store needs (q_embed_drift measures staleness; this
+    * CONSUMES it): measure how far the persisted store's centroids have
+    * drifted from the CURRENT corpus, and when drift crosses
+    * `threshold`, re-run the quantizer training on the current corpus
+    * and ATOMICALLY swap the cell partitioning + centroid table
+    * (`StoreMaintenance.swapInto` — the two-rename discipline every
+    * compaction uses, crash-safe at any point).
+    *
+    * Drift = mean over live cells of (1 − cos(stored centroid,
+    * re-estimated mean of the current vectors that centroid captures)),
+    * 6-dp rounded. The re-estimation is ONE aggregate over the current
+    * corpus (DECIMAL per-position sums — order-independent), lifted at
+    * ≤ nCells rows (bounded by the cell-count contract, never corpus
+    * size). On a stable corpus drift ≈ 0 and the store is untouched; a
+    * shifted corpus fires the retrain and subsequent `ivf` reads serve
+    * the swapped store (the process centroid cache invalidates with
+    * it). Returns (drift, retrained).
+    */
+  def maintainIvf(spark: SparkSession, dir: String, current: DataFrame,
+                  nCells: Int = 16, iters: Int = 2,
+                  threshold: Double = 0.05): (Double, Boolean) = {
+    import org.apache.spark.sql.types.DecimalType
+    val root = SessionStores.scopedPath("graft_ivf",
+      s"ivf_c${nCells}_i${iters}_" + SessionStores.tagOf(dir))
+    val (_, cents) = ivf(spark, dir, nCells, iters) // ensure built
+    val p = Similarity.prepared(current)
+    val spk = spark
+    import spk.implicits._
+    val means = p
+      .withColumn("cell", Similarity.bestCell(cents).cast("int"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cell")
+      // array_sort on struct(pos, m) orders by pos — rebuilds the mean
+      // vector in position order regardless of aggregation order
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        f => f.getField("m")).as("mv"))
+      .as[(Int, Seq[Double])].collect().toMap // ≤ nCells rows by contract
+    val perCell = cents.flatMap { c =>
+      means.get(c.id.toInt).map { mv =>
+        val dot = c.cv.lazyZip(mv).map(_ * _).sum
+        val mn = math.sqrt(mv.map(x => x * x).sum)
+        if (c.cn == 0.0 || mn == 0.0) 1.0 else 1.0 - dot / (c.cn * mn)
+      }
+    }
+    val drift =
+      if (perCell.isEmpty) 1.0
+      else graft.util.Num.r6(perCell.sum / perCell.length)
+    if (drift <= threshold) (drift, false)
+    else {
+      val fresh =
+        if (iters == 0) Similarity.collectCentroids(p, nCells)
+        else Similarity.lloydCentroids(p, nCells, iters)
+      // side-dir rewrites first, then the two-rename installs — the
+      // same crash windows as every compact (recoverSub can finish or
+      // unwind either directory independently; the centroid table
+      // swaps FIRST so a crash between the two leaves fresh centroids
+      // with the old assignment — stale but serveable, repaired by the
+      // next maintenance pass)
+      fresh.map(c => (c.id, c.cv, c.cn)).toDF("cent_id", "cv", "cn")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/cents__compacting")
+      p.withColumn("cell", Similarity.bestCell(fresh).cast("int"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .parquet(s"$root/assigned__compacting")
+      graft.streaming.StoreMaintenance.swapInto(spark, s"$root/cents")
+      graft.streaming.StoreMaintenance.swapInto(spark, s"$root/assigned")
+      centroidCache.remove(root)
+      (drift, true)
+    }
+  }
+
   /** PQ-ADC top-k over the prepared store (codebook + encode derive from
     * the same persisted relation; a deployment would persist the code
     * table alongside — at fixture scale the encode pass is cheaper than
