@@ -1071,7 +1071,7 @@ object AnalysisQueries {
     * protocol); perplexity = exp(−avg), float-last, rounded 6dp.
     * n_backoff pins the backoff path into the hash.
     */
-  private[queries] def pplOf(d: DataFrame): DataFrame = {
+  private[graft] def pplOf(d: DataFrame): DataFrame = {
     val train = Seq("src0", "src1", "src2", "src3", "src4")
     val toksAll = d.select(col("doc_id"), col("source"),
       Text.tokenize(col("text")).as("ts"))

@@ -27,6 +27,11 @@ object StreamingFacts {
   private[graft] def factsPath(store: String) = s"$store/facts"
   private[graft] def schemaPath(store: String) = s"$store/_graft_schema"
 
+  // stores whose batch stamps this process has already proven non-null
+  // (the factsAsOf loud guard — see its comment)
+  private val stampChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Present ⇔ the facts sub-store is PHYSICALLY key-distinct (a compact
     * ran and nothing appended since): `facts` serves raw, skipping the
     * full-relation `dropDuplicates` exchange a settled warehouse store
@@ -153,17 +158,24 @@ object StreamingFacts {
     // the batch stamp is read with a WIDENED schema, so a row written
     // by a writer that omitted it (pre-stamp store, external append)
     // comes back NULL — which the <= filter would SILENTLY drop, the
-    // opposite of the loud-failure discipline. Guard: a NULL stamp
-    // raises instead (stores are process-scoped; cheap insurance).
+    // opposite of the loud-failure discipline. Guard: ONE memoized
+    // IsNull probe per (process, store) fails loudly on an unstamped
+    // row — kept OUT of the serving expression tree, because a
+    // coalesce(raise_error) wrapper around the column defeats the
+    // pushed `_gbatch <= batch` scan filter time-travel's pruning
+    // depends on (PlanSpec pins it). The probe itself pushes IsNull to
+    // the scan, so parquet null-count stats answer it without a full
+    // read; stores are process-scoped, so once per process is enough.
     val stamped = StoreMaintenance
       .readOrEmpty(spark, factsPath(storePath),
         sch.add(batchCol, org.apache.spark.sql.types.LongType))
-      .withColumn(batchCol,
-        org.apache.spark.sql.functions.coalesce(col(batchCol),
-          org.apache.spark.sql.functions.raise_error(
-            org.apache.spark.sql.functions.lit(
-              s"factsAsOf: row with NULL $batchCol in $storePath — " +
-                "store written without batch stamps")).cast("long")))
+    if (!stampChecked.contains(storePath)) {
+      val nNull = stamped.filter(col(batchCol).isNull).count()
+      require(nNull == 0L,
+        s"factsAsOf: $nNull rows with NULL $batchCol in $storePath — " +
+          "store written without batch stamps")
+      stampChecked.add(storePath): Unit
+    }
     val sliced = stamped
       .filter(col(batchCol) <= batchId)
       .drop(batchCol)

@@ -320,6 +320,102 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"expected the decorrelated aggregate:\n$p")
   }
 
+  test("q_min_cost_supp (Q2 shape): decorrelated regional min — equi-joins only, part filter pushed") {
+    // the classic correlated regional-min must NOT plan as a per-part
+    // rescan: one aggregate over the region-scoped pair relation, then
+    // an equi-join back on (part, cost) — never a nested loop
+    val p = plan("q_min_cost_supp")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"Q2 decorrelation must stay equi-keyed:\n$p")
+    assert(p.contains("EqualTo(p_size,15)"), s"part-size filter not pushed:\n$p")
+    assert(p.contains("EqualTo(r_name,EUROPE)"), s"region filter not pushed:\n$p")
+    assert(p.contains("HashAggregate"), s"expected the per-part min aggregate:\n$p")
+  }
+
+  test("q_order_priority (Q4 shape): EXISTS plans as an order-keyed semi-join, filters pushed") {
+    val p = plan("q_order_priority")
+    assert(p.contains("LeftSemi"), s"expected the EXISTS semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"Q4 must stay equi-keyed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter not pushed to the orders scan:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"problem-flag filter not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q_forecast_rev (Q6 shape): pure pushed-filter scan, no join, no hash exchange") {
+    // the canonical scan benchmark: every predicate must reach the
+    // parquet scan and the plan must be scan → partial agg → 1-row
+    // final agg — a join or hash exchange anywhere is a regression
+    val p = plan("q_forecast_rev")
+    // the rendered PushedFilters list truncates past ~100 chars (the
+    // q_zorder_box precedent), so the bound pins read the Filter node
+    // and the pushed list's surviving prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"),
+      s"predicates not pushed to the lineitem scan:\n$p")
+    assert("l_shipdate#\\d+ >= 1999-01-01".r.findFirstIn(p).nonEmpty, s"ship-date lower bound missing:\n$p")
+    assert("l_shipdate#\\d+ < 2000-01-01".r.findFirstIn(p).nonEmpty, s"ship-date upper bound missing:\n$p")
+    assert("l_discount#\\d+ >= 0.05".r.findFirstIn(p).nonEmpty, s"discount lower bound missing:\n$p")
+    assert("l_discount#\\d+ <= 0.07".r.findFirstIn(p).nonEmpty, s"discount upper bound missing:\n$p")
+    assert("l_quantity#\\d+ < 24.0".r.findFirstIn(p).nonEmpty, s"quantity bound missing:\n$p")
+    assert(!p.contains("Join"), s"Q6 has no join:\n$p")
+    assert(shuffles(p) === 0, s"expected only the 1-row final-agg exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side partials:\n$p")
+  }
+
+  test("q_nation_volume (Q7 shape): nation filters collapse broadcast dims, equi-joins only") {
+    val p = plan("q_nation_volume")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"Q7 must stay equi-keyed:\n$p")
+    // the two-nation IN filter reaches the nation scans (both dim sides)
+    assert(p.contains("In(n_name"), s"nation-name filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-window filter not pushed to the fact scan:\n$p")
+    assert(broadcasts(p) >= 2, s"supplier/customer dim sides must broadcast:\n$p")
+  }
+
+  test("q_market_share (Q8 shape): ONE conditional aggregate, scope filters pushed") {
+    val p = plan("q_market_share")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"Q8 must stay equi-keyed:\n$p")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), s"part-type filter not pushed:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+    // numerator and denominator in the SAME aggregate: exactly one
+    // o_year aggregation exchange, never a second revenue pass
+    assert("Exchange hashpartitioning\\(o_year".r.findAllIn(p).length === 1,
+      s"expected exactly one year-keyed aggregate exchange:\n$p")
+  }
+
+  test("q_product_profit (Q9 shape): name filter pushed as contains, dims broadcast") {
+    val p = plan("q_product_profit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"Q9 must stay equi-keyed:\n$p")
+    assert(p.contains("StringContains(p_name,gizmo)"),
+      s"product-name filter not pushed to the part scan:\n$p")
+    assert(broadcasts(p) >= 1, s"supplier⋈nation dim side must broadcast:\n$p")
+  }
+
+  test("q_supplier_cnt (Q16 shape): NOT IN plans as a broadcast anti-join over the pair relation") {
+    val p = plan("q_supplier_cnt")
+    assert(p.contains("LeftAnti"), s"expected the complaint anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the complaint side is a bounded dim: its balance filter is pushed
+    assert(p.contains("LessThan(s_acctbal,0.0)"),
+      s"complaint filter not pushed to the supplier scan:\n$p")
+  }
+
+  test("q_global_sales_opp (Q22 shape): anti-join on recent orders, window filter pushed") {
+    val p = plan("q_global_sales_opp")
+    assert(p.contains("LeftAnti"), s"expected the no-recent-order anti-join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recent-window filter not pushed to the orders scan:\n$p")
+    // the global average is a 1-row broadcast (the Q11 crossJoin
+    // discipline) — a cartesian over data-sized sides is a regression
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q_facts_asof: the batch filter reaches the store scan; no dedup exchange") {
     // time-travel must be a PRUNED SCAN, not a post-read filter: each
     // ingest batch wrote its own files with a constant _gbatch, so the
