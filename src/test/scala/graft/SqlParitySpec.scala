@@ -51,6 +51,8 @@ class SqlParitySpec extends AnyFunSuite {
       .replace(" AS MATERIALIZED", " AS")
       .replaceAll("FILTER \\((?!WHERE)", "FILTER (WHERE ")
       .replace("strftime(", "date_format(")
+      .replace("AS VARCHAR)", "AS STRING)")
+      .replaceAll("date_diff\\('(\\w+)',", "date_diff($1,")
     for ((d, j) <- Seq("%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
         "%H" -> "HH", "%M" -> "mm", "%S" -> "ss"))
       s = s.replace(d, j)
@@ -72,6 +74,8 @@ class SqlParitySpec extends AnyFunSuite {
 
   /** name → the DuckDB-specific construct that blocks `spark.sql`. */
   private val skips: Map[String, String] = SqlParitySpec.skips
+  private val divergent: Map[String, String] = SqlParitySpec.divergent
+  private val executionSkips: Map[String, String] = SqlParitySpec.executionSkips
 
   private val oracleNames = SparkEntry.oracleSql.keys.toSeq.sorted
 
@@ -97,8 +101,8 @@ class SqlParitySpec extends AnyFunSuite {
       }
     }
   } else {
-    for (name <- oracleNames) skips.get(name) match {
-      case Some(reason) =>
+    for (name <- oracleNames) (skips.get(name), divergent.get(name)) match {
+      case (Some(reason), _) =>
         test(s"sql-parity skip is real: $name [$reason]") {
           assert(ready)
           // the skip must stay justified: the oracle text (post-rewrite)
@@ -107,7 +111,25 @@ class SqlParitySpec extends AnyFunSuite {
             spark.sql(sparkize(SparkEntry.oracleSql(name))).collect(): Unit
           }
         }
-      case None =>
+      case (None, _) if executionSkips.contains(name) =>
+        test(s"sql-parity execution skip analyzes: $name [${executionSkips(name)}]") {
+          assert(ready)
+          // analysis-level only — see executionSkips' doc
+          spark.sql(sparkize(SparkEntry.oracleSql(name))).queryExecution
+            .analyzed: Unit
+        }
+      case (None, Some(reason)) =>
+        test(s"sql-parity dialect divergence is real: $name [$reason]") {
+          assert(ready)
+          // runs under spark.sql but the dialect semantics differ — the
+          // divergence must stay real: if the surfaces start agreeing,
+          // this fails and the name moves to the parity set
+          val viaSql = canon(spark.sql(sparkize(SparkEntry.oracleSql(name))))
+          val viaDf = canon(SparkEntry.queries(name)(spark, dir))
+          assert(viaSql !== viaDf,
+            "documented divergence closed — move to the parity set")
+        }
+      case (None, None) =>
         test(s"sql parity: $name") {
           assert(ready)
           val viaSql = canon(spark.sql(sparkize(SparkEntry.oracleSql(name))))
@@ -120,6 +142,135 @@ class SqlParitySpec extends AnyFunSuite {
 }
 
 object SqlParitySpec {
-  /** The named DuckDB-specific skip list — see the class doc. */
-  private[graft] val skips: Map[String, String] = Map.empty
+  /** The named DuckDB-specific skip list — see the class doc. Grouped
+    * by the blocking construct; generated from a full classification
+    * sweep (GRAFT_SQL_PARITY_EXPLORE) over the round-19 surface and
+    * kept honest by the per-skip "still un-runnable" assertion.
+    */
+  private[graft] val skips: Map[String, String] = Seq(
+    // 1 oracles: dialect CAST semantics diverge at runtime
+    "dialect CAST semantics diverge at runtime" -> Seq(
+      "q_dedup_exact",
+    ),
+    // 4 oracles: unrolled CTE chain exceeds Spark analyzer limits
+    "unrolled CTE chain exceeds Spark analyzer resolution iterations" -> Seq(
+      "q_whiten", "q_whiten_streamed",
+      "q_embed_pca_k", "q_embed_pca_k_streamed",
+    ),
+    // 26 oracles: DuckDB epoch_ns / `//` integer division
+    "DuckDB epoch_ns / `//` integer division" -> Seq(
+      "q_asof_signup", "q_asof_signup_streamed", "q_attributed",
+      "q_attributed_left", "q_attributed_left_streamed", "q_attributed_streamed",
+      "q_cdc_merge", "q_cdc_merge_streamed", "q_funnel",
+      "q_funnel_streamed", "q_growth", "q_growth_streamed",
+      "q_interval_join", "q_interval_join_streamed", "q_pit_features",
+      "q_pit_features_streamed", "q_retention", "q_retention_streamed",
+      "q_scd2", "q_scd2_streamed", "q_session_window",
+      "q_session_window_streamed", "q_sessions", "q_sessions_streamed",
+      "q_transitions", "q_transitions_streamed",
+    ),
+    // 117 oracles: DuckDB list lambdas (list_filter/list_transform/list_reduce/len)
+    "DuckDB list lambdas (list_filter/list_transform/list_reduce/len)" -> Seq(
+      "q_ann_eval", "q_ann_ivf", "q_ann_ivf_trained",
+      "q_ann_ivfpq", "q_ann_nn", "q_ann_nn_mp",
+      "q_ann_opq", "q_ann_pq", "q_bigram_lm",
+      "q_bloom_decontaminate", "q_bloom_decontaminate_streamed", "q_bm25",
+      "q_bpe_encode", "q_bpe_sweep", "q_bpe_train",
+      "q_bpe_train_streamed", "q_chunks", "q_clip_dedup",
+      "q_communities", "q_containment", "q_corpus_card",
+      "q_corpus_card_streamed", "q_curriculum", "q_decontaminate",
+      "q_dedup_near", "q_dedup_sweep", "q_dedup_sweep_streamed",
+      "q_docs_asof", "q_dsir", "q_dsir_streamed",
+      "q_embed_drift", "q_embed_dup", "q_embed_dup_streamed",
+      "q_entropy", "q_entropy_streamed", "q_fertility",
+      "q_fingerprint", "q_frame_sample", "q_fuzzy_urls",
+      "q_fuzzy_urls_streamed", "q_gram_topk", "q_gram_topk_streamed",
+      "q_group_percentiles", "q_group_percentiles_streamed", "q_hapax",
+      "q_hapax_streamed", "q_hard_negatives", "q_hits_docs",
+      "q_hybrid", "q_img_dedup", "q_index_stats",
+      "q_index_stats_streamed", "q_int8_quant", "q_jaccard_mindiverge",
+      "q_jaccard_pairs", "q_knn_join", "q_lang_id",
+      "q_lang_id_streamed", "q_line_dedup", "q_line_dedup_streamed",
+      "q_lm_score", "q_margin_pairs", "q_margin_pairs_streamed",
+      "q_mirror_pairs", "q_mirror_pairs_streamed", "q_mixture",
+      "q_mixture_streamed", "q_mmr", "q_modularity",
+      "q_near", "q_novelty", "q_novelty_streamed",
+      "q_pack", "q_pack_streamed", "q_pagerank_docs",
+      "q_pagerank_docs_streamed", "q_phrase", "q_pii_scan",
+      "q_pii_scan_streamed", "q_pmi", "q_pmi_streamed",
+      "q_ppl", "q_ppl_streamed", "q_quality",
+      "q_quality_clf", "q_quality_clf_eval", "q_quality_clf_streamed",
+      "q_quality_gate", "q_quality_gate_streamed", "q_quality_streamed",
+      "q_rag_chunks", "q_rag_chunks_streamed", "q_repetition",
+      "q_resize", "q_rolling_fp", "q_scaling_subsets",
+      "q_semdedup", "q_semdedup_streamed", "q_semdedup_whitened",
+      "q_semdedup_whitened_streamed", "q_sim_topk", "q_simhash",
+      "q_simhash_pairs", "q_source_drift", "q_source_drift_streamed",
+      "q_source_overlap", "q_span_dups", "q_span_dups_streamed",
+      "q_sparse_sim", "q_textrank", "q_textrank_streamed",
+      "q_token_bpe", "q_token_count", "q_url_canon",
+      "q_url_canon_streamed", "q_validate_docs", "q_validate_docs_streamed",
+    ),
+    // 1 oracles: DuckDB PIVOT double-quoted IN list
+    "DuckDB PIVOT double-quoted IN list" -> Seq(
+      "q_pivot",
+    ),
+    // 3 oracles: DuckDB quantile_cont/quantile_disc
+    "DuckDB quantile_cont/quantile_disc" -> Seq(
+      "q_mad", "q_percentiles", "q_winsorized",
+    ),
+    // 16 oracles: recursive CTE uses UNION (unsupported by Spark recursive CTEs)
+    "recursive CTE uses UNION (unsupported by Spark recursive CTEs)" -> Seq(
+      "q_bfs", "q_bfs_docs", "q_bfs_streamed",
+      "q_cluster_sizes", "q_curate", "q_curate_streamed",
+      "q_dedup_clusters", "q_dup_weights", "q_unigram_encode",
+      "q_unigram_prune", "q_unigram_prune_encode", "q_unigram_sweep",
+      "q_unigram_train", "q_url_clusters", "q_yield",
+      "q_yield_streamed",
+    ),
+    // 1 oracles: DuckDB starts_with/encode signatures
+    "DuckDB starts_with/encode signatures" -> Seq(
+      "q_binary_stats",
+    ),
+    // 3 oracles: DuckDB time_bucket
+    "DuckDB time_bucket" -> Seq(
+      "q_events_enriched", "q_events_sliding", "q_events_window",
+    ),
+    // 24 oracles: DuckDB unnest table function
+    "DuckDB unnest table function" -> Seq(
+      "q_bool_and", "q_bool_not", "q_bool_or",
+      "q_cms_watchlist", "q_cms_watchlist_streamed", "q_doc_freq",
+      "q_gapfill", "q_gapfill_streamed", "q_heavy_hitters",
+      "q_heavy_hitters_streamed", "q_postings", "q_prefix_terms",
+      "q_ranked_search", "q_salted_df", "q_term_fuzzy",
+      "q_term_lookup", "q_term_lookup_streamed", "q_tf",
+      "q_tfidf", "q_top_terms_per_source", "q_top_terms_per_source_streamed",
+      "q_topk_df", "q_vocab_hll", "q_vocab_hll_streamed",
+    ),
+  ).flatMap { case (reason, names) => names.map(_ -> reason) }.toMap
+
+  /** Oracles that RUN under spark.sql but return different results —
+    * pinned dialect-semantics divergences, each asserted real (a
+    * divergence that closes must move to the parity set):
+    *   - the audio PCM pair reads CHAR positions where both the engine
+    *     and DuckDB agree on BYTES (ascii/substr over non-ASCII text);
+    *   - the props-JSON pair's regex literal `\\s` is consumed by
+    *     Spark's string-literal escaping (DuckDB keeps the backslash).
+    */
+  private[graft] val divergent: Map[String, String] = Map(
+    "q_audio_stats" -> "char-vs-byte ascii/substr semantics",
+    "q_audio_segments" -> "char-vs-byte ascii/substr semantics",
+    "q_props_extract" -> "string-literal backslash escaping eats regex \\s",
+    "q_not_in" -> "string-literal backslash escaping eats regex \\s",
+  )
+
+  /** Oracles that ANALYZE under spark.sql but fail at EXECUTION (stage
+    * materialization dies on the 64-dim unrolled Gramian CTE chain).
+    * Asserted at the analysis level only — executing them to prove the
+    * failure costs ~2 min of failing stages each, every CI run.
+    */
+  private[graft] val executionSkips: Map[String, String] = Map(
+    "q_embed_pca" -> "64-wide unrolled Gramian chain fails Spark stage materialization",
+    "q_embed_pca_streamed" -> "64-wide unrolled Gramian chain fails Spark stage materialization",
+  )
 }
