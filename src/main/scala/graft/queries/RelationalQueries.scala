@@ -520,7 +520,7 @@ object RelationalQueries {
     * probes collapse before the orders join moves data.
     */
   private def nationVolumeOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
-    val pair = Seq("NATION_1", "NATION_2")
+    val pair = Seq("NATION_18", "NATION_19")
     val nat = tbl(s, dir, "nation").filter(col("n_name").isin(pair: _*))
     val sup = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
       .join(broadcast(nat.select(col("n_nationkey").as("s_nationkey"),
@@ -661,7 +661,7 @@ object RelationalQueries {
       .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
         count(lit(1))).as("avg_bal"))
     val recent = tbl(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
       .select(col("o_custkey").as("c_custkey"))
     cust.crossJoin(avgBal)
       .filter(col("c_acctbal") > col("avg_bal"))
@@ -2151,8 +2151,8 @@ object RelationalQueries {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
         |  AND l_shipdate <  TIMESTAMP '2000-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
 
@@ -2231,7 +2231,7 @@ object RelationalQueries {
         |      AND substr(c_name, 17, 2) IN ('13','31','23','29','30','18','17'))
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c.c_custkey
-        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact inputs + the three bound flags as the theorems they are
