@@ -68,7 +68,9 @@ class SqlParitySpec extends AnyFunSuite {
   private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
     val cols = df.columns.sorted.toSeq
     val rows = df.select(cols.map(col): _*).collect()
-      .map(_.toSeq.map(cellStr)).toSeq.sortBy(_.mkString(""))
+      .map(_.toSeq.map(cellStr)).toSeq
+      // delimited sort key ("ab","c" vs "a","bc" must not collide)
+      .sortBy(_.mkString("\u0001"))
     (cols, rows)
   }
 
