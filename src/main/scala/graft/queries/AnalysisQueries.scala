@@ -1112,6 +1112,32 @@ object AnalysisQueries {
           .as("ppl"))
   }
 
+  /** q_ppl_buckets' body: CCNet-style PERPLEXITY BUCKETING — per
+    * source, docs split into head/middle/tail thirds by ascending
+    * stupid-backoff perplexity (ntile over the (ppl, doc_id) total
+    * order — the deterministic-window q_window_shapes discipline;
+    * CCNet trains on the head, audits the tail). Source-partitioned
+    * window = data-sized parallelism; per-bucket means through exact
+    * DECIMAL sums (ppl is 6dp by construction).
+    */
+  private[graft] def pplBucketsOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = pplOf(d).join(d.select(col("doc_id"), col("source")), "doc_id")
+    val w = Window.partitionBy("source").orderBy(col("ppl"), col("doc_id"))
+    p.withColumn("b", ntile(3).over(w))
+      .withColumn("bucket", when(col("b") === 1, "head")
+        .when(col("b") === 2, "middle").otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        // the exact DECIMAL mass, not a rounded mean: sum/count can land
+        // exactly on a 7th-decimal tie where the two engines' half-up
+        // round DIVERGES by 1 ulp (observed at sf0.01) — the sum is
+        // tie-free by construction (6dp inputs, exact decimal addition)
+        sum(col("ppl").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_ppl"),
+        min(col("ppl")).as("min_ppl"), max(col("ppl")).as("max_ppl"))
+  }
+
   /** q_pit_features' body: POINT-IN-TIME feature extraction (the
     * feature-store / training-set assembly shape) — per user, activity
     * features computed STRICTLY BEFORE a cutoff and the label STRICTLY
@@ -1976,6 +2002,12 @@ object AnalysisQueries {
     // Streamed twin over the accumulated doc-fact store: the direct
     // derivation (every count depends on the accumulated doc SET).
     "q_ppl_streamed" -> ((s, dir) => pplOf(DocStores.streamedDocs(s, dir))),
+
+    // CCNet perplexity bucketing: head/middle/tail thirds per source by
+    // ascending backoff perplexity — see pplBucketsOf.
+    "q_ppl_buckets" -> ((s, dir) => pplBucketsOf(docs(s, dir))),
+    "q_ppl_buckets_streamed" -> ((s, dir) =>
+      pplBucketsOf(DocStores.streamedDocs(s, dir))),
 
     // Corpus-wide top word-2-grams by occurrence count (⊕ LLM-pipeline):
     // the pair-statistics pass BPE/WordPiece tokenizer training runs over
@@ -2844,6 +2876,52 @@ object AnalysisQueries {
   private lazy val unigramCtes: String =
     s"$unigramBase, ${unigramVocabChainSql("u", budget = 12, rounds = 3)}"
 
+  /** The shared stupid-backoff chain (tokenize → training-slice counts
+    * → scalars → per-doc gram stream → scored w relation) — q_ppl's
+    * oracle body, reused by the bucket mirror.
+    */
+  private lazy val pplChainSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                     t -> t <> '') AS ts
+        |  FROM documents
+        |), ttr AS MATERIALIZED (
+        |  SELECT * FROM toks
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |), uni AS MATERIALIZED (
+        |  SELECT u.term, count(*) AS n1 FROM ttr, unnest(ts) AS u(term) GROUP BY 1
+        |), g2t AS (
+        |  SELECT list_transform(range(1, greatest(len(ts)-1, 0)+1),
+        |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
+        |  FROM ttr
+        |), bi AS MATERIALIZED (
+        |  SELECT g AS gram, count(*) AS n2 FROM g2t, unnest(gs) AS t(g) GROUP BY 1
+        |), sc AS (
+        |  SELECT (SELECT CAST(sum(len(ts)) AS DOUBLE) FROM ttr) AS nn,
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS vv
+        |), g2a AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(ts)-1, 0)+1),
+        |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
+        |  FROM toks
+        |), dg AS (
+        |  SELECT doc_id, g AS gram, count(*) AS cnt
+        |  FROM g2a, unnest(gs) AS t(g) GROUP BY 1, 2
+        |), w AS (
+        |  SELECT dg.doc_id, dg.cnt,
+        |         CASE WHEN bi.n2 IS NULL THEN dg.cnt ELSE 0 END AS bk,
+        |         CAST(CASE WHEN bi.n2 IS NOT NULL
+        |              THEN round(ln(CAST(bi.n2 AS DOUBLE) / na.n1), 6)
+        |              ELSE round(ln(CAST('0.4' AS DOUBLE) *
+        |                     (CAST(coalesce(nb.n1, 0) + 1 AS DOUBLE)
+        |                      / (sc.nn + sc.vv))), 6)
+        |         END AS DECIMAL(20,6)) * dg.cnt AS w
+        |  FROM dg LEFT JOIN bi USING (gram)
+        |  LEFT JOIN uni na ON string_split(dg.gram, ' ')[1] = na.term
+        |  LEFT JOIN uni nb ON string_split(dg.gram, ' ')[2] = nb.term
+        |  CROSS JOIN sc
+        |)""".stripMargin
+
   /** The SentencePiece prune-cycle chain shared by q_unigram_prune and
     * q_unigram_prune_encode: the 16-seed chain (2 EM rounds, prefix
     * 'pu'), the prune CTE (chars survive; top-12 multi by (trained
@@ -3145,50 +3223,31 @@ object AnalysisQueries {
     // order), 6-dp per-gram rounds → DECIMAL(20,6)·cnt → exact sum →
     // float-last exp(−avg) → round 6
     "q_ppl" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
-        |                     t -> t <> '') AS ts
-        |  FROM documents
-        |), ttr AS MATERIALIZED (
-        |  SELECT * FROM toks
-        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
-        |), uni AS MATERIALIZED (
-        |  SELECT u.term, count(*) AS n1 FROM ttr, unnest(ts) AS u(term) GROUP BY 1
-        |), g2t AS (
-        |  SELECT list_transform(range(1, greatest(len(ts)-1, 0)+1),
-        |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
-        |  FROM ttr
-        |), bi AS MATERIALIZED (
-        |  SELECT g AS gram, count(*) AS n2 FROM g2t, unnest(gs) AS t(g) GROUP BY 1
-        |), sc AS (
-        |  SELECT (SELECT CAST(sum(len(ts)) AS DOUBLE) FROM ttr) AS nn,
-        |         (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS vv
-        |), g2a AS (
-        |  SELECT doc_id, list_transform(range(1, greatest(len(ts)-1, 0)+1),
-        |                 i -> ts[i] || ' ' || ts[i+1]) AS gs
-        |  FROM toks
-        |), dg AS (
-        |  SELECT doc_id, g AS gram, count(*) AS cnt
-        |  FROM g2a, unnest(gs) AS t(g) GROUP BY 1, 2
-        |), w AS (
-        |  SELECT dg.doc_id, dg.cnt,
-        |         CASE WHEN bi.n2 IS NULL THEN dg.cnt ELSE 0 END AS bk,
-        |         CAST(CASE WHEN bi.n2 IS NOT NULL
-        |              THEN round(ln(CAST(bi.n2 AS DOUBLE) / na.n1), 6)
-        |              ELSE round(ln(CAST('0.4' AS DOUBLE) *
-        |                     (CAST(coalesce(nb.n1, 0) + 1 AS DOUBLE)
-        |                      / (sc.nn + sc.vv))), 6)
-        |         END AS DECIMAL(20,6)) * dg.cnt AS w
-        |  FROM dg LEFT JOIN bi USING (gram)
-        |  LEFT JOIN uni na ON string_split(dg.gram, ' ')[1] = na.term
-        |  LEFT JOIN uni nb ON string_split(dg.gram, ' ')[2] = nb.term
-        |  CROSS JOIN sc
-        |)
-        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-        |       CAST(sum(bk) AS BIGINT) AS n_backoff,
-        |       round(exp(-(CAST(sum(w) AS DOUBLE) / sum(cnt))), 6) AS ppl
-        |FROM w GROUP BY doc_id""".stripMargin,
+      s"""$pplChainSql
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(bk) AS BIGINT) AS n_backoff,
+         |       round(exp(-(CAST(sum(w.w) AS DOUBLE) / sum(cnt))), 6) AS ppl
+         |FROM w GROUP BY doc_id""".stripMargin,
+
+    // bucket mirror: the SAME backoff chain wrapped as a per-doc ppl
+    // CTE, then the identical ntile window (total (ppl, doc_id) order —
+    // the q_window_shapes determinism discipline) and DECIMAL means
+    "q_ppl_buckets" ->
+      s"""$pplChainSql, pp AS (
+         |  SELECT doc_id, round(exp(-(CAST(sum(w.w) AS DOUBLE) / sum(cnt))), 6) AS ppl
+         |  FROM w GROUP BY doc_id
+         |), ps AS (
+         |  SELECT d.source, pp.ppl,
+         |         ntile(3) OVER (PARTITION BY d.source
+         |                        ORDER BY pp.ppl, pp.doc_id) AS b
+         |  FROM pp JOIN documents d USING (doc_id)
+         |)
+         |SELECT source,
+         |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |       count(*) AS n_docs,
+         |       CAST(SUM(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS sum_ppl,
+         |       min(ppl) AS min_ppl, max(ppl) AS max_ppl
+         |FROM ps GROUP BY 1, 2""".stripMargin,
 
     // mirrors TermScoring.dsirWeights exactly: both smoothed
     // log-probabilities ln((c+1.0)/(N+V)) rounded 6dp → DECIMAL(20,6),
@@ -4517,6 +4576,7 @@ object AnalysisQueries {
       "q_bpe_train", "q_corpus_card", "q_anomaly", "q_rag_chunks",
       "q_validate_docs", "q_cdc_merge", "q_ewma", "q_interval_join",
       "q_k_anon", "q_pit_features", "q_url_canon", "q_snapshot_diff",
-      "q_group_percentiles", "q_l_diversity", "q_dp_release", "q_ppl")
+      "q_group_percentiles", "q_l_diversity", "q_dp_release", "q_ppl",
+      "q_ppl_buckets")
       .map(q => s"${q}_streamed" -> baseOracles(q))
 }

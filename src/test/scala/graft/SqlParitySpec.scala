@@ -200,7 +200,8 @@ object SqlParitySpec {
       "q_pack", "q_pack_streamed", "q_pagerank_docs",
       "q_pagerank_docs_streamed", "q_phrase", "q_pii_scan",
       "q_pii_scan_streamed", "q_pmi", "q_pmi_streamed",
-      "q_ppl", "q_ppl_streamed", "q_quality",
+      "q_ppl", "q_ppl_streamed", "q_ppl_buckets",
+      "q_ppl_buckets_streamed", "q_quality",
       "q_quality_clf", "q_quality_clf_eval", "q_quality_clf_streamed",
       "q_quality_gate", "q_quality_gate_streamed", "q_quality_streamed",
       "q_rag_chunks", "q_rag_chunks_streamed", "q_repetition",
