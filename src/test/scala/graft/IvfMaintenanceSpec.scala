@@ -79,4 +79,46 @@ class IvfMaintenanceSpec extends AnyFunSuite {
         "assigned__compacting", "assigned__pre_compact"))
       assert(!new java.io.File(s"$root/$side").exists(), s"residue: $side")
   }
+
+  test("crash between the two swaps leaves a serveable store the next pass repairs") {
+    // fresh fixture dir so the other tests' store state can't interfere
+    val d2 = java.nio.file.Files.createTempDirectory("ivf_maint_crash").toString
+    mkEmb(0f).write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val root = graft.sources.SessionStores.scopedPath("graft_ivf",
+      "ivf_c3_i2_" + graft.sources.SessionStores.tagOf(d2))
+    VectorStore.ivf(spark, d2, nCells = 3, iters = 2): Unit
+    // simulate maintainIvf dying AFTER the centroid swap and BEFORE the
+    // assignment swap: install rotated-corpus centroids at cents/ while
+    // assigned/ keeps the original partitioning (plus swap residue)
+    val drifted = mkEmb(0f).select(col("vec_id"),
+      concat(slice(col("embedding"), 2, 3), slice(col("embedding"), 1, 1))
+        .as("embedding"), col("label"))
+    val p = graft.operators.Similarity.prepared(drifted)
+    val fresh = graft.operators.Similarity.lloydCentroids(p, 3, 2)
+    import spark.implicits._
+    fresh.map(c => (c.id, c.cv, c.cn)).toDF("cent_id", "cv", "cn")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/cents__compacting")
+    p.withColumn("cell", graft.operators.Similarity.bestCell(fresh).cast("int"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/assigned__compacting")
+    graft.streaming.StoreMaintenance.swapInto(spark, s"$root/cents")
+    // CRASH here: assigned__compacting residue on disk, halves disagree.
+    // The store must still SERVE (both directories exist and read)...
+    val (assigned, _) = VectorStore.ivf(spark, d2, nCells = 3, iters = 2)
+    assert(assigned.count() === 24L)
+    // ...and the next maintenance pass must REPAIR it: the drifted
+    // corpus still reads as drifted against whatever centroids serve,
+    // so the retrain fires and both halves land consistent
+    val (_, retrained) =
+      VectorStore.maintainIvf(spark, d2, drifted, nCells = 3, iters = 2)
+    assert(retrained, "repair pass must retrain the half-swapped store")
+    val (a2, c2) = VectorStore.ivf(spark, d2, nCells = 3, iters = 2)
+    val mismatch = a2
+      .withColumn("best", graft.operators.Similarity.bestCell(c2).cast("int"))
+      .filter(col("cell") =!= col("best")).count()
+    assert(mismatch === 0L, "repaired store halves must agree")
+    for (side <- Seq("cents__compacting", "cents__pre_compact",
+        "assigned__compacting", "assigned__pre_compact"))
+      assert(!new java.io.File(s"$root/$side").exists(), s"residue: $side")
+  }
 }
