@@ -34,6 +34,13 @@ object VectorStore {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Similarity.Centroid]]()
 
+  /** Test hook: drop the in-process centroid cache, putting the next
+    * read in the state of a FRESH process — the crash-window spec uses
+    * it so the repair path is pinned without help from stale cache
+    * contents (a true crash loses the cache with the process).
+    */
+  private[graft] def testClearCentroidCache(): Unit = centroidCache.clear()
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.tbl(spark, dir, "embeddings")
 
@@ -196,6 +203,37 @@ object VectorStore {
     import org.apache.spark.sql.types.DecimalType
     val root = SessionStores.scopedPath("graft_ivf",
       s"ivf_c${nCells}_i${iters}_" + SessionStores.tagOf(dir))
+    // CRASH-RESIDUE GATE (before any drift measurement): a previous
+    // maintenance pass that died between swapInto(cents) and
+    // swapInto(assigned) leaves FRESH centroids live over the OLD
+    // assignment — and a restarted process (empty centroid cache)
+    // measures drift against the already-swapped centroids, reads ~0,
+    // and would return (drift, false) forever while probe queries rank
+    // cells by centroids the members were never partitioned by. Drift
+    // says NOTHING about half-swap consistency, so any side-directory
+    // residue forces the rebuild regardless of the measured value.
+    val residueForcesRebuild = {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a crash INSIDE one of the two renames can leave a live dir
+      // missing entirely — finish/unwind that swap first so both halves
+      // exist (recoverSub prefers the complete __compacting rewrite)
+      for (half <- Seq("cents", "assigned"))
+        if (!fs.exists(new Path(s"$root/$half")) &&
+            (fs.exists(new Path(s"$root/${half}__compacting")) ||
+             fs.exists(new Path(s"$root/${half}__pre_compact"))))
+          graft.streaming.StoreMaintenance.recoverSub(spark, s"$root/$half")
+      val residue = Seq("cents__compacting", "cents__pre_compact",
+        "assigned__compacting", "assigned__pre_compact")
+        .filter(s => fs.exists(new Path(s"$root/$s")))
+      if (residue.nonEmpty) {
+        // the halves may disagree — drop the residue (the rebuild below
+        // rewrites both side dirs from scratch) and the stale cache
+        residue.foreach(s => fs.delete(new Path(s"$root/$s"), true))
+        centroidCache.remove(root)
+      }
+      residue.nonEmpty
+    }
     val (_, cents) = ivf(spark, dir, nCells, iters) // ensure built
     val p = Similarity.prepared(current)
     val spk = spark
@@ -212,6 +250,13 @@ object VectorStore {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         f => f.getField("m")).as("mv"))
       .as[(Int, Seq[Double])].collect().toMap // ≤ nCells rows by contract
+    // LOUD-FAILURE GUARD: an empty (or unreadable-as-empty) `current`
+    // yields no per-cell means; treating that as max drift would fire a
+    // retrain that overwrites a healthy store with empty centroids —
+    // garbage input must fail, not destroy good state.
+    require(means.nonEmpty,
+      s"maintainIvf: current corpus for $dir produced no cell means " +
+        "(empty or unreadable input) — refusing to measure drift or retrain")
     val perCell = cents.flatMap { c =>
       means.get(c.id.toInt).map { mv =>
         val dot = c.cv.lazyZip(mv).map(_ * _).sum
@@ -222,7 +267,7 @@ object VectorStore {
     val drift =
       if (perCell.isEmpty) 1.0
       else graft.util.Num.r6(perCell.sum / perCell.length)
-    if (drift <= threshold) (drift, false)
+    if (drift <= threshold && !residueForcesRebuild) (drift, false)
     else {
       val fresh =
         if (iters == 0) Similarity.collectCentroids(p, nCells)
@@ -231,8 +276,10 @@ object VectorStore {
       // same crash windows as every compact (recoverSub can finish or
       // unwind either directory independently; the centroid table
       // swaps FIRST so a crash between the two leaves fresh centroids
-      // with the old assignment — stale but serveable, repaired by the
-      // next maintenance pass)
+      // with the old assignment — still serveable, and the residue it
+      // leaves on disk forces the next maintenance pass to rebuild
+      // UNCONDITIONALLY via the crash-residue gate above, because the
+      // measured drift of that state reads ~0 in a fresh process)
       fresh.map(c => (c.id, c.cv, c.cn)).toDF("cent_id", "cv", "cn")
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$root/cents__compacting")

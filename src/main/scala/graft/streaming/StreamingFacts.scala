@@ -28,9 +28,27 @@ object StreamingFacts {
   private[graft] def schemaPath(store: String) = s"$store/_graft_schema"
 
   // stores whose batch stamps this process has already proven non-null
-  // (the factsAsOf loud guard — see its comment)
+  // (the factsAsOf loud guard — see its comment), keyed by a CONTENT
+  // SIGNATURE of the facts directory (file names + lengths + mtimes),
+  // not the bare path: a store deleted and recreated, compacted, or
+  // externally appended between two factsAsOf calls changes the
+  // signature and re-arms the probe — a memo keyed by path alone would
+  // skip the check and let an unstamped row be SILENTLY dropped by the
+  // `<= batch` filter, exactly the failure the guard exists to catch.
+  // The signature is one driver-side FileStatus listing (metadata only,
+  // bounded by the compaction-kept file count), not a data read.
   private val stampChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def factsSignature(conf: org.apache.hadoop.conf.Configuration,
+                             storePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(factsPath(storePath))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) "<absent>"
+    else fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
 
   /** Present ⇔ the facts sub-store is PHYSICALLY key-distinct (a compact
     * ran and nothing appended since): `facts` serves raw, skipping the
@@ -165,16 +183,19 @@ object StreamingFacts {
     // pushed `_gbatch <= batch` scan filter time-travel's pruning
     // depends on (PlanSpec pins it). The probe itself pushes IsNull to
     // the scan, so parquet null-count stats answer it without a full
-    // read; stores are process-scoped, so once per process is enough.
+    // read; the memo re-arms whenever the store's content signature
+    // changes (recreate / compact / external append), so a row written
+    // after the first probe is still caught.
     val stamped = StoreMaintenance
       .readOrEmpty(spark, factsPath(storePath),
         sch.add(batchCol, org.apache.spark.sql.types.LongType))
-    if (!stampChecked.contains(storePath)) {
+    val sig = factsSignature(conf, storePath)
+    if (stampChecked.get(storePath) != sig) {
       val nNull = stamped.filter(col(batchCol).isNull).count()
       require(nNull == 0L,
         s"factsAsOf: $nNull rows with NULL $batchCol in $storePath — " +
           "store written without batch stamps")
-      stampChecked.add(storePath): Unit
+      stampChecked.put(storePath, sig): Unit
     }
     val sliced = stamped
       .filter(col(batchCol) <= batchId)

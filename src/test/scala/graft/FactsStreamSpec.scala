@@ -143,6 +143,23 @@ class FactsStreamSpec extends AnyFunSuite {
     assert(t === b)
   }
 
+  test("factsAsOf stamp probe re-arms when the store content changes after the first pass") {
+    val store = freshStore("rearm")
+    assert(StreamingFacts.processBatch(facts, 0L, store, "doc_id", schema))
+    // first read memoizes the non-null-stamp proof for this content
+    assert(StreamingFacts.factsAsOf(spark, store, 0L, "doc_id", schema).count() === 30L)
+    // an EXTERNAL append without a batch stamp (the exact corruption the
+    // guard exists to catch) changes the content signature, so the next
+    // factsAsOf must re-probe and fail LOUDLY — a path-keyed memo would
+    // silently drop the unstamped row instead
+    Seq((999L, "sX", "unstamped")).toDF("doc_id", "source", "text")
+      .write.mode("append").parquet(s"$store/facts")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingFacts.factsAsOf(spark, store, 0L, "doc_id", schema).count()
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
   test("shape is store state: accessors resolve the persisted sidecar over caller defaults") {
     val store = freshStore("sidecar")
     assert(StreamingFacts.processBatch(facts, 0L, store, "doc_id", schema))

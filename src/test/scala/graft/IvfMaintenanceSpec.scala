@@ -80,6 +80,19 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       assert(!new java.io.File(s"$root/$side").exists(), s"residue: $side")
   }
 
+  test("empty current corpus fails loudly instead of retraining over a healthy store") {
+    val before = VectorStore.ivf(spark, fixtureDir, nCells = 3, iters = 2)._2
+    val ex = intercept[IllegalArgumentException] {
+      VectorStore.maintainIvf(spark, fixtureDir,
+        mkEmb(0f).filter(col("vec_id") < 0), nCells = 3, iters = 2)
+    }
+    assert(ex.getMessage.contains("refusing"))
+    // the healthy store was NOT overwritten by the garbage input
+    val after = VectorStore.ivf(spark, fixtureDir, nCells = 3, iters = 2)
+    assert(after._1.count() === 24L)
+    assert(after._2.map(c => (c.id, c.cv)) === before.map(c => (c.id, c.cv)))
+  }
+
   test("crash between the two swaps leaves a serveable store the next pass repairs") {
     // fresh fixture dir so the other tests' store state can't interfere
     val d2 = java.nio.file.Files.createTempDirectory("ivf_maint_crash").toString
@@ -103,14 +116,23 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       .parquet(s"$root/assigned__compacting")
     graft.streaming.StoreMaintenance.swapInto(spark, s"$root/cents")
     // CRASH here: assigned__compacting residue on disk, halves disagree.
+    // Simulate the TRUE crash: the process died, so its centroid cache
+    // died with it — the restarted process reads the already-swapped
+    // FRESH centroids from disk and measures drift ~0 against the very
+    // corpus they were trained on. Without the residue gate this state
+    // would serve silently-wrong ANN results forever.
+    VectorStore.testClearCentroidCache()
     // The store must still SERVE (both directories exist and read)...
     val (assigned, _) = VectorStore.ivf(spark, d2, nCells = 3, iters = 2)
     assert(assigned.count() === 24L)
-    // ...and the next maintenance pass must REPAIR it: the drifted
-    // corpus still reads as drifted against whatever centroids serve,
-    // so the retrain fires and both halves land consistent
-    val (_, retrained) =
+    // ...and the next maintenance pass must REPAIR it: measured drift is
+    // ~0 (fresh centroids vs the corpus that trained them), so ONLY the
+    // crash-residue gate can fire the rebuild — this pins the gate, not
+    // a drift measurement that a real crash would never produce
+    val (drift2, retrained) =
       VectorStore.maintainIvf(spark, d2, drifted, nCells = 3, iters = 2)
+    assert(drift2 <= 0.05,
+      s"fresh process must measure ~0 drift against swapped centroids ($drift2)")
     assert(retrained, "repair pass must retrain the half-swapped store")
     val (a2, c2) = VectorStore.ivf(spark, d2, nCells = 3, iters = 2)
     val mismatch = a2

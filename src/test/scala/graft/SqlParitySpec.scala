@@ -46,6 +46,17 @@ class SqlParitySpec extends AnyFunSuite {
     true
   }
 
+  private val strftimeTokens = Seq("%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
+
+  // strftime %-tokens are rewritten ONLY inside single-quoted literals
+  // that are pure format strings (tokens + the separators - : space) —
+  // a global replace would silently rewrite a future oracle's LIKE
+  // pattern or data literal containing e.g. '%d', manufacturing or
+  // masking a divergence. Any %-token left OUTSIDE such a literal is
+  // asserted absent: loud failure instead of a silent rewrite.
+  private val strftimeFmtLiteral = "'((?:%[YmdHMS]|[-: ])+)'".r
+
   private def sparkize(sql: String): String = {
     var s = sql
       .replace(" AS MATERIALIZED", " AS")
@@ -53,9 +64,15 @@ class SqlParitySpec extends AnyFunSuite {
       .replace("strftime(", "date_format(")
       .replace("AS VARCHAR)", "AS STRING)")
       .replaceAll("date_diff\\('(\\w+)',", "date_diff($1,")
-    for ((d, j) <- Seq("%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
-        "%H" -> "HH", "%M" -> "mm", "%S" -> "ss"))
-      s = s.replace(d, j)
+    s = strftimeFmtLiteral.replaceAllIn(s, m => {
+      var f = m.group(1)
+      for ((d, j) <- strftimeTokens) f = f.replace(d, j)
+      scala.util.matching.Regex.quoteReplacement(s"'$f'")
+    })
+    for ((d, _) <- strftimeTokens)
+      assert(!s.contains(d),
+        s"sparkize: strftime token $d outside a recognized format literal — " +
+          s"scope the rewrite before running this oracle through spark.sql:\n$s")
     s
   }
 
