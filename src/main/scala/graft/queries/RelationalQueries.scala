@@ -80,6 +80,39 @@ object RelationalQueries {
     }
   }
 
+  /** Session-scoped persisted customer-grain RETURNS relation serving
+    * q_state_returns (the DS q1 shape): (c_custkey, c_name, n_name,
+    * ret_dec) — the per-customer returned-revenue aggregate with its
+    * customer/nation attribution. Persisted because the query has TWO
+    * consumers of this relation (the result rows and the 25-row nation
+    * average) and Spark shares no common subplan across DataFrame
+    * lineage — without it the lineitem ⋈ orders fact aggregate runs
+    * twice. Customer-grain ⇒ output-sized, never fact-sized; same
+    * (session, dir) memo discipline as `LineitemMoments`.
+    */
+  private[graft] object CustReturns {
+    private val lock = new Object
+    private var cache = Map.empty[(SparkSession, String), DataFrame]
+
+    def of(s: SparkSession, dir: String): DataFrame = lock.synchronized {
+      cache = cache.filter(!_._1._1.sparkContext.isStopped)
+      cache.getOrElse((s, dir), {
+        val m = tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("ret_dec"))
+          .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(tbl(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"), col("ret_dec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache += (s, dir) -> m
+        m
+      })
+    }
+  }
+
   /** Session-scoped shared QUANTILE relation serving the whole exact-
     * percentile family — q_percentiles (p25/p50/p75), q_winsorized
     * (p05/p95 clamp bounds) and q_mad (the p50 median its deviation
@@ -620,11 +653,19 @@ object RelationalQueries {
   }
 
   /** q_supplier_cnt's body (TPC-H Q16): distinct suppliers per part
-    * (brand, type, size) bucket, excluding complaint suppliers — the
-    * NOT IN side (s_acctbal < 0, the fixture's complaint analog) is a
-    * bounded dim relation planned as a broadcast null-safe anti join;
-    * the (partkey, suppkey) pair relation comes pre-distinct from the
-    * fact table so count(DISTINCT) moves pair-grain rows only.
+    * (brand, type, size) bucket, excluding complaint suppliers. The
+    * exclusion is the classic `NOT IN` with its standard null-safe
+    * decorrelation: the subquery side carries an explicit IS NOT NULL
+    * (the canonical rewrite — with no NULLs in the set, `NOT IN` over a
+    * non-NULL probe key ≡ anti join) and the probe side drops NULL keys
+    * (a NULL probe can never satisfy `NOT IN` under three-valued
+    * logic, which a plain left_anti would wrongly keep). Both guards
+    * are no-ops on non-null key columns but make the plan's LeftAnti
+    * EQUAL to `NOT IN` rather than coincide with it. The complaint
+    * relation (s_acctbal < 0, the fixture's complaint analog) is a
+    * bounded dim planned as a broadcast anti join; the (partkey,
+    * suppkey) pair relation comes pre-distinct from the fact table so
+    * count(DISTINCT) moves pair-grain rows only.
     */
   private def supplierCntOf(s: SparkSession, dir: String, li: DataFrame): DataFrame = {
     val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
@@ -633,9 +674,11 @@ object RelationalQueries {
         col("p_size").isin(sizes: _*))
       .select(col("p_partkey").as("l_partkey"),
         col("p_brand"), col("p_type"), col("p_size"))
-    val complaints = tbl(s, dir, "supplier").filter(col("s_acctbal") < 0)
+    val complaints = tbl(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0 && col("s_suppkey").isNotNull)
       .select(col("s_suppkey").as("l_suppkey"))
     li.select("l_partkey", "l_suppkey").distinct()
+      .filter(col("l_suppkey").isNotNull)
       .join(broadcast(complaints), Seq("l_suppkey"), "left_anti")
       .join(pt, "l_partkey")
       .groupBy("p_brand", "p_type", "p_size")
@@ -1895,6 +1938,139 @@ object RelationalQueries {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("first_price"))
     }),
+
+    // ---- TPC-DS starter deck (r20): the four DS plan shapes the TPC-H
+    // deck does not cover — rank over grouping sets, multi-channel
+    // conformed union, different-grain correlated average, moving
+    // aggregate over an aggregate grain. Oracles in classic form below.
+
+    // TPC-DS q67 shape (rank over rollup): the per-type revenue ranking
+    // runs over the GROUPING-SET output — brand leaves, type subtotals
+    // and the grand total all compete inside their type partition (the
+    // NULL-type partition holds the rollup's grand-total row), a window-
+    // exchange-over-Expand plan form nothing else on the surface pins.
+    // Same pre-aggregate-before-Expand discipline as q_rollup_revenue:
+    // the 3-way Expand multiplies the (type, brand) leaf aggregates,
+    // never fact rows — at 100 TB the difference between replicating
+    // the fact table 3× and replicating a few hundred rows 3×. The rank
+    // order is made TOTAL (revenue desc, then brand with NULL collapsed
+    // to '' — explicit, because the engines' default NULL sort order
+    // differs) so rank() is deterministic. Expressed through the
+    // spark.sql surface like every grouping-set query here (Spark 4.1's
+    // Dataset rollup() trips the ambiguous-self-join check after a
+    // join); the SQL plans the identical Expand + aggregate + window.
+    "q_cat_top_rank" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(t => tbl(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+      s.sql(
+        s"""WITH leaf AS (
+           |  SELECT p_type, p_brand,
+           |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev,
+           |    COUNT(*) AS cnt
+           |  FROM graft_lineitem JOIN graft_part ON l_partkey = p_partkey
+           |  GROUP BY p_type, p_brand
+           |), rolled AS (
+           |  SELECT p_type, p_brand,
+           |    CAST(SUM(rev) AS DOUBLE) AS revenue, SUM(cnt) AS n_items
+           |  FROM leaf GROUP BY ROLLUP (p_type, p_brand)
+           |)
+           |SELECT p_type, p_brand, revenue, n_items, rk
+           |FROM (SELECT *, CAST(rank() OVER (PARTITION BY p_type
+           |        ORDER BY revenue DESC, COALESCE(p_brand, '')) AS INT) AS rk
+           |      FROM rolled) ranked
+           |WHERE rk <= 3""".stripMargin)
+    }),
+
+    // TPC-DS q77/q5 shape (multi-channel report): three DIFFERENT source
+    // relations — orders ("store"), lineitem ("catalog"), purchase
+    // events ("web") — each aggregated to its own monthly grain FIRST,
+    // conformed to one (channel, month, sales, txns) schema by UNION
+    // ALL, then rolled up to channel totals and the grand total. The
+    // union runs over three already-aggregated month-grain relations
+    // (bounded rows), so the rollup's Expand and the final exchange
+    // move report-sized data regardless of fact scale; each branch's
+    // aggregate pushes map-side partials into its own scan. Money stays
+    // DECIMAL through BOTH aggregation levels (per-channel sums cast to
+    // one common DECIMAL(30,4) so the union's type is exact), cast to
+    // DOUBLE once at the end.
+    "q_channel_report" -> ((s, dir) => {
+      def monthly(src: DataFrame, channel: String, ts: Column, money: Column) =
+        src.groupBy(date_format(date_trunc("month", ts), "yyyy-MM-dd").as("month"))
+          .agg(sum(money).cast(DecimalType(30, 4)).as("sales_dec"),
+            count(lit(1)).as("txns"))
+          .select(lit(channel).as("channel"), col("month"),
+            col("sales_dec"), col("txns"))
+      val store = monthly(tbl(s, dir, "orders"), "store",
+        col("o_orderdate"), col("o_totalprice").cast(DecimalType(18, 2)))
+      val catalog = monthly(tbl(s, dir, "lineitem"), "catalog",
+        col("l_shipdate"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+      val web = monthly(
+        graft.sources.Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        "web", col("t"), col("value").cast(DecimalType(18, 2)))
+      store.unionByName(catalog).unionByName(web)
+        .rollup(col("channel"), col("month"))
+        .agg(sum(col("sales_dec")).cast("double").as("sales"),
+          sum(col("txns")).as("txns"))
+    }),
+
+    // TPC-DS q1 shape (per-group outlier vs a DIFFERENT-grain average):
+    // customers whose returned revenue exceeds 1.2× the average
+    // customer's returned revenue within their nation. The classic form
+    // correlates a per-customer total with a per-nation average of those
+    // totals; decorrelated the Q17 way — ONE per-customer aggregate over
+    // the filtered fact join, the nation average computed OVER that
+    // aggregate (25 rows, broadcast back), never a per-customer rescan.
+    // The customer-grain relation is PERSISTED (it is output-sized —
+    // customers, never fact rows) because Spark shares no common
+    // subplan across the two consumers: without it the lineitem ⋈
+    // orders aggregate runs twice, once for the result rows and once
+    // for the 25-row average (PlanSpec pins both consumers on the
+    // cache). A 25-partition nation WINDOW would also be one pass but
+    // caps parallelism at the nation count — the broadcast join-back
+    // keeps customer-grain parallelism. The threshold comparison runs
+    // on the exact-DECIMAL customer total cast to DOUBLE against
+    // sum/count (the house explicit-average rule), so both engines
+    // select the identical row set.
+    "q_state_returns" -> ((s, dir) => {
+      val custRet = CustReturns.of(s, dir)
+      val navg = custRet.groupBy(col("n_name").as("nk"))
+        .agg((sum(col("ret_dec")).cast("double") / count(lit(1))).as("nation_avg"))
+      custRet.join(broadcast(navg), col("n_name") === col("nk"))
+        .filter(col("ret_dec").cast("double") > col("nation_avg") * lit(1.2))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("ret_dec").cast("double").as("returned_rev"),
+          round(col("nation_avg"), 6).as("nation_avg"))
+    }),
+
+    // TPC-DS moving-aggregate shape (q67's windowed cousin): monthly
+    // revenue per customer nation with a 3-month moving average and the
+    // cumulative total — the window runs over the AGGREGATED month grain
+    // (≤ nations × months rows after one fact aggregate), distinct from
+    // q_trailing_revenue's row-grain RANGE frame. Partitions are
+    // per-nation (bounded fan-out, no global sort); the frame sums stay
+    // DECIMAL (exact at any accumulation order) and the moving average
+    // is the explicit frame-sum / frame-count.
+    "q_store_sales_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val leaf = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev_dec"))
+      val w3 = Window.partitionBy("n_name").orderBy("m").rowsBetween(-2, 0)
+      val wc = Window.partitionBy("n_name").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      leaf.select(col("n_name"),
+        date_format(col("m"), "yyyy-MM-dd").as("month"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(sum(col("rev_dec")).over(w3).cast("double") /
+          count(lit(1)).over(w3), 6).as("ma3"),
+        sum(col("rev_dec")).over(wc).cast("double").as("cum_revenue"))
+    }),
   )
 
   private val oraclesBase: Map[String, String] = Map(
@@ -2208,8 +2384,10 @@ object RelationalQueries {
         |JOIN part ON p_partkey = l_partkey
         |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
         |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey IS NOT NULL
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |                        WHERE s_acctbal < 0)
+        |                        WHERE s_acctbal < 0
+        |                          AND s_suppkey IS NOT NULL)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
@@ -2697,6 +2875,96 @@ object RelationalQueries {
          |JOIN nation   ON c_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name""".stripMargin,
+
+    // ---- TPC-DS starter deck: classic-form oracles (q67 / q77 / q1 /
+    // moving-aggregate shapes). COALESCE in the rank order makes the
+    // NULL subtotal rows' placement explicit — the engines' default
+    // NULL sort order differs, and rank must be a total order.
+    "q_cat_top_rank" ->
+      """WITH leaf AS (
+        |  SELECT p_type, p_brand,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_type, p_brand
+        |), rolled AS (
+        |  SELECT p_type, p_brand,
+        |    CAST(SUM(rev) AS DOUBLE) AS revenue, SUM(cnt) AS n_items
+        |  FROM leaf GROUP BY ROLLUP (p_type, p_brand)
+        |)
+        |SELECT p_type, p_brand, revenue, n_items, rk
+        |FROM (SELECT *, CAST(rank() OVER (PARTITION BY p_type
+        |        ORDER BY revenue DESC, COALESCE(p_brand, '')) AS INT) AS rk
+        |      FROM rolled) ranked
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_channel_report" ->
+      """WITH conformed AS (
+        |  SELECT 'store' AS channel,
+        |         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sales_dec,
+        |         COUNT(*) AS txns
+        |  FROM orders GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'catalog',
+        |         strftime(date_trunc('month', l_shipdate), '%Y-%m-%d'),
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(30,4)),
+        |         COUNT(*)
+        |  FROM lineitem GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'web',
+        |         strftime(date_trunc('month', ts), '%Y-%m-%d'),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,4)),
+        |         COUNT(*)
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 2
+        |)
+        |SELECT channel, month,
+        |       CAST(SUM(sales_dec) AS DOUBLE) AS sales, SUM(txns) AS txns
+        |FROM conformed
+        |GROUP BY ROLLUP (channel, month)""".stripMargin,
+
+    "q_state_returns" ->
+      """WITH cust_ret AS (
+        |  SELECT o_custkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS ret_dec
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey
+        |), attributed AS (
+        |  SELECT c_custkey, c_name, n_name, ret_dec
+        |  FROM cust_ret
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), navg AS (
+        |  SELECT n_name AS nk,
+        |         CAST(SUM(ret_dec) AS DOUBLE) / COUNT(*) AS nation_avg
+        |  FROM attributed GROUP BY n_name
+        |)
+        |SELECT c_custkey, c_name, n_name,
+        |       CAST(ret_dec AS DOUBLE) AS returned_rev,
+        |       round(nation_avg, 6) AS nation_avg
+        |FROM attributed JOIN navg ON n_name = nk
+        |WHERE CAST(ret_dec AS DOUBLE) > nation_avg * 1.2""".stripMargin,
+
+    "q_store_sales_window" ->
+      """WITH leaf AS (
+        |  SELECT n_name, date_trunc('month', l_shipdate) AS m,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, date_trunc('month', l_shipdate)
+        |)
+        |SELECT n_name, strftime(m, '%Y-%m-%d') AS month,
+        |       CAST(rev_dec AS DOUBLE) AS revenue,
+        |       round(CAST(SUM(rev_dec) OVER w3 AS DOUBLE) / COUNT(*) OVER w3, 6) AS ma3,
+        |       CAST(SUM(rev_dec) OVER wc AS DOUBLE) AS cum_revenue
+        |FROM leaf
+        |WINDOW w3 AS (PARTITION BY n_name ORDER BY m
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |       wc AS (PARTITION BY n_name ORDER BY m
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 
   // the streamed warehouse twins hash-check under the batch mirrors

@@ -640,6 +640,78 @@ class PlanSpec extends AnyFunSuite {
     assert(partialCounts.nonEmpty, s"overlap count must pre-aggregate map-side:\n$p")
   }
 
+  test("q_cat_top_rank (DS q67 shape): Expand over the leaf aggregate, window over the rollup output") {
+    val exec = SparkEntry.queries("q_cat_top_rank")(spark, dir).queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("Expand"), s"rollup must plan grouping-set Expand:\n$p")
+    assert(p.contains("Window"), s"rank must plan a Window, not a re-aggregate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"must stay equi-keyed:\n$p")
+    // the scale property: every Expand's subtree must contain the leaf
+    // HashAggregate BELOW it — an Expand fed by the fact join would
+    // multiply fact rows by the number of grouping sets
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val expands = PlanScans.nodes(exec) { case e: ExpandExec => e }
+    assert(expands.nonEmpty, s"no Expand in the executed plan:\n$p")
+    assert(expands.forall(e =>
+        PlanScans.nodes(e.child) { case a: HashAggregateExec => a }.nonEmpty),
+      s"Expand must run over the (type, brand) leaf aggregate, not fact rows:\n$p")
+  }
+
+  test("q_channel_report (DS q77 shape): three pushed per-channel aggregates, rollup over the conformed union") {
+    val exec = SparkEntry.queries("q_channel_report")(spark, dir).queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("Union"), s"expected the conformed UNION ALL:\n$p")
+    assert(p.contains("Expand"), s"expected the channel rollup Expand:\n$p")
+    assert(!p.contains("Join"), s"the conformed union has no join:\n$p")
+    // each channel branch pre-aggregates to month grain with map-side
+    // partials before the union — the rollup moves report-sized rows
+    assert("partial_sum".r.findAllIn(p).length >= 3,
+      s"every channel branch must pre-aggregate map-side:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"web-channel filter not pushed to the events scan:\n$p")
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.UnionExec
+    val expands = PlanScans.nodes(exec) { case e: ExpandExec => e }
+    assert(expands.nonEmpty && expands.forall(e =>
+        PlanScans.nodes(e.child) { case u: UnionExec => u }.nonEmpty),
+      s"rollup Expand must run over the aggregated union, not a fact scan:\n$p")
+  }
+
+  test("q_state_returns (DS q1 shape): decorrelated different-grain average, nation average broadcast back") {
+    val exec = SparkEntry.queries("q_state_returns")(spark, dir).queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the correlated average must decorrelate to equi-joins:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returns filter not pushed to the lineitem scan:\n$p")
+    // the per-customer aggregate runs ONCE: BOTH consumers (result rows
+    // and the 25-row nation average) serve from the persisted
+    // customer-grain relation — live-tree check, because the rendered
+    // string would also show the cache's build plan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    assert(PlanScans.nodes(exec) { case s: InMemoryTableScanExec => s }.size === 2,
+      s"both consumers must serve from the cached customer-grain relation:\n$p")
+    assert(PlanScans.fileScans(exec).isEmpty,
+      s"no live fact re-scan — the fact join is paid once at cache build:\n$p")
+  }
+
+  test("q_store_sales_window (DS moving aggregate): window over the month-grain aggregate, nation partitions") {
+    val p = plan("q_store_sales_window")
+    assert(p.contains("Window"), s"expected the moving-average window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"must stay equi-keyed:\n$p")
+    // the window's exchange is keyed on the nation partition (bounded
+    // fan-out) and runs AFTER the month-grain aggregate — report-sized
+    // rows, never a per-row window over the fact table
+    assert("Exchange hashpartitioning\\(n_name".r.findAllIn(p).length >= 1,
+      s"window must partition by nation:\n$p")
+    assert(p.contains("partial_sum"), s"month aggregate must pre-aggregate map-side:\n$p")
+    assert(!p.contains("rangeBetween") && !p.contains("RANGE BETWEEN"),
+      s"the frame is ROWS over the aggregate grain:\n$p")
+  }
+
   test("streaming dedup candidate join: batch side broadcast, signature store never shuffled") {
     import spark.implicits._
     // the store side must stay shuffle-free whatever its size: per-batch
