@@ -1760,6 +1760,23 @@ object AnalysisQueries {
         .orderBy("chunk")
     }),
 
+    // TRAINING-SHARD EXPORT MANIFEST (the pack family's last mile —
+    // Sinks.writeShards): documents md5-rank-shuffled, the shuffled
+    // token stream cut into 2048-token shards, written Hive-partitioned
+    // by shard with a per-shard digest manifest computed from the
+    // READ-BACK files. Served from the session shard store (the export
+    // runs once per (process, corpus)); the oracle recomputes the
+    // entire manifest — md5 rank, prefix-sum shard assignment, the
+    // 61-bit order-independent digest — from the raw corpus, so a green
+    // row proves the WRITTEN shards carry exactly the right documents.
+    "q_export_manifest" -> ((s, dir) => {
+      val root = graft.sources.SessionStores.scopedPath("graft_shards",
+        "sh_" + graft.sources.SessionStores.tagOf(dir))
+      graft.sources.SessionStores.servedPath(s, s"$root/_graft_manifest") {
+        graft.sources.Sinks.writeShards(docs(s, dir), root, budget = 2048L): Unit
+      }
+    }),
+
     // REAL BPE merge-rule training (operators/Bpe — where q_token_bpe
     // only counts pairs under a toy vocab, this LEARNS the merges):
     // 8 rounds of corpus-wide pair frequency → rank-1 merge, over the
@@ -2950,7 +2967,7 @@ object AnalysisQueries {
     */
   private lazy val sessionWindowOracleSql: String =
     """WITH e AS (
-      |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events
+      |  SELECT user_id, event_id, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us FROM events
       |), f AS (
       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
       |                   OR us - lag(us) OVER w >= 1800000000
@@ -3594,7 +3611,7 @@ object AnalysisQueries {
     "q_cdc_merge" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, value,
-        |         epoch_ns(ts)//1000 AS us
+        |         date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us
         |  FROM events
         |), r AS (
         |  SELECT user_id, event_id, event_type, value,
@@ -3637,7 +3654,7 @@ object AnalysisQueries {
     // the hash here).
     "q_interval_join" ->
       """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events
+        |  SELECT user_id, event_id, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us FROM events
         |), f AS (
         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
         |                   OR us - lag(us) OVER w > 1800000000
@@ -3749,7 +3766,7 @@ object AnalysisQueries {
     // money, one conditional pass; label from the post-cutoff week.
     "q_pit_features" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts)//1000 AS us, event_type, value
+        |  SELECT user_id, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us, event_type, value
         |  FROM events
         |)
         |SELECT user_id,
@@ -3759,8 +3776,9 @@ object AnalysisQueries {
         |       coalesce(CAST(sum(CAST(value AS DECIMAL(18,2)))
         |           FILTER (us < 1706054400000000
         |                   AND us >= 1706054400000000 - 7*86400000000) AS DOUBLE), 0.0) AS value_7d,
-        |       CAST((1706054400000000 - max(us) FILTER (us < 1706054400000000))
-        |            // 86400000000 AS BIGINT) AS gap_days,
+        |       CAST((1706054400000000 - max(us) FILTER (us < 1706054400000000)
+        |             - (1706054400000000 - max(us) FILTER (us < 1706054400000000)) % 86400000000)
+        |            / 86400000000e0 AS BIGINT) AS gap_days,
         |       count(*) FILTER (us >= 1706054400000000
         |                        AND us < 1706054400000000 + 7*86400000000
         |                        AND event_type = 'purchase') > 0 AS label
@@ -4001,6 +4019,35 @@ object AnalysisQueries {
         |       CAST(sum(least(end_tok, (chunk + 1) * 2048)
         |                - greatest(start_tok, chunk * 2048)) AS BIGINT) AS n_tokens
         |FROM e GROUP BY 1 ORDER BY chunk""".stripMargin,
+
+    // shard-export manifest: the md5 rank (48-bit hex-prefix cast), the
+    // shuffled-order prefix sum, the start-offset shard assignment and
+    // the 61-bit order-independent digest all recomputed from the raw
+    // corpus — an exact mirror of what Sinks.writeShards must have
+    // written (the engine side reads the manifest back from disk)
+    "q_export_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+        |                  t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM t WHERE n_tok > 0
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |         coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM h
+        |)
+        |SELECT CAST(start_tok // 2048 AS BIGINT) AS shard_id,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_tok AS VARCHAR)), 1, 12)) AS BIGINT))
+        |            % 2305843009213693951 AS BIGINT) AS digest
+        |FROM c
+        |GROUP BY 1""".stripMargin,
 
     "q_token_bpe" ->
       """SELECT doc_id,
@@ -4309,10 +4356,11 @@ object AnalysisQueries {
     // (and the streaming sessionizer's getTime).
     "q_sessions" ->
       """WITH e AS (
-        |  SELECT user_id, event_id, value, epoch_ns(ts)//1000 AS us FROM events
+        |  SELECT user_id, event_id, value, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us FROM events
         |), f AS (
         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-        |                   OR us//1000 - (lag(us) OVER w)//1000 > 1800000
+        |                   OR (us - us % 1000)
+        |                      - (lag(us) OVER w - (lag(us) OVER w) % 1000) > 1800000000
         |                 THEN 1 ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         |), g AS (
@@ -4330,14 +4378,16 @@ object AnalysisQueries {
     // arbitrary right row on equal timestamps, while the engine's tie-break
     // is documented and deterministic (max right value — AsOf.joinAsOf).
     // This mirrors the engine's union+window construction exactly,
-    // including the µs time key (epoch_ns//1000 = Spark's nanos div 1000).
+    // including the µs time key (date_diff('microsecond') from the epoch
+    // = Spark's unix_micros — portable, so the oracle also runs under
+    // spark.sql in the parity gate).
     "q_asof_signup" ->
       """WITH u AS (
-        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus,
+        |  SELECT event_id, user_id, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS tus,
         |         CAST(NULL AS BIGINT) AS rv, 1 AS isl
         |  FROM events
         |  UNION ALL
-        |  SELECT CAST(NULL AS BIGINT) AS event_id, user_id, epoch_ns(ts)//1000 AS tus,
+        |  SELECT CAST(NULL AS BIGINT) AS event_id, user_id, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS tus,
         |         event_id AS rv, 0 AS isl
         |  FROM events WHERE event_type = 'signup'
         |)
@@ -4352,10 +4402,10 @@ object AnalysisQueries {
     // 1-hour interval bound compares in µs (3_600_000_000).
     "q_attributed" ->
       """WITH c AS (
-        |  SELECT user_id AS click_user, epoch_ns(ts)//1000 AS click_us
+        |  SELECT user_id AS click_user, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS click_us
         |  FROM events WHERE event_type = 'click'
         |), p AS (
-        |  SELECT user_id, epoch_ns(ts)//1000 AS purchase_us, value
+        |  SELECT user_id, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS purchase_us, value
         |  FROM events WHERE event_type = 'purchase'
         |)
         |SELECT user_id, purchase_us, value, click_us
@@ -4365,10 +4415,10 @@ object AnalysisQueries {
 
     "q_attributed_left" ->
       """WITH c AS (
-        |  SELECT user_id, epoch_ns(ts)//1000 AS click_us
+        |  SELECT user_id, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS click_us
         |  FROM events WHERE event_type = 'click'
         |), p AS (
-        |  SELECT user_id AS purchase_user, epoch_ns(ts)//1000 AS purchase_us, value
+        |  SELECT user_id AS purchase_user, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS purchase_us, value
         |  FROM events WHERE event_type = 'purchase'
         |)
         |SELECT c.user_id, click_us, purchase_us, value
@@ -4378,7 +4428,7 @@ object AnalysisQueries {
 
     "q_scd2" ->
       """WITH e AS (
-        |  SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000 AS us
+        |  SELECT event_id, user_id, event_type, value, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us
         |  FROM events
         |), dim AS (
         |  SELECT user_id AS dim_user, value AS attr, us AS valid_from,
@@ -4399,7 +4449,7 @@ object AnalysisQueries {
 
     "q_funnel" ->
       """WITH e AS (
-        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events
+        |  SELECT user_id, event_type, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us FROM events
         |), v AS (
         |  SELECT user_id, min(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1
         |), vc AS (
@@ -4420,7 +4470,7 @@ object AnalysisQueries {
     "q_growth" ->
       """WITH wk AS (
         |  SELECT DISTINCT user_id,
-        |         epoch_ns(date_trunc('week', ts))//1000 AS wk
+        |         date_diff('microsecond', TIMESTAMP '1970-01-01', date_trunc('week', ts)) AS wk
         |  FROM events
         |), lab AS (
         |  SELECT user_id, wk,
@@ -4449,7 +4499,7 @@ object AnalysisQueries {
 
     "q_transitions" ->
       """WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events
+        |  SELECT user_id, event_id, event_type, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us FROM events
         |), t AS (
         |  SELECT user_id, event_type,
         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
@@ -4513,7 +4563,7 @@ object AnalysisQueries {
 
     "q_gapfill" ->
       """WITH e AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_ns(ts)//1000 AS us,
+        |  SELECT user_id, CAST(ts AS DATE) AS day, date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us,
         |         event_id, value
         |  FROM events
         |), d AS (
@@ -4540,7 +4590,7 @@ object AnalysisQueries {
 
     "q_retention" ->
       """WITH e AS (
-        |  SELECT DISTINCT user_id, epoch_ns(date_trunc('week', ts))//1000 AS wk
+        |  SELECT DISTINCT user_id, date_diff('microsecond', TIMESTAMP '1970-01-01', date_trunc('week', ts)) AS wk
         |  FROM events
         |), f AS (
         |  SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1

@@ -116,6 +116,55 @@ object Sinks {
     spark.read.parquet(s"$path/_graft_manifest")
   }
 
+  /** TRAINING-SHARD EXPORT, md5-rank edition — `writeTrainingShards`'
+    * sibling for the loader that wants DECORRELATED shards: documents
+    * are ranked by the engine-portable md5 permutation
+    * (`Packing.shuffledOffsets`), the shuffled token stream is cut at
+    * `budget`-token boundaries, and each document lands WHOLE in the
+    * shard its start offset falls in — shard token mass is bounded by
+    * budget + (longest doc − 1), deterministic for a given corpus.
+    * Zero-token documents are excluded (they contribute no training
+    * signal and would make "which shard" meaningless); the round-trip
+    * contract is over the n_tok > 0 corpus.
+    *
+    * The MANIFEST is computed from a READ-BACK of the written files
+    * (vouches for what landed, not what was planned) and persisted
+    * under `_graft_manifest/`: (shard_id, n_docs, n_tokens, digest),
+    * where digest is the order-independent 61-bit checksum
+    * sum(md5prefix48(doc_id:n_tok)) mod (2^61 − 1) — exact DECIMAL
+    * accumulation, md5-derived so any engine reproduces it (the
+    * q_export_manifest oracle recomputes the whole manifest from the
+    * raw corpus in SQL). Returns the manifest relation.
+    */
+  def writeShards(docs: DataFrame, path: String, budget: Long = 2048L): DataFrame = {
+    require(budget > 0, s"shard budget must be positive, got $budget")
+    val toks = docs
+      .withColumn("n_tok",
+        size(graft.functions.Text.tokenize(col("text"))).cast("long"))
+      .filter(col("n_tok") > 0)
+    val off = graft.operators.Packing.shuffledOffsets(
+      toks.select(col("doc_id"), col("n_tok")))
+    val withShard = toks.join(
+      off.select(col("doc_id"), col("start_tok"),
+        floor(col("start_tok") / budget).cast("long").as("shard_id")),
+      "doc_id")
+    // rows sort by start_tok within shards so a loader streams each
+    // shard in global (shuffled) offset order
+    writePartitioned(withShard, path, "shard_id", "start_tok")
+    val spark = docs.sparkSession
+    val fp = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("n_tok").cast("string"))), 1, 12), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val manifest = spark.read.parquet(path)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        (sum(fp) % lit(2305843009213693951L)).cast("long").as("digest"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_graft_manifest")
+    spark.read.parquet(s"$path/_graft_manifest")
+  }
+
   /** K1 raw mapper envelope (reference `mapper/src/processor.py:58-68`):
     * `{"metadata": {"timestamp", "mapper_id", "num_terms",
     * "creation_time"}, "terms": [{"term", "doc_id", "url"}, ...]}`.

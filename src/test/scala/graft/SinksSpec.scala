@@ -27,6 +27,50 @@ class SinksSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("exchange"), "point lookup must not shuffle")
   }
 
+  test("writeShards: round-trip equals the packed input, budget bound holds, manifest is deterministic") {
+    import org.apache.spark.sql.functions._
+    // 40 docs of varying token counts + one empty doc (must be excluded)
+    val many = ((1L to 40L).map(i =>
+        (i, s"u$i", (1L to (i % 7 + 1)).map(j => s"w$j").mkString(" "))) :+
+      (41L, "u41", "!!!")).toDF("doc_id", "url", "text")
+    val path = Files.createTempDirectory("graft_shards").toString + "/sh"
+    val manifest = Sinks.writeShards(many, path, budget = 16L)
+    // round-trip: the shards carry exactly the n_tok > 0 corpus
+    val back = spark.read.parquet(path)
+    assert(back.select("doc_id").as[Long].collect().sorted === (1L to 40L).toArray)
+    assert(back.select("doc_id", "text").as[(Long, String)].collect().toSet
+      === many.filter(col("doc_id") <= 40)
+        .select("doc_id", "text").as[(Long, String)].collect().toSet)
+    // shard token mass is bounded: budget + (longest doc − 1)
+    val maxDoc = back.agg(max("n_tok")).as[Long].head()
+    val masses = manifest.select("n_tokens").as[Long].collect()
+    assert(masses.forall(_ <= 16L + maxDoc - 1),
+      s"shard over budget+maxdoc: ${masses.mkString(",")}")
+    assert(masses.sum === back.agg(sum("n_tok")).as[Long].head())
+    // manifest totals agree with a recount of the read-back data
+    val recount = back.groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(manifest.select("shard_id", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet === recount)
+    // Hive layout: a shard filter prunes partitions at planning time
+    val one = back.filter(col("shard_id") === manifest.select("shard_id").as[Long].head())
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(shard_id"))
+    // deterministic: a second export of the same corpus lands the same manifest
+    val path2 = Files.createTempDirectory("graft_shards2").toString + "/sh"
+    val manifest2 = Sinks.writeShards(many, path2, budget = 16L)
+    assert(manifest.as[(Long, Long, Long, Long)].collect().toSet
+      === manifest2.as[(Long, Long, Long, Long)].collect().toSet)
+    // a content change flips the digest (the checksum actually vouches)
+    val path3 = Files.createTempDirectory("graft_shards3").toString + "/sh"
+    val tweaked = many.withColumn("text",
+      when(col("doc_id") === 10L, lit("w1")).otherwise(col("text"))) // 4 tokens → 1
+    val manifest3 = Sinks.writeShards(tweaked, path3, budget = 16L)
+    assert(manifest.as[(Long, Long, Long, Long)].collect().toSet
+      !== manifest3.as[(Long, Long, Long, Long)].collect().toSet,
+      "digest must move when a document's content changes")
+  }
+
   test("K2 JSON envelope has the reference shape") {
     val out = Files.createTempDirectory("graft_json").toString + "/index.json"
     Sinks.writeJsonEnvelope(InvertedIndex.index(docs), out)

@@ -12,20 +12,28 @@ import org.apache.spark.sql.functions.col
   * parity across the whole query surface (the reference's U1 registry
   * analogue for a SQL entry point).
   *
-  * Three mechanical, semantics-preserving dialect rewrites are applied
+  * Five mechanical, semantics-preserving dialect rewrites are applied
   * before `spark.sql` (each is pure syntax — the plan semantics are
   * identical):
   *   - `AS MATERIALIZED` → `AS` (a DuckDB planner hint);
   *   - `FILTER (cond)` → `FILTER (WHERE cond)` (ANSI spelling);
   *   - `strftime(ts, '%…')` → `date_format(ts, '…')` with the format
-  *     token map %Y→yyyy, %m→MM, %d→dd, %H→HH, %M→mm, %S→ss.
+  *     token map %Y→yyyy, %m→MM, %d→dd, %H→HH, %M→mm, %S→ss, scoped
+  *     to format literals (a `%d` in a LIKE pattern must not rewrite);
+  *   - `make_timestamp(us)` → `timestamp_micros(us)` (the µs-instant
+  *     constructors);
+  *   - `f(x IGNORE NULLS) OVER` → `f(x) IGNORE NULLS OVER` for
+  *     first_value/last_value (placement differs, semantics don't).
   *
-  * Oracles written in genuinely DuckDB-specific SQL (list lambdas,
-  * unnest-with-alias, recursive enumeration, epoch_ns, `//`, typed `[]`
-  * literals…) are NAMED in `skips` with the blocking construct, and the
-  * skip itself is asserted real: a skip-listed oracle that starts
-  * parsing in Spark fails its test, forcing the list to shrink as the
-  * surfaces converge.
+  * The former 26-oracle epoch_ns/`//` skip family was rewritten (r20)
+  * in portable epoch-µs arithmetic — `date_diff('microsecond', epoch,
+  * ts)` time keys and %-subtraction truncation — and now runs in the
+  * parity set with hash-identical DuckDB results. Oracles written in
+  * genuinely DuckDB-specific SQL (list lambdas, unnest-with-alias,
+  * recursive enumeration, typed `[]` literals…) are NAMED in `skips`
+  * with the blocking construct, and the skip itself is asserted real: a
+  * skip-listed oracle that starts parsing in Spark fails its test,
+  * forcing the list to shrink as the surfaces converge.
   */
 class SqlParitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -64,6 +72,13 @@ class SqlParitySpec extends AnyFunSuite {
       .replace("strftime(", "date_format(")
       .replace("AS VARCHAR)", "AS STRING)")
       .replaceAll("date_diff\\('(\\w+)',", "date_diff($1,")
+      // DuckDB's µs-instant constructor ↔ Spark's (no oracle uses the
+      // multi-arg calendar form of make_timestamp)
+      .replace("make_timestamp(", "timestamp_micros(")
+      // DuckDB spells IGNORE NULLS inside the window-function call,
+      // Spark outside it
+      .replaceAll("(first_value|last_value)\\(([^()]+) IGNORE NULLS\\)",
+        "$1($2) IGNORE NULLS")
     s = strftimeFmtLiteral.replaceAllIn(s, m => {
       var f = m.group(1)
       for ((d, j) <- strftimeTokens) f = f.replace(d, j)
@@ -176,19 +191,10 @@ object SqlParitySpec {
       "q_whiten", "q_whiten_streamed",
       "q_embed_pca_k", "q_embed_pca_k_streamed",
     ),
-    // 26 oracles: DuckDB epoch_ns / `//` integer division
-    "DuckDB epoch_ns / `//` integer division" -> Seq(
-      "q_asof_signup", "q_asof_signup_streamed", "q_attributed",
-      "q_attributed_left", "q_attributed_left_streamed", "q_attributed_streamed",
-      "q_cdc_merge", "q_cdc_merge_streamed", "q_funnel",
-      "q_funnel_streamed", "q_growth", "q_growth_streamed",
-      "q_interval_join", "q_interval_join_streamed", "q_pit_features",
-      "q_pit_features_streamed", "q_retention", "q_retention_streamed",
-      "q_scd2", "q_scd2_streamed", "q_session_window",
-      "q_session_window_streamed", "q_sessions", "q_sessions_streamed",
-      "q_transitions", "q_transitions_streamed",
-    ),
-    // 117 oracles: DuckDB list lambdas (list_filter/list_transform/list_reduce/len)
+    // (r20: the 26-oracle epoch_ns/`//` family was rewritten in portable
+    // epoch-µs arithmetic — date_diff('microsecond') time keys, %-based
+    // integer truncation — and moved into the parity set)
+    // 118 oracles: DuckDB list lambdas (list_filter/list_transform/list_reduce/len)
     "DuckDB list lambdas (list_filter/list_transform/list_reduce/len)" -> Seq(
       "q_ann_eval", "q_ann_ivf", "q_ann_ivf_trained",
       "q_ann_ivfpq", "q_ann_nn", "q_ann_nn_mp",
@@ -201,7 +207,7 @@ object SqlParitySpec {
       "q_dedup_near", "q_dedup_sweep", "q_dedup_sweep_streamed",
       "q_docs_asof", "q_dsir", "q_dsir_streamed",
       "q_embed_drift", "q_embed_dup", "q_embed_dup_streamed",
-      "q_entropy", "q_entropy_streamed", "q_fertility",
+      "q_entropy", "q_entropy_streamed", "q_export_manifest", "q_fertility",
       "q_fingerprint", "q_frame_sample", "q_fuzzy_urls",
       "q_fuzzy_urls_streamed", "q_gram_topk", "q_gram_topk_streamed",
       "q_group_percentiles", "q_group_percentiles_streamed", "q_hapax",
