@@ -118,6 +118,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.runStatsDescriptor)
     ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
     ext.injectFunction(GraftExtensions.entropyStatsDescriptor)
+    ext.injectFunction(GramBuckets.descriptor)
   }
 }
 

@@ -439,6 +439,68 @@ object AnalysisQueries {
       .orderBy("split")
   }
 
+  /** q_quality_ft's body (±streamed): the fastText-shaped trained gate —
+    * same CCNet seed protocol as q_quality_clf_eval (positives = the
+    * documents, negatives = their stopword-stripped corruptions, fit on
+    * the md5 train split only), but the model learns from TEXT SHAPE:
+    * 16 hashed char-3-gram bucket shares (`Classifier
+    * .hashedGramFeatures` — boundary grams carry the function-word
+    * signal the corruption removes) instead of three engineered
+    * scalars. Same fixed-round DECIMAL descent; the oracle unrolls all
+    * 17 gradient cells per round and hash-checks the entire model
+    * (weights pinned into every row) plus per-split gate accuracy.
+    */
+  // the ft gate's fixed shape parameters — shared with the oracle text
+  private[graft] val FtD = 192
+  private[graft] val FtNs = Seq(2, 3)
+  private[graft] val FtRounds = 48
+  private[graft] val FtLr = 3.0
+
+  private def qualityFtOf(d: DataFrame): DataFrame = {
+    val stop = graft.functions.Text.EffectiveStopwords
+    val toks = Text.tokenize(col("text"))
+    val stripped = filter(toks, t => !t.isin(stop: _*))
+    def seedOf(y: Double, xs: Column) =
+      d.select(TextAnalysis.splitLabel(col("doc_id")).as("split"),
+        lit(y).as("y"),
+        graft.operators.Classifier.hashedGramVector(xs, FtD, FtNs).as("rx"))
+    val seedRaw = seedOf(1.0, toks).unionByName(seedOf(0.0, stripped))
+    // per-bucket standardization stats from the TRAIN rows only (no
+    // held-out leakage through the normalizer)
+    val stats = graft.operators.Classifier.featureStatsVec(
+      seedRaw.filter(col("split") === "train"), "rx", FtD)
+    val muArr = stats.map(_._1).toArray
+    val sdArr = stats.map(_._2).toArray
+    // ONE array column (leading 1.0 bias element) — the wide-fit shape;
+    // margin association b·1 + w1·x1 + … matches the literal fold
+    val zed = transform(col("rx"), (x, j) =>
+      round((x - element_at(lit(muArr), j + 1))
+        / element_at(lit(sdArr), j + 1), 6))
+    val seed = seedRaw.select(col("split"), col("y"),
+      concat(array(lit(1.0)), zed).as("fx"))
+    val w = graft.operators.Classifier.fitLogRegWide(
+      seed.filter(col("split") === "train"), "fx", "y",
+      dims = FtD + 1, rounds = FtRounds, lr = FtLr)
+    val z = graft.plans.DotF64.dotF64(col("fx"), lit(w))
+    // the weight vector is pinned into every row through three
+    // order-fixed summaries (bias, L1 mass, position-weighted dot) —
+    // the full 129-column vector would bloat the schema while the
+    // summaries already move on any weight divergence
+    val wl1 = graft.util.Num.r6(w.drop(1).foldLeft(0.0)((a, x) => a + math.abs(x)))
+    val wdot = graft.util.Num.r6(w.drop(1).zipWithIndex
+      .foldLeft(0.0) { case (a, (x, j)) => a + x * (j + 1) })
+    seed
+      .select(col("split"),
+        when((z >= 0.0) === (col("y") === 1.0), 1L).otherwise(0L).as("ok"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_examples"), sum("ok").as("n_correct"))
+      .select(col("split"), col("n_examples"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_examples"), 6)
+          .as("accuracy"), lit(w(0)).as("w_bias"),
+        lit(wl1).as("w_l1"), lit(wdot).as("w_dot"))
+      .orderBy("split")
+  }
+
   /** q_entropy's body, shared by batch and the doc-fact-store twin:
     * per-doc token Shannon entropy + type-token ratio — the
     * lexical-diversity curation gate beside the Gopher repetition
@@ -1539,6 +1601,12 @@ object AnalysisQueries {
     // Held-out evaluation of the trained gate: fit on the
     // deterministic md5 train split only, report per-split accuracy.
     "q_quality_clf_eval" -> ((s, dir) => qualityClfEvalOf(docs(s, dir))),
+
+    // fastText-shaped hashed-char-gram gate (±streamed): the model
+    // learns from text shape, not engineered scalars — see qualityFtOf.
+    "q_quality_ft" -> ((s, dir) => qualityFtOf(docs(s, dir))),
+    "q_quality_ft_streamed" -> ((s, dir) =>
+      qualityFtOf(DocStores.streamedDocs(s, dir))),
 
     // CORPUS TIME-TRAVEL: per-source cardinality and token mass as of
     // doc-store ingest batch 1 of 3 (q_facts_asof's discipline applied
@@ -2795,6 +2863,130 @@ object AnalysisQueries {
        |$finalSelect""".stripMargin
   }
 
+  /** Unrolled-GD mirror of `qualityFtOf` (the fastText-shaped hashed
+    * char-gram gate): the md5 bucket of every 2/3-gram (nibble-decoded
+    * hex prefix mod D — `GramBuckets`' exact arithmetic), the pooled
+    * per-row histogram (list_histogram), raw ×10 shares, train-only
+    * standardization stats, then `FtRounds` unrolled rounds of the
+    * DECIMAL gradient protocol with the weight VECTOR as a list (the
+    * margin is `list_reduce` — a left fold, bit-matching the engine's
+    * `dot_f64` accumulation), and the per-split gate accuracy with the
+    * three weight summaries. Every double is built through the same
+    * operation sequence as the Scala side, so the whole 48-round
+    * descent hash-matches.
+    */
+  private def ftOracleSql: String = {
+    val D = FtD
+    def nibSql(i: Int) =
+      s"(CASE WHEN ascii(substr(h,$i,1)) <= 57 THEN ascii(substr(h,$i,1)) - 48 ELSE ascii(substr(h,$i,1)) - 87 END)"
+    val nibDecode = (2 to 8).map(nibSql)
+      .foldLeft(s"CAST(${nibSql(1)} AS BIGINT)")((acc, n) => s"($acc * 16 + $n)")
+    def bucketsOf(n: Int) =
+      s"""list_transform(
+         |           list_transform(range(1, len(s2) - ${n - 2}), i -> substr(md5(substr(s2, i, $n)), 1, 8)),
+         |           h -> ($nibDecode) % $D)""".stripMargin
+    // the q_split md5 nibble bucket (hashBucket100) for the split label
+    def dnib(i: Int) =
+      s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) <= 57
+         |      THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48
+         |      ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87 END)""".stripMargin
+    val bucket = (2 to 4).map(dnib).foldLeft(dnib(1))((acc, n) => s"($acc * 16 + $n)") + " % 100"
+    val rounds = (1 to FtRounds).map { k =>
+      val p = k - 1
+      s"""gd$k AS MATERIALIZED (
+         |  SELECT u.j, SUM(CAST(t.r AS DECIMAL(12,6)) * CAST(t.fxl[u.j + 1] AS DECIMAL(18,6))) AS g
+         |  FROM (SELECT p.fxl, round((0.5 + 0.5 * p.z / (1.0 + abs(p.z))) - p.y, 6) AS r
+         |        FROM (SELECT s.y, s.fxl,
+         |                     list_reduce(list_transform(range(1, ${D + 2}), j -> w.wl[j] * s.fxl[j]),
+         |                                 (a, b) -> a + b) AS z
+         |              FROM seedtr s CROSS JOIN w$p w) p) t
+         |  CROSS JOIN range(0, ${D + 1}) u(j)
+         |  GROUP BY u.j
+         |),
+         |w$k AS MATERIALIZED (
+         |  SELECT list_transform(range(1, ${D + 2}),
+         |                        j -> round(w.wl[j] - $FtLr * (g.gl[j] / n.nd), 6)) AS wl
+         |  FROM w$p w
+         |  CROSS JOIN (SELECT list(CAST(g AS DOUBLE) ORDER BY j) AS gl FROM gd$k) g
+         |  CROSS JOIN n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+'),
+       |                     t -> t <> '') AS ts
+       |  FROM documents
+       |),
+       |strs AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |         CASE WHEN $bucket < 80 THEN 'train'
+       |              WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |         array_to_string(ts, ' ') AS s2
+       |  FROM (SELECT doc_id, CAST(1.0 AS DOUBLE) AS y, ts FROM toks
+       |        UNION ALL
+       |        SELECT doc_id, CAST(0.0 AS DOUBLE) AS y,
+       |               list_filter(ts, t -> NOT list_contains([$stopList], t)) AS ts
+       |        FROM toks)
+       |),
+       |bk AS MATERIALIZED (
+       |  SELECT y, split,
+       |         greatest(len(s2) - 1, 0) + greatest(len(s2) - 2, 0) AS ng,
+       |         list_histogram(list_concat(
+       |           ${bucketsOf(2)},
+       |           ${bucketsOf(3)})) AS hist
+       |  FROM strs
+       |),
+       |feats AS MATERIALIZED (
+       |  SELECT y, split,
+       |         list_transform(range(0, $D), j ->
+       |           round(CASE WHEN ng = 0 THEN CAST(0.0 AS DOUBLE)
+       |                      ELSE CAST(coalesce(map_extract(hist, j)[1], 0) AS DOUBLE) * 10.0 / ng END, 6)) AS xrl
+       |  FROM bk
+       |),
+       |st AS MATERIALIZED (
+       |  SELECT u.j,
+       |         SUM(CAST(f.xrl[u.j + 1] AS DECIMAL(18,6))) AS s,
+       |         SUM(CAST(f.xrl[u.j + 1] AS DECIMAL(12,6)) * CAST(f.xrl[u.j + 1] AS DECIMAL(12,6))) AS q,
+       |         count(*) AS cn
+       |  FROM feats f CROSS JOIN range(0, $D) u(j)
+       |  WHERE f.split = 'train'
+       |  GROUP BY u.j
+       |),
+       |stl AS MATERIALIZED (
+       |  SELECT list(mu ORDER BY j) AS mul, list(sd ORDER BY j) AS sdl
+       |  FROM (SELECT j, mu,
+       |               greatest(round(sqrt(greatest(CAST(q AS DOUBLE) / cn - mu * mu, 1e-12)), 6), 1e-6) AS sd
+       |        FROM (SELECT j, q, cn, round(CAST(s AS DOUBLE) / cn, 6) AS mu FROM st))
+       |),
+       |seedall AS MATERIALIZED (
+       |  SELECT f.split, f.y,
+       |         list_concat([CAST(1.0 AS DOUBLE)],
+       |           list_transform(range(1, ${D + 1}), j -> round((f.xrl[j] - t.mul[j]) / t.sdl[j], 6))) AS fxl
+       |  FROM feats f CROSS JOIN stl t
+       |),
+       |seedtr AS MATERIALIZED (SELECT y, fxl FROM seedall WHERE split = 'train'),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM seedtr),
+       |w0 AS (SELECT list_transform(range(1, ${D + 2}), j -> CAST(0.0 AS DOUBLE)) AS wl),
+       |$rounds
+       |SELECT g.split, g.n_examples, g.n_correct,
+       |       round(CAST(g.n_correct AS DOUBLE) / g.n_examples, 6) AS accuracy,
+       |       w.wl[1] AS w_bias,
+       |       round(list_reduce(list_transform(range(2, ${D + 2}), j -> abs(w.wl[j])),
+       |                         (a, b) -> a + b), 6) AS w_l1,
+       |       round(list_reduce(list_transform(range(1, ${D + 1}), k -> w.wl[k + 1] * k),
+       |                         (a, b) -> a + b), 6) AS w_dot
+       |FROM (
+       |  SELECT t.split, count(*) AS n_examples,
+       |         CAST(SUM(CASE WHEN (t.z >= 0.0) = (t.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |  FROM (SELECT s.split, s.y,
+       |               list_reduce(list_transform(range(1, ${D + 2}), j -> w.wl[j] * s.fxl[j]),
+       |                           (a, b) -> a + b) AS z
+       |        FROM seedall s CROSS JOIN w$FtRounds w) t
+       |  GROUP BY t.split
+       |) g CROSS JOIN w$FtRounds w
+       |ORDER BY g.split""".stripMargin
+  }
+
   /** One unrolled unigram-EM round: Viterbi E-step (the engine's exact
     * fold — `list_reduce` starts from the first element, the engine
     * folds from 1.0; 1.0·x ≡ x bitwise — with the identical
@@ -3424,6 +3616,13 @@ object AnalysisQueries {
     // a fit that saw val/test rows diverges in the weights and hence
     // every accuracy cell
     "q_quality_clf_eval" -> clfOracleSql(eval = true),
+
+    // fastText-shaped hashed-gram gate: the full 48-round unrolled
+    // descent over the 192-bucket standardized gram shares — see
+    // ftOracleSql. The streamed twin mirrors under the same text (the
+    // doc-fact store reproduces the exact corpus).
+    "q_quality_ft" -> ftOracleSql,
+    "q_quality_ft_streamed" -> ftOracleSql,
 
     // the as-of-batch-1 corpus slice recomputed independently: batches
     // are the mod-3 doc_id slices, the token count is the shared

@@ -47,6 +47,8 @@ class CodegenGuardSpec extends AnyFunSuite {
       BoundReference(0, ArrayType(StringType), nullable = true)),
     "entropy_stats" -> graft.plans.EntropyStats(
       BoundReference(0, ArrayType(StringType), nullable = true)),
+    "gram_buckets" -> graft.plans.GramBuckets(
+      BoundReference(0, StringType, nullable = true), Literal(3), Literal(16)),
     "bloom_contains" -> {
       val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.01)
       bf.putString("seed")
@@ -135,6 +137,22 @@ class CodegenGuardSpec extends AnyFunSuite {
       val flagged = graft.operators.Dedup.decontaminateBloom(
         sh.filter(col("doc_id") % 97 =!= 0), sh.filter(col("doc_id") % 97 === 0))
       assert(flagged.count() > 0)
+    }
+  }
+
+  test("gram_buckets compiles and runs CODEGEN_ONLY") {
+    withCodegenOnly {
+      val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+      // the q_quality_ft featurizer at real corpus widths: every
+      // histogram must hold exactly the gram count and d cells
+      val toks = graft.functions.Text.tokenize(col("text"))
+      val s = array_join(toks, " ")
+      val r = docs.select(length(s).as("len"),
+        graft.plans.GramBuckets.gramBuckets(s, 3, 16).as("h"))
+      assert(r.filter(size(col("h")) =!= 16).count() === 0)
+      // total mass = number of 3-gram windows, row by row
+      assert(r.filter(aggregate(col("h"), lit(0L), (a, x) => a + x)
+        =!= greatest(col("len") - 2, lit(0))).count() === 0)
     }
   }
 

@@ -194,7 +194,7 @@ object SqlParitySpec {
     // (r20: the 26-oracle epoch_ns/`//` family was rewritten in portable
     // epoch-µs arithmetic — date_diff('microsecond') time keys, %-based
     // integer truncation — and moved into the parity set)
-    // 118 oracles: DuckDB list lambdas (list_filter/list_transform/list_reduce/len)
+    // 120 oracles: DuckDB list lambdas (list_filter/list_transform/list_reduce/len)
     "DuckDB list lambdas (list_filter/list_transform/list_reduce/len)" -> Seq(
       "q_ann_eval", "q_ann_ivf", "q_ann_ivf_trained",
       "q_ann_ivfpq", "q_ann_nn", "q_ann_nn_mp",
@@ -226,6 +226,7 @@ object SqlParitySpec {
       "q_ppl", "q_ppl_streamed", "q_ppl_buckets",
       "q_ppl_buckets_streamed", "q_quality",
       "q_quality_clf", "q_quality_clf_eval", "q_quality_clf_streamed",
+      "q_quality_ft", "q_quality_ft_streamed",
       "q_quality_gate", "q_quality_gate_streamed", "q_quality_streamed",
       "q_rag_chunks", "q_rag_chunks_streamed", "q_repetition",
       "q_resize", "q_rolling_fp", "q_scaling_subsets",
