@@ -163,12 +163,70 @@ object StreamingEmbed {
     appended
   }
 
-  /** The accumulated verified pair relation — exact across the replay
-    * residual window, and deterministic under re-sent vec_ids: the max
-    * sim over observed versions wins on every read and across compacts.
+  /** DELETE batch — TOMBSTONE rows through the same latest-stamp-wins
+    * machinery as every re-send: each deleted vec_id appends a row with
+    * NULL vector columns and a fresh ingest stamp, so the canonical
+    * collapse resolves it exactly like a newer version (a later RE-ADD
+    * with a newer stamp beats the tombstone — deletes are not forever,
+    * they are just versions). Accessors hide tombstoned ids: `vectors`
+    * drops them, `pairs` DISSOLVES every pair touching one (the pair's
+    * sim was computed against a corpus that no longer contains the
+    * endpoint), and every ANN structure derived from `vectors`
+    * (streamed IVF/PQ/OPQ) inherits the exclusion. Tombstones SURVIVE
+    * compaction: the canonical collapse keeps the winning row whether
+    * or not its vector is NULL, so a compacted store still refuses to
+    * serve the deleted id. Idempotent under replay like every batch
+    * (`runOnce` on the same marker scope).
     */
-  def pairs(spark: SparkSession, storePath: String): DataFrame =
-    canonicalPairs(StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema))
+  def processDeleteBatch(deletes: DataFrame, batchId: Long, storePath: String,
+                         scope: String = "default"): Boolean = {
+    val spark = deletes.sparkSession
+    val appended = StoreMaintenance.runOnce(spark.sparkContext.hadoopConfiguration,
+      storePath, scope, batchId) {
+      invalidateVersion(storePath)
+      val ingestMs = StoreMaintenance.nextStamp()
+      deletes.select(col("vec_id").cast("long").as("vec_id")).distinct()
+        .withColumn("v", lit(null).cast(ArrayType(DoubleType)))
+        .withColumn("norm", lit(null).cast(DoubleType))
+        .withColumn("bucket", lit(null).cast(StringType))
+        .withColumn("ingest_ms", lit(ingestMs))
+        .write.mode(SaveMode.Append).parquet(vecsPath(storePath))
+    }
+    if (appended) invalidateVersion(storePath)
+    appended
+  }
+
+  /** The canonically-DELETED ids of a vecs relation: ids whose
+    * latest-stamp row is a tombstone. Pre-narrowed to tombstone-touched
+    * ids (parquet null-count stats answer the tombstone filter), so a
+    * store with no deletes pays an empty semi-join, never a full
+    * canonical collapse.
+    */
+  private def deletedIds(vecs: DataFrame): DataFrame = {
+    val touched = vecs.filter(col("v").isNull).select("vec_id").distinct()
+    canonicalVecRows(vecs.join(touched, Seq("vec_id"), "left_semi"))
+      .filter(col("v").isNull)
+      .select("vec_id")
+  }
+
+  /** The accumulated verified pair relation — exact across the replay
+    * residual window, deterministic under re-sent vec_ids (the max sim
+    * over observed versions wins on every read and across compacts),
+    * and tombstone-aware: a pair either of whose endpoints is
+    * canonically deleted DISSOLVES.
+    */
+  def pairs(spark: SparkSession, storePath: String): DataFrame = {
+    val raw = StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema)
+    dissolveDeleted(
+      canonicalPairs(StoreMaintenance.readOrEmpty(spark, pairsPath(storePath), pairSchema)),
+      deletedIds(raw))
+  }
+
+  private def dissolveDeleted(pairs: DataFrame, deleted: DataFrame): DataFrame =
+    pairs
+      .join(deleted.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+      .join(deleted.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti")
+      .select("vec_a", "vec_b", "sim")
 
   private def canonicalPairs(p: DataFrame): DataFrame =
     p.groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
@@ -206,10 +264,13 @@ object StreamingEmbed {
 
   /** The accumulated (vec_id, v, norm, bucket) store — feed it to batch
     * similarity consumers over a streamed corpus. One row per vec_id:
-    * latest ingest stamp wins (`StreamingDedup.canonicalByDoc`'s rule).
+    * latest ingest stamp wins (`StreamingDedup.canonicalByDoc`'s rule);
+    * a canonical TOMBSTONE (deleted id) is excluded, so every ANN
+    * structure derived from this relation serves the shrunk corpus.
     */
   def vectors(spark: SparkSession, storePath: String): DataFrame =
     canonicalVecRows(StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema))
+      .filter(col("v").isNotNull)
       .select("vec_id", "v", "norm", "bucket")
 
   private def canonicalVecRows(vecs: DataFrame): DataFrame =
@@ -228,8 +289,15 @@ object StreamingEmbed {
   def compactStore(spark: SparkSession, storePath: String): Unit = {
     StoreMaintenance.assertIngestStopped(spark.sparkContext.hadoopConfiguration, storePath)
     invalidateVersion(storePath) // the physical collapse changes the raw row count
+    // vecs compact FIRST: the canonical collapse keeps tombstone rows
+    // (deletes survive compaction), and the pairs collapse below reads
+    // the compacted vecs to drop dissolved pairs PHYSICALLY — safe to
+    // drop, not just read-filter, because a re-added endpoint is a new
+    // version whose pairs regenerate at its own ingest
     StoreMaintenance.compactSubWith(spark, vecsPath(storePath), vecSchema, canonicalVecRows)
-    StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, canonicalPairs)
+    StoreMaintenance.compactSubWith(spark, pairsPath(storePath), pairSchema, p =>
+      dissolveDeleted(canonicalPairs(p),
+        deletedIds(StoreMaintenance.readOrEmpty(spark, vecsPath(storePath), vecSchema))))
     val commits = new org.apache.hadoop.fs.Path(s"$storePath/_graft_commits")
     commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true): Unit
     // and again after the swap: a read during the rewrite window must
