@@ -501,8 +501,15 @@ object AnalysisQueries {
     val stop = graft.functions.Text.EffectiveStopwords
     val toks = Text.tokenize(col("text"))
     val stripped = filter(toks, t => !t.isin(stop: _*))
+    // the featurize projection is CPU-heavy (gram hashing + per-bucket
+    // HOF assembly: ~14 ms/doc interpreted) while the corpus parquet is
+    // one tiny file → ONE scan partition would serialize the whole pass
+    // on a single core (measured 71 s → 3.8 s at sf0.1). A round-robin
+    // exchange of the kB-sized text rows buys data-sized parallelism —
+    // exactly the tradeoff a real cluster makes for compute-bound maps.
+    val dd = d.repartition(s.sessionState.conf.numShufflePartitions)
     def seedOf(y: Double, xs: Column) =
-      d.select(TextAnalysis.splitLabel(col("doc_id")).as("split"),
+      dd.select(TextAnalysis.splitLabel(col("doc_id")).as("split"),
         lit(y).as("y"),
         graft.operators.Classifier.hashedGramVector(xs, FtD, FtNs).as("rx"))
     def seedRaw = seedOf(1.0, toks).unionByName(seedOf(0.0, stripped))
