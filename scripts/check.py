@@ -73,6 +73,18 @@ for name in sorted(os.listdir(out)):
         g_num = pd.api.types.is_numeric_dtype(g[c])
         e_num = pd.api.types.is_numeric_dtype(e[c])
         if g_num and e_num and (pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(e[c])):
+            # DTYPE-PARITY GATE (r21): the driver hashes canonicalized cell
+            # strings, so an integer Spark column against a float oracle
+            # column ("549" vs "549.0") hash-fails even when the values are
+            # equal — the exact class that shipped q_cat_top_rank /
+            # q_channel_report red in r20 (DuckDB SUM(BIGINT) -> HUGEINT ->
+            # pandas float64). Oracle rule: any SUM over an integer column
+            # must CAST(... AS BIGINT).
+            if pd.api.types.is_integer_dtype(g[c]) != pd.api.types.is_integer_dtype(e[c]):
+                fails.append((name, f"col {c} dtype parity: spark={g[c].dtype} duckdb={e[c].dtype} "
+                              "(driver's canonical-string hash would fail; cast the oracle aggregate)"))
+                ok = False
+                break
             # numeric pair with at least one float side (covers int64-vs-float64
             # aggregates): compare as float, NaN == NaN
             gf, ef = gv.astype(float), ev.astype(float)

@@ -2889,7 +2889,8 @@ object RelationalQueries {
         |  GROUP BY p_type, p_brand
         |), rolled AS (
         |  SELECT p_type, p_brand,
-        |    CAST(SUM(rev) AS DOUBLE) AS revenue, SUM(cnt) AS n_items
+        |    CAST(SUM(rev) AS DOUBLE) AS revenue,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_items
         |  FROM leaf GROUP BY ROLLUP (p_type, p_brand)
         |)
         |SELECT p_type, p_brand, revenue, n_items, rk
@@ -2919,7 +2920,8 @@ object RelationalQueries {
         |  FROM events WHERE event_type = 'purchase' GROUP BY 2
         |)
         |SELECT channel, month,
-        |       CAST(SUM(sales_dec) AS DOUBLE) AS sales, SUM(txns) AS txns
+        |       CAST(SUM(sales_dec) AS DOUBLE) AS sales,
+        |       CAST(SUM(txns) AS BIGINT) AS txns
         |FROM conformed
         |GROUP BY ROLLUP (channel, month)""".stripMargin,
 

@@ -11,6 +11,11 @@ import graft.sources.Corpus
   * Oracle conventions (driver hash-compares after sorting columns by name):
   *   - every aggregate/computed column aliased identically on both sides;
   *   - counts are BIGINT on both sides (Spark `size()` is INT → cast);
+  *   - any SUM over an integer column must be wrapped CAST(... AS BIGINT)
+  *     in the ORACLE: DuckDB's SUM(BIGINT) returns HUGEINT, which pandas
+  *     materializes as float64 ("549.0" vs Spark's "549") and the driver's
+  *     canonical-string hash fails (r20: q_cat_top_rank/q_channel_report);
+  *     scripts/check.py now carries a dtype-parity assertion for this class;
   *   - no raw timestamp columns in outputs (tz representation differs);
   *   - the stopword list is embedded literally in the SQL so both sides
   *     filter with the identical set.
