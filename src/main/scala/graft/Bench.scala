@@ -299,6 +299,16 @@ object Bench {
       // r18: the OPQ eigen-allocation fit (one Gramian pass) — model
       // state q_ann_opq serves from, warmed like the centroid cache
       graft.sources.VectorStore.opqPerm(spark, sfDir).length: Unit }
+    // r21: the featurized ft-gate seed stores + the 48-round model fits
+    // (the FtModels session memo + the new ftSeedStore parquet relation)
+    // — the serve-pass featurize and the fit both carry build-once
+    // attribution now, so the timed q_quality_ft rows measure the
+    // steady-state standardize+dot gate pass alone (the TermStatsStore
+    // discipline; previously pass A absorbed the ~60 s fit and the
+    // >2× re-measure heuristic fired on both ft rows every run)
+    storePart("ft_seed") {
+      SparkEntry.queries("q_quality_ft")(spark, sfDir).count()
+      SparkEntry.queries("q_quality_ft_streamed")(spark, sfDir).count(): Unit }
     val storeBuildSec =
       if (storeParts.values.exists(_ < 0)) -1.0 else storeParts.values.sum
 

@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expression: the hashed char-n-gram BUCKET HISTOGRAM
   * of a string — for every byte window of width `n`, the md5-prefix32
   * bucket `h % d`, counted into a d-cell array. The fastText-shaped
-  * featurizer's inner loop (`Classifier.hashedGramFeatures`).
+  * featurizer's inner loop (`Classifier.hashedGramVector`).
   *
   * Why a custom `Expression`: the built-in formulation is a
   * transform(sequence → substr) gram list, an md5 pass, and d

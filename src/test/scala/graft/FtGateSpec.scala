@@ -63,6 +63,31 @@ class FtGateSpec extends AnyFunSuite {
     }
   }
 
+  test("featurized seed rows survive a parquet round-trip bit-identically") {
+    // the r21 ft seed store persists (split, y, rx) and serves it in
+    // place of recomputing the gram-hash featurize — valid only if the
+    // parquet round-trip of the double-array features is EXACT
+    val docs = graft.sources.Corpus.documents(spark, "/root/testdata/sf0.001")
+    val toks = graft.functions.Text.tokenize(col("text"))
+    val direct = docs.select(col("doc_id"),
+      graft.operators.Classifier.hashedGramVector(toks, 192, Seq(2, 3)).as("rx"))
+    val path = java.nio.file.Files.createTempDirectory("ftseed_rt").toString + "/rx"
+    direct.write.parquet(path)
+    val back = spark.read.parquet(path)
+    val a = direct.as[(Long, Seq[Double])].collect().toMap
+    val b = back.as[(Long, Seq[Double])].collect().toMap
+    assert(a.keySet === b.keySet)
+    for ((k, v) <- a) assert(v === b(k), s"rx diverged after round-trip for doc $k")
+  }
+
+  test("serving the ft gate twice returns identical rows (store + memo stability)") {
+    val r1 = SparkEntry.queries("q_quality_ft")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    val r2 = SparkEntry.queries("q_quality_ft")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    assert(r1 === r2)
+  }
+
   test("degenerate inputs: empty string and invalid params") {
     val one = Seq(("", "x")).toDF("s", "pad")
     // empty string → all-zero histogram of d cells (not null, not error)
